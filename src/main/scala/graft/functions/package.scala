@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the query/storage/ingest layers.
+  * All of these compose Spark built-ins (codegen'd, pushdown-friendly) —
+  * no UDFs on the hot path.
+  */
+package object functions {
+
+  /** Canonical series key `{k="v",k2="v2"}` from a `map<string,string>`
+    * labels column: entries sorted by name, empty values dropped
+    * (reference `labels/labels.go:35-58` invariants). Deterministic
+    * regardless of map insertion order.
+    */
+  def seriesKey(labels: Column): Column =
+    concat(
+      lit("{"),
+      array_join(
+        transform(
+          array_sort(map_entries(map_filter(labels, (_, v) => v.isNotNull && v =!= ""))),
+          e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\""))),
+        ","),
+      lit("}"))
+
+  /** 64-bit series identity hash over the canonical key. Uses Spark's
+    * built-in xxhash64 (codegen'd); matches the reference's *choice* of
+    * hash family (`labels/labels.go:61-71`) though not its exact bytes —
+    * identity only needs to be deterministic and well-distributed for
+    * partitioning.
+    */
+  def seriesHash(labels: Column): Column = xxhash64(seriesKey(labels))
+
+  /** Block bucket for a timestamp: the half-open range `[bucket-width,
+    * bucket)` it falls into, keyed by its exclusive upper bound — the
+    * reference's `rangeForTimestamp` (`db.go:1198-1200`).
+    */
+  def rangeForTimestamp(t: Column, widthMs: Long): Column =
+    (floor(t / widthMs) * widthMs + widthMs).cast("long")
+
+  /** Clamp a closed interval to an enclosing range (reference
+    * `clampInterval`, `block.go:648-656`). */
+  def clampLo(x: Column, lo: Long): Column = greatest(x, lit(lo))
+  def clampHi(x: Column, hi: Long): Column = least(x, lit(hi))
+}

@@ -1,0 +1,101 @@
+package graft.matchers
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.model.Labels
+
+/** Label matchers — the reference's selection algebra
+  * (`labels/selector.go:21-109`) with PromQL's anchoring convention
+  * (patterns are fully anchored, cf. reference `querier.go:286`).
+  *
+  * The load-bearing semantic (reference `querier.go:331-396`,
+  * `db_test.go:1165` TestNotMatcherSelectsLabelsUnsetSeries): a matcher is
+  * evaluated against the label's value *or the empty string when the label
+  * is absent*. Hence `x != "a"` and `x =~ ""` select series that do not
+  * carry label `x` at all. Both the pure evaluator ([[Matcher.matches]])
+  * and the Column compiler ([[Matcher.toColumn]]) route through that rule
+  * in exactly one place each.
+  */
+sealed trait Matcher {
+  def name: String
+
+  /** Truth value against a single label value ("" = label absent). */
+  def matchesValue(v: String): Boolean
+
+  final def matches(lset: Labels): Boolean = matchesValue(lset.get(name))
+
+  final def matches(lset: Map[String, String]): Boolean =
+    matchesValue(lset.getOrElse(name, ""))
+}
+
+/** `name == value` (reference `labels/selector.go:44-64`). */
+final case class Eq(name: String, value: String) extends Matcher {
+  def matchesValue(v: String): Boolean = v == value
+}
+
+/** `name =~ pattern`, fully anchored (reference `labels/selector.go:66-84`). */
+final case class Re(name: String, pattern: String) extends Matcher {
+  private[matchers] val compiled = Pattern.compile(anchored)
+  def anchored: String = "^(?:" + pattern + ")$"
+  def matchesValue(v: String): Boolean = compiled.matcher(v).matches()
+}
+
+/** Negation wrapper: `!=` / `!~` (reference `labels/selector.go:98-109`). */
+final case class Not(inner: Matcher) extends Matcher {
+  def name: String = inner.name
+  def matchesValue(v: String): Boolean = !inner.matchesValue(v)
+}
+
+object Matcher {
+  def neq(name: String, value: String): Matcher = Not(Eq(name, value))
+  def notRe(name: String, pattern: String): Matcher = Not(Re(name, pattern))
+
+  /** Detects `a|b|c` alternations of literals — the reference's regex→set
+    * fast path (`querier.go:284-324`) — so `=~"a|b|c"` compiles to an
+    * `IN` list instead of a regex eval per row. */
+  def setMatches(pattern: String): Option[Seq[String]] = {
+    val p =
+      if (pattern.startsWith("^(?:") && pattern.endsWith(")$"))
+        pattern.substring(4, pattern.length - 2)
+      else pattern
+    if (p.isEmpty) return None
+    val parts = p.split("\\|", -1).toSeq
+    val literal = parts.forall(s => s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == ':' || c == ' '))
+    if (literal) Some(parts) else None
+  }
+
+  /** Compiles one matcher to a Column predicate. `resolve` maps a label
+    * name to the Column holding its value where NULL means absent — a map
+    * lookup `labels[name]` or a promoted physical column.
+    *
+    * The absent-label-is-empty-string rule is applied with null-aware
+    * predicates rather than `coalesce(c, '')`, because a coalesce around
+    * the column would block parquet filter pushdown; `IsNotNull && EqualTo`
+    * and its negation `IsNull || Not(EqualTo)` both reach the scan. The
+    * compiled predicate is never NULL (three-valued logic resolved here),
+    * so `Not` is plain boolean negation.
+    */
+  def toColumn(m: Matcher, resolve: String => Column): Column = {
+    val c = resolve(m.name)
+    def compile(m: Matcher): Column = m match {
+      case Eq(_, "")    => c.isNull || c === lit("")
+      case Eq(_, value) => c.isNotNull && c === lit(value)
+      case re @ Re(_, pattern) =>
+        val base = setMatches(pattern) match {
+          case Some(lits) => c.isin(lits: _*)
+          case None       => c.rlike(re.anchored)
+        }
+        if (re.matchesValue("")) c.isNull || base
+        else c.isNotNull && base
+      case Not(inner) => !compile(inner)
+    }
+    compile(m)
+  }
+
+  /** AND of matchers (reference `Selector.Matches`, `labels/selector.go:21-32`). */
+  def conjunction(ms: Seq[Matcher], resolve: String => Column): Column =
+    ms.map(toColumn(_, resolve)).reduceOption(_ && _).getOrElse(lit(true))
+}

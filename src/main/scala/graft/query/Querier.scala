@@ -1,0 +1,71 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.matchers.Matcher
+
+/** Query surface over the canonical long format
+  * `(series_key string, labels map<string,string>, t long, v double, ...)`
+  * — the reference's `Querier` interface (`querier.go:28-57`): select by
+  * matchers + time range, enumerate label names/values, plus the
+  * cardinality analysis of `cmd/tsdb/main.go:464-616`.
+  *
+  * This generic map-backed path serves data already in long format (e.g.
+  * blocks written by [[graft.storage.BlockStore]]). When querying a wide
+  * source table, prefer [[TsdbSource.select]], which compiles matchers
+  * against the source columns for parquet pushdown.
+  */
+final class Querier(val samples: DataFrame) {
+
+  private val resolve: String => Column = name => col("labels").getItem(name)
+
+  /** Matcher selection over a closed time range `[mint, maxt]`. */
+  def select(mint: Long, maxt: Long, matchers: Matcher*): DataFrame =
+    samples.where(
+      Matcher.conjunction(matchers, resolve) &&
+        col("t") >= lit(mint) && col("t") <= lit(maxt))
+
+  /** Distinct label names, sorted (reference `querier.go:70-89`). */
+  def labelNames(): DataFrame =
+    samples
+      .select(explode(map_keys(col("labels"))).as("label_name"))
+      .distinct()
+      .orderBy("label_name")
+
+  /** Distinct values of one label, sorted (reference `querier.go:91-108`).
+    * Series without the label contribute nothing (absent ≠ ""). */
+  def labelValues(name: String): DataFrame =
+    samples
+      .select(col("labels").getItem(name).as("label_value"))
+      .where(col("label_value").isNotNull)
+      .distinct()
+      .orderBy("label_value")
+
+  /** Distinct series, as canonical keys, in label-set order — the sorted
+    * SeriesSet invariant (reference `querier.go:519-524`). */
+  def series(): DataFrame =
+    samples.select(col("series_key")).distinct().orderBy("series_key")
+
+  /** Top-k (label name, value) pairs by sample frequency — the `tsdb
+    * analyze` cardinality report (reference `cmd/tsdb/main.go:464-616`).
+    * Deterministic tie-break on (name, value). */
+  def cardinalityTopK(k: Int): DataFrame =
+    samples
+      .select(explode(col("labels")).as(Seq("label_name", "label_value")))
+      .groupBy("label_name", "label_value")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("label_name"), col("label_value"))
+      .limit(k)
+
+  /** Per-series sample-span stats — min/max time maintenance (reference
+    * `head.go:301-320`) and block-stats accumulation (`compact.go:827-831`). */
+  def seriesStats(): DataFrame =
+    samples
+      .groupBy("series_key")
+      .agg(
+        min(col("t")).as("min_t"),
+        max(col("t")).as("max_t"),
+        count(lit(1)).as("num_samples"))
+      .orderBy("series_key")
+}

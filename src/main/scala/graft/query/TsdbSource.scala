@@ -1,0 +1,95 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.seriesKey
+import graft.matchers.Matcher
+import graft.sources.Tables
+
+/** A time-series view over a wide source table.
+  *
+  * The reference's data model is the long format `(labels, t, v)`; a wide
+  * analytics table maps onto it by declaring which columns carry the
+  * timestamp, the value, and the labels. Keeping the *source* DataFrame
+  * and per-label Columns (instead of materializing a `map` column first)
+  * is what lets Catalyst push label matchers and the time range all the
+  * way into the parquet scan — the Spark equivalent of the reference
+  * resolving matchers entirely in its inverted index before touching
+  * sample data (`querier.go:326-396`).
+  *
+  * @param labelCols label name -> value Column; NULL means the label is
+  *                  absent on that series (≡ empty value, reference
+  *                  `labels/labels.go:106-121`).
+  */
+final case class TsdbSource(
+    raw: DataFrame,
+    tCol: Column,
+    vCol: Column,
+    labelCols: Seq[(String, Column)],
+    sampleId: Column,
+    /** Closed time-range predicate in terms of a *physical* column so it
+      * can be pushed into the scan; defaults to filtering on the derived
+      * `tCol` expression (correct, but not pushdown-eligible). */
+    tRange: Option[(Long, Long) => Column] = None) {
+
+  /** Label-name -> value column, for matcher compilation. */
+  private val resolve: String => Column = {
+    val m = labelCols.toMap
+    name => m.getOrElse(name, lit(null).cast("string"))
+  }
+
+  private def labelsMap: Column =
+    map_filter(
+      map(labelCols.sortBy(_._1).flatMap { case (k, c) => Seq(lit(k), c.cast("string")) }: _*),
+      (_, v) => v.isNotNull && v =!= "")
+
+  /** The long/narrow canonical projection:
+    * `(sample_id, series_key, labels, t, v)`. */
+  def samples: DataFrame =
+    raw.select(
+      sampleId.cast("long").as("sample_id"),
+      seriesKey(labelsMap).as("series_key"),
+      labelsMap.as("labels"),
+      tCol.cast("long").as("t"),
+      vCol.cast("double").as("v"))
+
+  /** `Querier.Select(matchers, mint, maxt)` (reference `querier.go:214-230`):
+    * compile matchers + closed time range against the *source* columns so
+    * they reach the scan, then project to the long format.
+    */
+  def select(mint: Long, maxt: Long, matchers: Matcher*): DataFrame = {
+    val time = tRange.getOrElse((lo: Long, hi: Long) => tCol >= lit(lo) && tCol <= lit(hi))
+    val pred = Matcher.conjunction(matchers, resolve) && time(mint, maxt)
+    copy(raw = raw.where(pred)).samples
+  }
+}
+
+object TsdbSource {
+
+  /** The `events` table as a time series: one series per
+    * (event_type, user), with a sparse `vip` label on every 10th user so
+    * the absent-label matcher semantics have real data to bite on.
+    * t = epoch ms (events.ts is ns), v = value.
+    */
+  def events(spark: SparkSession, sfDir: String): TsdbSource = {
+    val df = Tables.events(spark, sfDir)
+    TsdbSource(
+      raw = df,
+      tCol = expr("ts div 1000000"), // ns -> ms, exact integer division
+      vCol = col("value"),
+      labelCols = Seq(
+        "name" -> col("event_type"),
+        "user" -> col("user_id").cast("string"),
+        "vip" -> when(col("user_id") % 10 === 0, lit("1"))),
+      sampleId = col("event_id"),
+      // t = ts div 1e6, so [mint, maxt] in ms == [mint*1e6, maxt*1e6+999999]
+      // in raw ns — expressed on the physical ts column for pushdown.
+      tRange = Some { (mint, maxt) =>
+        // saturate: an open-ended ms range must not overflow in ns
+        val lo = if (mint <= Long.MinValue / 1000000L) Long.MinValue else mint * 1000000L
+        val hi = if (maxt >= Long.MaxValue / 1000000L) Long.MaxValue else maxt * 1000000L + 999999L
+        col("ts") >= lit(lo) && col("ts") <= lit(hi)
+      })
+  }
+}

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md).
+  * One parquet file per table under `<sfDir>/<name>.parquet`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's µs
+      // TimestampType cannot hold; read it as a raw long (ns since epoch).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = read(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame = read(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = read(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = read(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = read(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame = read(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame = read(spark, d, "region")
+  def events(spark: SparkSession, d: String): DataFrame = read(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")
+}
