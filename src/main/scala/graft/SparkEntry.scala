@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
+import graft.ingest.Appender
 import graft.matchers.{Eq, Matcher, Re}
 import graft.query.TsdbSource
 import graft.sources.Tables
+import graft.storage.{Merge, Tombstones}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,9 +35,25 @@ object SparkEntry {
     """'{name="' || event_type || '",user="' || user_id || '"' ||
       | CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END || '}'""".stripMargin.replaceAll("\n", "")
 
+  // constants for the storage-semantics queries (all in epoch ms)
+  private val OVERLAP_LO = T0 + 7 * DAY
+  private val OVERLAP_HI = T0 + 11 * DAY - 1
+  private val DEL1_LO = T0 + 2 * DAY; private val DEL1_HI = T0 + 5 * DAY
+  private val DEL2_LO = T0 + 9 * DAY; private val DEL2_HI = T0 + 19 * DAY
+  private val LOOKBACK = 3600000L // 1h PeekBack window
+  private val BUCKET_W = 21600000L // 6h block range
+  private val KEEP = 14 * DAY // retention
+  private val MIN_VALID = T0 + 12 * 3600000L // ooo lower bound
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ts_select_eq")(spark, "/root/testdata/sf0.001")
+
+  /** DuckDB CTE shared by the storage-semantics oracles: the events table
+    * in the canonical long format. */
+  private val samplesCte =
+    s"""WITH s AS (SELECT event_id AS sample_id, $seriesKeySql AS series_key,
+       | epoch_ms(ts) AS t, value AS v, user_id, event_type FROM events)""".stripMargin
 
   /** Shared: the events table as a TsdbSource, selected and projected to
     * the output shape used by the ts_select_* queries. */
@@ -86,6 +106,107 @@ object SparkEntry {
     "ts_cardinality_topk" -> ((s, dir) =>
       new graft.query.Querier(TsdbSource.events(s, dir).samples).cardinalityTopK(10)),
 
+    // P5: multi-matcher conjunction (eq + regex + negation in one select).
+    "ts_select_multi" -> ((s, dir) =>
+      tsSelect(s, dir, Eq("name", "click"), Re("user", "1.*"), Matcher.neq("vip", "1"))),
+
+    // U2/U3: vertical merge of overlapping blocks — later block wins on
+    // duplicate (series, t). Block 2 re-ingests [d7, d11) with v+100.
+    "ts_vertical_dedup" -> ((s, dir) => {
+      val base = TsdbSource.events(s, dir).samples
+      val a = base.withColumn("block_seq", lit(1))
+      val b = base
+        .where(col("t").between(OVERLAP_LO, OVERLAP_HI))
+        .withColumn("v", col("v") + 100)
+        .withColumn("block_seq", lit(2))
+      Merge.dedupLatest(a.unionByName(b))
+        .select("sample_id", "series_key", "t", "v")
+        .orderBy("series_key", "t", "sample_id")
+    }),
+
+    // P11/P12 + J4: interval deletes via tombstones, applied as a
+    // broadcast range anti-join at read time.
+    "ts_tombstone_delete" -> ((s, dir) => {
+      val samples = TsdbSource.events(s, dir).samples
+      val tombs = Tombstones
+        .forMatchers(samples, DEL1_LO, DEL1_HI, Eq("name", "click"))
+        .unionByName(Tombstones.forMatchers(samples, DEL2_LO, DEL2_HI, Eq("user", "7")))
+      Tombstones.applyTo(samples, Tombstones.coalesceIntervals(tombs))
+        .select("sample_id", "series_key", "t", "v")
+        .orderBy("sample_id")
+    }),
+
+    // U7: interval-set coalescing (overlapping/adjacent deletion ranges
+    // merge) — 6h windows around every error event, per series.
+    "ts_delete_coalesce" -> ((s, dir) => {
+      val iv = TsdbSource.events(s, dir)
+        .select(T0, T0 + 40 * DAY, Eq("name", "error"))
+        .select(col("series_key"), col("t").as("mint"), (col("t") + BUCKET_W).as("maxt"))
+      Tombstones.coalesceIntervals(iv).orderBy("series_key", "mint")
+    }),
+
+    // W1: BufferedSeriesIterator — per-series lookback: previous sample's
+    // value within a 1h delta, else null (rate()-style PeekBack).
+    "ts_lookback_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("series_key").orderBy("t", "sample_id")
+      TsdbSource.events(s, dir).samples
+        .withColumn("prev_t", lag("t", 1).over(w))
+        .withColumn("prev_v", lag("v", 1).over(w))
+        .where(col("t").between(MINT, MAXT))
+        .select(
+          col("series_key"), col("t"), col("sample_id"),
+          when(col("prev_t") >= col("t") - LOOKBACK, col("v") - col("prev_v"))
+            .as("delta"))
+        .orderBy("series_key", "t", "sample_id")
+    }),
+
+    // F6/ST4: tumbling block buckets (rangeForTimestamp) + per-block agg.
+    "ts_time_bucket" -> ((s, dir) =>
+      TsdbSource.events(s, dir).samples
+        .groupBy(expr(s"t div $BUCKET_W * $BUCKET_W + $BUCKET_W").as("t_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
+        .orderBy("t_bucket")),
+
+    // S5/A3: the block meta table — per-block span + stats.
+    "ts_block_meta" -> ((s, dir) =>
+      TsdbSource.events(s, dir).samples
+        .groupBy(expr(s"t div $BUCKET_W * $BUCKET_W + $BUCKET_W").as("t_bucket"))
+        .agg(
+          min("t").as("mint"), max("t").as("maxt"),
+          count(lit(1)).as("num_samples"),
+          countDistinct("series_key").as("num_series"))
+        .orderBy("t_bucket")),
+
+    // ST6: time-based retention — drop blocks wholly older than
+    // max(t) - keep; declarative (cross join on the scalar max).
+    "ts_retention" -> ((s, dir) => {
+      val b = TsdbSource.events(s, dir).samples
+        .withColumn("t_bucket", expr(s"t div $BUCKET_W * $BUCKET_W + $BUCKET_W"))
+      val mx = b.agg(max("t").as("__max"))
+      b.crossJoin(broadcast(mx))
+        .where(col("t_bucket") > col("__max") - KEEP)
+        .groupBy("t_bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("t_bucket")
+    }),
+
+    // ST2/ST3: append validation — out-of-order / amend / out-of-bounds
+    // classification over a deterministic arrival permutation, plus
+    // injected duplicate (idempotent) and amended re-appends.
+    "ts_ooo_reject" -> ((s, dir) => {
+      val base = TsdbSource.events(s, dir).samples
+        .withColumn("arrival", col("sample_id") * 48271 % 1000003)
+      val dups = base.where(col("sample_id") % 50 === 0)
+        .withColumn("arrival", col("arrival") + 2000000)
+      val amends = base.where(col("sample_id") % 77 === 0)
+        .withColumn("v", col("v") + 1)
+        .withColumn("arrival", col("arrival") + 3000000)
+      Appender.validate(base.unionByName(dups).unionByName(amends), MIN_VALID)
+        .groupBy("series_key", "status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("series_key", "status")
+    }),
+
     // TPC-H Q1 shape: scan + filter + hash aggregate (map-side partials).
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -127,6 +248,85 @@ object SparkEntry {
         | FROM events)
         |GROUP BY label_name, label_value
         |ORDER BY n DESC, label_name, label_value LIMIT 10""".stripMargin,
+    "ts_select_multi" -> tsSelectSql(
+      "event_type = 'click' AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*') AND NOT (user_id % 10 = 0)"),
+    "ts_vertical_dedup" ->
+      s"""$samplesCte,
+         |u AS (
+         |  SELECT sample_id, series_key, t, v, 1 AS seq FROM s
+         |  UNION ALL
+         |  SELECT sample_id, series_key, t, v + 100, 2 FROM s
+         |  WHERE t BETWEEN $OVERLAP_LO AND $OVERLAP_HI)
+         |SELECT sample_id, series_key, t, v FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY series_key, t ORDER BY seq DESC, sample_id DESC) AS rn
+         |  FROM u)
+         |WHERE rn = 1 ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_tombstone_delete" ->
+      s"""$samplesCte
+         |SELECT sample_id, series_key, t, v FROM s
+         |WHERE NOT (event_type = 'click' AND t BETWEEN $DEL1_LO AND $DEL1_HI)
+         |  AND NOT (user_id = 7 AND t BETWEEN $DEL2_LO AND $DEL2_HI)
+         |ORDER BY sample_id""".stripMargin,
+    "ts_delete_coalesce" ->
+      s"""$samplesCte,
+         |iv AS (SELECT series_key, t AS mint, t + $BUCKET_W AS maxt FROM s
+         |       WHERE event_type = 'error' AND t BETWEEN $T0 AND ${T0 + 40 * DAY}),
+         |m AS (SELECT *, max(maxt) OVER (PARTITION BY series_key ORDER BY mint, maxt
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv),
+         |g AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR mint > prev_max + 1 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY series_key ORDER BY mint, maxt
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m)
+         |SELECT series_key, min(mint) AS mint, max(maxt) AS maxt
+         |FROM g GROUP BY series_key, grp ORDER BY series_key, mint""".stripMargin,
+    "ts_lookback_delta" ->
+      s"""$samplesCte,
+         |l AS (SELECT series_key, t, sample_id, v,
+         |  lag(t) OVER (PARTITION BY series_key ORDER BY t, sample_id) AS prev_t,
+         |  lag(v) OVER (PARTITION BY series_key ORDER BY t, sample_id) AS prev_v
+         |  FROM s)
+         |SELECT series_key, t, sample_id,
+         |  CASE WHEN prev_t >= t - $LOOKBACK THEN v - prev_v END AS delta
+         |FROM l WHERE t BETWEEN $MINT AND $MAXT
+         |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_time_bucket" ->
+      s"""$samplesCte
+         |SELECT (t // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS t_bucket,
+         |  count(*) AS n, round(sum(v), 2) AS sum_v
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_block_meta" ->
+      s"""$samplesCte
+         |SELECT (t // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS t_bucket,
+         |  min(t) AS mint, max(t) AS maxt, count(*) AS num_samples,
+         |  count(DISTINCT series_key) AS num_series
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_retention" ->
+      s"""$samplesCte,
+         |b AS (SELECT *, (t // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS t_bucket FROM s)
+         |SELECT t_bucket, count(*) AS n FROM b
+         |WHERE t_bucket > (SELECT max(t) FROM s) - $KEEP
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_ooo_reject" ->
+      s"""$samplesCte,
+         |b AS (SELECT sample_id, series_key, t, v,
+         |        sample_id * 48271 % 1000003 AS arrival FROM s),
+         |allr AS (
+         |  SELECT * FROM b
+         |  UNION ALL SELECT sample_id, series_key, t, v, arrival + 2000000
+         |    FROM b WHERE sample_id % 50 = 0
+         |  UNION ALL SELECT sample_id, series_key, t, v + 1, arrival + 3000000
+         |    FROM b WHERE sample_id % 77 = 0),
+         |m AS (SELECT *, max({'t': t, 'a': arrival, 'v': v}) OVER (
+         |        PARTITION BY series_key ORDER BY arrival
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM allr),
+         |c AS (SELECT series_key,
+         |  CASE WHEN t < $MIN_VALID THEN 'out_of_bounds'
+         |       WHEN mx IS NULL OR t > mx.t THEN 'ok'
+         |       WHEN t = mx.t THEN (CASE WHEN v = mx.v THEN 'ok' ELSE 'amend' END)
+         |       ELSE 'out_of_order' END AS status
+         |  FROM m)
+         |SELECT series_key, status, count(*) AS n FROM c
+         |GROUP BY 1, 2 ORDER BY series_key, status""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

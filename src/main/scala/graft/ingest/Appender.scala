@@ -1,0 +1,82 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Append-time validation semantics (reference `head.go:1680-1699` +
+  * error taxonomy `head.go:43-53`), recast for batch: instead of
+  * rejecting samples one at a time behind a per-series lock, classify a
+  * whole batch with a per-series window over arrival order.
+  *
+  * Statuses mirror the reference:
+  *   - `ok`            first sample of a series, or t beyond the series max
+  *   - `out_of_order`  t < running max of previously-arrived samples
+  *                     (`ErrOutOfOrderSample`)
+  *   - `amend`         t == running max — a re-append at the newest
+  *                     timestamp; the reference accepts it only when the
+  *                     value is bitwise-identical (`ErrAmendSample`,
+  *                     NaN-safe compare `head.go:1695-1697`)
+  *   - `out_of_bounds` t below the global lower bound (`ErrOutOfBounds`,
+  *                     `head.go:827-830` — the half-chunk-range
+  *                     late-data window, ≡ a streaming watermark)
+  *
+  * Scale: one window per series over the *batch* (not history); the
+  * per-series high-water mark from prior batches enters as `baseline`.
+  */
+object Appender {
+
+  /** Classify a batch. `samples` needs (series_key, t, v, arrival)
+    * where `arrival` is the ingest order within the batch.
+    * `baseline` (optional) is (series_key, max_t, last_v) from prior
+    * batches. */
+  def validate(
+      samples: DataFrame,
+      minValidTime: Long,
+      baseline: Option[DataFrame] = None,
+      arrivalCol: String = "arrival"): DataFrame = {
+    val withBase = baseline match {
+      case Some(b) =>
+        samples.join(
+          broadcast(b.select(
+            col("series_key").as("__bk"),
+            col("max_t").as("__base_t"),
+            col("last_v").as("__base_v"))),
+          col("series_key") === col("__bk"), "left")
+          .drop("__bk")
+      case None =>
+        samples
+          .withColumn("__base_t", lit(null).cast("long"))
+          .withColumn("__base_v", lit(null).cast("double"))
+    }
+
+    // Running (max t, its value) over previously-arrived samples of the
+    // series: a single struct-max window — lexicographic max by
+    // (t, arrival) carries the value of the newest prior sample.
+    val w = Window
+      .partitionBy("series_key")
+      .orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    val mxT = coalesce(col("__mx.t"), lit(Long.MinValue))
+    val baseT = coalesce(col("__base_t"), lit(Long.MinValue))
+
+    withBase
+      .withColumn("__mx", max(struct(col("t"), col(arrivalCol), col("v"))).over(w))
+      .withColumn("__prev_max", greatest(mxT, baseT))
+      .withColumn("__last_v", when(mxT >= baseT, col("__mx.v")).otherwise(col("__base_v")))
+      .withColumn(
+        "status",
+        when(col("t") < lit(minValidTime), lit("out_of_bounds"))
+          .when(col("__prev_max") === Long.MinValue || col("t") > col("__prev_max"), lit("ok"))
+          .when(
+            col("t") === col("__prev_max"),
+            // equal values (Spark's <=> treats NaN as self-equal, the
+            // engine-level analogue of the reference's bitwise compare)
+            // are an idempotent re-append; anything else is an amend
+            when(col("v") <=> col("__last_v"), lit("ok"))
+              .otherwise(lit("amend")))
+          .otherwise(lit("out_of_order")))
+      .drop("__mx", "__base_t", "__base_v", "__prev_max", "__last_v")
+  }
+}
