@@ -207,6 +207,80 @@ object SparkEntry {
         .orderBy("series_key", "status")
     }),
 
+    // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim, top-k.
+    "q3_join" -> ((s, dir) => {
+      val cut = lit("1997-01-01").cast("timestamp")
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      Tables.lineitem(s, dir).where(col("l_shipdate") > cut)
+        .join(Tables.orders(s, dir).where(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: star join through broadcast dims, group by nation.
+    "q5_join" -> ((s, dir) => {
+      val dims = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // J1 analogue: semi join — parts that ship after 2000, counted by brand.
+    "q_semi_join" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .join(
+          Tables.lineitem(s, dir)
+            .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+            .select("l_partkey"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")),
+
+    // J3 analogue: anti join — customers with no 1995 order, by segment.
+    "q_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(
+          Tables.orders(s, dir)
+            .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")),
+
+    // O7 analogue: global top-k with a broadcast dim lookup.
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // Window over relational data: top-2 orders per customer by price.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
     // TPC-H Q1 shape: scan + filter + hash aggregate (map-side partials).
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -327,6 +401,49 @@ object SparkEntry {
          |  FROM m)
          |SELECT series_key, status, count(*) AS n FROM c
          |GROUP BY 1, 2 ORDER BY series_key, status""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

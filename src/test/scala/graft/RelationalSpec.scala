@@ -1,0 +1,34 @@
+package graft
+
+/** Plan-shape audits for the relational queries: the point at 100 TB is
+  * not just the result but that dims broadcast and filters reach the scan.
+  */
+class RelationalSpec extends SparkSuite {
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q3_join broadcasts the customer dim") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q5_join broadcasts the dim star") {
+    val p = plan("q5_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q1_agg pushes the shipdate filter to the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q_semi_join and q_anti_join plan as semi/anti hash joins") {
+    assert(plan("q_semi_join").contains("LeftSemi"), plan("q_semi_join").take(1200))
+    assert(plan("q_anti_join").contains("LeftAnti"), plan("q_anti_join").take(1200))
+  }
+
+  test("every oracle key has a query and vice versa") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+}
