@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.ingest.Appender
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
 import graft.query.TsdbSource
 import graft.sources.Tables
@@ -27,6 +28,52 @@ object SparkEntry {
   /** Closed query range [Jan 2, Jan 16) used by the time-range queries. */
   private val MINT = T0 + DAY
   private val MAXT = T0 + 15 * DAY
+
+  /** Language-ID profiles shared between the Spark query and its oracle. */
+  private val LANG_PROFILES: Seq[(String, Seq[String])] = Seq(
+    "p1" -> Seq("the", "a", "scan", "table"),
+    "p2" -> Seq("query", "window", "agg", "join"),
+    "p3" -> Seq("batch", "stream", "spark", "data"))
+
+  /** DuckDB fragments shared by the document oracles. */
+  private val WORDS_SQL = """string_split_regex(text, '\s+')"""
+  private val SHINGLES_CTE =
+    s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(generate_series(1, len(ws) - 2),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)""".stripMargin
+  /** 28-bit string hash, identical to [[TextStats.wordHash]]. */
+  private def hashSql(x: String): String =
+    s"('0x' || substr(md5($x), 1, 7))::BIGINT"
+
+  /** Double-precision cosine in DuckDB, rounded to 4dp like
+    * [[Similarity.cosine]] usage. */
+  private def cosineSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, len($a)),
+       |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)))
+       |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * x)))), 4)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** Sign-bit LSH bucket of the first 4 dims (1-based in DuckDB). */
+  private def bucketSql(e: String): String =
+    (0 until 4).map(i => s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private def embTopKSql(k: Int, sameBucket: Boolean = false): String = {
+    val bucketJoin =
+      if (sameBucket) s" AND ${bucketSql("c.embedding")} = ${bucketSql("q.q_emb")}"
+      else ""
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < 5),
+       |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+       |  ${cosineSql("q.q_emb", "c.embedding")} AS sim
+       |  FROM embeddings c, q WHERE c.vec_id != q.q_id$bucketJoin)
+       |SELECT q_id, rank, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
 
   /** DuckDB rendering of the canonical series key for the events source —
     * must match [[graft.functions.seriesKey]] over
@@ -281,6 +328,67 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // ---- LLM-pipeline operators (documents / embeddings tables) ----
+
+    // Token counting: whitespace + BPE-ish regex tokens.
+    "doc_tokens" -> ((s, dir) =>
+      TextStats.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Quality scoring: length/word/stopword features + composite score.
+    "doc_quality" -> ((s, dir) =>
+      TextStats.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Language-ID heuristic: n-gram profile scores + argmax.
+    "doc_langid" -> ((s, dir) =>
+      TextStats.langId(Tables.documents(s, dir), LANG_PROFILES).orderBy("doc_id")),
+
+    // Rolling-hash document fingerprint.
+    "doc_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Exact dedup: content-hash groups with survivor + group size.
+    "doc_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("survivor")),
+
+    // Near-dup pairs by true 3-gram Jaccard through an inverted
+    // shingle index (no all-pairs join).
+    "doc_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir)).orderBy("i", "j")),
+
+    // MinHash + LSH banding: sub-quadratic candidate generation, then
+    // exact-Jaccard verification of candidates only.
+    "doc_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy("i", "j")),
+
+    // 32-bit SimHash signatures.
+    "doc_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Exact ANN baseline: brute-force cosine top-5 for 5 query vectors.
+    "emb_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 5), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Approximate ANN: sign-bit LSH bucketing (equi-join, not cross).
+    "emb_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.signLshTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF coarse quantizer: nearest-centroid assignment of the corpus.
+    "emb_ivf_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfAssign(emb, emb.where(col("vec_id") < 8))
+        .orderBy("vec_id")
+    }),
+
+    // Multimodal plumbing: binary payload column -> typed decode stub.
+    "mm_decode_stats" -> ((s, dir) =>
+      Multimodal.decodeMeta(s, Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+
     // TPC-H Q1 shape: scan + filter + hash aggregate (map-side partials).
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -401,6 +509,101 @@ object SparkEntry {
          |  FROM m)
          |SELECT series_key, status, count(*) AS n FROM c
          |GROUP BY 1, 2 ORDER BY series_key, status""".stripMargin,
+    "doc_tokens" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         | len($WORDS_SQL) AS n_ws_tokens,
+         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_quality" ->
+      s"""WITH w AS (SELECT doc_id, length(text) AS n_chars, $WORDS_SQL AS ws FROM documents),
+         |f AS (SELECT doc_id, n_chars, len(ws) AS n_words,
+         |  list_sum(list_transform(ws, x -> len(x))) AS sum_len,
+         |  len(list_filter(ws, x -> x IN ('the', 'a', 'of'))) AS n_stop FROM w)
+         |SELECT doc_id, n_chars, n_words,
+         | round(sum_len::DOUBLE / n_words, 4) AS avg_word_len,
+         | round(n_stop::DOUBLE / n_words, 4) AS stopword_ratio,
+         | round(least(1.0, n_words::DOUBLE / 100) * (0.5 + 0.5 * (n_stop::DOUBLE / n_words)), 4) AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "doc_langid" -> {
+      val scores = LANG_PROFILES.map { case (name, prof) =>
+        s"len(list_filter(ws, x -> x IN (${prof.map(w => s"'$w'").mkString(", ")}))) AS score_$name"
+      }.mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |sc AS (SELECT doc_id,
+         |  $scores FROM w)
+         |SELECT doc_id, score_p1, score_p2, score_p3,
+         | CASE WHEN score_p1 >= score_p2 AND score_p1 >= score_p3 THEN 'p1'
+         |      WHEN score_p2 >= score_p3 THEN 'p2'
+         |      ELSE 'p3' END AS predicted
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "doc_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents)
+         |SELECT doc_id, list_reduce(
+         |  [0::BIGINT] || list_transform(ws, x -> ${hashSql("x")}),
+         |  (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "doc_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS survivor,
+        | count(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY survivor""".stripMargin,
+    "doc_ngram_jaccard" ->
+      s"""$SHINGLES_CTE,
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |  len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS ni, len(b.sh) AS nj
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         |SELECT i, j, round(inter::DOUBLE / (ni + nj - inter), 4) AS jaccard
+         |FROM p WHERE round(inter::DOUBLE / (ni + nj - inter), 4) >= 0.4
+         |ORDER BY i, j""".stripMargin,
+    "doc_minhash_lsh" -> {
+      val perms = Dedup.permutations()
+      val mod = Dedup.MINHASH_MOD
+      val sig = perms.map { case (a, b) =>
+        s"list_min(list_transform(sh, s -> ($a * ${hashSql("s")} + $b) % $mod))"
+      }.mkString("[", ",\n   ", "]")
+      s"""$SHINGLES_CTE,
+         |d AS (SELECT doc_id, sh, len(sh) AS n_sh,
+         |  $sig AS sig FROM sh),
+         |bd AS (SELECT doc_id, band,
+         |  array_to_string(sig[band * 4 + 1 : band * 4 + 4], '-') AS band_key
+         |  FROM d, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |v AS (SELECT c.i, c.j, len(list_intersect(di.sh, dj.sh)) AS inter,
+         |  di.n_sh AS ni, dj.n_sh AS nj
+         |  FROM cand c JOIN d di ON di.doc_id = c.i JOIN d dj ON dj.doc_id = c.j)
+         |SELECT i, j, round(inter::DOUBLE / (ni + nj - inter), 4) AS jaccard
+         |FROM v WHERE round(inter::DOUBLE / (ni + nj - inter), 4) >= 0.4
+         |ORDER BY i, j""".stripMargin
+    },
+    "doc_simhash" -> {
+      val bitSums = (0 until 32).map { b =>
+        s"CASE WHEN list_sum(list_transform(whs, h -> ((h // ${1L << b}) % 2) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString(" +\n  ")
+      s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |h AS (SELECT doc_id, list_transform(ws, x -> ${hashSql("x")}) AS whs FROM w)
+         |SELECT doc_id, ($bitSums) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "emb_cosine_topk" -> embTopKSql(k = 5),
+    "emb_lsh_ann" -> embTopKSql(k = 3, sameBucket = true),
+    "emb_ivf_assign" ->
+      s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |s AS (SELECT e.vec_id, centroid_id,
+         |  ${cosineSql("e.embedding", "c_emb")} AS sim
+         |  FROM embeddings e, ce)
+         |SELECT vec_id, centroid_id, sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "mm_decode_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        | 640 + octet_length(encode(text)) % 128 AS width,
+        | 360 + octet_length(encode(text)) % 72 AS height,
+        | 1 + octet_length(encode(text)) % 30 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q3_join" ->
       """SELECT o_orderkey,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

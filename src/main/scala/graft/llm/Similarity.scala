@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers, mirroring how ANN systems scale:
+  *  - [[cosineTopK]]: brute force — exact, O(|queries| × |corpus|); the
+  *    baseline, and fine whenever the query set broadcasts.
+  *  - [[signLshTopK]]: sign-bit bucketing (axis-aligned random
+  *    hyperplanes) — candidates are restricted to the query's bucket, so
+  *    the join is an equi-join on `bucket` instead of a cross join.
+  *  - [[ivfAssign]]/[[ivfTopK]]: IVF coarse quantizer — every vector is
+  *    assigned to its nearest centroid; a query probes the `nprobe`
+  *    nearest lists only. At 100 TB the lists are the partition key, so
+  *    a probe is a partition-pruned scan, not a full pass.
+  *
+  * All arithmetic is done in double precision via codegen'd higher-order
+  * functions (`zip_with` + `aggregate`) — no UDFs.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Exact top-k: broadcast the query set against the corpus. `sim` is
+    * cosine rounded to 4dp (rank ties broken by neighbor id) so results
+    * are reproducible across engines and summation orders. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .join(q, col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("sim"))
+    ranked(scored, k)
+  }
+
+  /** Sign-bit LSH bucket of the first `bits` dimensions. */
+  def signBucket(emb: Column, bits: Int = 4): Column =
+    (0 until bits).map(i => when(emb(i) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Approximate top-k: only candidates in the query's sign bucket are
+    * scored. Recall < 1 by design; the cross join becomes an equi-join. */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4): DataFrame = {
+    val c = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = broadcast(
+      queries.select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        signBucket(col("embedding"), bits).as("bucket")))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("sim"))
+    ranked(scored, k)
+  }
+
+  /** IVF coarse assignment: nearest centroid (max cosine; ties -> lowest
+    * centroid id) per vector. Centroids broadcast. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(
+      col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("centroid_id"))
+    corpus.crossJoin(c)
+      .select(
+        col("vec_id"), col("centroid_id"),
+        round(cosine(col("embedding"), col("c_emb")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "centroid_id", "sim")
+  }
+
+  /** IVF search: probe the `nprobe` nearest centroid lists of each query,
+    * brute-force within them. */
+  def ivfTopK(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val assign = ivfAssign(corpus, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val listed = corpus.join(assign, "vec_id")
+    val c = broadcast(centroids.select(
+      col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c_sim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(c)
+      .withColumn("c_sim", round(cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select("q_id", "q_emb", "centroid_id")
+    val scored = listed.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("sim"))
+    ranked(scored, k)
+  }
+}

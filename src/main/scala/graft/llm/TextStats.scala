@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, and document
+  * fingerprinting. All are per-row column expressions (codegen'd, no
+  * UDFs, no shuffles) — they scale linearly with the corpus and push
+  * projection pruning to the scan.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /** Deterministic 28-bit word hash shared with the DuckDB oracle:
+    * the first 7 hex digits of md5. Small enough that linear-perm
+    * minhash arithmetic never overflows a long. */
+  def wordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 7), 16, 10).cast("long")
+
+  /** Whitespace + BPE-ish regex token counts, plus char count. */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(words(col(textCol))).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("n_bpe_tokens"))
+
+  /** Quality-score features (length, word stats, stopword ratio) and a
+    * bounded composite score — the usual first-pass heuristic filter for
+    * web-scale corpora. */
+  def quality(
+      df: DataFrame,
+      textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a", "of")): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    val sumLen = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+    df.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      nWords.as("n_words"),
+      round(sumLen.cast("double") / nWords, 4).as("avg_word_len"),
+      round(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
+      round(
+        least(lit(1.0), nWords.cast("double") / 100) *
+          (lit(0.5) + lit(0.5) * (nStop.cast("double") / nWords)), 4)
+        .as("quality_score"))
+  }
+
+  /** N-gram-profile language ID: score each profile by token hits,
+    * predict the argmax (ties resolved by profile order). The profiles
+    * are word/character n-gram sets; real deployments would learn them —
+    * the operator shape (K parallel profile scores + argmax, one pass,
+    * no shuffle) is what matters at scale. */
+  def langId(
+      df: DataFrame,
+      profiles: Seq[(String, Seq[String])],
+      textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val scored = profiles.foldLeft(df.select(col("doc_id"), ws.as("__ws"))) {
+      case (acc, (name, prof)) =>
+        acc.withColumn(s"score_$name", size(filter(col("__ws"), w => w.isin(prof: _*))))
+    }
+    val best = profiles.map { case (name, _) => col(s"score_$name") }
+    val pred = profiles.reverse.foldLeft(lit(profiles.last._1)) {
+      case (els, (name, _)) =>
+        when(col(s"score_$name") === greatest(best: _*), lit(name)).otherwise(els)
+    }
+    scored.withColumn("predicted", pred).drop("__ws")
+  }
+
+  /** Rolling polynomial fingerprint over word hashes:
+    * `fp = fold(0, (acc, h) => (acc * 31 + h) mod 1e9+7)` — an
+    * order-sensitive document signature (content-defined chunking /
+    * incremental dedup building block). */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val hashes = transform(words(col(textCol)), wordHash(_))
+    df.select(
+      col("doc_id"),
+      aggregate(hashes, lit(0L), (acc, h) => (acc * 31 + h) % 1000000007L)
+        .as("fingerprint"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.Tables
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shingles: 3-grams, distinct, short-text safe") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z x y z x y")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", Dedup.shingles($"text")).as[(Long, Seq[String])]
+      .collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty) // shorter than n
+    assert(got(3L).toSet == Set("x y z", "y z x", "z x y")) // distinct
+  }
+
+  test("exact dedup groups duplicates under min doc_id") {
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df).select("survivor", "group_size")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("ngram jaccard finds the planted near-dup and nothing else") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words with zero overlap here now")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, threshold = 0.4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH candidates are a superset-recall of high-jaccard pairs here") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs).select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs).select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision 1
+    assert(lsh.nonEmpty || exact.isEmpty)
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val m = Dedup.simhash(df).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("cosineTopK: self-similarity excluded, scores in [-1,1], k respected") {
+    val got = Similarity.cosineTopK(emb, emb.where($"vec_id" < 3), k = 4).collect()
+    assert(got.length == 12)
+    assert(got.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id")))
+    assert(got.forall(r => math.abs(r.getAs[Double]("sim")) <= 1.0001))
+  }
+
+  test("identical vector ranks first with sim 1") {
+    val dup = emb.where($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val got = Similarity.cosineTopK(emb.unionByName(dup), emb.where($"vec_id" === 0), k = 1)
+      .collect().head
+    assert(got.getAs[Long]("neighbor_id") == 9999L && got.getAs[Double]("sim") == 1.0)
+  }
+
+  test("ivfTopK probes nearest lists and returns k ranked neighbors") {
+    val centroids = emb.where($"vec_id" < 8)
+    val got = Similarity.ivfTopK(emb, centroids, emb.where($"vec_id" < 3), k = 3, nprobe = 3)
+    val rows = got.collect()
+    assert(rows.length <= 9 && rows.nonEmpty)
+    // approximate ⊆ exhaustive scores: every IVF hit's sim must equal the
+    // brute-force sim for that (q, neighbor)
+    val brute = Similarity.cosineTopK(emb, emb.where($"vec_id" < 3), k = 400)
+      .select("q_id", "neighbor_id", "sim").as[(Long, Long, Double)]
+      .collect().map { case (q, n, s) => (q, n) -> s }.toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute(key) == r.getAs[Double]("sim"))
+    }
+  }
+
+  test("signLshTopK only returns same-bucket neighbors") {
+    val got = Similarity.signLshTopK(emb, emb.where($"vec_id" < 5), k = 3)
+    val withBuckets = got.join(
+      emb.select($"vec_id".as("neighbor_id"), Similarity.signBucket($"embedding").as("nb")),
+      "neighbor_id")
+      .join(emb.select($"vec_id".as("q_id"), Similarity.signBucket($"embedding").as("qb")), "q_id")
+    assert(withBuckets.where($"nb" =!= $"qb").count() == 0)
+  }
+}
+
+class TextStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("quality features on a known doc") {
+    val df = Seq((1L, "the cat sat of a mat")).toDF("doc_id", "text")
+    val r = TextStats.quality(df).collect().head
+    assert(r.getAs[Int]("n_words") == 6)
+    assert(r.getAs[Double]("avg_word_len") == 2.5) // 15 letters / 6 words
+    assert(r.getAs[Double]("stopword_ratio") == 0.5) // the, of, a
+  }
+
+  private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fps = TextStats.fingerprint(df).as[(Long, Long)].collect().toMap
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("multimodal decode stub emits typed metadata per row") {
+    val meta = Multimodal.decodeMeta(spark, Tables.documents(spark, sf)).collect()
+    assert(meta.length == 500)
+    assert(meta.forall(m => m.width >= 640 && m.width < 768 && m.n_frames >= 1))
+    assert(meta.forall(m => m.byte_len > 0))
+  }
+}
