@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.storage.BlockStore
+import StreamingIngest.{Sample, Validated}
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stateful validation: exact sequential semantics within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.validated(in.toDS(), minValidTime = 0)
+      .writeStream.format("memory").queryName("v1")
+      .outputMode(OutputMode.Append).start()
+
+    in.addData(
+      Sample("s", 10, 1.0, 1), Sample("s", 20, 2.0, 2),
+      Sample("s", 15, 9.0, 3), // regression: rejected
+      Sample("s", 20, 2.0, 4), // idempotent re-append of current max: ok
+      Sample("s", 20, 3.0, 5), // amend at current max: rejected
+      Sample("s", 30, 4.0, 6))
+    q.processAllAvailable()
+    val got = spark.table("v1").as[Validated].collect()
+      .sortBy(_.arrival).map(_.status).toSeq
+    q.stop()
+    assert(got == Seq("ok", "ok", "out_of_order", "ok", "amend", "ok"))
+  }
+
+  test("rejected samples do NOT advance the high-water mark (vs batch Appender)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.validated(in.toDS(), minValidTime = 0)
+      .writeStream.format("memory").queryName("v2")
+      .outputMode(OutputMode.Append).start()
+    // 50 arrives first but is below minValid? no — sequence: 100 ok,
+    // 200-amend-shaped regression at t=50 rejected, then t=60 must ALSO be
+    // judged against maxT=100 (not 50): out_of_order.
+    in.addData(Sample("s", 100, 1.0, 1), Sample("s", 50, 2.0, 2), Sample("s", 60, 3.0, 3))
+    q.processAllAvailable()
+    val st = spark.table("v2").as[Validated].collect().sortBy(_.arrival).map(_.status).toSeq
+    q.stop()
+    assert(st == Seq("ok", "out_of_order", "out_of_order"))
+  }
+
+  test("state persists across micro-batches (WAL-replay equivalence)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.validated(in.toDS(), minValidTime = 0)
+      .writeStream.format("memory").queryName("v3")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Sample("s", 100, 1.0, 1))
+    q.processAllAvailable()
+    in.addData(Sample("s", 90, 2.0, 2), Sample("s", 110, 3.0, 3)) // batch 2
+    q.processAllAvailable()
+    val st = spark.table("v3").as[Validated].collect().sortBy(_.arrival).map(_.status).toSeq
+    q.stop()
+    assert(st == Seq("ok", "out_of_order", "ok"))
+  }
+
+  test("NaN re-append is idempotent, different payload is amend (head.go:1695)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.validated(in.toDS(), minValidTime = 0)
+      .writeStream.format("memory").queryName("v4")
+      .outputMode(OutputMode.Append).start()
+    val nan1 = Double.NaN
+    val nan2 = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    in.addData(Sample("s", 10, nan1, 1), Sample("s", 10, nan1, 2), Sample("s", 10, nan2, 3))
+    q.processAllAvailable()
+    q.stop()
+    val byArrival = spark.table("v4").as[Validated].collect()
+    assert(byArrival.count(_.status == "ok") == 2)
+    assert(byArrival.count(_.status == "amend") == 1)
+  }
+
+  test("end-to-end ingest: stream -> validated -> block partitions on disk") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-stream-blocks").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.ingest(in.toDS(), store, ckpt, minValidTime = 0)
+    in.addData(
+      Sample("a", 100, 1.0, 1), Sample("a", 1500, 2.0, 2),
+      Sample("a", 200, 9.0, 3), // out of order: dropped
+      Sample("b", 2500, 3.0, 4))
+    q.processAllAvailable()
+    q.stop()
+    val back = store.read(spark)
+    assert(back.count() == 3) // rejected sample not persisted
+    assert(back.select("t_bucket").distinct().count() == 3) // 1s blocks: 1000, 2000, 3000
+  }
+}
