@@ -19,17 +19,28 @@ object Dedup {
 
   import TextStats.{wordHash, words}
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = words(text)
+  /** Shingles from an already-materialized words *column reference*.
+    *
+    * Performance contract: `ws` must be a bound column (attribute), not
+    * an expression like `split(...)`. Higher-order-function lambdas are
+    * evaluated interpreted (outside whole-stage codegen), where every
+    * reference to a child expression re-evaluates it — an inline
+    * `split()` would rerun per element. Likewise `element_at` (O(1)) is
+    * used instead of `slice` (O(n) copy per position).
+    */
+  def shinglesFromWords(ws: Column, n: Int = 3): Column =
     // guard: sequence(1, 0) would produce a *descending* [1,0] in Spark
     when(size(ws) >= n,
       array_distinct(
         transform(
           sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n))))))
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct word n-gram shingles of a text column (convenience; for
+    * hot paths prefer [[docShingles]], which binds the words first). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(words(text), n)
 
   /** Exact dedup groups: content hash -> surviving (minimum) doc_id and
     * group size. Survivors = `where(group_size == 1 or doc_id == survivor)`. */
@@ -37,13 +48,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min("doc_id").as("survivor"), count(lit(1)).as("group_size"))
 
-  /** Per-doc distinct shingle sets (cached building block). */
+  /** Per-doc distinct shingle sets. Words are bound to a column before
+    * shingling (see [[shinglesFromWords]] performance contract). */
   def docShingles(df: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame =
-    df.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+    df.select(col("doc_id"), words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), shinglesFromWords(col("__ws"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
-  /** Near-duplicate pairs by true n-gram Jaccard >= threshold, generated
-    * through an inverted shingle index (no all-pairs). */
+  /** Exact-Jaccard verification of candidate (i, j) pairs against the
+    * per-doc shingle sets; emits pairs clearing the threshold. */
+  private def verifyJaccard(
+      candidates: DataFrame,
+      docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val di = docs.select(col("doc_id").as("i"), col("sh").as("sh_i"), col("n_sh").as("ni"))
+    val dj = docs.select(col("doc_id").as("j"), col("sh").as("sh_j"), col("n_sh").as("nj"))
+    candidates
+      .join(di, "i").join(dj, "j")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn(
+        "jaccard",
+        round(col("inter").cast("double") / (col("ni") + col("nj") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  /** Near-duplicate pairs by true n-gram Jaccard >= threshold.
+    *
+    * Candidate generation uses **prefix filtering** (the SSJoin/PPJoin
+    * family): under a global rarest-first shingle order, two sets with
+    * Jaccard >= t must share a shingle within their first
+    * `|sh| - ceil(t*|sh|) + 1` shingles. Joining only on those prefixes
+    * is exact (no lost pairs) and collapses the candidate space on
+    * corpora where common shingles would otherwise pair everything with
+    * everything. A length filter (`t*ni <= nj <= ni/t`) prunes the rest.
+    * Verification computes the true Jaccard per surviving pair.
+    *
+    * Scale: two shuffles (frequency count, prefix self-join); the global
+    * frequency rank is a window over the *shingle dictionary*, which is
+    * vocabulary-sized, not corpus-sized.
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       n: Int = 3,
@@ -51,17 +95,27 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val docs = docShingles(df, n, textCol)
     val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val a = inv.select(col("shingle"), col("doc_id").as("i"), col("n_sh").as("ni"))
-    val b = inv.select(col("shingle"), col("doc_id").as("j"), col("n_sh").as("nj"))
-    a.join(b, Seq("shingle"))
-      .where(col("i") < col("j"))
-      .groupBy("i", "j", "ni", "nj")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn(
-        "jaccard",
-        round(col("inter").cast("double") / (col("ni") + col("nj") - col("inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("i", "j", "jaccard")
+    val rank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df"), col("shingle"))
+    val ranked = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(rank))
+      .select("shingle", "rank")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rank")
+    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
+    val prefix = inv.join(ranked, "shingle")
+      .withColumn("pos", row_number().over(byDoc))
+      .where(col("pos") <= prefixLen)
+      .select(col("shingle"), col("doc_id"), col("n_sh"))
+    val a = prefix.select(col("shingle"), col("doc_id").as("i"), col("n_sh").as("ni"))
+    val b = prefix.select(col("shingle"), col("doc_id").as("j"), col("n_sh").as("nj"))
+    val candidates = a.join(b, Seq("shingle"))
+      .where(col("i") < col("j") &&
+        col("nj") >= lit(threshold) * col("ni") &&
+        col("ni") >= lit(threshold) * col("nj"))
+      .select("i", "j")
+      .dropDuplicates("i", "j")
+    verifyJaccard(candidates, docs, threshold)
   }
 
   /** Seeded linear-permutation parameters (a, b) for MinHash, shared
@@ -74,11 +128,13 @@ object Dedup {
       r.nextInt((MINHASH_MOD - 1).toInt).toLong))
   }
 
-  /** MinHash signature column: for each permutation, the min of
-    * `(a * shingleHash + b) mod M` over the doc's shingles. */
-  def minhashSignature(sh: Column, perms: Seq[(Long, Long)]): Column =
+  /** MinHash signature from a *pre-hashed* shingle array: for each
+    * permutation, the min of `(a * h + b) mod M`. Taking hashes (not
+    * strings) keeps the md5 per shingle computed once, not once per
+    * permutation — 16× less hashing on the hot path. */
+  def minhashSignature(shHashes: Column, perms: Seq[(Long, Long)]): Column =
     array(perms.map { case (a, b) =>
-      array_min(transform(sh, s => (lit(a) * wordHash(s) + lit(b)) % MINHASH_MOD))
+      array_min(transform(shHashes, h => (lit(a) * h + lit(b)) % MINHASH_MOD))
     }: _*)
 
   /** MinHash-LSH near-dup pairs: band the signature, bucket-join on
@@ -94,43 +150,39 @@ object Dedup {
     require(perms.length % bands == 0, "bands must divide the signature length")
     val rows = perms.length / bands
     val docs = docShingles(df, n, textCol)
-      .withColumn("sig", minhashSignature(col("sh"), perms))
+      .withColumn("sh_hashes", transform(col("sh"), wordHash(_)))
+      .withColumn("sig", minhashSignature(col("sh_hashes"), perms))
+    // candidates stay (band, i, j) only — the shingle arrays join back in
+    // once per *verified candidate pair*, not per banded row
     val banded = docs.select(
-      col("doc_id"), col("sh"), col("n_sh"),
+      col("doc_id"),
       posexplode(
         array((0 until bands).map(bi =>
           concat_ws("-", (0 until rows).map(ri => col("sig")(bi * rows + ri)): _*)): _*))
         .as(Seq("band", "band_key")))
-    val a = banded.select(
-      col("band"), col("band_key"),
-      col("doc_id").as("i"), col("sh").as("sh_i"), col("n_sh").as("ni"))
-    val b = banded.select(
-      col("band"), col("band_key"),
-      col("doc_id").as("j"), col("sh").as("sh_j"), col("n_sh").as("nj"))
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("i"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("j"))
     val candidates = a.join(b, Seq("band", "band_key"))
       .where(col("i") < col("j"))
-      .select("i", "j", "sh_i", "sh_j", "ni", "nj")
+      .select("i", "j")
       .dropDuplicates("i", "j")
-    candidates
-      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
-      .withColumn(
-        "jaccard",
-        round(col("inter").cast("double") / (col("ni") + col("nj") - col("inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("i", "j", "jaccard")
+    verifyJaccard(candidates, docs.select("doc_id", "sh", "n_sh"), threshold)
   }
 
   /** 32-bit SimHash over word-token hashes (with multiplicity): bit b is
     * the sign of the sum of ±1 contributions from each token's bit b. */
   def simhash(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val whs = transform(words(col(textCol)), wordHash(_))
+    // materialize word hashes once; the 32 bit-sums then fold over the
+    // precomputed array instead of re-hashing per bit
+    val hashed = df.select(
+      col("doc_id"), transform(words(col(textCol)), wordHash(_)).as("__whs"))
     val bitSum: Int => Column = b =>
       aggregate(
-        transform(whs, h => (shiftright(h, b) % 2) * 2 - 1),
+        transform(col("__whs"), h => (shiftright(h, b) % 2) * 2 - 1),
         lit(0L), (acc, x) => acc + x)
     val sim = (0 until 32).map(b =>
       when(bitSum(b) > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    df.select(col("doc_id"), sim.as("simhash"))
+    hashed.select(col("doc_id"), sim.as("simhash"))
   }
 }
