@@ -75,47 +75,54 @@ object Dedup {
 
   /** Near-duplicate pairs by true n-gram Jaccard >= threshold.
     *
-    * Candidate generation uses **prefix filtering** (the SSJoin/PPJoin
-    * family): under a global rarest-first shingle order, two sets with
-    * Jaccard >= t must share a shingle within their first
-    * `|sh| - ceil(t*|sh|) + 1` shingles. Joining only on those prefixes
-    * is exact (no lost pairs) and collapses the candidate space on
-    * corpora where common shingles would otherwise pair everything with
-    * everything. A length filter (`t*ni <= nj <= ni/t`) prunes the rest.
-    * Verification computes the true Jaccard per surviving pair.
+    * Strategy: **count-based verification through a hashed inverted
+    * index**. Explode each doc's distinct shingles, hash the shingle to
+    * a long (64-bit keys shuffle ~10× less than the shingle strings and
+    * hash-join faster), self-join on the key, and count shared shingles
+    * per (i, j) with a map-side-combining aggregate. The intersection
+    * size IS that count — no shingle arrays ever cross the shuffle and
+    * no per-pair `array_intersect` runs. A length filter
+    * (`t*max(ni,nj) <= min(ni,nj)`, necessary for Jaccard >= t) prunes
+    * pairs before the aggregate.
     *
-    * Scale: two shuffles (frequency count, prefix self-join); the global
-    * frequency rank is a window over the *shingle dictionary*, which is
-    * vocabulary-sized, not corpus-sized.
+    * Scale: cost is Σ_shingle df² join rows, shuffled as longs; skewed
+    * hot shingles are handled by AQE skew-join. At 100 TB, cap df by
+    * dropping stop-shingles above a document-frequency bound (trades
+    * exactness for a bounded join; not needed at bench scale).
     */
   def ngramJaccardPairs(
       df: DataFrame,
       n: Int = 3,
       threshold: Double = 0.4,
       textCol: String = "text"): DataFrame = {
-    val docs = docShingles(df, n, textCol)
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val rank = org.apache.spark.sql.expressions.Window
-      .orderBy(col("df"), col("shingle"))
-    val ranked = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .withColumn("rank", row_number().over(rank))
-      .select("shingle", "rank")
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("rank")
-    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
-    val prefix = inv.join(ranked, "shingle")
-      .withColumn("pos", row_number().over(byDoc))
-      .where(col("pos") <= prefixLen)
-      .select(col("shingle"), col("doc_id"), col("n_sh"))
-    val a = prefix.select(col("shingle"), col("doc_id").as("i"), col("n_sh").as("ni"))
-    val b = prefix.select(col("shingle"), col("doc_id").as("j"), col("n_sh").as("nj"))
-    val candidates = a.join(b, Seq("shingle"))
+    // explode_outer, NOT explode: plain explode makes the optimizer infer
+    // a `size(sh) > 0` filter and push it to the scan, substituting the
+    // whole shingle expression into the filter — inside an interpreted
+    // lambda every element_at reference then re-runs split(text), which
+    // is quadratic per document. The isNotNull filter on the generator
+    // *output* keeps the semantics and cannot be pushed below Generate.
+    // The explicit repartition then does double duty: it spreads the
+    // exploded index across the cluster even when the input is one small
+    // file (a single-partition scan would serialize the join + partial
+    // agg), and the two self-join branches dedupe into one ReusedExchange.
+    val inv = docShingles(df, n, textCol)
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+      .repartition(col("sh_h"))
+    val a = inv.select(col("sh_h"), col("doc_id").as("i"), col("n_sh").as("ni"))
+    val b = inv.select(col("sh_h"), col("doc_id").as("j"), col("n_sh").as("nj"))
+    a.join(b, Seq("sh_h"))
       .where(col("i") < col("j") &&
         col("nj") >= lit(threshold) * col("ni") &&
         col("ni") >= lit(threshold) * col("nj"))
-      .select("i", "j")
-      .dropDuplicates("i", "j")
-    verifyJaccard(candidates, docs, threshold)
+      .groupBy("i", "j", "ni", "nj")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn(
+        "jaccard",
+        round(col("inter").cast("double") / (col("ni") + col("nj") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
   }
 
   /** Seeded linear-permutation parameters (a, b) for MinHash, shared
