@@ -55,6 +55,46 @@ object Dedup {
       .select(col("doc_id"), shinglesFromWords(col("__ws"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
+  /** The inverted shingle index in exploded, hashed form:
+    * `(doc_id, n_sh, sh_h)` with one row per *distinct* shingle hash.
+    *
+    * Built relationally — posexplode words, window-`lead` to form the
+    * n-gram, hash, distinct-by aggregate — so every operator stays inside
+    * whole-stage codegen. The array/lambda route ([[docShingles]]) runs
+    * the shingle transform interpreted, and worse, `explode` above it
+    * makes the optimizer push an inferred `size(sh) > 0` filter into the
+    * scan, substituting the whole shingle expression — inside an
+    * interpreted lambda every element_at reference then re-runs
+    * split(text), quadratic per document. The window shuffles on doc_id,
+    * which also parallelizes single-file inputs.
+    *
+    * Distinctness and set intersection downstream are on the 64-bit
+    * xxhash64 of the shingle, not the string: collision probability over
+    * a realistic shingle dictionary is ~|dict|²/2⁶⁵ (≪ 1e-6 even at 10⁹
+    * shingles), and longs shuffle ~10× smaller than shingle text.
+    */
+  def shingleIndex(df: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val grams = df
+      .select(col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        (1 until n).foldLeft(col("w")) { (acc, k) =>
+          concat_ws(" ", acc, lead("w", k).over(w))
+        }.as("shingle"),
+        (lead("w", n - 1).over(w).isNotNull).as("__complete"))
+      .where(col("__complete"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    // per-doc cardinality joins back without a hint: AQE sees the actual
+    // (docs-sized) aggregate output and broadcasts when it fits, falling
+    // back to a shuffle join at corpus scales where it wouldn't
+    val distinctSh = grams.groupBy("doc_id", "sh_h").agg(count(lit(1)).as("__m"))
+    val counts = distinctSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    distinctSh
+      .join(counts, "doc_id")
+      .select(col("doc_id"), col("n_sh"), col("sh_h"))
+  }
+
   /** Exact-Jaccard verification of candidate (i, j) pairs against the
     * per-doc shingle sets; emits pairs clearing the threshold. */
   private def verifyJaccard(
@@ -95,21 +135,11 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.4,
       textCol: String = "text"): DataFrame = {
-    // explode_outer, NOT explode: plain explode makes the optimizer infer
-    // a `size(sh) > 0` filter and push it to the scan, substituting the
-    // whole shingle expression into the filter — inside an interpreted
-    // lambda every element_at reference then re-runs split(text), which
-    // is quadratic per document. The isNotNull filter on the generator
-    // *output* keeps the semantics and cannot be pushed below Generate.
-    // The explicit repartition then does double duty: it spreads the
-    // exploded index across the cluster even when the input is one small
-    // file (a single-partition scan would serialize the join + partial
-    // agg), and the two self-join branches dedupe into one ReusedExchange.
-    val inv = docShingles(df, n, textCol)
-      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
-      .where(col("shingle").isNotNull)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-      .repartition(col("sh_h"))
+    // the explicit repartition does double duty: it spreads the inverted
+    // index across the cluster even when the input is one small file (a
+    // single-partition scan would serialize the join + partial agg), and
+    // the two self-join branches dedupe into one ReusedExchange
+    val inv = shingleIndex(df, n, textCol).repartition(col("sh_h"))
     val a = inv.select(col("sh_h"), col("doc_id").as("i"), col("n_sh").as("ni"))
     val b = inv.select(col("sh_h"), col("doc_id").as("j"), col("n_sh").as("nj"))
     a.join(b, Seq("sh_h"))
@@ -177,19 +207,24 @@ object Dedup {
   }
 
   /** 32-bit SimHash over word-token hashes (with multiplicity): bit b is
-    * the sign of the sum of ±1 contributions from each token's bit b. */
+    * the sign of the sum of ±1 contributions from each token's bit b.
+    *
+    * Shape: explode tokens, then ONE hash aggregate with 32 codegen'd
+    * conditional sums (map-side partials, tiny shuffle rows). The
+    * array-lambda alternative (32 `aggregate` HOFs per doc) runs
+    * interpreted outside whole-stage codegen and is ~10× slower.
+    * `split` never yields an empty array, so no doc is lost to explode. */
   def simhash(df: DataFrame, textCol: String = "text"): DataFrame = {
-    // materialize word hashes once; the 32 bit-sums then fold over the
-    // precomputed array instead of re-hashing per bit
-    val hashed = df.select(
-      col("doc_id"), transform(words(col(textCol)), wordHash(_)).as("__whs"))
-    val bitSum: Int => Column = b =>
-      aggregate(
-        transform(col("__whs"), h => (shiftright(h, b) % 2) * 2 - 1),
-        lit(0L), (acc, x) => acc + x)
+    val tok = df
+      .select(col("doc_id"), explode(words(col(textCol))).as("w"))
+      .select(col("doc_id"), wordHash(col("w")).as("h"))
+    val bitSums = (0 until 32).map(b =>
+      sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"__s$b"))
     val sim = (0 until 32).map(b =>
-      when(bitSum(b) > 0, lit(1L << b)).otherwise(lit(0L)))
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    hashed.select(col("doc_id"), sim.as("simhash"))
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
   }
 }
