@@ -385,6 +385,40 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Full IVF search: probe the 2 nearest centroid lists per query,
+    // brute-force only within them — the partition-pruned ANN scale path.
+    "emb_ivf_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+          emb.where(col("vec_id") < 5), k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs via sign-LSH bucket equi-join.
+    "emb_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("i", "j")),
+
+    // J5/U1: series churn — full-outer alignment of two adjacent block
+    // windows on series_key (mergedSeriesSet semantics: series present
+    // in one window, the other, or both).
+    "ts_series_churn" -> ((s, dir) => {
+      val src = TsdbSource.events(s, dir)
+      val a = src.select(T0, T0 + 7 * DAY - 1)
+        .groupBy("series_key").agg(count(lit(1)).as("n_a"))
+      val b = src.select(T0 + 7 * DAY, T0 + 14 * DAY - 1)
+        .groupBy("series_key").agg(count(lit(1)).as("n_b"))
+      a.join(b, Seq("series_key"), "full_outer")
+        .select(
+          col("series_key"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          when(col("n_a").isNull, "new")
+            .when(col("n_b").isNull, "gone")
+            .otherwise("both").as("status"))
+        .orderBy("series_key")
+    }),
+
     // Multimodal plumbing: binary payload column -> typed decode stub.
     "mm_decode_stats" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Tables.documents(s, dir)).toDF().orderBy("doc_id")),
@@ -588,6 +622,52 @@ object SparkEntry {
     },
     "emb_cosine_topk" -> embTopKSql(k = 5),
     "emb_lsh_ann" -> embTopKSql(k = 3, sameBucket = true),
+    "emb_ivf_search" ->
+      s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT t.*, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM (
+         |    SELECT e.vec_id, centroid_id,
+         |      ${cosineSql("e.embedding", "c_emb")} AS sim
+         |    FROM embeddings e, ce) t)
+         |  WHERE rn = 1),
+         |pr AS (SELECT q_id, q_emb, centroid_id FROM (
+         |  SELECT t.*, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c_sim DESC, centroid_id) AS rn FROM (
+         |    SELECT q.vec_id AS q_id, q.embedding AS q_emb, centroid_id,
+         |      ${cosineSql("q.embedding", "c_emb")} AS c_sim
+         |    FROM embeddings q, ce WHERE q.vec_id < 5) t)
+         |  WHERE rn <= 2),
+         |sc AS (SELECT pr.q_id, e.vec_id AS neighbor_id,
+         |  ${cosineSql("pr.q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN pr ON asg.centroid_id = pr.centroid_id
+         |  WHERE e.vec_id != pr.q_id)
+         |SELECT q_id, rank, neighbor_id, sim FROM (
+         |  SELECT sc.*, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "emb_cosine_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT l.vec_id AS i, r.vec_id AS j,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT i, j, sim FROM p WHERE sim >= 0.4 ORDER BY i, j""".stripMargin,
+    "ts_series_churn" ->
+      s"""$samplesCte,
+         |a AS (SELECT series_key, count(*) AS n_a FROM s
+         |  WHERE t BETWEEN $T0 AND ${T0 + 7 * DAY - 1} GROUP BY 1),
+         |b AS (SELECT series_key, count(*) AS n_b FROM s
+         |  WHERE t BETWEEN ${T0 + 7 * DAY} AND ${T0 + 14 * DAY - 1} GROUP BY 1)
+         |SELECT coalesce(a.series_key, b.series_key) AS series_key,
+         |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+         |  CASE WHEN a.series_key IS NULL THEN 'new'
+         |       WHEN b.series_key IS NULL THEN 'gone'
+         |       ELSE 'both' END AS status
+         |FROM a FULL OUTER JOIN b ON a.series_key = b.series_key
+         |ORDER BY series_key""".stripMargin,
     "emb_ivf_assign" ->
       s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 8),

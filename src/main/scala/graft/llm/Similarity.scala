@@ -93,6 +93,25 @@ object Similarity {
       .select("vec_id", "centroid_id", "sim")
   }
 
+  /** Embedding-cosine near-duplicate pairs: `(i, j, sim)` with i < j and
+    * cosine >= threshold, candidates restricted to pairs sharing a sign
+    * bucket (the LSH near-dup analogue of [[Dedup.minhashLshPairs]] for
+    * dense vectors). The self-join is an equi-join on `bucket`, so cost
+    * is Σ_bucket n_b² instead of n² — at corpus scale, raise `bits` to
+    * keep buckets bounded and union several hyperplane seeds to recover
+    * recall. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 4): DataFrame = {
+    val b = corpus.select(
+      col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val lhs = b.select(col("bucket"), col("vec_id").as("i"), col("embedding").as("e_i"))
+    val rhs = b.select(col("bucket"), col("vec_id").as("j"), col("embedding").as("e_j"))
+    lhs.join(rhs, Seq("bucket"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"), round(cosine(col("e_i"), col("e_j")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** IVF search: probe the `nprobe` nearest centroid lists of each query,
     * brute-force within them. */
   def ivfTopK(

@@ -89,6 +89,18 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("cosineNearDupPairs finds planted duplicates, i < j, above threshold") {
+    val dup = emb.where($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val got = Similarity.cosineNearDupPairs(emb.unionByName(dup), threshold = 0.99)
+      .collect()
+    assert(got.exists(r =>
+      r.getAs[Long]("i") == 0L && r.getAs[Long]("j") == 9999L &&
+        r.getAs[Double]("sim") == 1.0))
+    assert(got.forall(r => r.getAs[Long]("i") < r.getAs[Long]("j")))
+    assert(got.forall(r => r.getAs[Double]("sim") >= 0.99))
+  }
+
   test("signLshTopK only returns same-bucket neighbors") {
     val got = Similarity.signLshTopK(emb, emb.where($"vec_id" < 5), k = 3)
     val withBuckets = got.join(
