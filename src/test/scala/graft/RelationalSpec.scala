@@ -29,6 +29,9 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("every oracle key has a query and vice versa") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+    // ts_series_id is deliberately rows-only: its native xxhash64 series
+    // hash is not expressible in DuckDB (parity is covered by CatalystSpec)
+    val rowsOnly = Set("ts_series_id")
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly)
   }
 }

@@ -1,0 +1,80 @@
+package graft.catalyst
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.labelsHash
+import graft.matchers.Matcher
+import graft.model.Labels
+
+class CatalystSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val installed = { GraftExtensions.install(spark); true }
+
+  test("LabelsHash matches the pure-model hash byte for byte") {
+    assert(installed)
+    val rows = Seq(
+      Map("b" -> "2", "a" -> "1"),            // unsorted input map
+      Map("a" -> "1", "b" -> "2"),            // same set, different order
+      Map("a" -> "1", "b" -> "2", "c" -> ""), // empty value dropped
+      Map("__name__" -> "up", "job" -> "api", "instance" -> "host:9090"),
+      Map.empty[String, String])
+    val got = rows.toDF("labels")
+      .select(labelsHash($"labels").as("h"))
+      .collect().map(_.getLong(0))
+    val want = rows.map(m => Labels.fromMap(m).hash)
+    assert(got.toSeq == want)
+    assert(got(0) == got(1) && got(1) == got(2)) // order/empty invariance
+  }
+
+  test("LabelsHash survives codegen and interpreted paths identically") {
+    assert(installed)
+    val df = Seq(Map("x" -> "y", "k" -> "v")).toDF("labels")
+    val viaSql = {
+      df.createOrReplaceTempView("lh_t")
+      spark.sql("SELECT labels_hash(labels) AS h FROM lh_t").head().getLong(0)
+    }
+    assert(viaSql == Labels(("x", "y"), ("k", "v")).hash)
+    // null labels -> null hash
+    val n = Seq((1, null.asInstanceOf[Map[String, String]])).toDF("i", "labels")
+      .select(labelsHash($"labels")).head()
+    assert(n.isNullAt(0))
+  }
+
+  // non-local source: a LocalRelation would be constant-folded before
+  // the rewrite could be observed in the optimized plan
+  private def rangeStrings = spark.range(10)
+    .select(element_at(array(lit("a"), lit("b"), lit("x"), lit("ab"), lit("xax"), lit("a.c")),
+      ($"id" % 6 + 1).cast("int")).as("s"))
+
+  test("RegexSetRewrite turns anchored alternations into IN lists") {
+    assert(installed)
+    val q = rangeStrings.where($"s".rlike("^(?:a|b)$"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains(" IN "), s"expected IN in:\n$optimized")
+    assert(!optimized.toLowerCase.contains("rlike"), s"expected no RLIKE in:\n$optimized")
+    assert(q.as[String].collect().sorted.toSeq == Seq("a", "a", "b", "b"))
+  }
+
+  test("RegexSetRewrite leaves unanchored and non-literal patterns alone") {
+    assert(installed)
+    // unanchored: substring semantics must be preserved ("a" also hits
+    // "ab", "xax", "a.c" via find-style matching)
+    val un = rangeStrings.where($"s".rlike("a|b"))
+    assert(un.queryExecution.optimizedPlan.toString.toLowerCase.contains("rlike"))
+    assert(un.count() == 8) // everything but the two "x" rows
+    // metacharacters: not a literal set
+    val meta = rangeStrings.where($"s".rlike("^(?:a.c)$"))
+    assert(meta.queryExecution.optimizedPlan.toString.toLowerCase.contains("rlike"))
+    assert(meta.as[String].collect().toSet == Set("a.c")) // '.' kept as regex
+  }
+
+  test("anchoredSetMatches accepts only anchored literal alternations") {
+    assert(Matcher.anchoredSetMatches("^(?:a|b|c)$").contains(Seq("a", "b", "c")))
+    assert(Matcher.anchoredSetMatches("^(a|b)$").contains(Seq("a", "b")))
+    assert(Matcher.anchoredSetMatches("a|b").isEmpty)
+    assert(Matcher.anchoredSetMatches("^(?:a.*)$").isEmpty)
+    assert(Matcher.anchoredSetMatches("^(?:)$").isEmpty)
+  }
+}
