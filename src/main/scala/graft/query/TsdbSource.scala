@@ -3,7 +3,6 @@ package graft.query
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.seriesKey
 import graft.matchers.Matcher
 import graft.sources.Tables
 
@@ -44,12 +43,28 @@ final case class TsdbSource(
       map(labelCols.sortBy(_._1).flatMap { case (k, c) => Seq(lit(k), c.cast("string")) }: _*),
       (_, v) => v.isNotNull && v =!= "")
 
+  /** Canonical series key composed *statically*: the label names are
+    * known at plan time, so the sort happens in Scala and the key is a
+    * plain `concat_ws` over per-label fragments (null when the label is
+    * absent/empty — concat_ws skips nulls). Identical output to
+    * [[graft.functions.seriesKey]] over [[labelsMap]], but it stays in
+    * whole-stage codegen: the generic form's map/array lambdas
+    * (map_filter, array_sort, transform) evaluate interpreted, and this
+    * expression runs once per source row in every query. */
+  private def seriesKeyCol: Column = {
+    val parts = labelCols.sortBy(_._1).map { case (k, c) =>
+      val v = c.cast("string")
+      when(v.isNotNull && v =!= "", concat(lit(k + "=\""), v, lit("\"")))
+    }
+    concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
+  }
+
   /** The long/narrow canonical projection:
     * `(sample_id, series_key, labels, t, v)`. */
   def samples: DataFrame =
     raw.select(
       sampleId.cast("long").as("sample_id"),
-      seriesKey(labelsMap).as("series_key"),
+      seriesKeyCol.as("series_key"),
       labelsMap.as("labels"),
       tCol.cast("long").as("t"),
       vCol.cast("double").as("v"))

@@ -21,6 +21,15 @@ class QuerierSpec extends SparkSuite {
     assert(key.matches("""\{name="[a-z]+",user="\d+",vip="1"\}"""), key)
   }
 
+  test("static series_key equals the generic map-derived form on every row") {
+    // samples builds the key statically from the plan-time label columns;
+    // it must match graft.functions.seriesKey over the labels map exactly
+    val mismatches = src.samples
+      .where(graft.functions.seriesKey(col("labels")) =!= col("series_key"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("select: eq matcher + time range equals manual filter") {
     val got = src.select(1704067200000L, 1706745600000L, Eq("name", "click")).count()
     val want = src.samples.where(col("labels")("name") === "click").count()
