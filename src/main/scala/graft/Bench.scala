@@ -63,7 +63,7 @@ object Bench {
         store.write(samples)
         val wSec = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
-        runPlan(store.compacted(spark, factor = 4))
+        store.compact(spark, store.manifest.blocks.map(_.blockId))
         val cSec = (System.nanoTime() - t1) / 1e9
         (n / wSec, cSec)
       } catch {

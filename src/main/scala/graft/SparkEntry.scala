@@ -8,9 +8,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.ingest.Appender
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
-import graft.query.TsdbSource
+import graft.query.{LabelDictionary, TsdbSource}
 import graft.sources.Tables
-import graft.storage.{Merge, Tombstones}
+import graft.storage.{BlockStore, Merge, Tombstones}
+import graft.{functions => gf}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -137,6 +138,59 @@ object SparkEntry {
     "ts_select_set_regex" -> ((s, dir) =>
       tsSelect(s, dir, Re("name", "click|view|signup"))),
 
+    // S12/P2 scale path: the same regex as ts_select_regex answered
+    // through the label dictionary — the regex runs once per distinct
+    // (name, value), the fact scan receives a pushdown-able IN, never an
+    // RLike (reference `index/index.go:866-892`, SURVEY §7.5.6).
+    "ts_regex_dict" -> ((s, dir) => {
+      val src = TsdbSource.events(s, dir)
+      val dict = LabelDictionary.fromSamples(src.samples)
+      val ms = LabelDictionary.rewrite(dict, Seq(Re("name", "c.*|sig.*")))
+      src.select(MINT, MAXT, ms: _*)
+        .select(col("sample_id"), col("series_key"), col("t"), col("v"))
+        .orderBy("sample_id")
+    }),
+
+    // U2/U3 through the STORE (reference verticalQuerier auto-selection,
+    // `db.go:1185-1195`): write a block, re-ingest an overlapping window
+    // with amended values as a second block, and read back through
+    // readRange alone — the store detects the overlap from its manifest
+    // and applies later-block-wins dedup; no manual Merge call.
+    "ts_overlap_read" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-overlap-").toString
+      val store = new BlockStore(tmp, 7 * DAY)
+      val base = TsdbSource.events(s, dir).samples
+      store.write(base)
+      store.write(
+        base.where(col("t").between(OVERLAP_LO, OVERLAP_HI))
+          .withColumn("v", col("v") + 100))
+      store.readRange(s, T0, T0 + 40 * DAY)
+        .select("sample_id", "series_key", "t", "v")
+        .orderBy("series_key", "t", "sample_id")
+    }),
+
+    // U6 + P11/P12 + S5: full maintenance lifecycle — overlapping write,
+    // matcher delete (tombstones), planner-selected compaction (the
+    // overlapping pair, `compact.go:264-286`), atomic manifest swap —
+    // then the same readRange; the answer must be unchanged by WHERE the
+    // data lives (pre-dedup blocks + tombstone filter vs one compacted
+    // block with deletes applied physically).
+    "ts_compacted_read" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+      val store = new BlockStore(tmp, 7 * DAY)
+      val base = TsdbSource.events(s, dir).samples
+      store.write(base)
+      store.write(
+        base.where(col("t").between(OVERLAP_LO, OVERLAP_HI))
+          .withColumn("v", col("v") + 100))
+      store.delete(s, DEL1_LO, DEL1_HI, Eq("name", "click"))
+      val plan = store.planCompaction(BlockStore.exponentialRanges(7 * DAY, 3))
+      store.compact(s, plan)
+      store.readRange(s, T0, T0 + 40 * DAY)
+        .select("sample_id", "series_key", "t", "v")
+        .orderBy("series_key", "t", "sample_id")
+    }),
+
     // A1: distinct label names.
     "ts_label_names" -> ((s, dir) =>
       new graft.query.Querier(TsdbSource.events(s, dir).samples).labelNames()),
@@ -210,14 +264,14 @@ object SparkEntry {
     // F6/ST4: tumbling block buckets (rangeForTimestamp) + per-block agg.
     "ts_time_bucket" -> ((s, dir) =>
       TsdbSource.events(s, dir).samples
-        .groupBy(expr(s"t div $BUCKET_W * $BUCKET_W + $BUCKET_W").as("t_bucket"))
+        .groupBy(gf.rangeForTimestamp(col("t"), BUCKET_W).as("t_bucket"))
         .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
         .orderBy("t_bucket")),
 
     // S5/A3: the block meta table — per-block span + stats.
     "ts_block_meta" -> ((s, dir) =>
       TsdbSource.events(s, dir).samples
-        .groupBy(expr(s"t div $BUCKET_W * $BUCKET_W + $BUCKET_W").as("t_bucket"))
+        .groupBy(gf.rangeForTimestamp(col("t"), BUCKET_W).as("t_bucket"))
         .agg(
           min("t").as("mint"), max("t").as("maxt"),
           count(lit(1)).as("num_samples"),
@@ -228,7 +282,7 @@ object SparkEntry {
     // max(t) - keep; declarative (cross join on the scalar max).
     "ts_retention" -> ((s, dir) => {
       val b = TsdbSource.events(s, dir).samples
-        .withColumn("t_bucket", expr(s"t div $BUCKET_W * $BUCKET_W + $BUCKET_W"))
+        .withColumn("t_bucket", gf.rangeForTimestamp(col("t"), BUCKET_W))
       val mx = b.agg(max("t").as("__max"))
       b.crossJoin(broadcast(mx))
         .where(col("t_bucket") > col("__max") - KEEP)
@@ -458,6 +512,35 @@ object SparkEntry {
     "ts_select_neq" -> tsSelectSql("event_type = 'purchase' AND NOT (user_id % 10 = 0)"),
     "ts_select_empty_eq" -> tsSelectSql("event_type = 'error' AND NOT (user_id % 10 = 0)"),
     "ts_select_set_regex" -> tsSelectSql("event_type IN ('click','view','signup')"),
+    "ts_regex_dict" -> tsSelectSql("regexp_full_match(event_type, 'c.*|sig.*')"),
+    "ts_overlap_read" ->
+      s"""$samplesCte,
+         |u AS (
+         |  SELECT sample_id, series_key, t, v, 1 AS seq FROM s
+         |  UNION ALL
+         |  SELECT sample_id, series_key, t, v + 100, 2 FROM s
+         |  WHERE t BETWEEN $OVERLAP_LO AND $OVERLAP_HI)
+         |SELECT sample_id, series_key, t, v FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY series_key, t ORDER BY seq DESC, sample_id DESC) AS rn
+         |  FROM u)
+         |WHERE rn = 1 ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_compacted_read" ->
+      s"""$samplesCte,
+         |u AS (
+         |  SELECT sample_id, series_key, t, v, event_type, 1 AS seq FROM s
+         |  UNION ALL
+         |  SELECT sample_id, series_key, t, v + 100, event_type, 2 FROM s
+         |  WHERE t BETWEEN $OVERLAP_LO AND $OVERLAP_HI),
+         |d AS (
+         |  SELECT sample_id, series_key, t, v FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY series_key, t ORDER BY seq DESC, sample_id DESC) AS rn
+         |    FROM u)
+         |  WHERE rn = 1)
+         |SELECT sample_id, series_key, t, v FROM d
+         |WHERE NOT (series_key LIKE '{name="click"%' AND t BETWEEN $DEL1_LO AND $DEL1_HI)
+         |ORDER BY series_key, t, sample_id""".stripMargin,
     "ts_label_names" ->
       """SELECT label_name FROM (
         | SELECT DISTINCT unnest(['name','user'] || CASE WHEN user_id % 10 = 0 THEN ['vip'] ELSE [] END) AS label_name

@@ -49,6 +49,15 @@ final case class Not(inner: Matcher) extends Matcher {
   def matchesValue(v: String): Boolean = !inner.matchesValue(v)
 }
 
+/** `name ∈ values` — the compiled form of a regex answered through the
+  * label dictionary (reference's set-lookup postings path,
+  * `querier.go:406-412`): the dictionary rewrite evaluates the regex per
+  * *distinct label value* and this matcher carries the surviving values.
+  * `"" ∈ values` means absent labels match (the matches-empty rule). */
+final case class InSet(name: String, values: Set[String]) extends Matcher {
+  def matchesValue(v: String): Boolean = values.contains(v)
+}
+
 object Matcher {
   def neq(name: String, value: String): Matcher = Not(Eq(name, value))
   def notRe(name: String, pattern: String): Matcher = Not(Re(name, pattern))
@@ -103,6 +112,11 @@ object Matcher {
           case None       => c.rlike(re.anchored)
         }
         if (re.matchesValue("")) c.isNull || base
+        else c.isNotNull && base
+      case InSet(_, values) =>
+        val present = values - ""
+        val base = c.isin(present.toSeq: _*)
+        if (values.contains("")) c.isNull || c === lit("") || base
         else c.isNotNull && base
       case Not(inner) => !compile(inner)
     }

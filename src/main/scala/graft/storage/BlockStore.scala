@@ -1,107 +1,309 @@
 package graft.storage
 
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.rangeForTimestamp
+import graft.matchers.Matcher
 
-/** Physical block layout: the reference's immutable block directories
-  * (`block.go:266-289`) become time-partitioned parquet, one partition
-  * per `t_bucket = rangeForTimestamp(t, blockRangeMs)` (`db.go:1198-1200`;
-  * default 2h ranges, `db.go:48-55`). Parquet row groups with min/max
-  * stats take the role of chunks (skip-scan), partition pruning takes the
-  * role of block selection by `[mint, maxt)`, and a computed meta table
-  * replaces `meta.json` (`block.go:152-200`).
+/** Physical block storage with a versioned manifest — the Spark-native
+  * reading of the reference's block lifecycle:
   *
-  * Layout: `<root>/data/t_bucket=<exclusiveUpperMs>/...parquet`, each
-  * partition sorted by (series_key, t) so per-series scans are
-  * sequential and row-group stats are tight.
+  *  - a *block* is one immutable write: `data/block_id=<n>/t_bucket=<b>/`
+  *    parquet, sorted by (series_key, t). Parquet row groups play the
+  *    chunk role (min/max skip-scan); `t_bucket` partition dirs give
+  *    time pruning; the `block_id` dir is the unit of publication and
+  *    deletion (reference block dirs, `block.go:266-289`);
+  *  - the [[Manifest]] is the atomically-swapped block list + tombstone
+  *    set (reference `db.reload` block-list swap `db.go:775-779` +
+  *    `tombstones` files). Readers see only manifest-listed blocks, so a
+  *    half-written block dir is invisible until published — the tmp +
+  *    rename discipline of `compact.go:634-639` at list granularity;
+  *  - every write also materializes the block's `(label_name,
+  *    label_value)` dictionary under `dict/block_id=<n>/` — the
+  *    label-value index of the reference (`index/index.go:404-448`),
+  *    which the query layer uses to answer regex matchers without
+  *    scanning sample rows ([[graft.query.Querier.selectViaDictionary]]).
   *
-  * Scale notes: writes shuffle once on (t_bucket, series_key-range);
-  * `maxRecordsPerFile`-style sizing is left to the writer conf. Reads
-  * prune on the t_bucket partition column — a time-range query touches
-  * only its blocks, exactly like the reference's
-  * `OverlapsClosedInterval` block selection (`block.go:636-641`).
+  * Scale notes: the manifest is O(#blocks) driver-side metadata (the
+  * reference holds the same list in memory); retention and compaction
+  * planning read ONLY the manifest, never the data. Reads prune on the
+  * (block_id, t_bucket) partition columns. Overlap handling is decided
+  * per query from manifest intervals — the reference's automatic
+  * vertical-querier selection (`db.go:1185-1195`) — so the dedup window
+  * (one shuffle on series_key) is paid only when overlap exists.
   */
 final class BlockStore(val root: String, val blockRangeMs: Long) {
-  private def dataDir = s"$root/data"
+  private[storage] def dataDir = s"$root/data"
+  private[storage] def dictDir = s"$root/dict"
+  private def blockPath(id: Long) = s"$dataDir/block_id=$id"
 
-  /** Persist samples into block partitions (reference `compactor.Write`,
-    * `compact.go:524-640`): bucket, sort within partitions, atomic
-    * per-partition overwrite. */
-  def write(samples: DataFrame, mode: SaveMode = SaveMode.Append): Unit =
+  /** Current published state (block list + tombstones). */
+  def manifest: ManifestState = Manifest.load(root)
+
+  private def du(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).sorted(Comparator.naturalOrder[Path]())
+      .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+  }
+
+  /** Append one immutable block; returns its id. One shuffle on
+    * t_bucket; stats for the manifest come from the same job's input
+    * (a second small agg), never from re-reading published data. */
+  def write(samples: DataFrame): Long = {
+    val st = manifest
+    val id = st.nextBlockId
     samples
       .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
       .repartition(col("t_bucket"))
       .sortWithinPartitions(col("series_key"), col("t"))
-      .write
-      .mode(mode)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("t_bucket")
-      .parquet(dataDir)
-
-  /** All samples (partition-pruned on read via `t_bucket`). */
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(dataDir)
-
-  /** Samples overlapping the closed range `[mint, maxt]`. `t_bucket` is
-    * the block's exclusive upper bound, so the half-open block range
-    * `[t_bucket - blockRange, t_bucket)` overlaps iff
-    * `t_bucket > mint && t_bucket - blockRange <= maxt` — this predicate
-    * is on the partition column and prunes directories, not rows. */
-  def readRange(spark: SparkSession, mint: Long, maxt: Long): DataFrame =
-    read(spark)
-      .where(col("t_bucket") > lit(mint) &&
-        col("t_bucket") - lit(blockRangeMs) <= lit(maxt))
-      .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
-
-  /** The block meta table (reference `BlockMeta`, `block.go:152-177`):
-    * per-block time span + stats (`compact.go:827-831`). */
-  def meta(spark: SparkSession): DataFrame =
-    read(spark)
-      .groupBy("t_bucket")
-      .agg(
-        min("t").as("mint"),
-        max("t").as("maxt"),
-        count(lit(1)).as("num_samples"),
-        countDistinct("series_key").as("num_series"))
-      .orderBy("t_bucket")
-
-  /** Time-based retention (reference `db.go:865-906`): blocks whose
-    * whole range is older than `keepMs` behind the newest sample are
-    * dropped — returned view; physical deletion = overwrite with it. */
-  def afterRetention(spark: SparkSession, keepMs: Long): DataFrame = {
-    val df = read(spark)
-    val cutoff = df.agg(max("t")).head().getLong(0) - keepMs
-    // a block survives iff any of its half-open range is >= cutoff
-    df.where(col("t_bucket") > lit(cutoff))
+      .parquet(blockPath(id))
+    if (samples.columns.contains("labels"))
+      samples
+        .select(explode(col("labels")).as(Seq("label_name", "label_value")))
+        .distinct()
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$dictDir/block_id=$id")
+    val r = samples.agg(
+      min("t"), max("t"), count(lit(1)), countDistinct("series_key")).head()
+    val meta = BlockMeta(
+      blockId = id,
+      mint = r.getLong(0),
+      maxt = r.getLong(1) + 1, // half-open (db.go:634-641)
+      numSamples = r.getLong(2),
+      numSeries = r.getLong(3),
+      numTombstones = 0L,
+      bytes = du(blockPath(id)))
+    Manifest.publish(root, st.copy(blocks = st.blocks :+ meta))
+    id
   }
 
-  /** Compaction to coarser blocks (reference leveled compaction,
-    * `compact.go:373-464`): re-bucket into `factor ×` wider ranges with
-    * vertical dedup (later `block_seq` wins) and tombstone drop — the
-    * reference's `populateBlock` as one declarative rewrite. */
-  def compacted(
-      spark: SparkSession,
-      factor: Int,
-      tombstones: Option[DataFrame] = None): DataFrame = {
-    val withSeq = read(spark).withColumn("block_seq", col("t_bucket"))
-    val deduped = Merge.dedupLatest(withSeq).drop("block_seq")
-    val cleaned = tombstones.fold(deduped)(t => Tombstones.applyTo(deduped, t))
+  private def readBlocks(spark: SparkSession, ids: Seq[Long]): DataFrame = {
+    val df = spark.read.option("basePath", dataDir)
+      .parquet(ids.map(blockPath): _*)
+    df
+  }
+
+  /** All live samples, raw (no dedup/tombstone application). */
+  def read(spark: SparkSession): DataFrame = {
+    val ids = manifest.blocks.map(_.blockId)
+    require(ids.nonEmpty, s"block store at $root has no published blocks")
+    readBlocks(spark, ids)
+  }
+
+  /** Tombstones of the current manifest as a DataFrame. */
+  def tombstoneTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    manifest.tombstones
+      .map(t => (t.seriesKey, t.mint, t.maxt))
+      .toDF("series_key", "mint", "maxt")
+  }
+
+  /** The read path (reference `db.Querier`, `db.go:1150-1196`): select
+    * manifest blocks overlapping the closed `[mint, maxt]`, and apply
+    * vertical dedup-merge iff those blocks overlap *each other* — the
+    * automatic `verticalQuerier` switch (`db.go:1185-1195`) that makes
+    * re-ingested/backfilled data read correctly with later-block-wins
+    * semantics. Tombstoned intervals are filtered via broadcast range
+    * anti-join when any exist. */
+  def readRange(spark: SparkSession, mint: Long, maxt: Long): DataFrame = {
+    val st = manifest
+    val live = st.blocks.filter(_.overlaps(mint, maxt))
+    if (live.isEmpty)
+      return read(spark).where(lit(false))
+    val raw = readBlocks(spark, live.map(_.blockId))
+      .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
+    val vertical = Compaction.overlappingGroups(live).nonEmpty
+    val merged =
+      if (vertical) Merge.dedupLatest(raw, seqCol = "block_id")
+      else raw
+    val withTombs =
+      if (st.tombstones.isEmpty) merged
+      else Tombstones.applyTo(merged, tombstoneTable(spark))
+    withTombs.drop("block_id", "t_bucket")
+  }
+
+  /** Union of the live blocks' persisted label dictionaries — the
+    * `(name, value)` index regex matchers are evaluated against
+    * (reference enumerates label values per matcher,
+    * `index/index.go:866-892`), so a regex never scans sample rows. */
+  def labelDictionary(spark: SparkSession): DataFrame = {
+    val ids = manifest.blocks.map(_.blockId)
+    require(ids.nonEmpty, s"block store at $root has no published blocks")
+    spark.read.option("basePath", dictDir)
+      .parquet(ids.map(id => s"$dictDir/block_id=$id"): _*)
+      .select("label_name", "label_value")
+      .distinct()
+  }
+
+  /** Record deletion intervals for every series matching the conjunction
+    * over `[mint, maxt]` (reference `DB.Delete`, `db.go:1203-1232`):
+    * resolves matching series from live data once, then publishes the
+    * intervals (coalesced per series) in the next manifest version.
+    * Per-block tombstone counters feed the compaction planner's >5%
+    * trigger (`compact.go:211-220`). */
+  def delete(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): Unit = {
+    val resolve: String => org.apache.spark.sql.Column =
+      name => col("labels").getItem(name)
+    val keys = read(spark)
+      .where(Matcher.conjunction(matchers, resolve))
+      .select("series_key").distinct()
+      .collect().map(_.getString(0))
+    val st = manifest
+    val added = keys.map(k => TombstoneInterval(k, mint, maxt)).toSeq
+    val all = coalesce(st.tombstones ++ added)
+    val blocks = st.blocks.map { b =>
+      val n = all.count(t => t.mint < b.maxt && t.maxt >= b.mint)
+      b.copy(numTombstones = n)
+    }
+    Manifest.publish(root, ManifestState(blocks, all))
+  }
+
+  /** Driver-side interval coalescing per series (reference
+    * `Intervals.add`, `tombstones.go:259-304`) — the tombstone set is
+    * small metadata, so this needs no Spark job. */
+  private def coalesce(ts: Seq[TombstoneInterval]): Seq[TombstoneInterval] =
+    ts.groupBy(_.seriesKey).toSeq.sortBy(_._1).flatMap { case (key, ivs) =>
+      val sorted = ivs.sortBy(t => (t.mint, t.maxt))
+      sorted.tail.foldLeft(List(sorted.head)) { (acc, iv) =>
+        val h = acc.head
+        if (iv.mint <= h.maxt + 1) h.copy(maxt = math.max(h.maxt, iv.maxt)) :: acc.tail
+        else iv :: acc
+      }.reverse.map(i => TombstoneInterval(key, i.mint, i.maxt))
+    }
+
+  /** Compaction plan over the current manifest (reference `Plan`,
+    * `compact.go:190-254`): block ids to merge next, or empty. */
+  def planCompaction(ranges: Seq[Long]): Seq[Long] =
+    Compaction.plan(manifest.blocks, ranges).map(_.blockId)
+
+  /** Merge the given blocks into one new block (reference `Compact`,
+    * `compact.go:373-464` + `populateBlock`): vertical dedup
+    * (later block_id wins), physical tombstone drop, one sorted write,
+    * then an atomic manifest swap that retires the inputs. Tombstone
+    * intervals that no longer touch any remaining block are dropped
+    * (`CleanTombstones`, `db.go:1234-1261`). */
+  def compact(spark: SparkSession, ids: Seq[Long]): Option[Long] = {
+    if (ids.size < 1) return None
+    val st = manifest
+    val newId = st.nextBlockId
+    val inputs = st.blocks.filter(b => ids.contains(b.blockId))
+    require(inputs.size == ids.size, s"unknown block ids in $ids")
+    val raw = readBlocks(spark, ids)
+    val deduped = Merge.dedupLatest(raw, seqCol = "block_id")
+    val cleaned =
+      if (st.tombstones.isEmpty) deduped
+      else Tombstones.applyTo(deduped, tombstoneTable(spark))
     cleaned
-      .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs * factor))
+      .drop("block_id") // t_bucket recomputed: partition col, not data
+      .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
+      .repartition(col("t_bucket"))
+      .sortWithinPartitions(col("series_key"), col("t"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("t_bucket")
+      .parquet(blockPath(newId))
+    if (Files.isDirectory(Paths.get(dictDir))) {
+      val dictIds = ids.filter(id => Files.isDirectory(Paths.get(s"$dictDir/block_id=$id")))
+      if (dictIds.nonEmpty)
+        spark.read.option("basePath", dictDir)
+          .parquet(dictIds.map(id => s"$dictDir/block_id=$id"): _*)
+          .select("label_name", "label_value").distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$dictDir/block_id=$newId")
+    }
+    val out = spark.read.parquet(blockPath(newId))
+    val r = out.agg(
+      min("t"), max("t"), count(lit(1)), countDistinct("series_key")).head()
+    val keep = st.blocks.filterNot(b => ids.contains(b.blockId))
+    // drop intervals now fully applied (touch no surviving block)
+    val tombs = st.tombstones.filter(t =>
+      keep.exists(b => t.mint < b.maxt && t.maxt >= b.mint))
+    val meta =
+      if (r.isNullAt(0)) None // everything tombstoned away
+      else Some(BlockMeta(newId, r.getLong(0), r.getLong(1) + 1,
+        r.getLong(2), r.getLong(3), 0L, du(blockPath(newId))))
+    val newBlocks = (keep ++ meta).map { b =>
+      b.copy(numTombstones = tombs.count(t => t.mint < b.maxt && t.maxt >= b.mint))
+    }
+    Manifest.publish(root, ManifestState(newBlocks, tombs))
+    meta.map(_.blockId)
+  }
+
+  /** Manifest-only retention (reference `db.go:847-906`): blocks wholly
+    * older than `keepMs` behind the newest block, then — newest first —
+    * blocks past the `maxBytes` budget. Reads NO data (the round-1
+    * driver-side max(t) scan is gone); publishing the shrunken list is
+    * the atomic delete, [[vacuum]] reclaims disk later. Returns dropped
+    * metas. */
+  def applyRetention(keepMs: Long = 0L, maxBytes: Long = 0L): Seq[BlockMeta] = {
+    val st = manifest
+    if (st.blocks.isEmpty) return Nil
+    val newestFirst = st.blocks.sortBy(-_.maxt)
+    val maxT = newestFirst.head.maxt
+    val byTime =
+      if (keepMs <= 0) Set.empty[Long]
+      else newestFirst.dropWhile(b => maxT - b.maxt <= keepMs).map(_.blockId).toSet
+    val bySize =
+      if (maxBytes <= 0) Set.empty[Long]
+      else {
+        val sizes = newestFirst.scanLeft(0L)(_ + _.bytes).tail
+        newestFirst.zip(sizes).dropWhile(_._2 <= maxBytes).map(_._1.blockId).toSet
+      }
+    val drop = byTime ++ bySize
+    if (drop.isEmpty) Nil
+    else {
+      val (gone, keep) = st.blocks.partition(b => drop.contains(b.blockId))
+      Manifest.publish(root, st.copy(blocks = keep))
+      gone
+    }
+  }
+
+  /** Physically delete block dirs no longer referenced by the current
+    * manifest (deferred deletion ≙ the reference draining pendingReaders
+    * before removing dirs, `db.go:908-940`). */
+  def vacuum(): Unit = {
+    val live = manifest.blocks.map(_.blockId).toSet
+    for (d <- Seq(dataDir, dictDir); f <- Option(new java.io.File(d).listFiles()).getOrElse(Array())) {
+      val name = f.getName
+      if (name.startsWith("block_id=") &&
+        name.stripPrefix("block_id=").toLongOption.exists(!live.contains(_)))
+        scala.reflect.io.Directory(f).deleteRecursively()
+    }
   }
 
   /** Consistent snapshot (reference `DB.Snapshot`, `db.go:1108-1146`):
-    * blocks are immutable directories, so a snapshot is a filesystem
-    * copy of the partition tree. */
-  def snapshot(spark: SparkSession, destRoot: String): Unit =
-    read(spark)
-      .write.mode(SaveMode.Overwrite).partitionBy("t_bucket")
-      .parquet(s"$destRoot/data")
+    * copy the live blocks' immutable dirs + a manifest listing exactly
+    * them. No Spark job — a filesystem copy, like the reference's
+    * hardlink tree. */
+  def snapshot(destRoot: String): Unit = {
+    val st = manifest
+    val destData = Paths.get(destRoot, "data")
+    Files.createDirectories(destData)
+    def copyTree(src: Path, dst: Path): Unit =
+      Files.walk(src).sorted(Comparator.naturalOrder[Path]()).forEach { p =>
+        val q = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(q)
+        else Files.copy(p, q)
+      }
+    st.blocks.foreach { b =>
+      copyTree(Paths.get(blockPath(b.blockId)),
+        destData.resolve(s"block_id=${b.blockId}"))
+      val dict = Paths.get(s"$dictDir/block_id=${b.blockId}")
+      if (Files.isDirectory(dict))
+        copyTree(dict, Paths.get(destRoot, "dict", s"block_id=${b.blockId}"))
+    }
+    Manifest.publish(destRoot, st)
+  }
 }
 
 object BlockStore {
   /** Exponential compaction ranges 2h × 3^k (reference
     * `ExponentialBlockRanges`, `compact.go:41-50`; defaults `db.go:51`). */
   def exponentialRanges(minMs: Long, steps: Int, factor: Int = 3): Seq[Long] =
-    Iterator.iterate(minMs)(_ * factor).take(steps).toSeq
+    Compaction.exponentialRanges(minMs, steps, factor)
 }

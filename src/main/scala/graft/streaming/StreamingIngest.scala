@@ -87,6 +87,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Validated], _: Long) =>
         store.write(batch.toDF().withColumnRenamed("arrival", "sample_id").drop("status"))
+        ()
       }
       .start()
   }

@@ -68,62 +68,158 @@ class MergeSpec extends SparkSuite {
 
 class BlockStoreSpec extends SparkSuite {
 
-  lazy val root: String = Files.createTempDirectory("graft-blocks").toString
-  lazy val store = new BlockStore(root, 7 * 86400000L) // 7d blocks
+  val DAY = 86400000L
+  val T0 = 1704067200000L
+
+  def freshStore(): BlockStore = new BlockStore(
+    Files.createTempDirectory("graft-blocks").toString, 7 * DAY)
+
   lazy val samples: DataFrame = TsdbSource.events(spark, sf).samples
 
-  test("write/read roundtrip preserves samples and partitions by block") {
-    store.write(samples, SaveMode.Overwrite)
-    val back = store.read(spark)
-    assert(back.count() == samples.count())
-    assert(back.columns.contains("t_bucket"))
-    // block dirs on disk
-    val dirs = new java.io.File(s"$root/data").listFiles().filter(_.isDirectory)
-    assert(dirs.forall(_.getName.startsWith("t_bucket=")) && dirs.length >= 4)
+  test("write publishes a block with manifest stats; read round-trips") {
+    val store = freshStore()
+    val id = store.write(samples)
+    assert(id == 1L)
+    val Seq(meta) = store.manifest.blocks
+    assert(meta.numSamples == samples.count())
+    assert(meta.numSeries == samples.select("series_key").distinct().count())
+    assert(meta.bytes > 0)
+    val (mint, maxt) = {
+      val r = samples.agg(min("t"), max("t")).head(); (r.getLong(0), r.getLong(1))
+    }
+    assert(meta.mint == mint && meta.maxt == maxt + 1) // half-open
+    assert(store.read(spark).count() == samples.count())
   }
 
-  test("readRange prunes to overlapping blocks and clamps samples") {
-    store.write(samples, SaveMode.Overwrite)
-    val mint = 1704067200000L + 8 * 86400000L
-    val maxt = mint + 3 * 86400000L
+  test("readRange prunes via manifest + partitions; no dedup when no overlap") {
+    val store = freshStore()
+    store.write(samples.where(col("t") < T0 + 10 * DAY))
+    store.write(samples.where(col("t") >= T0 + 10 * DAY))
+    val mint = T0 + 11 * DAY
+    val maxt = T0 + 13 * DAY
     val got = store.readRange(spark, mint, maxt)
     val want = samples.where(col("t").between(mint, maxt))
     assert(got.count() == want.count() && got.count() > 0)
-    // partition filter present in the plan (directory pruning, not row filter)
-    val plan = store.readRange(spark, mint, maxt).queryExecution.executedPlan.toString
+    // adjacent (non-overlapping) blocks: plain union, no dedup window
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    // t_bucket partition pruning shows in the scan
+    val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["), plan.take(1500))
-    assert(!plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"), plan.take(1500))
   }
 
-  test("meta table reports per-block span and stats (block.go:152-177)") {
-    store.write(samples, SaveMode.Overwrite)
-    val meta = store.meta(spark).collect()
-    assert(meta.map(_.getAs[Long]("num_samples")).sum == samples.count())
-    meta.foreach { r =>
-      val bucket = r.getAs[Long]("t_bucket")
-      assert(r.getAs[Long]("mint") >= bucket - store.blockRangeMs)
-      assert(r.getAs[Long]("maxt") < bucket)
-    }
+  test("overlapping writes are auto-deduped at read: later block wins (db.go:1185-1195)") {
+    val store = freshStore()
+    store.write(samples)
+    val lo = T0 + 7 * DAY
+    val hi = T0 + 11 * DAY - 1
+    store.write(samples.where(col("t").between(lo, hi)).withColumn("v", col("v") + 100))
+    // dedup engaged: totals match the single-copy count
+    val got = store.readRange(spark, T0, T0 + 40 * DAY)
+    assert(got.count() == samples.count())
+    // later block's values win inside the overlap window
+    val inWin = got.where(col("t").between(lo, hi))
+    val orig = samples.where(col("t").between(lo, hi))
+    assert(inWin.count() == orig.count())
+    val sumGot = inWin.agg(sum("v")).head().getDouble(0)
+    val sumOrig = orig.agg(sum("v")).head().getDouble(0)
+    val want = sumOrig + 100.0 * orig.count()
+    assert(math.abs(sumGot - want) < 1e-6 * math.max(1.0, math.abs(want)))
   }
 
-  test("compacted rewrites into wider deduped blocks") {
-    store.write(samples, SaveMode.Overwrite)
-    val wide = store.compacted(spark, factor = 2)
-    assert(wide.count() == samples.count()) // no overlaps in input => no drops
-    assert(wide.select("t_bucket").distinct().count() <=
-      store.meta(spark).count() / 2 + 1)
+  test("delete records coalesced tombstones; readRange filters them (db.go:1203-1232)") {
+    val store = freshStore()
+    store.write(samples)
+    val lo = T0 + 2 * DAY
+    val hi = T0 + 5 * DAY
+    store.delete(spark, lo, hi, graft.matchers.Eq("name", "click"))
+    // adjacent second delete coalesces into one interval per series
+    store.delete(spark, hi + 1, hi + DAY, graft.matchers.Eq("name", "click"))
+    val st = store.manifest
+    assert(st.tombstones.nonEmpty)
+    assert(st.tombstones.forall(t => t.mint == lo && t.maxt == hi + DAY))
+    assert(st.blocks.head.numTombstones == st.tombstones.size)
+    val got = store.readRange(spark, T0, T0 + 40 * DAY)
+    val want = samples.where(
+      !(col("series_key").startsWith("{name=\"click\"") &&
+        col("t").between(lo, hi + DAY)))
+    assert(got.count() == want.count())
   }
 
-  test("afterRetention drops blocks older than keep window (db.go:865-906)") {
-    store.write(samples, SaveMode.Overwrite)
-    val kept = store.afterRetention(spark, 14 * 86400000L)
-    val maxT = samples.agg(max("t")).head().getLong(0)
-    assert(kept.agg(min("t_bucket")).head().getLong(0) > maxT - 14 * 86400000L)
-    assert(kept.count() < samples.count() && kept.count() > 0)
+  test("compact merges overlapping blocks, applies deletes physically, swaps atomically") {
+    val store = freshStore()
+    store.write(samples)
+    val lo = T0 + 7 * DAY
+    val hi = T0 + 11 * DAY - 1
+    store.write(samples.where(col("t").between(lo, hi)).withColumn("v", col("v") + 100))
+    store.delete(spark, T0 + 2 * DAY, T0 + 5 * DAY, graft.matchers.Eq("name", "click"))
+    val before = store.readRange(spark, T0, T0 + 40 * DAY)
+      .orderBy("series_key", "t").collect()
+
+    val plan = store.planCompaction(BlockStore.exponentialRanges(7 * DAY, 3))
+    assert(plan == Seq(1L, 2L)) // the overlapping pair
+    val versionBefore = Manifest.currentVersion(store.root)
+    assert(store.compact(spark, plan).contains(3L))
+    assert(Manifest.currentVersion(store.root) == versionBefore + 1)
+
+    val st = store.manifest
+    assert(st.blocks.map(_.blockId) == Seq(3L))
+    assert(st.tombstones.isEmpty) // fully applied -> cleaned
+    val after = store.readRange(spark, T0, T0 + 40 * DAY)
+      .orderBy("series_key", "t").collect()
+    assert(after.sameElements(before)) // unchanged by compaction
+    // vacuum reclaims the retired block dirs
+    store.vacuum()
+    val dirs = new java.io.File(store.dataDir).listFiles().map(_.getName).toSet
+    assert(dirs == Set("block_id=3"))
   }
 
-  test("exponential compaction ranges (compact.go:41-50)") {
-    assert(BlockStore.exponentialRanges(7200000L, 3) == Seq(7200000L, 21600000L, 64800000L))
+  test("time + size retention are manifest-only (db.go:865-906)") {
+    val store = freshStore()
+    store.write(samples.where(col("t") < T0 + 10 * DAY))
+    store.write(samples.where(col("t") >= T0 + 10 * DAY && col("t") < T0 + 20 * DAY))
+    store.write(samples.where(col("t") >= T0 + 20 * DAY))
+    // time: keep 14d behind the newest block's maxt -> drops only block 1
+    val dropped = store.applyRetention(keepMs = 14 * DAY)
+    assert(dropped.map(_.blockId) == Seq(1L))
+    assert(store.manifest.blocks.map(_.blockId) == Seq(2L, 3L))
+    // size: budget fits only the newest block -> drops block 2
+    val newestBytes = store.manifest.blocks.maxBy(_.maxt).bytes
+    val dropped2 = store.applyRetention(maxBytes = newestBytes)
+    assert(dropped2.map(_.blockId) == Seq(2L))
+    assert(store.manifest.blocks.map(_.blockId) == Seq(3L))
+  }
+
+  test("label dictionary is materialized per block and unioned on read") {
+    val store = freshStore()
+    store.write(samples)
+    val dict = store.labelDictionary(spark)
+    val want = graft.query.LabelDictionary.fromSamples(samples)
+    assert(dict.count() == want.count())
+    assert(dict.where(col("label_name") === "name").count() ==
+      samples.select(col("labels").getItem("name")).distinct().na.drop().count())
+  }
+
+  test("snapshot copies live blocks + manifest; readable as a store (db.go:1108-1146)") {
+    val store = freshStore()
+    store.write(samples.where(col("t") < T0 + 10 * DAY))
+    store.write(samples.where(col("t") >= T0 + 10 * DAY))
+    store.delete(spark, T0, T0 + DAY, graft.matchers.Eq("name", "error"))
+    val dest = Files.createTempDirectory("graft-snap").toString
+    store.snapshot(dest)
+    val snap = new BlockStore(dest, store.blockRangeMs)
+    assert(snap.manifest == store.manifest)
+    assert(snap.readRange(spark, T0, T0 + 40 * DAY).count() ==
+      store.readRange(spark, T0, T0 + 40 * DAY).count())
+  }
+
+  test("half-written blocks are invisible until published (atomic publication)") {
+    val store = freshStore()
+    store.write(samples)
+    // simulate a crashed writer: orphan dir with junk, never published
+    val orphan = new java.io.File(s"${store.dataDir}/block_id=99/t_bucket=0")
+    orphan.mkdirs()
+    assert(store.read(spark).count() == samples.count())
+    assert(store.manifest.blocks.map(_.blockId) == Seq(1L))
   }
 }
 
