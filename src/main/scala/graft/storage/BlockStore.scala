@@ -37,7 +37,7 @@ import graft.matchers.Matcher
   * (one shuffle on series_key) is paid only when overlap exists.
   */
 final class BlockStore(val root: String, val blockRangeMs: Long) {
-  private[storage] def dataDir = s"$root/data"
+  def dataDir = s"$root/data"
   private[storage] def dictDir = s"$root/dict"
   private def blockPath(id: Long) = s"$dataDir/block_id=$id"
 
@@ -72,6 +72,7 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
         .parquet(s"$dictDir/block_id=$id")
     val r = samples.agg(
       min("t"), max("t"), count(lit(1)), countDistinct("series_key")).head()
+    require(!r.isNullAt(0), "refusing to publish an empty block")
     val meta = BlockMeta(
       blockId = id,
       mint = r.getLong(0),

@@ -30,6 +30,11 @@ import graft.storage.BlockStore
 object StreamingIngest {
 
   final case class Sample(series_key: String, t: Long, v: Double, arrival: Long)
+  final case class SampleTs(
+      series_key: String, t: Long, v: Double, arrival: Long,
+      arrival_ts: java.sql.Timestamp) {
+    def sample: Sample = Sample(series_key, t, v, arrival)
+  }
   final case class SeriesState(maxT: Long, lastV: Double)
   final case class Validated(series_key: String, t: Long, v: Double, arrival: Long, status: String)
 
@@ -60,36 +65,92 @@ object StreamingIngest {
 
   /** Streaming validation operator: per-series state, exact sequential
     * semantics, state carried across micro-batches (≙ WAL replay
-    * rebuilding series state on restart — the checkpoint restores it). */
-  def validated(samples: Dataset[Sample], minValidTime: Long): Dataset[Validated] = {
+    * rebuilding series state on restart — the checkpoint restores it).
+    *
+    * `stateTtlMs` is the head-GC analogue (ST7, reference
+    * `head.go:1036-1097` + checkpoint dead-series drop,
+    * `checkpoint.go:102-261`): a series idle for `stateTtlMs` on the
+    * arrival axis has its state expired via event-time timeout, so state
+    * size tracks *live* series, not all series ever seen — without it,
+    * per-series state grows monotonically with churn. An expired series
+    * that reappears re-validates from a fresh baseline, exactly like a
+    * re-created series after head truncation. The arrival watermark that
+    * drives expiry also drops samples arriving later than the newest
+    * arrival already processed minus 0ms — single-writer ingest is
+    * arrival-ordered, so this drops nothing in practice. */
+  def validated(
+      samples: Dataset[Sample],
+      minValidTime: Long,
+      stateTtlMs: Long = 0L): Dataset[Validated] = {
     import samples.sparkSession.implicits._
-    samples
-      .groupByKey(_.series_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: String, it: Iterator[Sample], state: GroupState[SeriesState]) =>
-          validateSeries(key, it, state, minValidTime))
+    if (stateTtlMs <= 0L)
+      samples
+        .groupByKey(_.series_key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (key: String, it: Iterator[Sample], state: GroupState[SeriesState]) =>
+            validateSeries(key, it, state, minValidTime))
+    else
+      samples
+        .withColumn("arrival_ts", timestamp_millis(col("arrival")))
+        .withWatermark("arrival_ts", "0 milliseconds")
+        .as[SampleTs]
+        .groupByKey(_.series_key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (key: String, it: Iterator[SampleTs], state: GroupState[SeriesState]) =>
+            if (state.hasTimedOut) {
+              // head GC: the idle series' state is dropped wholesale
+              state.remove()
+              Iterator.empty
+            } else {
+              val batch = it.map(_.sample).toSeq
+              val out = validateSeries(key, batch.iterator, state, minValidTime)
+              val maxArr = batch.iterator.map(_.arrival).max
+              state.setTimeoutTimestamp(
+                math.max(maxArr + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+              out
+            })
   }
 
   /** Ingest a stream into block storage: accepted samples only, bucketed
     * into block partitions per micro-batch (ST1 + ST4). Returns the
-    * running query; stop it to "close" the appender. */
+    * running query; stop it to "close" the appender. Series state
+    * expires after two block ranges idle (≙ head truncation window). */
   def ingest(
       samples: Dataset[Sample],
       store: BlockStore,
       checkpointDir: String,
-      minValidTime: Long): StreamingQuery = {
+      minValidTime: Long,
+      stateTtlMs: Long = -1L): StreamingQuery = {
     import samples.sparkSession.implicits._
-    validated(samples, minValidTime)
+    val ttl = if (stateTtlMs == -1L) 2 * store.blockRangeMs else stateTtlMs
+    validated(samples, minValidTime, ttl)
       .where($"status" === "ok")
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Validated], _: Long) =>
-        store.write(batch.toDF().withColumnRenamed("arrival", "sample_id").drop("status"))
+        // a micro-batch can be empty (e.g. timeout-only triggers) — the
+        // reference never writes empty blocks either
+        if (!batch.isEmpty)
+          store.write(batch.toDF().withColumnRenamed("arrival", "sample_id").drop("status"))
         ()
       }
       .start()
+  }
+
+  /** Live tailer (S8, reference `wal/live_reader.go:70-180`): a
+    * streaming view of everything the store persists, for replication /
+    * downstream consumers. The file stream source picks up each new
+    * block's files as they land — the Spark analogue of incrementally
+    * reading WAL segments as the writer appends them. The schema is
+    * pinned from the current data (file streams require one). */
+  def tail(spark: SparkSession, store: BlockStore): DataFrame = {
+    val schema = spark.read.parquet(store.dataDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("basePath", store.dataDir)
+      .parquet(store.dataDir)
   }
 
   /** Windowed observability aggregation with a watermark — the

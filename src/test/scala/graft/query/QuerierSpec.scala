@@ -61,4 +61,54 @@ class QuerierSpec extends SparkSuite {
     assert(plan.contains("EqualTo(event_type,click)"), plan.take(2000))
     assert(plan.contains("GreaterThanOrEqual(ts,"), plan.take(2000))
   }
+
+  test("dictionary rewrite: regex becomes InSet with identical semantics") {
+    val dict = LabelDictionary.fromSamples(src.samples)
+    val Seq(rw) = LabelDictionary.rewrite(dict, Seq(Re("name", "c.*|sig.*")))
+    rw match {
+      case graft.matchers.InSet("name", values) =>
+        assert(values == Set("click", "signup")) // regex ran per distinct value
+      case other => fail(s"expected InSet, got $other")
+    }
+    val got = src.select(0L, Long.MaxValue / 2, rw).count()
+    val want = src.select(0L, Long.MaxValue / 2, Re("name", "c.*|sig.*")).count()
+    assert(got == want && got > 0)
+  }
+
+  test("dictionary rewrite preserves matches-empty and negation semantics") {
+    val dict = LabelDictionary.fromSamples(src.samples)
+    // vip=~"" matches absent labels: "" must survive into the set
+    val Seq(rwEmpty) = LabelDictionary.rewrite(dict, Seq(Re("vip", "|9")))
+    assert(rwEmpty.matchesValue("") && !rwEmpty.matchesValue("1"))
+    // !~ routes through Not(rewritten inner)
+    val Seq(rwNot) = LabelDictionary.rewrite(dict, Seq(Matcher.notRe("name", "c.*")))
+    assert(!rwNot.matchesValue("click") && rwNot.matchesValue("view"))
+    val got = src.select(0L, Long.MaxValue / 2, rwNot).count()
+    val want = src.select(0L, Long.MaxValue / 2, Matcher.notRe("name", "c.*")).count()
+    assert(got == want && got > 0)
+  }
+
+  test("dictionary path pushes In to the fact scan, never RLike (SURVEY 7.5.6)") {
+    val dict = LabelDictionary.fromSamples(src.samples)
+    val ms = LabelDictionary.rewrite(dict, Seq(Re("name", "c.*|sig.*")))
+    val plan = src.select(1704067200000L, 1706745600000L, ms: _*)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(event_type"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("rlike"), plan.take(2000))
+    // the naive path, by contrast, does evaluate the regex on the scan
+    val naive = src.select(1704067200000L, 1706745600000L, Re("name", "c.*|sig.*"))
+      .queryExecution.executedPlan.toString
+    assert(naive.toLowerCase.contains("rlike"), naive.take(2000))
+  }
+
+  test("semiJoin dictionary path matches the isin path without collecting values") {
+    val dict = LabelDictionary.fromSamples(src.samples)
+    val re = Re("name", "c.*|sig.*")
+    val got = LabelDictionary.semiJoin(src.samples, dict, re).count()
+    val want = src.select(0L, Long.MaxValue / 2, re).count()
+    assert(got == want && got > 0)
+    intercept[IllegalArgumentException] {
+      LabelDictionary.semiJoin(src.samples, dict, Re("vip", "|1"))
+    }
+  }
 }

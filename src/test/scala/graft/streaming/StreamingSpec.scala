@@ -79,6 +79,67 @@ class StreamingSpec extends SparkSuite {
     assert(byArrival.count(_.status == "amend") == 1)
   }
 
+  test("state TTL: idle series expire and re-validate from baseline (ST7, head.go:1036-1097)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.validated(in.toDS(), minValidTime = 0, stateTtlMs = 1000)
+      .writeStream.format("memory").queryName("vttl")
+      .outputMode(OutputMode.Append).start()
+    // b1: series s establishes maxT=100 at arrival 1000
+    in.addData(Sample("s", 100, 1.0, 1000))
+    q.processAllAvailable()
+    // b2: unrelated series pushes the arrival watermark to 20000;
+    // s's timeout (1000 + 1000 = 2000) is now in the past
+    in.addData(Sample("x", 1, 1.0, 20000))
+    q.processAllAvailable()
+    // b3: another unrelated batch — s has no data this batch, so its
+    // timed-out state is dropped here (head GC of a dead series)
+    in.addData(Sample("y", 1, 1.0, 20001))
+    q.processAllAvailable()
+    // b4: s reappears with t REGRESSING below its old maxT — accepted,
+    // because the expired series re-validates from a fresh baseline
+    in.addData(Sample("s", 50, 2.0, 20002))
+    q.processAllAvailable()
+    val got = spark.table("vttl").as[Validated].collect().sortBy(_.arrival)
+    q.stop()
+    assert(got.map(_.status).toSeq == Seq("ok", "ok", "ok", "ok"))
+
+    // control: with a TTL the watermark never reaches, the same flow
+    // rejects the regression — proving expiry (not leniency) above
+    val in2 = MemoryStream[Sample]
+    val q2 = StreamingIngest.validated(in2.toDS(), minValidTime = 0, stateTtlMs = 10000000L)
+      .writeStream.format("memory").queryName("vttl2")
+      .outputMode(OutputMode.Append).start()
+    in2.addData(Sample("s", 100, 1.0, 1000)); q2.processAllAvailable()
+    in2.addData(Sample("x", 1, 1.0, 20000)); q2.processAllAvailable()
+    in2.addData(Sample("y", 1, 1.0, 20001)); q2.processAllAvailable()
+    in2.addData(Sample("s", 50, 2.0, 20002)); q2.processAllAvailable()
+    val got2 = spark.table("vttl2").as[Validated].collect().sortBy(_.arrival)
+    q2.stop()
+    assert(got2.map(_.status).toSeq == Seq("ok", "ok", "ok", "out_of_order"))
+  }
+
+  test("live tailer streams existing and newly published blocks (S8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-tail-blocks").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    val first = Seq(("a", 100L, 1.0, 1L), ("a", 1500L, 2.0, 2L))
+      .toDF("series_key", "t", "v", "sample_id")
+    store.write(first)
+    val q = StreamingIngest.tail(spark, store)
+      .writeStream.format("memory").queryName("tailed")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(spark.table("tailed").count() == 2)
+    // a new block published while tailing is picked up incrementally
+    store.write(Seq(("b", 2500L, 3.0, 3L)).toDF("series_key", "t", "v", "sample_id"))
+    q.processAllAvailable()
+    val got = spark.table("tailed")
+    q.stop()
+    assert(got.count() == 3)
+    assert(got.select("series_key").distinct().count() == 2)
+  }
+
   test("end-to-end ingest: stream -> validated -> block partitions on disk") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-stream-blocks").toString
