@@ -61,6 +61,26 @@ object SparkEntry {
     (0 until 4).map(i => s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  /** Random-hyperplane LSH config shared by the Spark query and oracle. */
+  private val RAND_LSH_BITS = 6
+  private val RAND_LSH_SEED = 7L
+  private val EMB_DIM = 64
+
+  /** Plane dot in DuckDB with exact Spark parity: plane values inlined
+    * via Double.toString (shortest round-trip — DuckDB parses back the
+    * identical double) and summed with list_reduce, the same
+    * left-to-right fold as Spark's `aggregate` — so the sign, and hence
+    * the bucket, is bit-identical on both engines. */
+  private def planeBucketSql(e: String): String =
+    Similarity.randomPlanes(EMB_DIM, RAND_LSH_BITS, RAND_LSH_SEED).zipWithIndex
+      .map { case (p, i) =>
+        val arr = p.map(java.lang.Double.toString).mkString("[", ",", "]")
+        val dot = s"list_reduce(list_transform(generate_series(1, $EMB_DIM), " +
+          s"i -> CAST($e[i] AS DOUBLE) * ($arr)[i]), (a, b) -> a + b)"
+        s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      .mkString("(", " + ", ")")
+
   private def embTopKSql(k: Int, sameBucket: Boolean = false): String = {
     val bucketJoin =
       if (sameBucket) s" AND ${bucketSql("c.embedding")} = ${bucketSql("q.q_emb")}"
@@ -432,6 +452,17 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Approximate ANN via seeded random hyperplanes — the scale path for
+    // sign-LSH: bits is free of the embedding layout, buckets are
+    // direction-unbiased, and multi-table union buys recall (single
+    // table here so the oracle stays one SQL).
+    "emb_rand_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hyperplaneLshTopK(emb, emb.where(col("vec_id") < 5),
+          k = 3, dim = EMB_DIM, bits = RAND_LSH_BITS, tables = 1, seed = RAND_LSH_SEED)
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF coarse quantizer: nearest-centroid assignment of the corpus.
     "emb_ivf_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -717,6 +748,17 @@ object SparkEntry {
     },
     "emb_cosine_topk" -> embTopKSql(k = 5),
     "emb_lsh_ann" -> embTopKSql(k = 3, sameBucket = true),
+    "emb_rand_lsh_ann" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+         |  ${cosineSql("q.q_emb", "c.embedding")} AS sim
+         |  FROM embeddings c, q WHERE c.vec_id != q.q_id
+         |    AND ${planeBucketSql("c.embedding")} = ${planeBucketSql("q.q_emb")})
+         |SELECT q_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "emb_ivf_search" ->
       s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 8),

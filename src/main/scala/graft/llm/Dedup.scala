@@ -73,7 +73,11 @@ object Dedup {
     * a realistic shingle dictionary is ~|dict|²/2⁶⁵ (≪ 1e-6 even at 10⁹
     * shingles), and longs shuffle ~10× smaller than shingle text.
     */
-  def shingleIndex(df: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+  def shingleIndex(
+      df: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      maxDf: Option[Long] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val grams = df
@@ -85,12 +89,26 @@ object Dedup {
         (lead("w", n - 1).over(w).isNotNull).as("__complete"))
       .where(col("__complete"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val distinctSh = grams.groupBy("doc_id", "sh_h").agg(count(lit(1)).as("__m"))
+    // stop-shingle cap: drop shingles shared by more than maxDf docs from
+    // the shingle *universe* — a viral boilerplate shingle with document
+    // frequency d contributes d² join rows, so one hot shingle makes the
+    // self-join quadratic in the corpus; capping bounds it at maxDf²
+    // per shingle. Jaccard stays exact over the filtered universe (n_sh
+    // is recounted AFTER the filter), it just no longer credits
+    // boilerplate as similarity — the trade every production near-dup
+    // pipeline makes.
+    val kept = maxDf.fold(distinctSh) { cap =>
+      val hot = distinctSh.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > cap)
+        .select("sh_h")
+      distinctSh.join(hot, Seq("sh_h"), "left_anti")
+    }
     // per-doc cardinality joins back without a hint: AQE sees the actual
     // (docs-sized) aggregate output and broadcasts when it fits, falling
     // back to a shuffle join at corpus scales where it wouldn't
-    val distinctSh = grams.groupBy("doc_id", "sh_h").agg(count(lit(1)).as("__m"))
-    val counts = distinctSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    distinctSh
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    kept
       .join(counts, "doc_id")
       .select(col("doc_id"), col("n_sh"), col("sh_h"))
   }
@@ -134,12 +152,13 @@ object Dedup {
       df: DataFrame,
       n: Int = 3,
       threshold: Double = 0.4,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxShingleDf: Option[Long] = None): DataFrame = {
     // the explicit repartition does double duty: it spreads the inverted
     // index across the cluster even when the input is one small file (a
     // single-partition scan would serialize the join + partial agg), and
     // the two self-join branches dedupe into one ReusedExchange
-    val inv = shingleIndex(df, n, textCol).repartition(col("sh_h"))
+    val inv = shingleIndex(df, n, textCol, maxShingleDf).repartition(col("sh_h"))
     val a = inv.select(col("sh_h"), col("doc_id").as("i"), col("n_sh").as("ni"))
     val b = inv.select(col("sh_h"), col("doc_id").as("j"), col("n_sh").as("nj"))
     a.join(b, Seq("sh_h"))

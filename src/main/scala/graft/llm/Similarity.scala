@@ -64,10 +64,95 @@ object Similarity {
     ranked(scored, k)
   }
 
-  /** Sign-bit LSH bucket of the first `bits` dimensions. */
+  /** Sign-bit LSH bucket of the first `bits` dimensions — axis-aligned
+    * planes. Kept as the cheap fixed configuration for the bench oracle
+    * queries; it caps at 2^bits dimension-biased buckets, so the scale
+    * path is [[randomPlanes]]/[[planeBucket]] (seeded random hyperplanes,
+    * arbitrary `bits`, multi-table union for recall). */
   def signBucket(emb: Column, bits: Int = 4): Column =
     (0 until bits).map(i => when(emb(i) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
+
+  /** Seeded random hyperplanes: `bits` gaussian direction vectors. The
+    * seed makes buckets reproducible across runs/engines (the oracle SQL
+    * inlines the same values). */
+  def randomPlanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket: bit i = sign of ⟨emb, plane_i⟩.
+    * P[bit collision] = 1 - θ/π for angle θ — the classic SimHash-for-
+    * cosine guarantee, unbiased in direction (unlike [[signBucket]]). */
+  def planeBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** `tables` independent bucket ids per row, exploded to
+    * `(__tbl, __bucket)` — candidates collide in ANY table, trading
+    * `tables`× hashing for recall `1-(1-p^bits)^tables`. */
+  private def explodeBuckets(
+      df: DataFrame, dim: Int, bits: Int, tables: Int, seed: Long): DataFrame =
+    df.select(
+      col("*"),
+      posexplode(array((0 until tables).map(t =>
+        planeBucket(col("embedding"), randomPlanes(dim, bits, seed + t))): _*))
+        .as(Seq("__tbl", "__bucket")))
+
+  /** Approximate top-k via random-hyperplane LSH, multi-table: score only
+    * candidates sharing a bucket with the query in at least one table.
+    * The join is an equi-join on (table, bucket); per-pair work is one
+    * dot product (norms hoisted). At corpus scale, `bits` sizes the
+    * buckets (E[bucket] = n / 2^bits) and `tables` buys recall back. */
+  def hyperplaneLshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      bits: Int = 16,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val c = explodeBuckets(corpus, dim, bits, tables, seed)
+      .withColumn("c_nrm", norm(col("embedding")))
+    val q = broadcast(
+      explodeBuckets(queries, dim, bits, tables, seed)
+        .select(
+          col("__tbl"), col("__bucket"),
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_nrm")))
+    val scored = c.join(q, Seq("__tbl", "__bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id") // collide once across tables
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm")), 4).as("sim"))
+    ranked(scored, k)
+  }
+
+  /** Near-duplicate pairs via random-hyperplane LSH — the scale-safe
+    * version of [[cosineNearDupPairs]]: Σ_b n_b² with n_b ≈ n/2^bits,
+    * and `bits` is free (not capped by the embedding's leading dims). */
+  def hyperplaneNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      dim: Int,
+      bits: Int = 16,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val b = explodeBuckets(corpus, dim, bits, tables, seed)
+      .withColumn("nrm", norm(col("embedding")))
+    val lhs = b.select(col("__tbl"), col("__bucket"), col("vec_id").as("i"),
+      col("embedding").as("e_i"), col("nrm").as("n_i"))
+    val rhs = b.select(col("__tbl"), col("__bucket"), col("vec_id").as("j"),
+      col("embedding").as("e_j"), col("nrm").as("n_j"))
+    lhs.join(rhs, Seq("__tbl", "__bucket"))
+      .where(col("i") < col("j"))
+      .dropDuplicates("i", "j")
+      .select(col("i"), col("j"),
+        round(cosinePre(col("e_i"), col("e_j"), col("n_i"), col("n_j")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+  }
 
   /** Approximate top-k: only candidates in the query's sign bucket are
     * scored. Recall < 1 by design; the cross join becomes an equi-join. */

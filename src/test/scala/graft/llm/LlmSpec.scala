@@ -34,6 +34,29 @@ class DedupSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("stop-shingle df cap bounds a viral shingle and keeps Jaccard exact on the rest") {
+    // every doc shares one viral boilerplate 3-gram; pairs 1-2 and 3-4
+    // are true near-dups beyond it
+    val viral = "copyright acme corp"
+    val docs = Seq(
+      (1L, s"$viral alpha beta gamma delta epsilon zeta"),
+      (2L, s"$viral alpha beta gamma delta epsilon eta"),
+      (3L, s"$viral one two three four five six"),
+      (4L, s"$viral one two three four five seven"),
+      (5L, s"$viral unrelated totally different words here now")
+    ).toDF("doc_id", "text")
+    // cap 4 < df 5: the viral shingle (and its overlapping neighbors at
+    // df 5) leave the universe; the planted pairs still clear 0.4, and
+    // doc 5 no longer pairs with anyone through boilerplate alone
+    val capped = Dedup.ngramJaccardPairs(docs, threshold = 0.4, maxShingleDf = Some(4))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L), (3L, 4L)))
+    // sanity: the capped universe drops the df-5 shingles only
+    val uni = Dedup.shingleIndex(docs, maxDf = Some(4))
+      .groupBy("sh_h").count().where($"count" > 4).count()
+    assert(uni == 0)
+  }
+
   test("minhash LSH candidates are a superset-recall of high-jaccard pairs here") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs).select("i", "j").as[(Long, Long)].collect().toSet
@@ -108,6 +131,39 @@ class SimilaritySpec extends SparkSuite {
       "neighbor_id")
       .join(emb.select($"vec_id".as("q_id"), Similarity.signBucket($"embedding").as("qb")), "q_id")
     assert(withBuckets.where($"nb" =!= $"qb").count() == 0)
+  }
+
+  test("hyperplane LSH: multi-table recall vs exact top-k meets the configured target") {
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Similarity.cosineTopK(emb, queries, k = 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.hyperplaneLshTopK(emb, queries, k = 10,
+        dim = 64, bits = 3, tables = 8, seed = 42L)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"hyperplane LSH recall@10 (bits=3, tables=8): $recall")
+    // deterministic (seeded planes, fixed data); asserted with slack
+    // under the ~0.85 expectation for these settings on near-random data
+    assert(recall >= 0.5, s"recall $recall")
+    // and one more table can only add candidates (recall is monotone)
+    val more = Similarity.hyperplaneLshTopK(emb, queries, k = 10,
+        dim = 64, bits = 3, tables = 10, seed = 42L)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact & more).size >= (exact & approx).size)
+  }
+
+  test("hyperplaneNearDupPairs finds the planted duplicate across any table") {
+    val dup = emb.where($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val got = Similarity.hyperplaneNearDupPairs(emb.unionByName(dup),
+      threshold = 0.99, dim = 64, bits = 8, tables = 2).collect()
+    // identical vectors share every bucket in every table
+    assert(got.exists(r =>
+      r.getAs[Long]("i") == 0L && r.getAs[Long]("j") == 9999L &&
+        r.getAs[Double]("sim") == 1.0))
+    assert(got.forall(r => r.getAs[Long]("i") < r.getAs[Long]("j")))
+    // pairs are emitted once even when they collide in both tables
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).distinct.length == got.length)
   }
 }
 
