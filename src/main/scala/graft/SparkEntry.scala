@@ -815,11 +815,14 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // the oracle re-derives the header fields from the text content; the
+    // Spark side must agree by PARSING the bytes it encoded (offset or
+    // endianness bugs in either direction break the hash match)
     "mm_decode_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         | 640 + octet_length(encode(text)) % 128 AS width,
-        | 360 + octet_length(encode(text)) % 72 AS height,
-        | 1 + octet_length(encode(text)) % 30 AS n_frames
+        | 360 + ascii(substr(text, 1, 1)) % 72 AS height,
+        | 1 + ascii(substr(text, length(text), 1)) % 30 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q3_join" ->
       """SELECT o_orderkey,

@@ -186,10 +186,28 @@ class TextStatsSpec extends SparkSuite {
     assert(fps(1L) != fps(2L))
   }
 
-  test("multimodal decode stub emits typed metadata per row") {
+  test("multimodal decode parses the binary container per row") {
     val meta = Multimodal.decodeMeta(spark, Tables.documents(spark, sf)).collect()
     assert(meta.length == 500)
     assert(meta.forall(m => m.width >= 640 && m.width < 768 && m.n_frames >= 1))
     assert(meta.forall(m => m.byte_len > 0))
+  }
+
+  test("GFT1 container: Spark-encoded header round-trips through the byte parser") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello spark")).toDF("doc_id", "text")
+    val payload = Multimodal.withPayload(docs)
+      .select("payload").as[Array[Byte]].head()
+    // layout: 4B magic + 4B width + 4B height + 2B frames + media bytes
+    assert(payload.length == Multimodal.HeaderLen + 11)
+    assert(new String(payload.take(4), "US-ASCII") == "GFT1")
+    val m = Multimodal.decode(7L, payload)
+    assert(m.byte_len == 11)
+    assert(m.width == 640 + 11 % 128)
+    assert(m.height == 360 + 'h'.toInt % 72)
+    assert(m.n_frames == 1 + 'k'.toInt % 30)
+    // a corrupted magic is rejected, proving the parser reads structure
+    val bad = payload.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] { Multimodal.decode(7L, bad) }
   }
 }
