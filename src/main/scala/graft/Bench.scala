@@ -139,7 +139,10 @@ object Bench {
 
     // BASELINE translation rows: bulk-append throughput into block
     // partitions ("tsdb bench write" analogue) and the block-merge
-    // maintenance job ("BenchmarkCompaction" analogue).
+    // maintenance job ("BenchmarkCompaction" analogue). Note vs round 1:
+    // compact_sec then measured a noop-sink plan; it now measures the
+    // real durable rewrite (parquet out + dictionary + manifest swap),
+    // so the number is larger but honest.
     var storeStatus = "ok"
     val (writeRps, compactSec) = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-").toString

@@ -1,7 +1,6 @@
 package graft.storage
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Series-set merge semantics (reference `querier.go:533-667`,
@@ -20,24 +19,28 @@ import org.apache.spark.sql.functions._
   * (`sample_id`) makes the result reproducible even if one block
   * carries duplicate timestamps.
   *
-  * Scale note: the dedup is one shuffle on (series_key) — the same key
-  * the blocks are sorted by on disk, so with bucketed storage this
-  * becomes a shuffle-free window.
+  * Scale note: the dedup is one shuffle on (series_key, t), expressed
+  * as a hash aggregate (`max_by` over the recency key) rather than a
+  * window: aggregation gets map-side partial combine — duplicate
+  * samples collapse *before* the shuffle — and skips the per-partition
+  * sort a `row_number` window needs. With storage bucketed on
+  * series_key the exchange disappears entirely.
   */
 object Merge {
 
   /** Vertical merge: keep exactly one sample per (series_key, t), from
-    * the highest `block_seq` (ties: highest `sample_id`). */
+    * the highest `block_seq` (ties: highest `sample_id`). Preserves the
+    * input schema and column order. */
   def dedupLatest(
       samples: DataFrame,
       seqCol: String = "block_seq",
       tieBreak: String = "sample_id"): DataFrame = {
-    val w = Window
-      .partitionBy(col("series_key"), col("t"))
-      .orderBy(col(seqCol).desc, col(tieBreak).desc)
+    val cols = samples.columns
     samples
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col("series_key"), col("t"))
+      .agg(max_by(
+        struct(cols.map(col): _*),
+        struct(col(seqCol), col(tieBreak))).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 }

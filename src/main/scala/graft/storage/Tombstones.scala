@@ -41,15 +41,20 @@ object Tombstones {
 
   /** Read-time tombstone filter (reference `deletedIterator`,
     * `querier.go:1166-1204`): drop samples falling inside any deleted
-    * interval of their series. Broadcast range anti-join. */
-  def applyTo(samples: DataFrame, tombstones: DataFrame): DataFrame = {
-    val t = broadcast(
-      tombstones.select(
-        col("series_key").as("__ts_key"),
-        col("mint").as("__ts_mint"),
-        col("maxt").as("__ts_maxt")))
+    * interval of their series. Broadcast range anti-join by default —
+    * tombstones are a small side table; pass `broadcastTombstones =
+    * false` for delete-heavy workloads whose interval set outgrows the
+    * driver, which falls back to a shuffled join on series_key. */
+  def applyTo(
+      samples: DataFrame,
+      tombstones: DataFrame,
+      broadcastTombstones: Boolean = true): DataFrame = {
+    val t = tombstones.select(
+      col("series_key").as("__ts_key"),
+      col("mint").as("__ts_mint"),
+      col("maxt").as("__ts_maxt"))
     samples.join(
-      t,
+      if (broadcastTombstones) broadcast(t) else t,
       col("series_key") === col("__ts_key") &&
         col("t") >= col("__ts_mint") && col("t") <= col("__ts_maxt"),
       "left_anti")
