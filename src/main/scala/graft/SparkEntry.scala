@@ -231,6 +231,21 @@ object SparkEntry {
     "ts_select_multi" -> ((s, dir) =>
       tsSelect(s, dir, Eq("name", "click"), Re("user", "1.*"), Matcher.neq("vip", "1"))),
 
+    // P5/J1-J3 through the INVERTED INDEX: the same conjunction answered
+    // by postings set algebra (value match on the index, semi-join
+    // intersect, anti-join for the absent-label branch), fact table
+    // touched once — the reference's PostingsForMatchers architecture
+    // (querier.go:326-396) as joins.
+    "ts_select_postings" -> ((s, dir) => {
+      val samples = TsdbSource.events(s, dir).samples
+      graft.query.Postings.select(
+          samples, graft.query.Postings.fromSamples(samples),
+          MINT, MAXT,
+          Eq("name", "click"), Re("user", "1.*"), Matcher.neq("vip", "1"))
+        .select(col("sample_id"), col("series_key"), col("t"), col("v"))
+        .orderBy("sample_id")
+    }),
+
     // U2/U3: vertical merge of overlapping blocks — later block wins on
     // duplicate (series, t). Block 2 re-ingests [d7, d11) with v+100.
     "ts_vertical_dedup" -> ((s, dir) => {
@@ -591,6 +606,8 @@ object SparkEntry {
         |GROUP BY label_name, label_value
         |ORDER BY n DESC, label_name, label_value LIMIT 10""".stripMargin,
     "ts_select_multi" -> tsSelectSql(
+      "event_type = 'click' AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*') AND NOT (user_id % 10 = 0)"),
+    "ts_select_postings" -> tsSelectSql(
       "event_type = 'click' AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*') AND NOT (user_id % 10 = 0)"),
     "ts_vertical_dedup" ->
       s"""$samplesCte,

@@ -216,6 +216,68 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Train the IVF coarse quantizer with Lloyd's k-means in cosine
+    * space (spherical k-means): one Spark pass per iteration —
+    * broadcast centroids → nearest-centroid assignment (same max-cosine
+    * rule as [[ivfAssign]]) → per-centroid per-dimension mean →
+    * renormalize. Only the k×dim centroid matrix ever touches the
+    * driver (tiny by construction); the per-dimension mean is a
+    * posexplode + hash aggregate, map-side combined, so the shuffle
+    * carries k×dim partial sums per task, not vectors. Empty clusters
+    * keep their previous centroid. Deterministic: init is the k corpus
+    * vectors with the smallest seeded hash.
+    *
+    * Returns `(vec_id = centroid_id, embedding)` shaped for
+    * [[ivfAssign]]/[[ivfTopK]].
+    */
+  def kmeansFit(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def toDf(cs: Seq[(Long, Seq[Float])]): DataFrame =
+      cs.toDF("vec_id", "embedding")
+
+    // seeded deterministic init: k distinct corpus vectors by hash order
+    var centroids: Seq[(Long, Seq[Float])] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy("__h")
+      .limit(k)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .collect().toSeq
+      .zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(corpus, toDf(centroids))
+        .select(col("vec_id"), col("centroid_id"))
+      val sums = corpus
+        .join(assigned, "vec_id")
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCentroid = sums.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cid, prev) =>
+        byCentroid.get(cid) match {
+          case None => (cid, prev) // empty cluster
+          case Some(rows) =>
+            val mean = rows.sortBy(_.getInt(1))
+              .map(r => r.getDouble(2) / r.getLong(3)).toArray
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            (cid,
+              if (nrm == 0) prev
+              else mean.map(x => (x / nrm).toFloat).toSeq)
+        }
+      }
+    }
+    toDf(centroids)
+  }
+
   /** IVF search: probe the `nprobe` nearest centroid lists of each query,
     * brute-force within them. */
   def ivfTopK(

@@ -1,0 +1,75 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.matchers.Matcher
+
+/** The reference's postings machinery as relational set algebra: an
+  * inverted-index table `(label_name, label_value, series_key)` — one
+  * row per label pair per series (reference `index/index.go:140-147`,
+  * postings lists keyed by label pair) — and `PostingsForMatchers`
+  * (`querier.go:326-396`) compiled to joins:
+  *
+  *  - value-level matching runs on the index rows (one eval per distinct
+  *    (series, pair), like the reference's per-value regex walk);
+  *  - J2 Merge (OR over matching values) = the row filter itself;
+  *  - J3 Without (matches-empty: series NOT carrying the label) =
+  *    left_anti against the label's postings;
+  *  - J1 Intersect (matcher conjunction) = left_semi chain;
+  *  - the final fact-table touch is ONE semi-join on series_key.
+  *
+  * This is the complement to the pushdown path ([[TsdbSource.select]]):
+  * pushdown wins when matchers map to scan filters; the postings path
+  * wins when the matcher work is expensive per row (heavy regexes,
+  * many-way unions) and #series ≪ #samples — the same trade the
+  * reference makes by resolving matchers entirely in the index before
+  * touching sample data.
+  */
+object Postings {
+
+  /** Derive the inverted index from long-format samples (the persisted
+    * form is materialized per block by [[graft.storage.BlockStore]]). */
+  def fromSamples(samples: DataFrame): DataFrame =
+    samples
+      .select(col("series_key"),
+        explode(col("labels")).as(Seq("label_name", "label_value")))
+      .distinct()
+
+  /** Series matched by one matcher, with the absent-label-is-empty rule
+    * (`querier.go:331-396`): a matcher that matches "" also selects
+    * every series without the label. */
+  def seriesForOne(postings: DataFrame, allSeries: DataFrame, m: Matcher): DataFrame = {
+    val p = postings.where(col("label_name") === m.name)
+    val present = p
+      .where(Matcher.toColumn(m, _ => col("label_value")))
+      .select("series_key")
+    if (m.matchesValue("")) {
+      val withLabel = p.select("series_key")
+      val absent = allSeries.join(withLabel, Seq("series_key"), "left_anti")
+      present.unionByName(absent).distinct() // J2 merge of both branches
+    } else present.distinct()
+  }
+
+  /** `PostingsForMatchers`: conjunction = J1 intersect = semi-join chain. */
+  def seriesFor(postings: DataFrame, allSeries: DataFrame, ms: Seq[Matcher]): DataFrame =
+    ms.map(seriesForOne(postings, allSeries, _))
+      .reduceOption((a, b) => a.join(b, Seq("series_key"), "left_semi"))
+      .getOrElse(allSeries)
+
+  /** Full select through the index: resolve matchers to a series set,
+    * then touch the fact table once (semi-join + time clamp). The series
+    * set is #matched-series rows — broadcastable in practice. */
+  def select(
+      samples: DataFrame,
+      postings: DataFrame,
+      mint: Long,
+      maxt: Long,
+      ms: Matcher*): DataFrame = {
+    val allSeries = postings.select("series_key").distinct()
+    val keys = seriesFor(postings, allSeries, ms)
+    samples
+      .join(broadcast(keys), Seq("series_key"), "left_semi")
+      .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
+  }
+}

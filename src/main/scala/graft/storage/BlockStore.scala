@@ -51,23 +51,27 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
       .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
   }
 
-  /** Append one immutable block; returns its id. One shuffle on
-    * t_bucket; stats for the manifest come from the same job's input
-    * (a second small agg), never from re-reading published data. */
+  /** Append one immutable block; returns its id. One shuffle keyed on
+    * (t_bucket, series_key) — hashing the series into the key keeps
+    * every executor writing (hashing t_bucket alone would serialize
+    * each bucket into a single task at cluster scale); the in-task sort
+    * leads with t_bucket so the partitioned writer's required ordering
+    * is already satisfied and the (series_key, t) run order inside each
+    * file — what makes row-group stats tight — survives. Stats for the
+    * manifest come from the write's own input, never from re-reading
+    * published data. */
   def write(samples: DataFrame): Long = {
     val st = manifest
     val id = st.nextBlockId
     samples
       .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
-      .repartition(col("t_bucket"))
-      .sortWithinPartitions(col("series_key"), col("t"))
+      .repartition(col("t_bucket"), col("series_key"))
+      .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("t_bucket")
       .parquet(blockPath(id))
     if (samples.columns.contains("labels"))
-      samples
-        .select(explode(col("labels")).as(Seq("label_name", "label_value")))
-        .distinct()
+      graft.query.Postings.fromSamples(samples)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$dictDir/block_id=$id")
     val r = samples.agg(
@@ -130,18 +134,27 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
     withTombs.drop("block_id", "t_bucket")
   }
 
-  /** Union of the live blocks' persisted label dictionaries — the
-    * `(name, value)` index regex matchers are evaluated against
-    * (reference enumerates label values per matcher,
-    * `index/index.go:866-892`), so a regex never scans sample rows. */
-  def labelDictionary(spark: SparkSession): DataFrame = {
+  /** Union of the live blocks' persisted inverted indexes (S12,
+    * reference `index/index.go:140-147`): one `(label_name, label_value,
+    * series_key)` row per label pair per series — the postings table
+    * [[graft.query.Postings.select]] runs matcher set algebra over. */
+  def postingsIndex(spark: SparkSession): DataFrame = {
     val ids = manifest.blocks.map(_.blockId)
     require(ids.nonEmpty, s"block store at $root has no published blocks")
     spark.read.option("basePath", dictDir)
       .parquet(ids.map(id => s"$dictDir/block_id=$id"): _*)
-      .select("label_name", "label_value")
+      .select("label_name", "label_value", "series_key")
       .distinct()
   }
+
+  /** The `(name, value)` dictionary view of [[postingsIndex]] — what
+    * regex matchers are evaluated against (reference enumerates label
+    * values per matcher, `index/index.go:866-892`), so a regex never
+    * scans sample rows. */
+  def labelDictionary(spark: SparkSession): DataFrame =
+    postingsIndex(spark)
+      .select("label_name", "label_value")
+      .distinct()
 
   /** Record deletion intervals for every series matching the conjunction
     * over `[mint, maxt]` (reference `DB.Delete`, `db.go:1203-1232`):
@@ -204,8 +217,8 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
     cleaned
       .drop("block_id") // t_bucket recomputed: partition col, not data
       .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
-      .repartition(col("t_bucket"))
-      .sortWithinPartitions(col("series_key"), col("t"))
+      .repartition(col("t_bucket"), col("series_key"))
+      .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("t_bucket")
       .parquet(blockPath(newId))
@@ -214,7 +227,7 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
       if (dictIds.nonEmpty)
         spark.read.option("basePath", dictDir)
           .parquet(dictIds.map(id => s"$dictDir/block_id=$id"): _*)
-          .select("label_name", "label_value").distinct()
+          .select("label_name", "label_value", "series_key").distinct()
           .write.mode(SaveMode.Overwrite).parquet(s"$dictDir/block_id=$newId")
     }
     val out = spark.read.parquet(blockPath(newId))

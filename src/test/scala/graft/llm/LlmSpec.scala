@@ -152,6 +152,29 @@ class SimilaritySpec extends SparkSuite {
     assert((exact & more).size >= (exact & approx).size)
   }
 
+  test("kmeansFit: spherical objective improves over raw-vector init and feeds ivfTopK") {
+    def objective(centroids: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(emb, centroids).agg(avg("sim")).head().getDouble(0)
+    val init = Similarity.kmeansFit(emb, k = 8, iters = 0)
+    val trained = Similarity.kmeansFit(emb, k = 8, iters = 3)
+    val (o0, o3) = (objective(init), objective(trained))
+    info(s"spherical k-means objective: init $o0 -> trained $o3")
+    assert(trained.count() == 8)
+    assert(o3 > o0, s"$o0 -> $o3")
+    // trained centroids are unit vectors (cosine geometry preserved)
+    val norms = trained.select(Similarity.norm($"embedding").as("n"))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-3))
+    // deterministic: same seed, same centroids
+    val again = Similarity.kmeansFit(emb, k = 8, iters = 3)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val first = trained.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(again == first)
+    // composes with the probe search
+    val res = Similarity.ivfTopK(emb, trained, emb.where($"vec_id" < 3), k = 3, nprobe = 2)
+    assert(res.count() == 9)
+  }
+
   test("hyperplaneNearDupPairs finds the planted duplicate across any table") {
     val dup = emb.where($"vec_id" === 0)
       .select(lit(9999L).as("vec_id"), $"embedding", $"label")

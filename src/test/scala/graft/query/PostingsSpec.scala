@@ -1,0 +1,63 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.matchers.{Eq, InSet, Matcher, Not, Re}
+
+/** The postings path must agree with the pushdown path on every matcher
+  * shape — the battery mirrors the combinations of the reference's
+  * `TestPostingsForMatchers` (`querier_test.go:1830-2082`). */
+class PostingsSpec extends SparkSuite {
+
+  lazy val src = TsdbSource.events(spark, sf)
+  lazy val samples = src.samples
+  lazy val postings = Postings.fromSamples(samples)
+
+  private val T0 = 1704067200000L
+  private val HI = T0 + 40 * 86400000L
+
+  private def viaPostings(ms: Matcher*): Set[Long] =
+    Postings.select(samples, postings, T0, HI, ms: _*)
+      .select("sample_id").collect().map(_.getLong(0)).toSet
+
+  private def viaPushdown(ms: Matcher*): Set[Long] =
+    src.select(T0, HI, ms: _*)
+      .select("sample_id").collect().map(_.getLong(0)).toSet
+
+  private def agree(ms: Matcher*): Unit = {
+    val got = viaPostings(ms: _*)
+    val want = viaPushdown(ms: _*)
+    assert(got == want, s"${ms.toList}: postings ${got.size} vs pushdown ${want.size}")
+  }
+
+  test("postings path agrees with pushdown on the matcher battery") {
+    agree(Eq("name", "click"))
+    agree(Eq("name", "missing-value"))
+    agree(Eq("vip", "")) // empty eq selects label-less series
+    agree(Matcher.neq("name", "click"))
+    agree(Matcher.neq("vip", "1")) // negation over a sparse label
+    agree(Re("name", "c.*|sig.*"))
+    agree(Re("name", ".*")) // matches everything incl. absent
+    agree(Re("vip", "|1")) // matches-empty alternation
+    agree(Matcher.notRe("name", "c.*"))
+    agree(InSet("name", Set("click", "view")))
+    agree(Eq("name", "click"), Re("user", "1.*")) // conjunction = intersect
+    agree(Eq("name", "purchase"), Matcher.neq("vip", "1"), Re("user", ".*7.*"))
+  }
+
+  test("matched sample sets are non-trivial (the battery isn't vacuous)") {
+    assert(viaPostings(Eq("name", "click")).nonEmpty)
+    assert(viaPostings(Matcher.neq("vip", "1")).nonEmpty)
+    val all = viaPostings()
+    assert(viaPostings(Re("name", ".*")) == all)
+    assert(viaPostings(Eq("name", "missing-value")).isEmpty)
+  }
+
+  test("fact table is touched once, via a broadcast semi-join") {
+    val plan = Postings.select(samples, postings, T0, HI, Eq("name", "click"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+  }
+}
