@@ -97,6 +97,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // dimension/filtered-fact sides up to 64 MB broadcast instead of
+      // shuffling the big side — the right trade whenever executors have
+      // GBs of headroom (they do: local[32]/128G here, and any
+      // production executor sized for 100 TB inputs)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

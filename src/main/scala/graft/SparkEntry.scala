@@ -261,13 +261,20 @@ object SparkEntry {
     }),
 
     // P11/P12 + J4: interval deletes via tombstones, applied as a
-    // broadcast range anti-join at read time.
+    // broadcast range anti-join at read time. Series resolution goes
+    // through the pushdown select (matcher + delete window reach the
+    // parquet scan), not a full-table pass — a series with no samples in
+    // the window would get only a no-op interval, so restricting
+    // resolution to the window is result-identical and scan-minimal.
     "ts_tombstone_delete" -> ((s, dir) => {
-      val samples = TsdbSource.events(s, dir).samples
-      val tombs = Tombstones
-        .forMatchers(samples, DEL1_LO, DEL1_HI, Eq("name", "click"))
-        .unionByName(Tombstones.forMatchers(samples, DEL2_LO, DEL2_HI, Eq("user", "7")))
-      Tombstones.applyTo(samples, Tombstones.coalesceIntervals(tombs))
+      val src = TsdbSource.events(s, dir)
+      def resolve(lo: Long, hi: Long, ms: Matcher*) =
+        src.select(lo, hi, ms: _*)
+          .select(col("series_key")).distinct()
+          .withColumn("mint", lit(lo)).withColumn("maxt", lit(hi))
+      val tombs = resolve(DEL1_LO, DEL1_HI, Eq("name", "click"))
+        .unionByName(resolve(DEL2_LO, DEL2_HI, Eq("user", "7")))
+      Tombstones.applyTo(src.samples, Tombstones.coalesceIntervals(tombs))
         .select("sample_id", "series_key", "t", "v")
         .orderBy("sample_id")
     }),
