@@ -149,23 +149,33 @@ object Bench {
     // real durable rewrite (parquet out + dictionary + manifest swap),
     // so the number is larger but honest.
     var storeStatus = "ok"
-    val (writeRps, compactSec) = {
+    val (writeRps, compactSec, bytesPerSample) = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-").toString
       try {
-        val store = new graft.storage.BlockStore(tmp, 6 * 3600 * 1000L)
+        // 7d buckets over the ~40d events span: a handful of real-sized
+        // blocks (6h buckets would mean 160 footer-dominated slivers at
+        // this sf and misstate both write rate and bytes/sample)
+        val store = new graft.storage.BlockStore(tmp, 7 * 86400000L, writersPerBucket = 4)
         val samples = query.TsdbSource.events(spark, sfDir).samples
         val n = samples.count()
         val t0 = System.nanoTime()
         store.write(samples)
         val wSec = (System.nanoTime() - t0) / 1e9
+        // BASELINE's compression row (~1.37 B/sample Gorilla design
+        // target): our on-disk cost per sample, parquet-encoded
+        // normalized blocks (data files only, index excluded)
+        val bps = {
+          val m = store.manifest.blocks.head
+          m.bytes.toDouble / m.numSamples
+        }
         val t1 = System.nanoTime()
         store.compact(spark, store.manifest.blocks.map(_.blockId))
         val cSec = (System.nanoTime() - t1) / 1e9
-        (n / wSec, cSec)
+        (n / wSec, cSec, bps)
       } catch {
         case e: Throwable =>
           storeStatus = s"error: ${e.getClass.getSimpleName}"
-          (0.0, 0.0)
+          (0.0, 0.0, 0.0)
       } finally {
         scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
       }
@@ -182,6 +192,7 @@ object Bench {
       s""""status":$st,"queries_x10":$qs10,"status_x10":$st10,""" +
       s""""x10_prep_sec":$x10PrepSec,"errors":$errors,""" +
       s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,""" +
+      s""""bytes_per_sample":$bytesPerSample,""" +
       s""""store_status":"$storeStatus","sf":"$sfDir"}""")
     spark.stop()
     if (errors > 0) sys.exit(2)

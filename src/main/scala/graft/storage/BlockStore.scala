@@ -36,7 +36,17 @@ import graft.matchers.Matcher
   * vertical-querier selection (`db.go:1185-1195`) — so the dedup window
   * (one shuffle on series_key) is paid only when overlap exists.
   */
-final class BlockStore(val root: String, val blockRangeMs: Long) {
+final class BlockStore(
+    val root: String,
+    val blockRangeMs: Long,
+    /** Writer tasks per block bucket: each bucket's rows hash into this
+      * many shuffle keys (by series), so a bucket is written by W tasks
+      * in parallel and produces ≤ W files — W=1 serializes a bucket
+      * into one task at cluster scale, while hashing on raw series_key
+      * would spray every bucket across ALL tasks (thousands of tiny
+      * files at small scale, footer overhead dominating). Size W so
+      * bucketBytes/W fits one task comfortably. */
+    val writersPerBucket: Int = 8) {
   def dataDir = s"$root/data"
   private[storage] def dictDir = s"$root/dict"
   private def blockPath(id: Long) = s"$dataDir/block_id=$id"
@@ -63,9 +73,17 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
   def write(samples: DataFrame): Long = {
     val st = manifest
     val id = st.nextBlockId
+    // Normalized storage, like the reference's series dictionary
+    // (`index/index.go:113-137`): the per-row labels map is redundant —
+    // label pairs live once per series in the block's postings index,
+    // sample rows carry only the series key (dictionary-encoded by
+    // parquet) + (t, v). Cuts block bytes ~2-3× and every downstream
+    // shuffle of read samples.
     samples
+      .drop("labels")
       .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
-      .repartition(col("t_bucket"), col("series_key"))
+      .repartition(col("t_bucket"),
+        pmod(xxhash64(col("series_key")), lit(writersPerBucket)))
       .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("t_bucket")
@@ -117,13 +135,24 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
     * re-ingested/backfilled data read correctly with later-block-wins
     * semantics. Tombstoned intervals are filtered via broadcast range
     * anti-join when any exist. */
-  def readRange(spark: SparkSession, mint: Long, maxt: Long): DataFrame = {
+  def readRange(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): DataFrame = {
     val st = manifest
     val live = st.blocks.filter(_.overlaps(mint, maxt))
     if (live.isEmpty)
       return read(spark).where(lit(false))
-    val raw = readBlocks(spark, live.map(_.blockId))
+    val raw0 = readBlocks(spark, live.map(_.blockId))
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
+    // matcher selection resolves ENTIRELY in the postings index — the
+    // reference's Select never evaluates matchers on sample data
+    // (`querier.go:326-396`); the fact side gets one broadcast semi-join
+    val raw =
+      if (matchers.isEmpty) raw0
+      else {
+        val idx = postingsIndex(spark)
+        val keys = graft.query.Postings.seriesFor(
+          idx, idx.select("series_key").distinct(), matchers)
+        raw0.join(broadcast(keys), Seq("series_key"), "left_semi")
+      }
     val vertical = Compaction.overlappingGroups(live).nonEmpty
     val merged =
       if (vertical) Merge.dedupLatest(raw, seqCol = "block_id")
@@ -158,16 +187,16 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
 
   /** Record deletion intervals for every series matching the conjunction
     * over `[mint, maxt]` (reference `DB.Delete`, `db.go:1203-1232`):
-    * resolves matching series from live data once, then publishes the
-    * intervals (coalesced per series) in the next manifest version.
-    * Per-block tombstone counters feed the compaction planner's >5%
-    * trigger (`compact.go:211-220`). */
+    * series resolve in the postings index alone — no sample data is
+    * read — then the intervals (coalesced per series) publish in the
+    * next manifest version. Per-block tombstone counters feed the
+    * compaction planner's >5% trigger (`compact.go:211-220`). The
+    * resolved set is series-cardinality metadata, same bound the
+    * reference's in-memory tombstone list has. */
   def delete(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): Unit = {
-    val resolve: String => org.apache.spark.sql.Column =
-      name => col("labels").getItem(name)
-    val keys = read(spark)
-      .where(Matcher.conjunction(matchers, resolve))
-      .select("series_key").distinct()
+    val idx = postingsIndex(spark)
+    val keys = graft.query.Postings
+      .seriesFor(idx, idx.select("series_key").distinct(), matchers)
       .collect().map(_.getString(0))
     val st = manifest
     val added = keys.map(k => TombstoneInterval(k, mint, maxt)).toSeq
@@ -217,7 +246,8 @@ final class BlockStore(val root: String, val blockRangeMs: Long) {
     cleaned
       .drop("block_id") // t_bucket recomputed: partition col, not data
       .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
-      .repartition(col("t_bucket"), col("series_key"))
+      .repartition(col("t_bucket"),
+        pmod(xxhash64(col("series_key")), lit(writersPerBucket)))
       .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("t_bucket")

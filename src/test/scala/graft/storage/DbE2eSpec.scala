@@ -67,8 +67,8 @@ class DbE2eSpec extends SparkSuite {
       val mint = rng.nextLong(maxT)
       val maxt = mint + rng.nextLong(maxT - mint + 1)
       val ms = matcherPool(rng.nextInt(matcherPool.length))
-      val got = store.readRange(spark, mint, maxt)
-        .where(Matcher.conjunction(ms, n => col("labels").getItem(n)))
+      // matchers resolve in the store's postings index (reference Select)
+      val got = store.readRange(spark, mint, maxt, ms: _*)
         .select("series_key", "t", "v").as[(String, Long, Double)]
         .collect().toSeq.sorted
       val want = model.toSeq
