@@ -33,9 +33,10 @@ object Bench {
 
   /** Headline queries re-measured at 10× scale. */
   private val X10 = Seq(
-    "q1_agg", "q3_join", "q_window_rank", "ts_select_eq",
-    "ts_tombstone_delete", "ts_vertical_dedup", "emb_cosine_topk",
-    "doc_ngram_jaccard")
+    "q1_agg", "q3_join", "q5_join", "q_window_rank", "ts_select_eq",
+    "ts_tombstone_delete", "ts_vertical_dedup", "ts_lookback_delta",
+    "ts_ooo_reject", "emb_cosine_topk", "emb_rand_lsh_ann",
+    "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh")
 
   /** Replicate the sf tables 10× with remapped keys — an sf1-equivalent
     * corpus from sf0.1 inputs. Keys are offset per copy so joins keep
@@ -69,6 +70,9 @@ object Bench {
     write("embeddings", sources.Tables.embeddings(spark, src).select(col("*"), copies)
       .withColumn("vec_id",
         when(col("__i") === 0, col("vec_id")).otherwise(col("vec_id") + col("__i") * K)))
+    // tiny dims copied verbatim (customer copies keep their nation keys)
+    sources.Tables.nation(spark, src).write.mode("overwrite").parquet(s"$dest/nation.parquet")
+    sources.Tables.region(spark, src).write.mode("overwrite").parquet(s"$dest/region.parquet")
   }
 
   private def timeQueries(

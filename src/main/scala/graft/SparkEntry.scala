@@ -485,6 +485,21 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Int8 scalar quantization of the embedding corpus (4B -> 1B per
+    // dim): per-vector scale + code digest, oracle-checked bit-exact.
+    // Scalars only in the output — the codes array is folded into a
+    // deterministic digest both engines compute identically.
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantized(Tables.embeddings(s, dir))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 9).as("scale"),
+          aggregate(col("codes"), lit(0L),
+            (acc, c) => (acc * 31 + c) % 1000000007L).as("codes_hash"),
+          array_min(col("codes")).as("min_code"),
+          array_max(col("codes")).as("max_code"))
+        .orderBy("vec_id")),
+
     // IVF coarse quantizer: nearest-centroid assignment of the corpus.
     "emb_ivf_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -770,6 +785,19 @@ object SparkEntry {
          |SELECT doc_id, ($bitSums) AS simhash
          |FROM h ORDER BY doc_id""".stripMargin
     },
+    "emb_quantize" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |  embedding FROM embeddings),
+        |c AS (SELECT vec_id, scale,
+        |  list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INT) END) AS codes
+        |  FROM q)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  list_reduce([0::BIGINT] || list_transform(codes, c -> c::BIGINT),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS codes_hash,
+        |  list_min(codes) AS min_code, list_max(codes) AS max_code
+        |FROM c ORDER BY vec_id""".stripMargin,
     "emb_cosine_topk" -> embTopKSql(k = 5),
     "emb_lsh_ann" -> embTopKSql(k = 3, sameBucket = true),
     "emb_rand_lsh_ann" ->

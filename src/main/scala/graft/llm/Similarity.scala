@@ -216,6 +216,28 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Symmetric per-vector scalar quantization to int8: scale =
+    * max(|x|)/127, codes = round(x/scale) — the storage-reduction step
+    * every large embedding corpus takes (4 bytes -> 1 byte per dim)
+    * before IVF/LSH indexing. Per-vector scales cancel in cosine, so
+    * [[cosine]] over the raw `codes` arrays equals cosine of the
+    * dequantized vectors — search runs on 1-byte codes directly. The
+    * scale is bound to a column first so the transform lambda reads it
+    * once per row, not once per element. Output:
+    * `(vec_id, codes array<int>, scale double)`. */
+  def quantized(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("scale",
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x.cast("double") / col("scale")).cast("int")))
+          .as("codes"),
+        col("scale"))
+
   /** Train the IVF coarse quantizer with Lloyd's k-means in cosine
     * space (spherical k-means): one Spark pass per iteration —
     * broadcast centroids → nearest-centroid assignment (same max-cosine

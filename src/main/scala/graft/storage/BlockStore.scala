@@ -185,6 +185,18 @@ final class BlockStore(
       .select("label_name", "label_value")
       .distinct()
 
+  /** A1 over the store: distinct label names from the index alone
+    * (reference `querier.go:70-89` reads only index sections). */
+  def labelNames(spark: SparkSession): DataFrame =
+    postingsIndex(spark).select(col("label_name")).distinct().orderBy("label_name")
+
+  /** A2 over the store: sorted distinct values of one label, index-only
+    * (reference `querier.go:91-108`). */
+  def labelValues(spark: SparkSession, name: String): DataFrame =
+    postingsIndex(spark)
+      .where(col("label_name") === name)
+      .select(col("label_value")).distinct().orderBy("label_value")
+
   /** Record deletion intervals for every series matching the conjunction
     * over `[mint, maxt]` (reference `DB.Delete`, `db.go:1203-1232`):
     * series resolve in the postings index alone — no sample data is

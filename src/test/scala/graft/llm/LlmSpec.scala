@@ -152,6 +152,33 @@ class SimilaritySpec extends SparkSuite {
     assert((exact & more).size >= (exact & approx).size)
   }
 
+  test("int8 quantization: codes bounded, max magnitude hits 127, cosine preserved to quant error") {
+    val q = Similarity.quantized(emb)
+    val rows = q.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.map(math.abs).max == 127) // the max-|x| dim saturates
+    }
+    // per-vector scales cancel in cosine: search over codes ≈ search
+    // over raw vectors, within quantization error
+    val raw = emb.where($"vec_id" < 2).select(
+      Similarity.cosine($"embedding", $"embedding").as("c")).as[Double].head()
+    assert(math.abs(raw - 1.0) < 1e-9)
+    val pair = q.where($"vec_id" < 2)
+      .select($"vec_id", $"codes".cast("array<double>").as("e")).collect()
+    val rawPair = emb.where($"vec_id" < 2)
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cq = cos(pair(0).getSeq[Double](1), pair(1).getSeq[Double](1))
+    val cr = cos(rawPair(0).getSeq[Double](1), rawPair(1).getSeq[Double](1))
+    assert(math.abs(cq - cr) < 0.01, s"quantized $cq vs raw $cr")
+  }
+
   test("kmeansFit: spherical objective improves over raw-vector init and feeds ivfTopK") {
     def objective(centroids: org.apache.spark.sql.DataFrame): Double =
       Similarity.ivfAssign(emb, centroids).agg(avg("sim")).head().getDouble(0)

@@ -199,6 +199,26 @@ class BlockStoreSpec extends SparkSuite {
       samples.select(col("labels").getItem("name")).distinct().na.drop().count())
   }
 
+  test("store label metadata queries answer from the index alone (A1/A2)") {
+    val store = freshStore()
+    store.write(samples)
+    assert(store.labelNames(spark).collect().map(_.getString(0)).toSeq ==
+      Seq("name", "user", "vip"))
+    assert(store.labelValues(spark, "name").collect().map(_.getString(0)).toSeq ==
+      Seq("click", "error", "purchase", "signup", "view"))
+    assert(store.labelValues(spark, "nope").count() == 0)
+  }
+
+  test("readRange with matchers resolves selection in the postings index") {
+    val store = freshStore()
+    store.write(samples)
+    val got = store.readRange(spark, T0, T0 + 40 * DAY, graft.matchers.Eq("name", "click"))
+    val want = samples.where(col("series_key").startsWith("{name=\"click\""))
+    assert(got.count() == want.count() && got.count() > 0)
+    // stored rows are normalized: no labels map on disk
+    assert(!store.read(spark).columns.contains("labels"))
+  }
+
   test("snapshot copies live blocks + manifest; readable as a store (db.go:1108-1146)") {
     val store = freshStore()
     store.write(samples.where(col("t") < T0 + 10 * DAY))

@@ -140,6 +140,25 @@ class StreamingSpec extends SparkSuite {
     assert(got.select("series_key").distinct().count() == 2)
   }
 
+  test("windowed rollup with watermark emits closed windows (ST3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "series_key", "v")
+    val q = StreamingIngest.windowedCounts(events, "ts", watermark = "10 seconds", window_ = "1 minute")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    in.addData((t(10), "a", 1.0), (t(20), "a", 2.0), (t(70), "a", 3.0))
+    q.processAllAvailable()
+    // watermark passes the first window only after later data arrives
+    in.addData((t(200), "a", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc")
+      .selectExpr("window.start", "series_key", "n", "sum_v").collect()
+    assert(rows.exists(r => r.getLong(2) == 2 && r.getDouble(3) == 3.0)) // [0,60) closed
+  }
+
   test("checkpoint recovery: a restarted ingest does not reprocess committed batches (ST5)") {
     val src = Files.createTempDirectory("graft-ingest-src").toString
     val root = Files.createTempDirectory("graft-restart-blocks").toString
