@@ -11,10 +11,13 @@ import graft.matchers.Matcher
   * matchers + time range, enumerate label names/values, plus the
   * cardinality analysis of `cmd/tsdb/main.go:464-616`.
   *
-  * This generic map-backed path serves data already in long format (e.g.
-  * blocks written by [[graft.storage.BlockStore]]). When querying a wide
-  * source table, prefer [[TsdbSource.select]], which compiles matchers
-  * against the source columns for parquet pushdown.
+  * This generic map-backed path serves ad-hoc frames that carry a
+  * `labels` map column. [[graft.storage.BlockStore]] data is normalized
+  * (labels live in the block's postings index) — query it through
+  * `BlockStore.readRange(matchers...)` / `labelNames` / `labelValues`,
+  * which resolve in the index. For wide source tables, prefer
+  * [[TsdbSource.select]], which compiles matchers against the source
+  * columns for parquet pushdown.
   */
 final class Querier(val samples: DataFrame) {
 

@@ -118,4 +118,17 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.load(root) == st2)
     assert(st2.nextBlockId == 3L)
   }
+
+  test("manifest load survives crash debris: stray tmp files and unparsable names") {
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-crash").toString
+    val st = ManifestState(Seq(BlockMeta(1, 0, 10, 1, 1, 0, 1)), Nil)
+    Manifest.publish(root, st)
+    // a writer that died mid-publish leaves a temp file; unrelated junk too
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "meta", ".tmp-manifest-dead"), "B\tgarbage")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "meta", "MANIFEST-notanumber"), "junk")
+    assert(Manifest.load(root) == st)
+    assert(Manifest.publish(root, st) == 2L) // versioning unaffected
+  }
 }
