@@ -84,7 +84,9 @@ object Bench {
       val status =
         try { runPlan(fn(spark, dir)); "ok" }
         catch { case e: Throwable =>
-          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(160)}"
+          // truncate BEFORE escaping: cutting afterwards could split an
+          // escape pair and corrupt the JSON line
+          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}"
         }
       (name, (System.nanoTime() - t0) / 1e9, status)
     }
@@ -140,7 +142,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             (Seq(("__x10_prep", 0.0,
-              s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(160)}")), 0.0)
+              s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}")), 0.0)
         } finally {
           scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
         }

@@ -117,6 +117,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("ts_select_eq")(spark, "/root/testdata/sf0.001")
 
+  /** A fresh store under a FIXED per-(query, sf) scratch path: repeated
+    * invocations (warmup + timed + verify) reuse/overwrite one directory
+    * instead of leaking a temp store per call. */
+  private def scratchStore(name: String, sfDir: String, blockRangeMs: Long): BlockStore = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch",
+      name + "-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    scala.reflect.io.Directory(p.toFile).deleteRecursively()
+    java.nio.file.Files.createDirectories(p.getParent)
+    new BlockStore(p.toString, blockRangeMs)
+  }
+
   /** DuckDB CTE shared by the storage-semantics oracles: the events table
     * in the canonical long format. */
   private val samplesCte =
@@ -177,8 +189,7 @@ object SparkEntry {
     // readRange alone — the store detects the overlap from its manifest
     // and applies later-block-wins dedup; no manual Merge call.
     "ts_overlap_read" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-overlap-").toString
-      val store = new BlockStore(tmp, 7 * DAY)
+      val store = scratchStore("overlap", dir, 7 * DAY)
       val base = TsdbSource.events(s, dir).samples
       store.write(base)
       store.write(
@@ -196,8 +207,7 @@ object SparkEntry {
     // data lives (pre-dedup blocks + tombstone filter vs one compacted
     // block with deletes applied physically).
     "ts_compacted_read" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-compact-").toString
-      val store = new BlockStore(tmp, 7 * DAY)
+      val store = scratchStore("compact", dir, 7 * DAY)
       val base = TsdbSource.events(s, dir).samples
       store.write(base)
       store.write(

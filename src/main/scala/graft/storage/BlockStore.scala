@@ -57,8 +57,11 @@ final class BlockStore(
   private def du(path: String): Long = {
     val p = Paths.get(path)
     if (!Files.exists(p)) 0L
-    else Files.walk(p).sorted(Comparator.naturalOrder[Path]())
-      .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
   }
 
   /** Append one immutable block; returns its id. One shuffle keyed on
@@ -92,7 +95,11 @@ final class BlockStore(
       graft.query.Postings.fromSamples(samples)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$dictDir/block_id=$id")
-    val r = samples.agg(
+    // stats from the files just written (not from re-executing the input
+    // lineage): a cheap local scan that is guaranteed to agree with the
+    // bytes on disk, the way the reference derives meta from the block
+    val spark = samples.sparkSession
+    val r = spark.read.parquet(blockPath(id)).agg(
       min("t"), max("t"), count(lit(1)), countDistinct("series_key")).head()
     require(!r.isNullAt(0), "refusing to publish an empty block")
     val meta = BlockMeta(
@@ -139,7 +146,7 @@ final class BlockStore(
     val st = manifest
     val live = st.blocks.filter(_.overlaps(mint, maxt))
     if (live.isEmpty)
-      return read(spark).where(lit(false))
+      return read(spark).where(lit(false)).drop("block_id", "t_bucket")
     val raw0 = readBlocks(spark, live.map(_.blockId))
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
     // matcher selection resolves ENTIRELY in the postings index — the
@@ -170,6 +177,14 @@ final class BlockStore(
   def postingsIndex(spark: SparkSession): DataFrame = {
     val ids = manifest.blocks.map(_.blockId)
     require(ids.nonEmpty, s"block store at $root has no published blocks")
+    // fail loudly rather than answer from a partial index: a block
+    // written from label-less samples (e.g. a streaming sink) has no
+    // postings, so label/matcher queries over this store are undefined
+    val missing = ids.filterNot(id =>
+      Files.isDirectory(Paths.get(s"$dictDir/block_id=$id")))
+    require(missing.isEmpty,
+      s"store at $root has no label index for blocks ${missing.mkString(",")} " +
+        "(written without a labels column); label/matcher queries unavailable")
     spark.read.option("basePath", dictDir)
       .parquet(ids.map(id => s"$dictDir/block_id=$id"): _*)
       .select("label_name", "label_value", "series_key")
@@ -217,7 +232,7 @@ final class BlockStore(
       val n = all.count(t => t.mint < b.maxt && t.maxt >= b.mint)
       b.copy(numTombstones = n)
     }
-    Manifest.publish(root, ManifestState(blocks, all))
+    Manifest.publish(root, st.copy(blocks = blocks, tombstones = all))
   }
 
   /** Driver-side interval coalescing per series (reference
@@ -286,7 +301,10 @@ final class BlockStore(
     val newBlocks = (keep ++ meta).map { b =>
       b.copy(numTombstones = tombs.count(t => t.mint < b.maxt && t.maxt >= b.mint))
     }
-    Manifest.publish(root, ManifestState(newBlocks, tombs))
+    // newId enters the high-water even if the compacted block came out
+    // empty (everything tombstoned): its id must still never be reused
+    Manifest.publish(root, st.copy(blocks = newBlocks, tombstones = tombs,
+      highWater = math.max(st.highWater, newId)))
     meta.map(_.blockId)
   }
 
@@ -340,12 +358,14 @@ final class BlockStore(
     val st = manifest
     val destData = Paths.get(destRoot, "data")
     Files.createDirectories(destData)
-    def copyTree(src: Path, dst: Path): Unit =
-      Files.walk(src).sorted(Comparator.naturalOrder[Path]()).forEach { p =>
+    def copyTree(src: Path, dst: Path): Unit = {
+      val s = Files.walk(src)
+      try s.sorted(Comparator.naturalOrder[Path]()).forEach { p =>
         val q = dst.resolve(src.relativize(p).toString)
         if (Files.isDirectory(p)) Files.createDirectories(q)
         else Files.copy(p, q)
-      }
+      } finally s.close()
+    }
     st.blocks.foreach { b =>
       copyTree(Paths.get(blockPath(b.blockId)),
         destData.resolve(s"block_id=${b.blockId}"))

@@ -21,7 +21,7 @@ final case class BlockMeta(
   /** Closed-interval overlap vs a query range (reference
     * `OverlapsClosedInterval`, `block.go:636-641`: blocks are half-open). */
   def overlaps(qmint: Long, qmaxt: Long): Boolean =
-    mint <= qmaxt && qmaxt >= qmint && maxt > qmint
+    mint <= qmaxt && maxt > qmint
 }
 
 /** A deletion interval for one series: closed `[mint, maxt]`
@@ -31,11 +31,16 @@ final case class TombstoneInterval(seriesKey: String, mint: Long, maxt: Long)
 
 /** One immutable published state of the store: live blocks + tombstones.
   * The reference's equivalent is the block list swapped under `db.mtx`
-  * plus per-block tombstone files (`db.go:775-779`). */
+  * plus per-block tombstone files (`db.go:775-779`). `highWater` is the
+  * largest block id ever published — ids are NEVER reused even after
+  * retention/compaction retires blocks, so a stale on-disk dir (not yet
+  * vacuumed) can never be mistaken for a new block's data or index. */
 final case class ManifestState(
     blocks: Seq[BlockMeta],
-    tombstones: Seq[TombstoneInterval]) {
-  def nextBlockId: Long = blocks.map(_.blockId).foldLeft(0L)(math.max) + 1
+    tombstones: Seq[TombstoneInterval],
+    highWater: Long = 0L) {
+  def nextBlockId: Long =
+    blocks.map(_.blockId).foldLeft(highWater)(math.max) + 1
 }
 
 /** Versioned, atomically-published manifest — the reference's
@@ -58,7 +63,11 @@ object Manifest {
   def currentVersion(root: String): Long = {
     val d = dir(root)
     if (!Files.isDirectory(d)) 0L
-    else Files.list(d).iterator.asScala.flatMap(versionOf).foldLeft(0L)(math.max)
+    else {
+      val s = Files.list(d)
+      try s.iterator.asScala.flatMap(versionOf).foldLeft(0L)(math.max)
+      finally s.close()
+    }
   }
 
   def load(root: String): ManifestState = {
@@ -68,6 +77,7 @@ object Manifest {
       val lines = Files.readAllLines(dir(root).resolve(Prefix + "%09d".format(v))).asScala
       val blocks = Seq.newBuilder[BlockMeta]
       val tombs = Seq.newBuilder[TombstoneInterval]
+      var hw = 0L
       lines.foreach { line =>
         line.split('\t') match {
           case Array("B", id, mint, maxt, ns, nser, nt, by) =>
@@ -75,10 +85,13 @@ object Manifest {
               ns.toLong, nser.toLong, nt.toLong, by.toLong)
           case Array("T", key, mint, maxt) =>
             tombs += TombstoneInterval(key, mint.toLong, maxt.toLong)
+          case Array("H", id) => hw = id.toLong
           case _ => // ignore unknown record kinds (forward compat)
         }
       }
-      ManifestState(blocks.result(), tombs.result())
+      val bs = blocks.result()
+      ManifestState(bs, tombs.result(),
+        bs.map(_.blockId).foldLeft(hw)(math.max))
     }
   }
 
@@ -89,6 +102,8 @@ object Manifest {
     Files.createDirectories(d)
     val next = currentVersion(root) + 1
     val body = new StringBuilder
+    val hw = state.blocks.map(_.blockId).foldLeft(state.highWater)(math.max)
+    body ++= s"H\t$hw\n"
     state.blocks.sortBy(_.blockId).foreach { b =>
       body ++= s"B\t${b.blockId}\t${b.mint}\t${b.maxt}\t${b.numSamples}\t${b.numSeries}\t${b.numTombstones}\t${b.bytes}\n"
     }

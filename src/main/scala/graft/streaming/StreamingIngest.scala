@@ -74,10 +74,12 @@ object StreamingIngest {
     * size tracks *live* series, not all series ever seen — without it,
     * per-series state grows monotonically with churn. An expired series
     * that reappears re-validates from a fresh baseline, exactly like a
-    * re-created series after head truncation. The arrival watermark that
-    * drives expiry also drops samples arriving later than the newest
-    * arrival already processed minus 0ms — single-writer ingest is
-    * arrival-ordered, so this drops nothing in practice. */
+    * re-created series after head truncation. The watermark delay IS the
+    * TTL, so a straggler up to `stateTtlMs` behind the newest processed
+    * arrival is still validated normally (the reference's late-data
+    * window, `head.go:773-783`); anything older is dropped by the
+    * engine, and an idle series' state expires once the watermark passes
+    * its last arrival + TTL. */
   def validated(
       samples: Dataset[Sample],
       minValidTime: Long,
@@ -92,7 +94,7 @@ object StreamingIngest {
     else
       samples
         .withColumn("arrival_ts", timestamp_millis(col("arrival")))
-        .withWatermark("arrival_ts", "0 milliseconds")
+        .withWatermark("arrival_ts", s"$stateTtlMs milliseconds")
         .as[SampleTs]
         .groupByKey(_.series_key)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -143,8 +145,12 @@ object StreamingIngest {
     * streaming view of everything the store persists, for replication /
     * downstream consumers. The file stream source picks up each new
     * block's files as they land — the Spark analogue of incrementally
-    * reading WAL segments as the writer appends them. The schema is
-    * pinned from the current data (file streams require one). */
+    * reading WAL segments as the writer appends them. Like the
+    * reference's live reader (which tails raw WAL segments ahead of any
+    * checkpoint), this reads at the FILE level, before manifest
+    * publication — a crashed writer's orphan files can be emitted; use
+    * batch `readRange` for manifest-consistent reads. Requires at least
+    * one written block (the schema is pinned from current data). */
   def tail(spark: SparkSession, store: BlockStore): DataFrame = {
     val schema = spark.read.parquet(store.dataDir).schema
     spark.readStream

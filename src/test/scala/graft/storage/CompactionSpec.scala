@@ -112,11 +112,16 @@ class ManifestSpec extends AnyFunSuite {
       Seq(BlockMeta(1, 0, 100, 10, 2, 0, 1234)),
       Seq(TombstoneInterval("{a=\"b\",c=\"d\"}", 5, 9)))
     assert(Manifest.publish(root, st1) == 1L)
-    assert(Manifest.load(root) == st1)
+    assert(Manifest.load(root) == st1.copy(highWater = 1)) // hw tracks max id
     val st2 = st1.copy(blocks = st1.blocks :+ BlockMeta(2, 100, 200, 5, 2, 1, 99))
     assert(Manifest.publish(root, st2) == 2L)
-    assert(Manifest.load(root) == st2)
+    assert(Manifest.load(root) == st2.copy(highWater = 2))
     assert(st2.nextBlockId == 3L)
+    // ids of retired blocks are never reused: dropping the highest block
+    // keeps the high-water, so the next id moves past it
+    assert(Manifest.publish(root, Manifest.load(root).copy(blocks = st1.blocks)) == 3L)
+    assert(Manifest.load(root).highWater == 2L)
+    assert(Manifest.load(root).nextBlockId == 3L)
   }
 
   test("manifest load survives crash debris: stray tmp files and unparsable names") {
@@ -128,7 +133,7 @@ class ManifestSpec extends AnyFunSuite {
       java.nio.file.Paths.get(root, "meta", ".tmp-manifest-dead"), "B\tgarbage")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(root, "meta", "MANIFEST-notanumber"), "junk")
-    assert(Manifest.load(root) == st)
+    assert(Manifest.load(root) == st.copy(highWater = 1))
     assert(Manifest.publish(root, st) == 2L) // versioning unaffected
   }
 }
