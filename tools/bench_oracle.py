@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle queries (driver-style parquet views) so bench
+ratios can be read side by side with BENCH's Spark numbers.
+
+Usage:
+  python3 tools/bench_oracle.py <sfDir> <verifyOutDir> [--x10] [names...]
+
+<verifyOutDir> must contain oracle_sql.json (written by graft.Verify).
+--x10 materializes the same 10x key-remapped replica graft.Bench uses
+(parquet-backed) and times against it.
+"""
+import sys, os, json, time, tempfile
+import duckdb
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+x10 = "--x10" in sys.argv
+sf_dir, out_dir = args[0], args[1]
+names = args[2:] or None
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+con = duckdb.connect()
+
+tables = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if x10:
+    K = 100000000
+    tmp = tempfile.mkdtemp(prefix="graft-oracle-x10-")
+    remap = {
+        "lineitem": f"* REPLACE (l_orderkey + i*{K} AS l_orderkey)",
+        "orders": f"* REPLACE (o_orderkey + i*{K} AS o_orderkey, o_custkey + i*{K} AS o_custkey)",
+        "customer": f"* REPLACE (c_custkey + i*{K} AS c_custkey)",
+        "events": f"* REPLACE (event_id + i*{K} AS event_id, user_id + i*1000000 AS user_id)",
+        "embeddings": f"* REPLACE (CASE WHEN i=0 THEN vec_id ELSE vec_id + i*{K} END AS vec_id)",
+        "documents": f"* REPLACE (doc_id + i*{K} AS doc_id, "
+                     "concat('c', i, 'x ', replace(text, ' ', concat(' c', i, 'x'))) AS text)",
+    }
+    for t in tables:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        dst = os.path.join(tmp, f"{t}.parquet")
+        if t in remap:
+            con.sql(f"COPY (SELECT {remap[t]} FROM read_parquet('{src}'), range(10) t(i)) TO '{dst}'")
+        else:
+            con.sql(f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}'")
+    sf_dir = tmp
+
+con2 = duckdb.connect()
+for t in tables:
+    p = os.path.join(sf_dir, f"{t}.parquet")
+    if os.path.exists(p):
+        con2.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+out = {}
+for name in sorted(names or oracle.keys()):
+    if name not in oracle:
+        continue
+    t0 = time.time()
+    try:
+        con2.sql(oracle[name]).df()
+        out[name] = round(time.time() - t0, 4)
+    except Exception as e:
+        out[name] = f"error: {type(e).__name__}"
+    print(f"{name:26s} {out[name]}")
+print(json.dumps({"oracle_sec": out, "sf": sf_dir, "x10": x10}))
