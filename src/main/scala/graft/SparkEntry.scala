@@ -470,6 +470,18 @@ object SparkEntry {
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Train/eval decontamination: train docs sharing >= 5 shingles with
+    // the held-out set (every 20th doc), via the cross-corpus inverted
+    // index — never all-pairs.
+    "doc_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusOverlap(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0),
+          minShared = 5)
+        .orderBy("train_id", "test_id")
+    }),
+
     // Exact ANN baseline: brute-force cosine top-5 for 5 query vectors.
     "emb_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -756,6 +768,14 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS survivor,
         | count(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY survivor""".stripMargin,
+    "doc_decontaminate" ->
+      s"""$SHINGLES_CTE
+         |SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+         |  len(list_intersect(tr.sh, te.sh)) AS n_shared
+         |FROM sh tr, sh te
+         |WHERE tr.doc_id % 20 != 0 AND te.doc_id % 20 = 0
+         |  AND len(list_intersect(tr.sh, te.sh)) >= 5
+         |ORDER BY train_id, test_id""".stripMargin,
     "doc_ngram_jaccard" ->
       s"""$SHINGLES_CTE,
          |p AS (SELECT a.doc_id AS i, b.doc_id AS j,

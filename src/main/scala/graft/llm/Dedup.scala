@@ -174,6 +174,33 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Cross-corpus contamination check — the train/eval decontamination
+    * pass every benchmark-clean training pipeline runs: emit
+    * `(train_id, test_id, n_shared)` for train docs sharing at least
+    * `minShared` distinct n-gram shingles with a test doc. Same
+    * inverted-index shape as [[ngramJaccardPairs]] (hashed shingles,
+    * equi-join, count aggregate — never all-pairs), but across two
+    * corpora, so cost is Σ_shingle df_train × df_test: the test corpus
+    * is typically tiny, which keeps the join linear in the train side.
+    * `maxShingleDf` bounds hot boilerplate shingles exactly as in the
+    * self-join case. */
+  def crossCorpusOverlap(
+      train: DataFrame,
+      test: DataFrame,
+      n: Int = 3,
+      minShared: Long = 5,
+      textCol: String = "text",
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val tr = shingleIndex(train, n, textCol, maxShingleDf)
+      .select(col("sh_h"), col("doc_id").as("train_id"))
+    val te = shingleIndex(test, n, textCol, maxShingleDf)
+      .select(col("sh_h"), col("doc_id").as("test_id"))
+    tr.join(te, "sh_h")
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Seeded linear-permutation parameters (a, b) for MinHash, shared
     * with the oracle SQL. Modulus is prime and < 2^28 so a*x+b stays
     * far from long overflow. */

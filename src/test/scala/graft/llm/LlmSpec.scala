@@ -57,6 +57,28 @@ class DedupSpec extends SparkSuite {
     assert(uni == 0)
   }
 
+  test("cross-corpus decontamination flags planted leakage only") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different content with no overlap at all here"),
+      (3L, "the quick brown fox jumps over something else entirely")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again now"),
+      (101L, "unrelated evaluation prompt nothing shared with training")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusOverlap(train, test, minShared = 5)
+      .select("train_id", "test_id").as[(Long, Long)].collect().toSet
+    // doc 1 leaks into test 100 (8 shared 3-grams); doc 3 shares only 4
+    // ("the quick brown" .. "fox jumps over") and stays under the bar
+    assert(got == Set((1L, 100L)))
+    // threshold is inclusive and counts distinct shingles
+    val all = Dedup.crossCorpusOverlap(train, test, minShared = 1)
+      .where($"train_id" === 3 && $"test_id" === 100)
+      .select("n_shared").as[Long].collect()
+    assert(all.toSeq == Seq(4L))
+  }
+
   test("minhash LSH candidates are a superset-recall of high-jaccard pairs here") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs).select("i", "j").as[(Long, Long)].collect().toSet
