@@ -94,6 +94,11 @@ object Bench {
   private def jsonMap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+  /** Millisecond-precision decimal — keeps the headline line compact
+    * (a 10-digit double per query would overflow the driver's ~4 KB
+    * stdout tail capture, which is what broke BENCH_r01/r02 parsing). */
+  private def ms(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -187,19 +192,48 @@ object Bench {
       }
     }
 
-    val qs = jsonMap(results.map { case (k, v, _) => k -> v.toString })
-    val st = jsonMap(results.map { case (k, _, s) => k -> ("\"" + s + "\"") })
-    val qs10 = jsonMap(x10Results.map { case (k, v, _) => k -> v.toString })
-    val st10 = jsonMap(x10Results.map { case (k, _, s) => k -> ("\"" + s + "\"") })
     val errors = (results ++ x10Results).count(_._3 != "ok") +
       (if (storeStatus == "ok") 0 else 1)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""status":$st,"queries_x10":$qs10,"status_x10":$st10,""" +
+    // Full per-query detail (exact times + all statuses) goes to a file;
+    // the stdout contract line stays compact. BENCH_r01/r02 both recorded
+    // "parsed": null because this line outgrew the driver's ~4 KB tail
+    // capture — the line must stay well under that forever.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jsonMap(results.map { case (k, v, _) => k -> v.toString })},""" +
+      s""""status":${jsonMap(results.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""queries_x10":${jsonMap(x10Results.map { case (k, v, _) => k -> v.toString })},""" +
+      s""""status_x10":${jsonMap(x10Results.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""x10_prep_sec":$x10PrepSec,"errors":$errors,""" +
       s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,""" +
       s""""bytes_per_sample":$bytesPerSample,""" +
-      s""""store_status":"$storeStatus","sf":"$sfDir"}""")
+      s""""store_status":"$storeStatus","sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    java.nio.file.Files.writeString(detailPath, detail + "\n")
+
+    // Headline line: ms-precision per-query maps, statuses only when
+    // not-ok (the detail file always has everything).
+    val badSt = results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
+    val badSt10 = x10Results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
+    def headline(withQueries: Boolean): String = {
+      val perQuery =
+        if (!withQueries) ""
+        else s""""queries":${jsonMap(results.map { case (k, v, _) => k -> ms(v) })},""" +
+          s""""queries_x10":${jsonMap(x10Results.map { case (k, v, _) => k -> ms(v) })},"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" + perQuery +
+        (if (badSt.nonEmpty) s""""status":${jsonMap(badSt)},""" else "") +
+        (if (badSt10.nonEmpty) s""""status_x10":${jsonMap(badSt10)},""" else "") +
+        s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +
+        s""""write_rows_per_sec":${ms(writeRps)},"compact_sec":${ms(compactSec)},""" +
+        s""""bytes_per_sample":${ms(bytesPerSample)},""" +
+        s""""store_status":"$storeStatus","sf":"$sfDir","detail":"$detailPath"}"""
+    }
+    // Hard guard: if the line would ever near the driver's capture window
+    // again, drop the per-query maps from the line (never from the file).
+    val line = { val l = headline(withQueries = true); if (l.length <= 3000) l else headline(withQueries = false) }
+    println(line)
     spark.stop()
     if (errors > 0) sys.exit(2)
   }

@@ -58,18 +58,33 @@ object Postings {
       .getOrElse(allSeries)
 
   /** Full select through the index: resolve matchers to a series set,
-    * then touch the fact table once (semi-join + time clamp). The series
-    * set is #matched-series rows — broadcastable in practice. */
+    * then touch the fact table once (semi-join + time clamp).
+    *
+    * `broadcastKeys` hints the matched-series side for the common case
+    * (#matched ≪ #samples). Pass `false` when the store's series count
+    * makes the worst case (a broad matcher selecting everything)
+    * non-broadcastable — AQE then picks the join strategy from runtime
+    * sizes; [[graft.storage.BlockStore.readRange]] gates this from
+    * manifest stats. */
   def select(
       samples: DataFrame,
       postings: DataFrame,
       mint: Long,
       maxt: Long,
+      broadcastKeys: Boolean,
       ms: Matcher*): DataFrame = {
     val allSeries = postings.select("series_key").distinct()
     val keys = seriesFor(postings, allSeries, ms)
     samples
-      .join(broadcast(keys), Seq("series_key"), "left_semi")
+      .join(if (broadcastKeys) broadcast(keys) else keys, Seq("series_key"), "left_semi")
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
   }
+
+  def select(
+      samples: DataFrame,
+      postings: DataFrame,
+      mint: Long,
+      maxt: Long,
+      ms: Matcher*): DataFrame =
+    select(samples, postings, mint, maxt, broadcastKeys = true, ms: _*)
 }

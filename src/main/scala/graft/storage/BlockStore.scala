@@ -3,7 +3,7 @@ package graft.storage
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.rangeForTimestamp
@@ -46,10 +46,26 @@ final class BlockStore(
       * would spray every bucket across ALL tasks (thousands of tiny
       * files at small scale, footer overhead dominating). Size W so
       * bucketBytes/W fits one task comfortably. */
-    val writersPerBucket: Int = 8) {
+    val writersPerBucket: Int = 8,
+    /** A delete matching more series than this spills its intervals to
+      * a parquet side table instead of inlining T records — a 10⁶-series
+      * delete must not become a multi-GB manifest parsed on every load
+      * (the reference's in-memory tombstone list is single-node by
+      * design; this is the distributed replacement). */
+    val tombstoneSpillThreshold: Int = 10000,
+    /** Matched-series / tombstone sets are broadcast-hinted only when
+      * the manifest-derived worst case (every series matched) stays
+      * under this row count; past it the hint is dropped and AQE picks
+      * the join strategy from actual runtime sizes — a matcher like
+      * `Re(".*")` over 10⁸ series must never force a driver-side
+      * broadcast build (the reference streams postings lazily,
+      * `index/postings.go:297-368`, and never materializes them). */
+    val broadcastLimit: Long = 2000000L) {
   def dataDir = s"$root/data"
   private[storage] def dictDir = s"$root/dict"
+  private[storage] def tombsDir = s"$root/tombs"
   private def blockPath(id: Long) = s"$dataDir/block_id=$id"
+  private def tombPath(id: Long) = s"$tombsDir/ts_id=$id"
 
   /** Current published state (block list + tombstones). */
   def manifest: ManifestState = Manifest.load(root)
@@ -64,54 +80,79 @@ final class BlockStore(
     }
   }
 
-  /** Append one immutable block; returns its id. One shuffle keyed on
-    * (t_bucket, series_key) — hashing the series into the key keeps
-    * every executor writing (hashing t_bucket alone would serialize
-    * each bucket into a single task at cluster scale); the in-task sort
-    * leads with t_bucket so the partitioned writer's required ordering
-    * is already satisfied and the (series_key, t) run order inside each
-    * file — what makes row-group stats tight — survives. Stats for the
-    * manifest come from the write's own input, never from re-reading
-    * published data. */
-  def write(samples: DataFrame): Long = {
+  /** Append one immutable block; returns its id. Runs as the store's
+    * exclusive writer (≙ the reference's `db.mtx`-serialized appends):
+    * two concurrent writers can never claim the same block id/dir.
+    *
+    * Exactly two Spark jobs. Job 1 writes the data — one shuffle keyed
+    * on (t_bucket, series_key-hash) so every executor writes (hashing
+    * t_bucket alone would serialize each bucket into one task at
+    * cluster scale), with the in-task sort leading on t_bucket so the
+    * partitioned writer's required ordering is satisfied and the
+    * (series_key, t) run order inside each file — what makes row-group
+    * stats tight — survives. Time/count stats ride the write itself via
+    * `observe` (no post-hoc re-scan). Job 2 writes the label index from
+    * the SAME materialization (the input is cached for the pair), so a
+    * non-deterministic source can never persist an index disagreeing
+    * with the written samples; the series count rides that job's
+    * per-series dedup. The input of one block is one head-window of
+    * data (≪ total corpus), so caching it is bounded. */
+  def write(samples: DataFrame): Long = Manifest.withLock(root) {
+    val spark = samples.sparkSession
     val st = manifest
     val id = st.nextBlockId
-    // Normalized storage, like the reference's series dictionary
-    // (`index/index.go:113-137`): the per-row labels map is redundant —
-    // label pairs live once per series in the block's postings index,
-    // sample rows carry only the series key (dictionary-encoded by
-    // parquet) + (t, v). Cuts block bytes ~2-3× and every downstream
-    // shuffle of read samples.
-    samples
-      .drop("labels")
-      .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
-      .repartition(col("t_bucket"),
-        pmod(xxhash64(col("series_key")), lit(writersPerBucket)))
-      .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("t_bucket")
-      .parquet(blockPath(id))
-    if (samples.columns.contains("labels"))
-      graft.query.Postings.fromSamples(samples)
+    val hasLabels = samples.columns.contains("labels")
+    val cached = samples.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Normalized storage, like the reference's series dictionary
+      // (`index/index.go:113-137`): the per-row labels map is redundant —
+      // label pairs live once per series in the block's postings index,
+      // sample rows carry only the series key (dictionary-encoded by
+      // parquet) + (t, v). Cuts block bytes ~2-3× and every downstream
+      // shuffle of read samples.
+      val dataObs = Observation(s"graft-block-$id-data")
+      cached
+        .drop("labels")
+        .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
+        .observe(dataObs,
+          min(col("t")).as("mint"), max(col("t")).as("maxt"),
+          count(lit(1)).as("n"))
+        .repartition(col("t_bucket"),
+          pmod(xxhash64(col("series_key")), lit(writersPerBucket)))
+        .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
         .write.mode(SaveMode.Overwrite)
-        .parquet(s"$dictDir/block_id=$id")
-    // stats from the files just written (not from re-executing the input
-    // lineage): a cheap local scan that is guaranteed to agree with the
-    // bytes on disk, the way the reference derives meta from the block
-    val spark = samples.sparkSession
-    val r = spark.read.parquet(blockPath(id)).agg(
-      min("t"), max("t"), count(lit(1)), countDistinct("series_key")).head()
-    require(!r.isNullAt(0), "refusing to publish an empty block")
-    val meta = BlockMeta(
-      blockId = id,
-      mint = r.getLong(0),
-      maxt = r.getLong(1) + 1, // half-open (db.go:634-641)
-      numSamples = r.getLong(2),
-      numSeries = r.getLong(3),
-      numTombstones = 0L,
-      bytes = du(blockPath(id)))
-    Manifest.publish(root, st.copy(blocks = st.blocks :+ meta))
-    id
+        .partitionBy("t_bucket")
+        .parquet(blockPath(id))
+      val stats = dataObs.get
+      require(stats("n").asInstanceOf[Long] > 0L, "refusing to publish an empty block")
+      val numSeries =
+        if (hasLabels) {
+          val dictObs = Observation(s"graft-block-$id-dict")
+          cached
+            .select(col("series_key"), col("labels"))
+            .dropDuplicates("series_key")
+            .observe(dictObs, count(lit(1)).as("n_series"))
+            .select(col("series_key"),
+              explode(col("labels")).as(Seq("label_name", "label_value")))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dictDir/block_id=$id")
+          dictObs.get("n_series").asInstanceOf[Long]
+        } else
+          // label-less input (no index to derive the count from): one
+          // column-pruned scan of the just-written series_key column
+          spark.read.parquet(blockPath(id))
+            .agg(countDistinct("series_key")).head().getLong(0)
+      val meta = BlockMeta(
+        blockId = id,
+        mint = stats("mint").asInstanceOf[Long],
+        maxt = stats("maxt").asInstanceOf[Long] + 1, // half-open (db.go:634-641)
+        numSamples = stats("n").asInstanceOf[Long],
+        numSeries = numSeries,
+        numTombstones = 0L,
+        bytes = du(blockPath(id)))
+      Manifest.publish(root, st.copy(blocks = st.blocks :+ meta))
+      id
+    } finally cached.unpersist()
   }
 
   private def readBlocks(spark: SparkSession, ids: Seq[Long]): DataFrame = {
@@ -127,13 +168,24 @@ final class BlockStore(
     readBlocks(spark, ids)
   }
 
-  /** Tombstones of the current manifest as a DataFrame. */
+  /** Tombstones of the current manifest as a DataFrame: inline T-record
+    * intervals plus any spilled side tables (wide deletes). */
   def tombstoneTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    manifest.tombstones
+    val st = manifest
+    val inline = st.tombstones
       .map(t => (t.seriesKey, t.mint, t.maxt))
       .toDF("series_key", "mint", "maxt")
+    st.tombstoneFiles.foldLeft(inline) { (acc, f) =>
+      acc.unionByName(
+        spark.read.parquet(tombPath(f.fileId)).select("series_key", "mint", "maxt"))
+    }
   }
+
+  /** Total interval count across inline and spilled tombstones — the
+    * manifest-stats gate for broadcasting the tombstone side. */
+  private def tombstoneCount(st: ManifestState): Long =
+    st.tombstones.size.toLong + st.tombstoneFiles.map(_.count).sum
 
   /** The read path (reference `db.Querier`, `db.go:1150-1196`): select
     * manifest blocks overlapping the closed `[mint, maxt]`, and apply
@@ -151,22 +203,29 @@ final class BlockStore(
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
     // matcher selection resolves ENTIRELY in the postings index — the
     // reference's Select never evaluates matchers on sample data
-    // (`querier.go:326-396`); the fact side gets one broadcast semi-join
+    // (`querier.go:326-396`); the fact side gets one semi-join, hinted
+    // broadcast only when the manifest's series count bounds the matched
+    // set safely (a broad matcher over 10⁸ series must not OOM the
+    // driver), otherwise AQE picks the strategy from runtime sizes
     val raw =
       if (matchers.isEmpty) raw0
       else {
         val idx = postingsIndex(spark)
         val keys = graft.query.Postings.seriesFor(
           idx, idx.select("series_key").distinct(), matchers)
-        raw0.join(broadcast(keys), Seq("series_key"), "left_semi")
+        val totalSeries = live.map(_.numSeries).sum // upper bound on |keys|
+        val hinted = if (totalSeries <= broadcastLimit) broadcast(keys) else keys
+        raw0.join(hinted, Seq("series_key"), "left_semi")
       }
     val vertical = Compaction.overlappingGroups(live).nonEmpty
     val merged =
       if (vertical) Merge.dedupLatest(raw, seqCol = "block_id")
       else raw
+    val nTombs = tombstoneCount(st)
     val withTombs =
-      if (st.tombstones.isEmpty) merged
-      else Tombstones.applyTo(merged, tombstoneTable(spark))
+      if (nTombs == 0L) merged
+      else Tombstones.applyTo(merged, tombstoneTable(spark),
+        broadcastTombstones = nTombs <= broadcastLimit)
     withTombs.drop("block_id", "t_bucket")
   }
 
@@ -220,20 +279,52 @@ final class BlockStore(
     * compaction planner's >5% trigger (`compact.go:211-220`). The
     * resolved set is series-cardinality metadata, same bound the
     * reference's in-memory tombstone list has. */
-  def delete(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): Unit = {
-    val idx = postingsIndex(spark)
-    val keys = graft.query.Postings
-      .seriesFor(idx, idx.select("series_key").distinct(), matchers)
-      .collect().map(_.getString(0))
-    val st = manifest
-    val added = keys.map(k => TombstoneInterval(k, mint, maxt)).toSeq
-    val all = coalesce(st.tombstones ++ added)
-    val blocks = st.blocks.map { b =>
-      val n = all.count(t => t.mint < b.maxt && t.maxt >= b.mint)
-      b.copy(numTombstones = n)
+  def delete(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): Unit =
+    Manifest.withLock(root) {
+      val idx = postingsIndex(spark)
+      val keys = graft.query.Postings
+        .seriesFor(idx, idx.select("series_key").distinct(), matchers)
+      // probe at most threshold+1 keys: a narrow delete inlines T
+      // records; a wide one NEVER materializes its series set on the
+      // driver — it spills to a parquet side table referenced by one
+      // manifest F record (count via observe, no extra job)
+      val probe = keys.limit(tombstoneSpillThreshold + 1).collect().map(_.getString(0))
+      if (probe.length <= tombstoneSpillThreshold) {
+        val added = probe.map(k => TombstoneInterval(k, mint, maxt)).toSeq
+        Manifest.update(root) { st =>
+          val all = coalesce(st.tombstones ++ added)
+          st.copy(blocks = recount(st.blocks, all, st.tombstoneFiles), tombstones = all)
+        }
+      } else {
+        val fid = manifest.nextBlockId
+        val obs = Observation(s"graft-tomb-$fid")
+        keys
+          .observe(obs, count(lit(1)).as("n"))
+          .withColumn("mint", lit(mint)).withColumn("maxt", lit(maxt))
+          .write.mode(SaveMode.Overwrite).parquet(tombPath(fid))
+        val n = obs.get("n").asInstanceOf[Long]
+        Manifest.update(root) { st =>
+          val fs = st.tombstoneFiles :+ TombstoneFile(fid, mint, maxt, n)
+          st.copy(blocks = recount(st.blocks, st.tombstones, fs),
+            tombstoneFiles = fs, highWater = math.max(st.highWater, fid))
+        }
+      }
+      ()
     }
-    Manifest.publish(root, st.copy(blocks = blocks, tombstones = all))
-  }
+
+  /** Per-block tombstone counters feeding the planner's >5% trigger
+    * (`compact.go:211-220`). Spilled side tables count via their
+    * covering interval × row count — an upper bound, which only makes
+    * the trigger conservative-eager, never blind. */
+  private def recount(
+      blocks: Seq[BlockMeta],
+      tombs: Seq[TombstoneInterval],
+      files: Seq[TombstoneFile]): Seq[BlockMeta] =
+    blocks.map { b =>
+      val inline = tombs.count(t => t.mint < b.maxt && t.maxt >= b.mint)
+      val spilled = files.filter(f => f.mint < b.maxt && f.maxt >= b.mint).map(_.count).sum
+      b.copy(numTombstones = inline + spilled)
+    }
 
   /** Driver-side interval coalescing per series (reference
     * `Intervals.add`, `tombstones.go:259-304`) — the tombstone set is
@@ -259,7 +350,7 @@ final class BlockStore(
     * then an atomic manifest swap that retires the inputs. Tombstone
     * intervals that no longer touch any remaining block are dropped
     * (`CleanTombstones`, `db.go:1234-1261`). */
-  def compact(spark: SparkSession, ids: Seq[Long]): Option[Long] = {
+  def compact(spark: SparkSession, ids: Seq[Long]): Option[Long] = Manifest.withLock(root) {
     if (ids.size < 1) return None
     val st = manifest
     val newId = st.nextBlockId
@@ -267,18 +358,26 @@ final class BlockStore(
     require(inputs.size == ids.size, s"unknown block ids in $ids")
     val raw = readBlocks(spark, ids)
     val deduped = Merge.dedupLatest(raw, seqCol = "block_id")
+    val nTombs = tombstoneCount(st)
     val cleaned =
-      if (st.tombstones.isEmpty) deduped
-      else Tombstones.applyTo(deduped, tombstoneTable(spark))
+      if (nTombs == 0L) deduped
+      else Tombstones.applyTo(deduped, tombstoneTable(spark),
+        broadcastTombstones = nTombs <= broadcastLimit)
+    // stats ride the rewrite via observe — no post-hoc re-scan job
+    val obs = Observation(s"graft-compact-$newId")
     cleaned
       .drop("block_id") // t_bucket recomputed: partition col, not data
       .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
+      .observe(obs,
+        min(col("t")).as("mint"), max(col("t")).as("maxt"),
+        count(lit(1)).as("n"))
       .repartition(col("t_bucket"),
         pmod(xxhash64(col("series_key")), lit(writersPerBucket)))
       .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("t_bucket")
       .parquet(blockPath(newId))
+    val stats = obs.get
     if (Files.isDirectory(Paths.get(dictDir))) {
       val dictIds = ids.filter(id => Files.isDirectory(Paths.get(s"$dictDir/block_id=$id")))
       if (dictIds.nonEmpty)
@@ -287,24 +386,30 @@ final class BlockStore(
           .select("label_name", "label_value", "series_key").distinct()
           .write.mode(SaveMode.Overwrite).parquet(s"$dictDir/block_id=$newId")
     }
-    val out = spark.read.parquet(blockPath(newId))
-    val r = out.agg(
-      min("t"), max("t"), count(lit(1)), countDistinct("series_key")).head()
+    val n = stats("n").asInstanceOf[Long]
+    // exact series count via one column-pruned scan of the written
+    // block's dictionary-encoded series_key column (the merged input
+    // dicts may still list series the tombstones just removed entirely,
+    // so they can't be the source of truth)
+    val numSeries =
+      if (n == 0L) 0L
+      else spark.read.parquet(blockPath(newId))
+        .agg(countDistinct("series_key")).head().getLong(0)
     val keep = st.blocks.filterNot(b => ids.contains(b.blockId))
-    // drop intervals now fully applied (touch no surviving block)
+    // drop intervals/side tables now fully applied (touch no surviving block)
     val tombs = st.tombstones.filter(t =>
       keep.exists(b => t.mint < b.maxt && t.maxt >= b.mint))
+    val files = st.tombstoneFiles.filter(f =>
+      keep.exists(b => f.mint < b.maxt && f.maxt >= b.mint))
     val meta =
-      if (r.isNullAt(0)) None // everything tombstoned away
-      else Some(BlockMeta(newId, r.getLong(0), r.getLong(1) + 1,
-        r.getLong(2), r.getLong(3), 0L, du(blockPath(newId))))
-    val newBlocks = (keep ++ meta).map { b =>
-      b.copy(numTombstones = tombs.count(t => t.mint < b.maxt && t.maxt >= b.mint))
-    }
+      if (n == 0L) None // everything tombstoned away
+      else Some(BlockMeta(newId, stats("mint").asInstanceOf[Long],
+        stats("maxt").asInstanceOf[Long] + 1, n, numSeries, 0L, du(blockPath(newId))))
+    val newBlocks = recount(keep ++ meta, tombs, files)
     // newId enters the high-water even if the compacted block came out
     // empty (everything tombstoned): its id must still never be reused
     Manifest.publish(root, st.copy(blocks = newBlocks, tombstones = tombs,
-      highWater = math.max(st.highWater, newId)))
+      tombstoneFiles = files, highWater = math.max(st.highWater, newId)))
     meta.map(_.blockId)
   }
 
@@ -314,7 +419,7 @@ final class BlockStore(
     * driver-side max(t) scan is gone); publishing the shrunken list is
     * the atomic delete, [[vacuum]] reclaims disk later. Returns dropped
     * metas. */
-  def applyRetention(keepMs: Long = 0L, maxBytes: Long = 0L): Seq[BlockMeta] = {
+  def applyRetention(keepMs: Long = 0L, maxBytes: Long = 0L): Seq[BlockMeta] = Manifest.withLock(root) {
     val st = manifest
     if (st.blocks.isEmpty) return Nil
     val newestFirst = st.blocks.sortBy(-_.maxt)
@@ -332,29 +437,45 @@ final class BlockStore(
     if (drop.isEmpty) Nil
     else {
       val (gone, keep) = st.blocks.partition(b => drop.contains(b.blockId))
-      Manifest.publish(root, st.copy(blocks = keep))
+      // retire tombstones that touched only the dropped blocks
+      val tombs = st.tombstones.filter(t =>
+        keep.exists(b => t.mint < b.maxt && t.maxt >= b.mint))
+      val files = st.tombstoneFiles.filter(f =>
+        keep.exists(b => f.mint < b.maxt && f.maxt >= b.mint))
+      Manifest.publish(root, st.copy(blocks = recount(keep, tombs, files),
+        tombstones = tombs, tombstoneFiles = files))
       gone
     }
   }
 
-  /** Physically delete block dirs no longer referenced by the current
-    * manifest (deferred deletion ≙ the reference draining pendingReaders
-    * before removing dirs, `db.go:908-940`). */
-  def vacuum(): Unit = {
-    val live = manifest.blocks.map(_.blockId).toSet
+  /** Physically delete block/tombstone dirs no longer referenced by the
+    * current manifest (deferred deletion ≙ the reference draining
+    * pendingReaders before removing dirs, `db.go:908-940`), and trim old
+    * manifest versions. */
+  def vacuum(): Unit = Manifest.withLock(root) {
+    val st = manifest
+    val live = st.blocks.map(_.blockId).toSet
     for (d <- Seq(dataDir, dictDir); f <- Option(new java.io.File(d).listFiles()).getOrElse(Array())) {
       val name = f.getName
       if (name.startsWith("block_id=") &&
         name.stripPrefix("block_id=").toLongOption.exists(!live.contains(_)))
         scala.reflect.io.Directory(f).deleteRecursively()
     }
+    val liveTombs = st.tombstoneFiles.map(_.fileId).toSet
+    for (f <- Option(new java.io.File(tombsDir).listFiles()).getOrElse(Array())) {
+      val name = f.getName
+      if (name.startsWith("ts_id=") &&
+        name.stripPrefix("ts_id=").toLongOption.exists(!liveTombs.contains(_)))
+        scala.reflect.io.Directory(f).deleteRecursively()
+    }
+    Manifest.trim(root)
   }
 
   /** Consistent snapshot (reference `DB.Snapshot`, `db.go:1108-1146`):
     * copy the live blocks' immutable dirs + a manifest listing exactly
     * them. No Spark job — a filesystem copy, like the reference's
     * hardlink tree. */
-  def snapshot(destRoot: String): Unit = {
+  def snapshot(destRoot: String): Unit = Manifest.withLock(root) {
     val st = manifest
     val destData = Paths.get(destRoot, "data")
     Files.createDirectories(destData)
@@ -372,6 +493,10 @@ final class BlockStore(
       val dict = Paths.get(s"$dictDir/block_id=${b.blockId}")
       if (Files.isDirectory(dict))
         copyTree(dict, Paths.get(destRoot, "dict", s"block_id=${b.blockId}"))
+    }
+    st.tombstoneFiles.foreach { f =>
+      copyTree(Paths.get(tombPath(f.fileId)),
+        Paths.get(destRoot, "tombs", s"ts_id=${f.fileId}"))
     }
     Manifest.publish(destRoot, st)
   }

@@ -1,6 +1,6 @@
 package graft.storage
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Per-block metadata — the reference's `BlockMeta` (`block.go:152-200`):
@@ -29,18 +29,30 @@ final case class BlockMeta(
   * tombstones and the block list swap atomically together. */
 final case class TombstoneInterval(seriesKey: String, mint: Long, maxt: Long)
 
+/** A spilled tombstone side table: a delete wide enough that inlining
+  * one `T` record per series would bloat the manifest (parsed on every
+  * load) keeps only this pointer — `fileId` names a parquet dir of
+  * `(series_key, mint, maxt)` rows under the store's `tombs/` tree,
+  * with the covering interval and row count as planning metadata. The
+  * reference never needs this because its tombstone list is in-memory
+  * single-node; at 10⁶+ matched series the driver must not hold it. */
+final case class TombstoneFile(fileId: Long, mint: Long, maxt: Long, count: Long)
+
 /** One immutable published state of the store: live blocks + tombstones.
   * The reference's equivalent is the block list swapped under `db.mtx`
   * plus per-block tombstone files (`db.go:775-779`). `highWater` is the
-  * largest block id ever published — ids are NEVER reused even after
-  * retention/compaction retires blocks, so a stale on-disk dir (not yet
-  * vacuumed) can never be mistaken for a new block's data or index. */
+  * largest block/tombstone-file id ever published — ids are NEVER reused
+  * even after retention/compaction retires blocks, so a stale on-disk
+  * dir (not yet vacuumed) can never be mistaken for a new block's data
+  * or index. */
 final case class ManifestState(
     blocks: Seq[BlockMeta],
     tombstones: Seq[TombstoneInterval],
-    highWater: Long = 0L) {
+    highWater: Long = 0L,
+    tombstoneFiles: Seq[TombstoneFile] = Nil) {
   def nextBlockId: Long =
-    blocks.map(_.blockId).foldLeft(highWater)(math.max) + 1
+    (blocks.map(_.blockId) ++ tombstoneFiles.map(_.fileId))
+      .foldLeft(highWater)(math.max) + 1
 }
 
 /** Versioned, atomically-published manifest — the reference's
@@ -54,6 +66,53 @@ object Manifest {
   private val Prefix = "MANIFEST-"
 
   private def dir(root: String): Path = Paths.get(root, "meta")
+
+  // ---- store writer lock ------------------------------------------------
+  // The reference serializes every mutation under `db.mtx`/`db.cmtx` and
+  // holds a directory lock file against other processes (`db.go:554-560`).
+  // Same here: a reentrant per-store JVM lock, plus an OS file lock taken
+  // while the outermost section is held, so two drivers can't interleave
+  // read-modify-write cycles (both computing version n+1 / the same block
+  // id) and silently lose one of the updates.
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  private val fileLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.channels.FileChannel, java.nio.channels.FileLock)]()
+  private def lockKey(root: String): String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+
+  /** Run `body` as the store's exclusive writer (reentrant). */
+  def withLock[A](root: String)(body: => A): A = {
+    val k = lockKey(root)
+    val l = jvmLocks.computeIfAbsent(k, _ => new java.util.concurrent.locks.ReentrantLock())
+    l.lock()
+    try {
+      if (l.getHoldCount == 1) {
+        val d = dir(root)
+        Files.createDirectories(d)
+        val ch = java.nio.channels.FileChannel.open(d.resolve("LOCK"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try fileLocks.put(k, (ch, ch.lock()))
+        catch { case e: Throwable => ch.close(); throw e }
+      }
+      try body
+      finally if (l.getHoldCount == 1) {
+        val (ch, fl) = fileLocks.remove(k)
+        try fl.release() finally ch.close()
+      }
+    } finally l.unlock()
+  }
+
+  /** Atomic read-modify-write of the store state — the only safe way to
+    * mutate a shared store (every [[graft.storage.BlockStore]] mutation
+    * goes through here or runs under the same [[withLock]]). */
+  def update(root: String)(f: ManifestState => ManifestState): ManifestState =
+    withLock(root) {
+      val next = f(load(root))
+      publish(root, next)
+      next
+    }
 
   private def versionOf(p: Path): Option[Long] = {
     val n = p.getFileName.toString
@@ -77,6 +136,7 @@ object Manifest {
       val lines = Files.readAllLines(dir(root).resolve(Prefix + "%09d".format(v))).asScala
       val blocks = Seq.newBuilder[BlockMeta]
       val tombs = Seq.newBuilder[TombstoneInterval]
+      val files = Seq.newBuilder[TombstoneFile]
       var hw = 0L
       lines.foreach { line =>
         line.split('\t') match {
@@ -85,24 +145,43 @@ object Manifest {
               ns.toLong, nser.toLong, nt.toLong, by.toLong)
           case Array("T", key, mint, maxt) =>
             tombs += TombstoneInterval(key, mint.toLong, maxt.toLong)
+          case Array("F", id, mint, maxt, n) =>
+            files += TombstoneFile(id.toLong, mint.toLong, maxt.toLong, n.toLong)
           case Array("H", id) => hw = id.toLong
-          case _ => // ignore unknown record kinds (forward compat)
+          case rec if rec.headOption.exists(Set("B", "T", "F", "H")) =>
+            // a KNOWN record kind with the wrong shape is corruption, not
+            // forward compat — a torn/truncated manifest must never parse
+            // as a valid smaller state (that would silently drop blocks)
+            throw new IllegalStateException(
+              s"corrupt manifest record in MANIFEST-$v at $root: '$line'")
+          case _ => // genuinely unknown record tag: skip (forward compat)
         }
       }
       val bs = blocks.result()
+      val fs = files.result()
       ManifestState(bs, tombs.result(),
-        bs.map(_.blockId).foldLeft(hw)(math.max))
+        (bs.map(_.blockId) ++ fs.map(_.fileId)).foldLeft(hw)(math.max), fs)
     }
   }
 
-  /** Publish the next version: temp file + atomic rename, the same
-    * two-step the reference uses for every meta write. */
-  def publish(root: String, state: ManifestState): Long = {
+  private def fsyncDir(d: Path): Unit = {
+    val ch = java.nio.channels.FileChannel.open(d, java.nio.file.StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
+  }
+
+  /** Publish the next version: temp file, fsync, then an atomic
+    * CREATE-NEW link into place — the reference's tmp+fsync+rename
+    * discipline (`block.go:207-264`, `compact.go:634-639`), except a
+    * plain rename silently *replaces* an existing version, so a racing
+    * unlocked writer could erase another's publish; a hard link fails on
+    * collision instead and we advance to the next free version. The
+    * directory is forced to disk after, so a crash can't lose the entry. */
+  def publish(root: String, state: ManifestState): Long = withLock(root) {
     val d = dir(root)
     Files.createDirectories(d)
-    val next = currentVersion(root) + 1
     val body = new StringBuilder
-    val hw = state.blocks.map(_.blockId).foldLeft(state.highWater)(math.max)
+    val hw = (state.blocks.map(_.blockId) ++ state.tombstoneFiles.map(_.fileId))
+      .foldLeft(state.highWater)(math.max)
     body ++= s"H\t$hw\n"
     state.blocks.sortBy(_.blockId).foreach { b =>
       body ++= s"B\t${b.blockId}\t${b.mint}\t${b.maxt}\t${b.numSamples}\t${b.numSeries}\t${b.numTombstones}\t${b.bytes}\n"
@@ -112,11 +191,46 @@ object Manifest {
         s"series key not manifest-safe: ${t.seriesKey}")
       body ++= s"T\t${t.seriesKey}\t${t.mint}\t${t.maxt}\n"
     }
+    state.tombstoneFiles.sortBy(_.fileId).foreach { f =>
+      body ++= s"F\t${f.fileId}\t${f.mint}\t${f.maxt}\t${f.count}\n"
+    }
     val tmp = Files.createTempFile(d, ".tmp-manifest", "")
-    Files.writeString(tmp, body.toString)
-    Files.move(tmp, d.resolve(Prefix + "%09d".format(next)),
-      StandardCopyOption.ATOMIC_MOVE)
-    next
+    try {
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(
+          body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      var v = currentVersion(root) + 1
+      var done = false
+      while (!done) {
+        try {
+          Files.createLink(d.resolve(Prefix + "%09d".format(v)), tmp)
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => v += 1
+        }
+      }
+      fsyncDir(d)
+      v
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Drop manifest versions older than the newest `keep` (bounded
+    * metadata growth; the current version is never touched). */
+  def trim(root: String, keep: Int = 10): Unit = withLock(root) {
+    val d = dir(root)
+    if (Files.isDirectory(d)) {
+      val cutoff = currentVersion(root) - keep + 1
+      val s = Files.list(d)
+      try s.iterator.asScala
+        .filter(p => versionOf(p).exists(_ < cutoff))
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
   }
 }
 

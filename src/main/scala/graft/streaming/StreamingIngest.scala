@@ -29,14 +29,24 @@ import graft.storage.BlockStore
   */
 object StreamingIngest {
 
-  final case class Sample(series_key: String, t: Long, v: Double, arrival: Long)
+  /** `labels` rides along so persisted blocks can build their postings
+    * index (S12) — the reference's WAL interleaves series records
+    * (label sets) with sample records for exactly this reason
+    * (`record.go:26-208`); a stream that omits them (empty maps) still
+    * ingests, but its blocks answer only time-range reads, not matcher
+    * queries. */
+  final case class Sample(
+      series_key: String, t: Long, v: Double, arrival: Long,
+      labels: Map[String, String] = Map.empty)
   final case class SampleTs(
       series_key: String, t: Long, v: Double, arrival: Long,
-      arrival_ts: java.sql.Timestamp) {
-    def sample: Sample = Sample(series_key, t, v, arrival)
+      labels: Map[String, String], arrival_ts: java.sql.Timestamp) {
+    def sample: Sample = Sample(series_key, t, v, arrival, labels)
   }
   final case class SeriesState(maxT: Long, lastV: Double)
-  final case class Validated(series_key: String, t: Long, v: Double, arrival: Long, status: String)
+  final case class Validated(
+      series_key: String, t: Long, v: Double, arrival: Long, status: String,
+      labels: Map[String, String] = Map.empty)
 
   /** Sequentially validate one series' new samples against its running
     * state (reference `memSeries.appendable`, `head.go:1680-1699`). */

@@ -1,5 +1,7 @@
 package graft.storage
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Planner semantics ported from the reference's table-driven tests
@@ -135,5 +137,72 @@ class ManifestSpec extends AnyFunSuite {
       java.nio.file.Paths.get(root, "meta", "MANIFEST-notanumber"), "junk")
     assert(Manifest.load(root) == st.copy(highWater = 1))
     assert(Manifest.publish(root, st) == 2L) // versioning unaffected
+  }
+
+  test("torn/truncated known records fail loudly; unknown tags stay forward-compatible") {
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-torn").toString
+    Manifest.publish(root, ManifestState(Seq(BlockMeta(1, 0, 10, 1, 1, 0, 1)), Nil))
+    // a truncated B record (e.g. torn write on a non-atomic filesystem)
+    // must NOT parse as a valid smaller block list
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "meta", "MANIFEST-%09d".format(2L)),
+      "H\t1\nB\t1\t0\t10\n")
+    assertThrows[IllegalStateException](Manifest.load(root))
+    // but a genuinely unknown record tag is skipped (forward compat)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "meta", "MANIFEST-%09d".format(3L)),
+      "H\t1\nB\t1\t0\t10\t1\t1\t0\t1\nX\tfuture-record\n")
+    assert(Manifest.load(root) == ManifestState(Seq(BlockMeta(1, 0, 10, 1, 1, 0, 1)), Nil, 1))
+  }
+
+  test("tombstone side-table F records round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-f").toString
+    val st = ManifestState(
+      Seq(BlockMeta(1, 0, 100, 10, 2, 5, 1234)), Nil,
+      tombstoneFiles = Seq(TombstoneFile(7, 10, 20, 100000)))
+    Manifest.publish(root, st)
+    val back = Manifest.load(root)
+    assert(back.tombstoneFiles == st.tombstoneFiles)
+    assert(back.highWater == 7L) // file ids share the never-reused id space
+    assert(back.nextBlockId == 8L)
+  }
+
+  test("publish never replaces an existing version; collisions advance (lost-update safety)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-race").toString
+    val st1 = ManifestState(Seq(BlockMeta(1, 0, 10, 1, 1, 0, 1)), Nil)
+    assert(Manifest.publish(root, st1) == 1L)
+    // an unlocked/foreign writer dropped version 2 in between
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "meta", "MANIFEST-%09d".format(2L)), "H\t9\n")
+    // our publish lands at 3, never clobbering 2
+    assert(Manifest.publish(root, st1) == 3L)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "meta", "MANIFEST-%09d".format(2L))) == "H\t9\n")
+  }
+
+  test("concurrent read-modify-write updates serialize under the store lock") {
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-lock").toString
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        Manifest.update(root)(st => st.copy(highWater = st.highWater + 1)); ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // all 8 increments land (none lost to a racing read-modify-write)
+    assert(Manifest.load(root).highWater == 8L)
+    assert(Manifest.currentVersion(root) == 8L)
+  }
+
+  test("trim keeps the newest versions only") {
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-trim").toString
+    (1 to 15).foreach(i =>
+      Manifest.publish(root, ManifestState(Nil, Nil, highWater = i)))
+    Manifest.trim(root, keep = 10)
+    assert(Manifest.currentVersion(root) == 15L)
+    assert(Manifest.load(root).highWater == 15L)
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(root, "meta"))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("MANIFEST-")).toSeq
+    assert(names.size == 10)
   }
 }

@@ -241,6 +241,69 @@ class BlockStoreSpec extends SparkSuite {
     assert(store.read(spark).count() == samples.count())
     assert(store.manifest.blocks.map(_.blockId) == Seq(1L))
   }
+
+  test("matched-series broadcast is gated on manifest series count (index/postings.go:297-368)") {
+    // small store (default gate): the semi-join is broadcast-hinted
+    val store = freshStore()
+    store.write(samples)
+    val narrow = store.readRange(spark, T0, T0 + 40 * DAY, graft.matchers.Eq("name", "click"))
+    assert(narrow.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      narrow.queryExecution.optimizedPlan.toString.take(2000))
+    // a store whose manifest says the worst case can't be broadcast:
+    // no hint — a broad matcher (Re ".*" selects every series) must not
+    // force a driver-side build; AQE decides from runtime sizes
+    val big = new BlockStore(store.root, store.blockRangeMs, broadcastLimit = 0L)
+    val broad = big.readRange(spark, T0, T0 + 40 * DAY, graft.matchers.Re("name", ".*"))
+    assert(!broad.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      broad.queryExecution.optimizedPlan.toString.take(2000))
+    // both paths return identical results
+    assert(broad.count() ==
+      store.readRange(spark, T0, T0 + 40 * DAY, graft.matchers.Re("name", ".*")).count())
+  }
+
+  test("wide deletes spill to a parquet side table; narrow ones stay inline") {
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-spill").toString, 7 * DAY,
+      tombstoneSpillThreshold = 3)
+    store.write(samples)
+    val nSeries = store.manifest.blocks.head.numSeries
+    val lo = T0 + 2 * DAY
+    val hi = T0 + 5 * DAY
+    // matches every series (>> threshold 3): must spill, never inline
+    store.delete(spark, lo, hi, graft.matchers.Re("name", ".*"))
+    val st = store.manifest
+    assert(st.tombstones.isEmpty)
+    assert(st.tombstoneFiles.map(f => (f.mint, f.maxt, f.count)) == Seq((lo, hi, nSeries)))
+    assert(st.blocks.head.numTombstones == nSeries)
+    // reads apply the spilled intervals exactly like inline ones
+    val got = store.readRange(spark, T0, T0 + 40 * DAY)
+    assert(got.count() == samples.where(!col("t").between(lo, hi)).count())
+    assert(got.where(col("t").between(lo, hi)).count() == 0)
+    // compaction applies them physically and retires the side table
+    store.compact(spark, st.blocks.map(_.blockId))
+    assert(store.manifest.tombstoneFiles.isEmpty)
+    assert(store.readRange(spark, T0, T0 + 40 * DAY).count() ==
+      samples.where(!col("t").between(lo, hi)).count())
+    store.vacuum()
+    assert(Option(new java.io.File(store.tombsDir).listFiles()).getOrElse(Array()).isEmpty)
+    // side-table ids share the block id space: the next block skips past
+    assert(store.manifest.blocks.map(_.blockId) == Seq(3L))
+  }
+
+  test("snapshot carries spilled tombstone side tables") {
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-spill-snap").toString, 7 * DAY,
+      tombstoneSpillThreshold = 0)
+    store.write(samples)
+    store.delete(spark, T0, T0 + DAY, graft.matchers.Eq("name", "error"))
+    assert(store.manifest.tombstoneFiles.nonEmpty)
+    val dest = Files.createTempDirectory("graft-spill-snap-dest").toString
+    store.snapshot(dest)
+    val snap = new BlockStore(dest, store.blockRangeMs)
+    assert(snap.manifest == store.manifest)
+    assert(snap.readRange(spark, T0, T0 + 40 * DAY).count() ==
+      store.readRange(spark, T0, T0 + 40 * DAY).count())
+  }
 }
 
 class AppenderSpec extends SparkSuite {
