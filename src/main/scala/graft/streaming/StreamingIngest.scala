@@ -67,7 +67,7 @@ object StreamingIngest {
             java.lang.Double.doubleToRawLongBits(st.lastV)) "ok"
           else "amend"
         } else "out_of_order"
-      Validated(key, s.t, s.v, s.arrival, status)
+      Validated(key, s.t, s.v, s.arrival, status, s.labels)
     }
     state.update(st)
     out.iterator
@@ -126,13 +126,22 @@ object StreamingIngest {
   /** Ingest a stream into block storage: accepted samples only, bucketed
     * into block partitions per micro-batch (ST1 + ST4). Returns the
     * running query; stop it to "close" the appender. Series state
-    * expires after two block ranges idle (≙ head truncation window). */
+    * expires after two block ranges idle (≙ head truncation window).
+    *
+    * With `indexLabels` (default), each persisted block also gets its
+    * postings index from the samples' label maps, so matcher/label
+    * queries work on streamed stores exactly like batch-written ones —
+    * the reference's head serves matchers the same way
+    * (`head.go:1292-1295`). Pass `false` only for genuinely label-less
+    * streams: their blocks then have no index and matcher queries fail
+    * loudly instead of silently returning nothing. */
   def ingest(
       samples: Dataset[Sample],
       store: BlockStore,
       checkpointDir: String,
       minValidTime: Long,
-      stateTtlMs: Long = -1L): StreamingQuery = {
+      stateTtlMs: Long = -1L,
+      indexLabels: Boolean = true): StreamingQuery = {
     import samples.sparkSession.implicits._
     val ttl = if (stateTtlMs == -1L) 2 * store.blockRangeMs else stateTtlMs
     validated(samples, minValidTime, ttl)
@@ -144,8 +153,10 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[Validated], _: Long) =>
         // a micro-batch can be empty (e.g. timeout-only triggers) — the
         // reference never writes empty blocks either
-        if (!batch.isEmpty)
-          store.write(batch.toDF().withColumnRenamed("arrival", "sample_id").drop("status"))
+        if (!batch.isEmpty) {
+          val rows = batch.toDF().withColumnRenamed("arrival", "sample_id").drop("status")
+          store.write(if (indexLabels) rows else rows.drop("labels"))
+        }
         ()
       }
       .start()

@@ -209,4 +209,43 @@ class StreamingSpec extends SparkSuite {
     assert(back.count() == 3) // rejected sample not persisted
     assert(back.select("t_bucket").distinct().count() == 3) // 1s blocks: 1000, 2000, 3000
   }
+
+  test("streamed blocks carry a postings index: matcher reads work (head.go:1292-1295)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-stream-idx").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-idx").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.ingest(in.toDS(), store, ckpt, minValidTime = 0)
+    def key(m: Map[String, String]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
+    val la = Map("name" -> "cpu", "host" -> "h1")
+    val lb = Map("name" -> "mem", "host" -> "h2")
+    in.addData(
+      Sample(key(la), 100, 1.0, 1, la), Sample(key(la), 1500, 2.0, 2, la),
+      Sample(key(lb), 2500, 3.0, 3, lb))
+    q.processAllAvailable()
+    q.stop()
+    // the streamed store answers matcher + label-metadata queries
+    val got = store.readRange(spark, 0, 5000, graft.matchers.Eq("name", "cpu"))
+    assert(got.select("t").as[Long].collect().sorted.toSeq == Seq(100L, 1500L))
+    assert(store.labelValues(spark, "host").as[String].collect().toSeq == Seq("h1", "h2"))
+    assert(store.readRange(spark, 0, 5000, graft.matchers.Not(graft.matchers.Eq("name", "cpu")))
+      .select("t").as[Long].collect().toSeq == Seq(2500L))
+
+    // a genuinely label-less stream (indexLabels = false) still fails
+    // loudly on matcher queries instead of silently returning nothing
+    val root2 = Files.createTempDirectory("graft-stream-noidx").toString
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-noidx").toString
+    val store2 = new BlockStore(root2, blockRangeMs = 1000L)
+    val in2 = MemoryStream[Sample]
+    val q2 = StreamingIngest.ingest(in2.toDS(), store2, ckpt2, minValidTime = 0,
+      indexLabels = false)
+    in2.addData(Sample("s", 100, 1.0, 1))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(store2.read(spark).count() == 1)
+    assertThrows[IllegalArgumentException](
+      store2.readRange(spark, 0, 5000, graft.matchers.Eq("name", "cpu")).count())
+  }
 }
