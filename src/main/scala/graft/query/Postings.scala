@@ -38,7 +38,16 @@ object Postings {
 
   /** Series matched by one matcher, with the absent-label-is-empty rule
     * (`querier.go:331-396`): a matcher that matches "" also selects
-    * every series without the label. */
+    * every series without the label.
+    *
+    * Completeness caveat: `allSeries` must list every series in the
+    * store. The postings index only knows series with ≥1 label, which
+    * in the canonical key scheme means every key except the label-less
+    * `"{}"` — callers that must honor the reference's absent-label rule
+    * for it (reference test `TestNotMatcherSelectsLabelsUnsetSeries`,
+    * `db_test.go:1165`) union a literal `"{}"` row into `allSeries`
+    * ([[graft.storage.BlockStore.readRange]] does): selecting it is a
+    * no-op when no such series exists, and exactly right when it does. */
   def seriesForOne(postings: DataFrame, allSeries: DataFrame, m: Matcher): DataFrame = {
     val p = postings.where(col("label_name") === m.name)
     val present = p

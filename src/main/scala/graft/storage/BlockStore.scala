@@ -212,7 +212,7 @@ final class BlockStore(
       else {
         val idx = postingsIndex(spark)
         val keys = graft.query.Postings.seriesFor(
-          idx, idx.select("series_key").distinct(), matchers)
+          idx, allSeriesFor(spark, idx, matchers), matchers)
         val totalSeries = live.map(_.numSeries).sum // upper bound on |keys|
         val hinted = if (totalSeries <= broadcastLimit) broadcast(keys) else keys
         raw0.join(hinted, Seq("series_key"), "left_semi")
@@ -227,6 +227,20 @@ final class BlockStore(
       else Tombstones.applyTo(merged, tombstoneTable(spark),
         broadcastTombstones = nTombs <= broadcastLimit)
     withTombs.drop("block_id", "t_bucket")
+  }
+
+  /** The all-series universe for matches-empty resolution: the index's
+    * keys, plus — when a matcher matches "" (neq / notRe / empty-eq) —
+    * the one key the index can't know, the label-less series `"{}"`
+    * (the reference's absent-label rule selects it too,
+    * `db_test.go:1165`). The phantom row is harmless when no such
+    * series exists: the final fact semi-join drops it. */
+  private def allSeriesFor(spark: SparkSession, idx: DataFrame, ms: Seq[Matcher]): DataFrame = {
+    import spark.implicits._
+    val all = idx.select("series_key").distinct()
+    if (ms.exists(_.matchesValue("")))
+      all.unionByName(Seq("{}").toDF("series_key")).distinct()
+    else all
   }
 
   /** Union of the live blocks' persisted inverted indexes (S12,
@@ -276,14 +290,19 @@ final class BlockStore(
     * series resolve in the postings index alone — no sample data is
     * read — then the intervals (coalesced per series) publish in the
     * next manifest version. Per-block tombstone counters feed the
-    * compaction planner's >5% trigger (`compact.go:211-220`). The
-    * resolved set is series-cardinality metadata, same bound the
-    * reference's in-memory tombstone list has. */
+    * compaction planner's >5% trigger (`compact.go:211-220`).
+    *
+    * A matches-empty matcher (neq/notRe/empty-eq) also records an
+    * interval for the label-less series `"{}"` whether or not it exists
+    * (the index can't tell): a tombstone for a nonexistent series
+    * filters nothing and retires with the blocks it spans — same
+    * harmless debris as a tombstone whose series was later compacted
+    * away. */
   def delete(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): Unit =
     Manifest.withLock(root) {
       val idx = postingsIndex(spark)
       val keys = graft.query.Postings
-        .seriesFor(idx, idx.select("series_key").distinct(), matchers)
+        .seriesFor(idx, allSeriesFor(spark, idx, matchers), matchers)
       // probe at most threshold+1 keys: a narrow delete inlines T
       // records; a wide one NEVER materializes its series set on the
       // driver — it spills to a parquet side table referenced by one

@@ -269,12 +269,14 @@ class BlockStoreSpec extends SparkSuite {
     val nSeries = store.manifest.blocks.head.numSeries
     val lo = T0 + 2 * DAY
     val hi = T0 + 5 * DAY
-    // matches every series (>> threshold 3): must spill, never inline
+    // matches every series (>> threshold 3): must spill, never inline.
+    // Re(".*") matches "" too, so the phantom label-less series "{}"
+    // gets one (harmless, filters-nothing) interval as well: +1.
     store.delete(spark, lo, hi, graft.matchers.Re("name", ".*"))
     val st = store.manifest
     assert(st.tombstones.isEmpty)
-    assert(st.tombstoneFiles.map(f => (f.mint, f.maxt, f.count)) == Seq((lo, hi, nSeries)))
-    assert(st.blocks.head.numTombstones == nSeries)
+    assert(st.tombstoneFiles.map(f => (f.mint, f.maxt, f.count)) == Seq((lo, hi, nSeries + 1)))
+    assert(st.blocks.head.numTombstones == nSeries + 1)
     // reads apply the spilled intervals exactly like inline ones
     val got = store.readRange(spark, T0, T0 + 40 * DAY)
     assert(got.count() == samples.where(!col("t").between(lo, hi)).count())
@@ -288,6 +290,30 @@ class BlockStoreSpec extends SparkSuite {
     assert(Option(new java.io.File(store.tombsDir).listFiles()).getOrElse(Array()).isEmpty)
     // side-table ids share the block id space: the next block skips past
     assert(store.manifest.blocks.map(_.blockId) == Seq(3L))
+  }
+
+  test("matches-empty matchers select the label-less series (db_test.go:1165)") {
+    import spark.implicits._
+    val store = freshStore()
+    val rows = Seq(
+      ("{a=\"1\"}", Map("a" -> "1"), 1L, 100L, 1.0),
+      ("{a=\"1\"}", Map("a" -> "1"), 2L, 200L, 1.5),
+      ("{}", Map.empty[String, String], 3L, 100L, 2.0)) // label-less series
+      .toDF("series_key", "labels", "sample_id", "t", "v")
+    store.write(rows)
+    def keysOf(ms: graft.matchers.Matcher*): Set[String] =
+      store.readRange(spark, 0, 1000, ms: _*)
+        .select("series_key").distinct().as[String].collect().toSet
+    // != selects series where the label is unset — including "{}"
+    assert(keysOf(graft.matchers.Not(graft.matchers.Eq("a", "1"))) == Set("{}"))
+    // empty-value equality means "label absent"
+    assert(keysOf(graft.matchers.Eq("a", "")) == Set("{}"))
+    // and the positive matcher still excludes it
+    assert(keysOf(graft.matchers.Eq("a", "1")) == Set("{a=\"1\"}"))
+    // delete through a matches-empty matcher hits the label-less series
+    store.delete(spark, 0, 1000, graft.matchers.Not(graft.matchers.Eq("a", "1")))
+    assert(store.readRange(spark, 0, 1000).select("series_key").as[String]
+      .collect().toSet == Set("{a=\"1\"}"))
   }
 
   test("snapshot carries spilled tombstone side tables") {
