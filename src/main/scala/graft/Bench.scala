@@ -166,7 +166,7 @@ object Bench {
         // 7d buckets over the ~40d events span: a handful of real-sized
         // blocks (6h buckets would mean 160 footer-dominated slivers at
         // this sf and misstate both write rate and bytes/sample)
-        val store = new graft.storage.BlockStore(tmp, 7 * 86400000L, writersPerBucket = 4)
+        val store = new graft.storage.BlockStore(tmp, 7 * 86400000L, seriesBuckets = 4)
         val samples = query.TsdbSource.events(spark, sfDir).samples
         val n = samples.count()
         val t0 = System.nanoTime()

@@ -39,14 +39,19 @@ import graft.matchers.Matcher
 final class BlockStore(
     val root: String,
     val blockRangeMs: Long,
-    /** Writer tasks per block bucket: each bucket's rows hash into this
-      * many shuffle keys (by series), so a bucket is written by W tasks
-      * in parallel and produces ≤ W files — W=1 serializes a bucket
-      * into one task at cluster scale, while hashing on raw series_key
-      * would spray every bucket across ALL tasks (thousands of tiny
-      * files at small scale, footer overhead dominating). Size W so
-      * bucketBytes/W fits one task comfortably. */
-    val writersPerBucket: Int = 8,
+    /** Series bucket count W: block data is a Spark bucketed table
+      * `CLUSTERED BY (series_key) INTO W BUCKETS`, so one series always
+      * lands in the same bucket file of every block — the reference's
+      * series-major block layout (`compact.go:645-873` writes sorted
+      * series runs once) as Spark-native bucketing. The bucketed scan
+      * merges bucket i of EVERY block into one partition and reports
+      * `HashPartitioning(series_key, W)`, so vertical dedup-merge, ooo
+      * validation and per-series windows consume the scan with NO
+      * exchange. W also bounds writer parallelism and files per
+      * t_bucket; size it so blockBytes/W fits one task (thousands on a
+      * real cluster). Fixed at table creation: reopening an existing
+      * store with a different value keeps the table's original W. */
+    val seriesBuckets: Int = 8,
     /** A delete matching more series than this spills its intervals to
       * a parquet side table instead of inlining T records — a 10⁶-series
       * delete must not become a multi-GB manifest parsed on every load
@@ -70,6 +75,38 @@ final class BlockStore(
   /** Current published state (block list + tombstones). */
   def manifest: ManifestState = Manifest.load(root)
 
+  /** Catalog name of this store's bucketed data table: stable per
+    * store path, safe to register in any session. */
+  private[storage] val tableName: String = {
+    val abs = Paths.get(root).toAbsolutePath.normalize.toString
+    val md = java.security.MessageDigest.getInstance("MD5").digest(abs.getBytes("UTF-8"))
+    "graft_store_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  /** The store's data as a bucketed catalog table (registered on first
+    * use per session; partitions recovered from disk so a fresh session
+    * sees previously-written blocks). The bucketed scan is what deletes
+    * the exchange before every per-series operator — Spark's honest
+    * equivalent of the reference's series-major blocks. */
+  private[storage] def storeTable(spark: SparkSession): DataFrame = {
+    if (!spark.catalog.tableExists(tableName)) Manifest.withLock(root) {
+      if (!spark.catalog.tableExists(tableName)) {
+        Files.createDirectories(Paths.get(dataDir))
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS $tableName (
+             |  sample_id BIGINT, series_key STRING, t BIGINT, v DOUBLE,
+             |  block_id BIGINT, t_bucket BIGINT)
+             |USING PARQUET
+             |PARTITIONED BY (block_id, t_bucket)
+             |CLUSTERED BY (series_key) SORTED BY (series_key, t)
+             |INTO $seriesBuckets BUCKETS
+             |LOCATION '$dataDir'""".stripMargin)
+        spark.sql(s"ALTER TABLE $tableName RECOVER PARTITIONS")
+      }
+    }
+    spark.table(tableName)
+  }
+
   private def du(path: String): Long = {
     val p = Paths.get(path)
     if (!Files.exists(p)) 0L
@@ -84,19 +121,18 @@ final class BlockStore(
     * exclusive writer (≙ the reference's `db.mtx`-serialized appends):
     * two concurrent writers can never claim the same block id/dir.
     *
-    * Exactly two Spark jobs. Job 1 writes the data — one shuffle keyed
-    * on (t_bucket, series_key-hash) so every executor writes (hashing
-    * t_bucket alone would serialize each bucket into one task at
-    * cluster scale), with the in-task sort leading on t_bucket so the
-    * partitioned writer's required ordering is satisfied and the
-    * (series_key, t) run order inside each file — what makes row-group
-    * stats tight — survives. Time/count stats ride the write itself via
-    * `observe` (no post-hoc re-scan). Job 2 writes the label index from
-    * the SAME materialization (the input is cached for the pair), so a
-    * non-deterministic source can never persist an index disagreeing
-    * with the written samples; the series count rides that job's
-    * per-series dedup. The input of one block is one head-window of
-    * data (≪ total corpus), so caching it is bounded. */
+    * Exactly two Spark jobs. Job 1 inserts into the bucketed table —
+    * one shuffle keyed on (t_bucket, spark-bucket-id) so every executor
+    * writes and each t_bucket dir gets ≤ W bucket files; the writer
+    * applies the table's `SORTED BY (series_key, t)` inside each file,
+    * which is what keeps parquet row-group stats tight. Time/count
+    * stats ride the write itself via `observe` (no post-hoc re-scan).
+    * Job 2 writes the label index from the SAME materialization (the
+    * input is cached for the pair), so a non-deterministic source can
+    * never persist an index disagreeing with the written samples; the
+    * series count rides that job's per-series dedup. The input of one
+    * block is one head-window of data (≪ total corpus), so caching it
+    * is bounded. */
   def write(samples: DataFrame): Long = Manifest.withLock(root) {
     val spark = samples.sparkSession
     val st = manifest
@@ -104,6 +140,11 @@ final class BlockStore(
     val hasLabels = samples.columns.contains("labels")
     val cached = samples.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a writer that crashed after claiming this id may have left
+      // debris; the dir is unpublished by definition (we hold the lock),
+      // so clear it wholesale before inserting
+      storeTable(spark)
+      scala.reflect.io.Directory(new java.io.File(blockPath(id))).deleteRecursively()
       // Normalized storage, like the reference's series dictionary
       // (`index/index.go:113-137`): the per-row labels map is redundant —
       // label pairs live once per series in the block's postings index,
@@ -112,17 +153,20 @@ final class BlockStore(
       // shuffle of read samples.
       val dataObs = Observation(s"graft-block-$id-data")
       cached
-        .drop("labels")
+        .select(
+          col("sample_id").cast("long"), col("series_key"),
+          col("t").cast("long"), col("v").cast("double"))
+        .withColumn("block_id", lit(id))
         .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
         .observe(dataObs,
           min(col("t")).as("mint"), max(col("t")).as("maxt"),
           count(lit(1)).as("n"))
+        // pmod(hash, W) IS Spark's bucket-id expression, so each task
+        // holds whole buckets and writes one file per (t_bucket, bucket)
         .repartition(col("t_bucket"),
-          pmod(xxhash64(col("series_key")), lit(writersPerBucket)))
-        .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("t_bucket")
-        .parquet(blockPath(id))
+          pmod(hash(col("series_key")), lit(seriesBuckets)))
+        .write.mode(SaveMode.Append)
+        .insertInto(tableName)
       val stats = dataObs.get
       require(stats("n").asInstanceOf[Long] > 0L, "refusing to publish an empty block")
       val numSeries =
@@ -155,11 +199,8 @@ final class BlockStore(
     } finally cached.unpersist()
   }
 
-  private def readBlocks(spark: SparkSession, ids: Seq[Long]): DataFrame = {
-    val df = spark.read.option("basePath", dataDir)
-      .parquet(ids.map(blockPath): _*)
-    df
-  }
+  private def readBlocks(spark: SparkSession, ids: Seq[Long]): DataFrame =
+    storeTable(spark).where(col("block_id").isin(ids: _*))
 
   /** All live samples, raw (no dedup/tombstone application). */
   def read(spark: SparkSession): DataFrame = {
@@ -199,7 +240,19 @@ final class BlockStore(
     val live = st.blocks.filter(_.overlaps(mint, maxt))
     if (live.isEmpty)
       return read(spark).where(lit(false)).drop("block_id", "t_bucket")
+    // t_bucket bounds derived from the query range: partition pruning at
+    // the chunk grain (P9, reference `populatedChunkSeries` chunk drops)
+    // on top of the row-group stats the t filter gives (P10)
+    def bucketOf(ms: Long): Option[Long] = {
+      val b = math.floorDiv(ms, blockRangeMs) * blockRangeMs
+      if (b > Long.MaxValue - blockRangeMs) None else Some(b + blockRangeMs)
+    }
     val raw0 = readBlocks(spark, live.map(_.blockId))
+      .where((bucketOf(mint), bucketOf(maxt)) match {
+        case (Some(lo), Some(hi)) => col("t_bucket").between(lo, hi)
+        case (Some(lo), None) => col("t_bucket") >= lo
+        case _ => lit(true)
+      })
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
     // matcher selection resolves ENTIRELY in the postings index — the
     // reference's Select never evaluates matchers on sample data
@@ -383,19 +436,21 @@ final class BlockStore(
       else Tombstones.applyTo(deduped, tombstoneTable(spark),
         broadcastTombstones = nTombs <= broadcastLimit)
     // stats ride the rewrite via observe — no post-hoc re-scan job
+    scala.reflect.io.Directory(new java.io.File(blockPath(newId))).deleteRecursively()
     val obs = Observation(s"graft-compact-$newId")
     cleaned
-      .drop("block_id") // t_bucket recomputed: partition col, not data
+      .select(
+        col("sample_id").cast("long"), col("series_key"),
+        col("t").cast("long"), col("v").cast("double"))
+      .withColumn("block_id", lit(newId))
       .withColumn("t_bucket", rangeForTimestamp(col("t"), blockRangeMs))
       .observe(obs,
         min(col("t")).as("mint"), max(col("t")).as("maxt"),
         count(lit(1)).as("n"))
       .repartition(col("t_bucket"),
-        pmod(xxhash64(col("series_key")), lit(writersPerBucket)))
-      .sortWithinPartitions(col("t_bucket"), col("series_key"), col("t"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("t_bucket")
-      .parquet(blockPath(newId))
+        pmod(hash(col("series_key")), lit(seriesBuckets)))
+      .write.mode(SaveMode.Append)
+      .insertInto(tableName)
     val stats = obs.get
     if (Files.isDirectory(Paths.get(dictDir))) {
       val dictIds = ids.filter(id => Files.isDirectory(Paths.get(s"$dictDir/block_id=$id")))
