@@ -87,7 +87,19 @@ final class BlockStore(
     * use per session; partitions recovered from disk so a fresh session
     * sees previously-written blocks). The bucketed scan is what deletes
     * the exchange before every per-series operator — Spark's honest
-    * equivalent of the reference's series-major blocks. */
+    * equivalent of the reference's series-major blocks.
+    *
+    * Cross-process visibility: the manifest's file lock explicitly
+    * allows a second driver to publish blocks into the same store, but
+    * a partition registered in *that* driver's catalog does not exist in
+    * this one. So every access compares the on-disk manifest version
+    * against the last version this JVM synced its catalog at; when it
+    * advanced through someone else's publish, the partition list is
+    * re-recovered and the cached relation refreshed before reading —
+    * the reference's `db.reload` picking up externally-created block
+    * dirs (`db.go:712-779`). Our own mutations mark the new version
+    * synced at publish time, so the steady single-driver path never
+    * pays a directory re-listing. */
   private[storage] def storeTable(spark: SparkSession): DataFrame = {
     if (!spark.catalog.tableExists(tableName)) Manifest.withLock(root) {
       if (!spark.catalog.tableExists(tableName)) {
@@ -101,11 +113,22 @@ final class BlockStore(
              |CLUSTERED BY (series_key) SORTED BY (series_key, t)
              |INTO $seriesBuckets BUCKETS
              |LOCATION '$dataDir'""".stripMargin)
-        spark.sql(s"ALTER TABLE $tableName RECOVER PARTITIONS")
       }
+    }
+    val v = Manifest.currentVersion(root)
+    if (BlockStore.syncedVersions.getOrDefault(tableName, -1L) != v) {
+      spark.sql(s"ALTER TABLE $tableName RECOVER PARTITIONS")
+      spark.catalog.refreshTable(tableName)
+      BlockStore.syncedVersions.put(tableName, v)
     }
     spark.table(tableName)
   }
+
+  /** Record that this JVM's catalog is in sync with the manifest as of
+    * its current version — called after our own publishes (insertInto
+    * registered the new partitions itself). */
+  private def markSynced(): Unit =
+    BlockStore.syncedVersions.put(tableName, Manifest.currentVersion(root))
 
   private def du(path: String): Long = {
     val p = Paths.get(path)
@@ -166,6 +189,10 @@ final class BlockStore(
         .repartition(col("t_bucket"),
           pmod(hash(col("series_key")), lit(seriesBuckets)))
         .write.mode(SaveMode.Append)
+        // no _SUCCESS markers at the table root: readers trust only the
+        // manifest, and stray marker files would pollute partition
+        // discovery and survive vacuum
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .insertInto(tableName)
       val stats = dataObs.get
       require(stats("n").asInstanceOf[Long] > 0L, "refusing to publish an empty block")
@@ -195,6 +222,7 @@ final class BlockStore(
         numTombstones = 0L,
         bytes = du(blockPath(id)))
       Manifest.publish(root, st.copy(blocks = st.blocks :+ meta))
+      markSynced()
       id
     } finally cached.unpersist()
   }
@@ -381,7 +409,7 @@ final class BlockStore(
             tombstoneFiles = fs, highWater = math.max(st.highWater, fid))
         }
       }
-      ()
+      markSynced()
     }
 
   /** Per-block tombstone counters feeding the planner's >5% trigger
@@ -450,6 +478,7 @@ final class BlockStore(
       .repartition(col("t_bucket"),
         pmod(hash(col("series_key")), lit(seriesBuckets)))
       .write.mode(SaveMode.Append)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .insertInto(tableName)
     val stats = obs.get
     if (Files.isDirectory(Paths.get(dictDir))) {
@@ -484,6 +513,7 @@ final class BlockStore(
     // empty (everything tombstoned): its id must still never be reused
     Manifest.publish(root, st.copy(blocks = newBlocks, tombstones = tombs,
       tombstoneFiles = files, highWater = math.max(st.highWater, newId)))
+    markSynced()
     meta.map(_.blockId)
   }
 
@@ -518,6 +548,7 @@ final class BlockStore(
         keep.exists(b => f.mint < b.maxt && f.maxt >= b.mint))
       Manifest.publish(root, st.copy(blocks = recount(keep, tombs, files),
         tombstones = tombs, tombstoneFiles = files))
+      markSynced()
       gone
     }
   }
@@ -534,6 +565,8 @@ final class BlockStore(
       if (name.startsWith("block_id=") &&
         name.stripPrefix("block_id=").toLongOption.exists(!live.contains(_)))
         scala.reflect.io.Directory(f).deleteRecursively()
+      // job markers a pre-marker-suppression writer left at the table root
+      else if (name == "_SUCCESS" || name == "._SUCCESS.crc") f.delete()
     }
     val liveTombs = st.tombstoneFiles.map(_.fileId).toSet
     for (f <- Option(new java.io.File(tombsDir).listFiles()).getOrElse(Array())) {
@@ -581,4 +614,10 @@ object BlockStore {
     * `ExponentialBlockRanges`, `compact.go:41-50`; defaults `db.go:51`). */
   def exponentialRanges(minMs: Long, steps: Int, factor: Int = 3): Seq[Long] =
     Compaction.exponentialRanges(minMs, steps, factor)
+
+  /** Manifest version each store table's catalog partitions were last
+    * synced at, per JVM (the catalog is JVM-shared state; the manifest
+    * is the cross-process truth). */
+  private[storage] val syncedVersions =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 }

@@ -173,6 +173,33 @@ class BlockStoreSpec extends SparkSuite {
     assert(dirs == Set("block_id=3"))
   }
 
+  test("blocks published by another driver become visible without a new session") {
+    val store = freshStore()
+    store.write(samples.where(col("t") < T0 + 10 * DAY))
+    assert(store.readRange(spark, T0, T0 + 40 * DAY).count() > 0)
+    val v1 = Manifest.currentVersion(store.root)
+    // Write block 2 through the normal path so the on-disk state (bucketed
+    // files + manifest) is exactly what a second driver's publish produces...
+    store.write(samples.where(col("t") >= T0 + 10 * DAY))
+    // ...then rewind THIS JVM's catalog to what it knew before the foreign
+    // publish: drop block 2's partitions (external table — files stay) and
+    // reset the synced-version mark. This is the state a long-lived reader
+    // is in after another process publishes.
+    val parts = spark.sql(s"SHOW PARTITIONS ${store.tableName}").collect()
+      .map(_.getString(0)).filter(_.startsWith("block_id=2/"))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val spec = p.split('/').map { kv =>
+        val Array(k, v) = kv.split('='); s"$k='$v'"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE ${store.tableName} DROP PARTITION ($spec)")
+    }
+    spark.catalog.refreshTable(store.tableName)
+    BlockStore.syncedVersions.put(store.tableName, v1)
+    // the stale reader must notice the manifest advanced and re-sync
+    assert(store.readRange(spark, T0, T0 + 40 * DAY).count() == samples.count())
+  }
+
   test("time + size retention are manifest-only (db.go:865-906)") {
     val store = freshStore()
     store.write(samples.where(col("t") < T0 + 10 * DAY))
