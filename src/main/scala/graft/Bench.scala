@@ -34,9 +34,22 @@ object Bench {
   /** Headline queries re-measured at 10× scale. */
   private val X10 = Seq(
     "q1_agg", "q3_join", "q5_join", "q_window_rank", "ts_select_eq",
-    "ts_tombstone_delete", "ts_vertical_dedup", "ts_lookback_delta",
-    "ts_ooo_reject", "emb_cosine_topk", "emb_rand_lsh_ann",
-    "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh")
+    "ts_tombstone_delete", "ts_vertical_dedup", "ts_bucketed_dedup",
+    "ts_lookback_delta", "ts_ooo_reject", "emb_cosine_topk",
+    "emb_rand_lsh_ann", "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh")
+
+  /** Run any one-time setup the selected queries declare (scratch-store
+    * builds), untimed — so their timed number measures the query, not
+    * its fixture. Failures surface later as the query's own error. */
+  private def runSetup(
+      spark: SparkSession,
+      qs: Seq[(String, (SparkSession, String) => DataFrame)],
+      dir: String): Unit =
+    qs.foreach { case (name, _) =>
+      SparkEntry.setup.get(name).foreach { f =>
+        try f(spark, dir) catch { case _: Throwable => () }
+      }
+    }
 
   /** Replicate the sf tables 10× with remapped keys — an sf1-equivalent
     * corpus from sf0.1 inputs. Keys are offset per copy so joins keep
@@ -129,6 +142,7 @@ object Bench {
         try runPlan(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
 
+    runSetup(spark, selected, sfDir)
     val results = timeQueries(spark, selected, sfDir)
     val total = results.map(_._2).sum
 
@@ -143,6 +157,7 @@ object Bench {
           scaleTables(spark, sfDir, tmp, 10)
           val prep = (System.nanoTime() - t0) / 1e9
           val subset = selected.filter(q => X10.contains(q._1))
+          runSetup(spark, subset, tmp)
           (timeQueries(spark, subset, tmp), prep)
         } catch {
           case e: Throwable =>
@@ -192,8 +207,58 @@ object Bench {
       }
     }
 
+    // BASELINE's "bench write" row proper (cmd/tsdb/main.go:238-273):
+    // 10k REAL label-set series from an NDJSON corpus through
+    // LabelSets.readJson -> 100 scrapes @ 30s each -> Appender.validate
+    // -> one durable BlockStore.write (1M samples, labels indexed).
+    var labelSetStatus = "ok"
+    val writeRpsLabelSets: Double = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ls-bench-")
+      try {
+        val jsonPath = tmp.resolve("labelsets.json")
+        val w = java.nio.file.Files.newBufferedWriter(jsonPath)
+        try {
+          var i = 0
+          while (i < 10000) {
+            w.write(s"""{"__name__":"metric_${i % 100}","job":"job_${i % 20}","instance":"inst_${i / 100}","zone":"z${i % 5}"}""")
+            w.newLine()
+            i += 1
+          }
+        } finally w.close()
+        val scrapes = 100
+        val sets = sources.LabelSets.readJson(spark, jsonPath.toString)
+        val expanded = sets.select(
+            col("labels"), col("series_key"), col("series_hash"),
+            explode(sequence(lit(0L), lit(scrapes - 1L))).as("arrival"))
+          .select(
+            col("labels"), col("series_key"),
+            (pmod(col("series_hash"), lit(10000000L)) * 1000 + col("arrival")).as("sample_id"),
+            (lit(1704067200000L) + col("arrival") * 30000L).as("t"),
+            (pmod(col("series_hash"), lit(1000L)) + col("arrival")).cast("double").as("v"),
+            col("arrival"))
+        val valid = ingest.Appender.validate(expanded, minValidTime = 0L)
+          .where(col("status") === "ok").drop("status", "arrival")
+        val store = new graft.storage.BlockStore(
+          tmp.resolve("store").toString, 2 * 3600000L, seriesBuckets = 4)
+        val t0 = System.nanoTime()
+        val id = store.write(valid)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val meta = store.manifest.blocks.find(_.blockId == id).get
+        require(meta.numSamples == 10000L * scrapes && meta.numSeries == 10000L,
+          s"labelsets ingest wrote ${meta.numSamples} samples / ${meta.numSeries} series")
+        meta.numSamples / sec
+      } catch {
+        case e: Throwable =>
+          labelSetStatus = s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"
+          0.0
+      } finally {
+        scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      }
+    }
+
     val errors = (results ++ x10Results).count(_._3 != "ok") +
-      (if (storeStatus == "ok") 0 else 1)
+      (if (storeStatus == "ok") 0 else 1) +
+      (if (labelSetStatus == "ok") 0 else 1)
 
     // Full per-query detail (exact times + all statuses) goes to a file;
     // the stdout contract line stays compact. BENCH_r01/r02 both recorded
@@ -208,6 +273,8 @@ object Bench {
       s""""x10_prep_sec":$x10PrepSec,"errors":$errors,""" +
       s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,""" +
       s""""bytes_per_sample":$bytesPerSample,""" +
+      s""""write_rows_per_sec_labelsets":$writeRpsLabelSets,""" +
+      s""""labelsets_status":"$labelSetStatus",""" +
       s""""store_status":"$storeStatus","sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
@@ -228,6 +295,8 @@ object Bench {
         s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +
         s""""write_rows_per_sec":${ms(writeRps)},"compact_sec":${ms(compactSec)},""" +
         s""""bytes_per_sample":${ms(bytesPerSample)},""" +
+        s""""write_rows_per_sec_labelsets":${ms(writeRpsLabelSets)},""" +
+        (if (labelSetStatus != "ok") s""""labelsets_status":"$labelSetStatus",""" else "") +
         s""""store_status":"$storeStatus","sf":"$sfDir","detail":"$detailPath"}"""
     }
     // Hard guard: if the line would ever near the driver's capture window

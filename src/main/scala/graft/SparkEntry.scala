@@ -129,6 +129,63 @@ object SparkEntry {
     new BlockStore(p.toString, blockRangeMs)
   }
 
+  /** A REUSABLE store under the same fixed scratch scheme: built once
+    * per (name, sf) and kept — callers check the manifest shape and
+    * rebuild only when it doesn't match. This is what lets a bench time
+    * the READ path alone: the expensive block writes happen on first
+    * use (or an untimed [[setup]] pass), not inside the measured query. */
+  private def reusableStore(name: String, sfDir: String, blockRangeMs: Long): BlockStore = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch",
+      name + "-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(p.getParent)
+    new BlockStore(p.toString, blockRangeMs)
+  }
+
+  /** The two-overlapping-block store behind `ts_bucketed_dedup`: block 1
+    * is the full events table, block 2 re-ingests [d7, d11) with v+100.
+    * Idempotent — a store already in that exact shape is reused. */
+  private def bucketedDedupStore(s: SparkSession, dir: String): BlockStore = {
+    val store = reusableStore("bucketdedup", dir, 7 * DAY)
+    if (store.manifest.blocks.map(_.blockId) == Seq(1L, 2L)) store
+    else {
+      store.destroy(s)
+      val fresh = reusableStore("bucketdedup", dir, 7 * DAY)
+      val base = TsdbSource.events(s, dir).samples
+      fresh.write(base)
+      fresh.write(
+        base.where(col("t").between(OVERLAP_LO, OVERLAP_HI))
+          .withColumn("v", col("v") + 100))
+      fresh
+    }
+  }
+
+  /** The persisted IVF layout behind `emb_ivf_persisted`: the
+    * embeddings corpus assigned once to the 8 fixed centroids and
+    * written partitionBy(centroid_id). Idempotent via a marker file. */
+  private def ivfLayout(s: SparkSession, dir: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch",
+      "ivf-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = p.resolve("_GRAFT_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      scala.reflect.io.Directory(p.toFile).deleteRecursively()
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfWrite(emb, emb.where(col("vec_id") < 8), p.toString)
+      java.nio.file.Files.createFile(marker)
+    }
+    p.toString
+  }
+
+  /** One-time setup per query a bench harness should run UNTIMED before
+    * timing the query itself (scratch-store/index builds). [[queries]]
+    * entries stay self-contained — they run their own setup when it
+    * hasn't happened — but a timing harness that skips this conflates
+    * build and query cost. */
+  def setup: Map[String, (SparkSession, String) => Unit] = Map(
+    "ts_bucketed_dedup" -> ((s, dir) => { bucketedDedupStore(s, dir); () }),
+    "emb_ivf_persisted" -> ((s, dir) => { ivfLayout(s, dir); () }))
+
   /** DuckDB CTE shared by the storage-semantics oracles: the events table
     * in the canonical long format. */
   private val samplesCte =
@@ -199,6 +256,19 @@ object SparkEntry {
         .select("sample_id", "series_key", "t", "v")
         .orderBy("series_key", "t", "sample_id")
     }),
+
+    // U3 through the BUCKETED store read path — the query the CLUSTERED
+    // BY (series_key) layout exists for. Same semantics and oracle as
+    // ts_overlap_read, but the store build is idempotent setup (see
+    // [[setup]]): what's measured is readRange alone, whose dedup
+    // aggregate consumes the bucketed scan with NO exchange
+    // (plan-asserted in StorageSpec) — vs ts_vertical_dedup, which pays
+    // the full shuffle on ad-hoc frames.
+    "ts_bucketed_dedup" -> ((s, dir) =>
+      bucketedDedupStore(s, dir)
+        .readRange(s, T0, T0 + 40 * DAY)
+        .select("sample_id", "series_key", "t", "v")
+        .orderBy("series_key", "t", "sample_id")),
 
     // U6 + P11/P12 + S5: full maintenance lifecycle — overlapping write,
     // matcher delete (tombstones), planner-selected compaction (the
@@ -507,6 +577,15 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Near-dup pairs through the scale path: random-hyperplane buckets
+    // (bits free of the embedding layout) instead of the capped 4-bit
+    // signBucket of emb_cosine_neardup. Single table so the oracle stays
+    // one SQL; bit-exact bucket parity via planeBucketSql.
+    "emb_rand_neardup" -> ((s, dir) =>
+      Similarity.hyperplaneNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4,
+          dim = EMB_DIM, bits = RAND_LSH_BITS, tables = 1, seed = RAND_LSH_SEED)
+        .orderBy("i", "j")),
+
     // Int8 scalar quantization of the embedding corpus (4B -> 1B per
     // dim): per-vector scale + code digest, oracle-checked bit-exact.
     // Scalars only in the output — the codes array is folded into a
@@ -537,6 +616,16 @@ object SparkEntry {
           emb.where(col("vec_id") < 5), k = 3, nprobe = 2)
         .orderBy("q_id", "rank")
     }),
+
+    // IVF search through the PERSISTED inverted-list layout — the served
+    // index: corpus assigned once, written partitionBy(centroid_id);
+    // each query reads only its nprobe list dirs (static partition
+    // filter, plan-asserted in SimilaritySpec). Same oracle as
+    // emb_ivf_search — the layout must not change the answer.
+    "emb_ivf_persisted" -> ((s, dir) =>
+      Similarity.ivfTopKPersisted(ivfLayout(s, dir),
+          Tables.embeddings(s, dir).where(col("vec_id") < 5), k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")),
 
     // Embedding-cosine near-dup pairs via sign-LSH bucket equi-join.
     "emb_cosine_neardup" -> ((s, dir) =>
@@ -594,6 +683,36 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")),
   )
 
+  /** IVF probe-then-scan oracle — shared by `emb_ivf_search` (ad-hoc
+    * assignment) and `emb_ivf_persisted` (partitioned layout): the
+    * physical layout must not change the answer. */
+  private lazy val ivfSearchSql: String =
+    s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT t.*, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM (
+       |    SELECT e.vec_id, centroid_id,
+       |      ${cosineSql("e.embedding", "c_emb")} AS sim
+       |    FROM embeddings e, ce) t)
+       |  WHERE rn = 1),
+       |pr AS (SELECT q_id, q_emb, centroid_id FROM (
+       |  SELECT t.*, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY c_sim DESC, centroid_id) AS rn FROM (
+       |    SELECT q.vec_id AS q_id, q.embedding AS q_emb, centroid_id,
+       |      ${cosineSql("q.embedding", "c_emb")} AS c_sim
+       |    FROM embeddings q, ce WHERE q.vec_id < 5) t)
+       |  WHERE rn <= 2),
+       |sc AS (SELECT pr.q_id, e.vec_id AS neighbor_id,
+       |  ${cosineSql("pr.q_emb", "e.embedding")} AS sim
+       |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
+       |  JOIN pr ON asg.centroid_id = pr.centroid_id
+       |  WHERE e.vec_id != pr.q_id)
+       |SELECT q_id, rank, neighbor_id, sim FROM (
+       |  SELECT sc.*, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -604,6 +723,18 @@ object SparkEntry {
     "ts_select_set_regex" -> tsSelectSql("event_type IN ('click','view','signup')"),
     "ts_regex_dict" -> tsSelectSql("regexp_full_match(event_type, 'c.*|sig.*')"),
     "ts_overlap_read" ->
+      s"""$samplesCte,
+         |u AS (
+         |  SELECT sample_id, series_key, t, v, 1 AS seq FROM s
+         |  UNION ALL
+         |  SELECT sample_id, series_key, t, v + 100, 2 FROM s
+         |  WHERE t BETWEEN $OVERLAP_LO AND $OVERLAP_HI)
+         |SELECT sample_id, series_key, t, v FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY series_key, t ORDER BY seq DESC, sample_id DESC) AS rn
+         |  FROM u)
+         |WHERE rn = 1 ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_bucketed_dedup" ->
       s"""$samplesCte,
          |u AS (
          |  SELECT sample_id, series_key, t, v, 1 AS seq FROM s
@@ -841,32 +972,15 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
-    "emb_ivf_search" ->
-      s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id < 8),
-         |asg AS (SELECT vec_id, centroid_id FROM (
-         |  SELECT t.*, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM (
-         |    SELECT e.vec_id, centroid_id,
-         |      ${cosineSql("e.embedding", "c_emb")} AS sim
-         |    FROM embeddings e, ce) t)
-         |  WHERE rn = 1),
-         |pr AS (SELECT q_id, q_emb, centroid_id FROM (
-         |  SELECT t.*, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY c_sim DESC, centroid_id) AS rn FROM (
-         |    SELECT q.vec_id AS q_id, q.embedding AS q_emb, centroid_id,
-         |      ${cosineSql("q.embedding", "c_emb")} AS c_sim
-         |    FROM embeddings q, ce WHERE q.vec_id < 5) t)
-         |  WHERE rn <= 2),
-         |sc AS (SELECT pr.q_id, e.vec_id AS neighbor_id,
-         |  ${cosineSql("pr.q_emb", "e.embedding")} AS sim
-         |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
-         |  JOIN pr ON asg.centroid_id = pr.centroid_id
-         |  WHERE e.vec_id != pr.q_id)
-         |SELECT q_id, rank, neighbor_id, sim FROM (
-         |  SELECT sc.*, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
-         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "emb_ivf_search" -> ivfSearchSql,
+    "emb_ivf_persisted" -> ivfSearchSql,
+    "emb_rand_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${planeBucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT l.vec_id AS i, r.vec_id AS j,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT i, j, sim FROM p WHERE sim >= 0.4 ORDER BY i, j""".stripMargin,
     "emb_cosine_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${bucketSql("embedding")} AS bucket FROM embeddings),

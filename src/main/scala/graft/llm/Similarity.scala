@@ -300,8 +300,38 @@ object Similarity {
     toDf(centroids)
   }
 
+  /** The `nprobe` nearest centroid lists per query:
+    * `(q_id, q_emb, q_nrm, centroid_id)` — shared by the ad-hoc and
+    * persisted IVF search paths so both probe identically. */
+  private def ivfProbes(centroids: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+    val c = broadcast(centroids.select(
+      col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("ct_nrm")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c_sim").desc, col("centroid_id"))
+    queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .crossJoin(c)
+      .withColumn("c_sim", round(cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("ct_nrm")), 4))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select("q_id", "q_emb", "q_nrm", "centroid_id")
+  }
+
+  private def scoreAndRank(listed: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = listed.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm")), 4).as("sim"))
+    ranked(scored, k)
+  }
+
   /** IVF search: probe the `nprobe` nearest centroid lists of each query,
-    * brute-force within them. */
+    * brute-force within them. Reassigns the corpus per call — fine for a
+    * one-shot query, but a served index must assign ONCE: see
+    * [[ivfWrite]]/[[ivfTopKPersisted]], the production path. */
   def ivfTopK(
       corpus: DataFrame,
       centroids: DataFrame,
@@ -313,24 +343,40 @@ object Similarity {
     val listed = corpus
       .withColumn("c_nrm", norm(col("embedding")))
       .join(assign, "vec_id")
-    val c = broadcast(centroids.select(
-      col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
-      norm(col("embedding")).as("ct_nrm")))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("c_sim").desc, col("centroid_id"))
-    val probes = queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        norm(col("embedding")).as("q_nrm"))
-      .crossJoin(c)
-      .withColumn("c_sim", round(cosinePre(col("q_emb"), col("c_emb"), col("q_nrm"), col("ct_nrm")), 4))
-      .withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nprobe)
-      .select("q_id", "q_emb", "q_nrm", "centroid_id")
-    val scored = listed.join(broadcast(probes), Seq("centroid_id"))
-      .where(col("vec_id") =!= col("q_id"))
-      .select(
-        col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm")), 4).as("sim"))
-    ranked(scored, k)
+    scoreAndRank(listed, ivfProbes(centroids, queries, nprobe), k)
+  }
+
+  /** Materialize the IVF index: assign every corpus vector to its
+    * nearest centroid ONCE and write the corpus `partitionBy
+    * (centroid_id)` (norms precomputed), centroids alongside — the
+    * inverted-list layout every served IVF index uses. A probe is then
+    * a partition-pruned scan of its `nprobe` list dirs; nothing is ever
+    * reassigned at query time. At 100 TB this is the difference between
+    * a search touching `nprobe/k_centroids` of the corpus and a search
+    * recomputing an O(n·C) assignment per query batch. */
+  def ivfWrite(corpus: DataFrame, centroids: DataFrame, root: String): Unit = {
+    centroids.select(col("vec_id"), col("embedding"))
+      .coalesce(1) // k×dim — driver-sized by construction
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    corpus
+      .join(ivfAssign(corpus, centroids).select("vec_id", "centroid_id"), "vec_id")
+      .withColumn("c_nrm", norm(col("embedding")))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$root/corpus")
+  }
+
+  /** IVF search over a persisted [[ivfWrite]] layout. The probe lists
+    * are resolved driver-side (≤ the centroid count — index metadata by
+    * definition) and pushed as a static partition filter, so the scan
+    * reads ONLY the probed `centroid_id=` dirs (`PartitionFilters` in
+    * the plan; asserted in SimilaritySpec). */
+  def ivfTopKPersisted(root: String, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val probes = ivfProbes(centroids, queries, nprobe)
+    val probeIds: Seq[Any] = probes.select("centroid_id").distinct()
+      .collect().toSeq.map(_.get(0))
+    val listed = spark.read.parquet(s"$root/corpus")
+      .where(col("centroid_id").isin(probeIds: _*))
+    scoreAndRank(listed, probes, k)
   }
 }

@@ -578,6 +578,75 @@ final class BlockStore(
     Manifest.trim(root)
   }
 
+  private def copyTree(src: Path, dst: Path): Unit = {
+    val s = Files.walk(src)
+    try s.sorted(Comparator.naturalOrder[Path]()).forEach { p =>
+      val q = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(q)
+      else Files.copy(p, q)
+    } finally s.close()
+  }
+
+  /** Rewrite this store into `destRoot` with a different bucket count —
+    * the documented escape hatch for [[seriesBuckets]] being fixed at
+    * table creation: a store that grew 100× re-buckets by compacting
+    * into a NEW store (fresh table, new W), not by rewriting in place.
+    * Blocks are replayed in recency order (fresh contiguous ids keep
+    * later-block-wins intact), label dictionaries are copied verbatim,
+    * and tombstones (inline + spilled) re-publish under the destination
+    * manifest — so `readRange` over the destination is row-identical
+    * while every per-series stage now runs `newBuckets` wide. The
+    * source store is untouched; cutover is pointing readers at
+    * `destRoot`. One Spark job per block, each a bucketed write at the
+    * new W — the same cost shape as a full compaction. */
+  def rebucket(spark: SparkSession, destRoot: String, newBuckets: Int): BlockStore =
+    Manifest.withLock(root) {
+      require(!Files.exists(Paths.get(destRoot, "meta")),
+        s"rebucket destination $destRoot is already an initialized store")
+      val dest = new BlockStore(destRoot, blockRangeMs, newBuckets,
+        tombstoneSpillThreshold, broadcastLimit)
+      val st = manifest
+      st.blocks.sortBy(_.blockId).foreach { b =>
+        val newId = dest.write(
+          storeTable(spark)
+            .where(col("block_id") === b.blockId)
+            .drop("block_id", "t_bucket"))
+        val dict = Paths.get(s"$dictDir/block_id=${b.blockId}")
+        if (Files.isDirectory(dict))
+          copyTree(dict, Paths.get(dest.dictDir, s"block_id=$newId"))
+      }
+      // spilled tombstone side tables get fresh ids in the destination's
+      // id space (they share it with block ids)
+      var nextId = Manifest.load(destRoot).nextBlockId
+      val newFiles = st.tombstoneFiles.map { f =>
+        val nid = nextId
+        nextId += 1
+        copyTree(Paths.get(tombPath(f.fileId)),
+          Paths.get(dest.tombsDir, s"ts_id=$nid"))
+        f.copy(fileId = nid)
+      }
+      Manifest.update(destRoot) { d =>
+        d.copy(
+          blocks = recount(d.blocks, st.tombstones, newFiles),
+          tombstones = st.tombstones,
+          tombstoneFiles = newFiles,
+          highWater = newFiles.map(_.fileId).foldLeft(d.highWater)(math.max))
+      }
+      dest.markSynced()
+      dest
+    }
+
+  /** Destroy the store wholesale: data, manifest, and this JVM's
+    * catalog registration — so the same root can be rebuilt from
+    * scratch without stale catalog partitions pointing at deleted
+    * files. */
+  def destroy(spark: SparkSession): Unit = Manifest.withLock(root) {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    BlockStore.syncedVersions.remove(tableName)
+    scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    ()
+  }
+
   /** Consistent snapshot (reference `DB.Snapshot`, `db.go:1108-1146`):
     * copy the live blocks' immutable dirs + a manifest listing exactly
     * them. No Spark job — a filesystem copy, like the reference's
@@ -586,14 +655,6 @@ final class BlockStore(
     val st = manifest
     val destData = Paths.get(destRoot, "data")
     Files.createDirectories(destData)
-    def copyTree(src: Path, dst: Path): Unit = {
-      val s = Files.walk(src)
-      try s.sorted(Comparator.naturalOrder[Path]()).forEach { p =>
-        val q = dst.resolve(src.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(q)
-        else Files.copy(p, q)
-      } finally s.close()
-    }
     st.blocks.foreach { b =>
       copyTree(Paths.get(blockPath(b.blockId)),
         destData.resolve(s"block_id=${b.blockId}"))

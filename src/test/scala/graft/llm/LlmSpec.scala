@@ -134,6 +134,41 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("persisted IVF layout: partition-pruned probes, identical answers") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val centroids = emb.where($"vec_id" < 8)
+    Similarity.ivfWrite(emb, centroids, root)
+    val queries = emb.where($"vec_id" < 3)
+    val got = Similarity.ivfTopKPersisted(root, queries, k = 3, nprobe = 2)
+    // the corpus scan must read ONLY the probed centroid_id dirs
+    // (3 queries x 2 probes -> at most 6 of the 8 lists)
+    val phys = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("corpus")) => s
+    }
+    assert(scans.nonEmpty, phys.toString.take(2000))
+    scans.foreach { s =>
+      // the static isin filter must prune on its own (Spark may add a
+      // dynamic-pruning filter from the probes join on top; that one
+      // can't be evaluated before execution, so exclude it here)
+      val static = s.partitionFilters.filterNot(
+        _.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]).isDefined)
+      assert(static.nonEmpty, s.toString.take(1500))
+      assert(s.relation.location.listFiles(static, Nil).size <= 6,
+        "probe scan did not prune the centroid lists")
+    }
+    // layout must not change the answer vs the ad-hoc path
+    val adhoc = Similarity.ivfTopK(emb, centroids, queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val pers = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pers == adhoc)
+  }
+
   test("cosineNearDupPairs finds planted duplicates, i < j, above threshold") {
     val dup = emb.where($"vec_id" === 0)
       .select(lit(9999L).as("vec_id"), $"embedding", $"label")

@@ -173,6 +173,21 @@ class BlockStoreSpec extends SparkSuite {
     assert(dirs == Set("block_id=3"))
   }
 
+  test("readRange vertical dedup consumes the bucketed scan with no exchange") {
+    val store = freshStore()
+    store.write(samples)
+    store.write(samples.where(col("t").between(T0 + 7 * DAY, T0 + 11 * DAY - 1))
+      .withColumn("v", col("v") + 100))
+    val got = store.readRange(spark, T0, T0 + 40 * DAY)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    // overlap engaged the dedup aggregate, and the bucketed scan feeds
+    // it directly — the layout's whole point
+    assert(plan.contains("max_by"), plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(got.count() == samples.count())
+  }
+
   test("blocks published by another driver become visible without a new session") {
     val store = freshStore()
     store.write(samples.where(col("t") < T0 + 10 * DAY))
@@ -198,6 +213,33 @@ class BlockStoreSpec extends SparkSuite {
     BlockStore.syncedVersions.put(store.tableName, v1)
     // the stale reader must notice the manifest advanced and re-sync
     assert(store.readRange(spark, T0, T0 + 40 * DAY).count() == samples.count())
+  }
+
+  test("rebucket compacts into a new store at a new W: rows identical, plan property holds") {
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-rebucket-src").toString, 7 * DAY, seriesBuckets = 2)
+    store.write(samples)
+    store.write(samples.where(col("t").between(T0 + 7 * DAY, T0 + 11 * DAY - 1))
+      .withColumn("v", col("v") + 100))
+    store.delete(spark, T0 + 2 * DAY, T0 + 5 * DAY, graft.matchers.Eq("name", "click"))
+    val before = store.readRange(spark, T0, T0 + 40 * DAY)
+      .orderBy("series_key", "t", "sample_id").collect()
+
+    val dest = store.rebucket(spark,
+      Files.createTempDirectory("graft-rebucket-dst").toString, newBuckets = 8)
+    assert(dest.seriesBuckets == 8)
+    assert(dest.manifest.blocks.size == 2 &&
+      dest.manifest.tombstones == store.manifest.tombstones)
+    val got = dest.readRange(spark, T0, T0 + 40 * DAY)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    // tombstones add a broadcast anti-join; the per-series dedup must
+    // still ride the bucketed scan with no shuffle
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(got.orderBy("series_key", "t", "sample_id").collect().sameElements(before))
+    // label index carried over: matcher reads work in the new store
+    assert(dest.labelValues(spark, "name").collect().map(_.getString(0)).toSeq ==
+      store.labelValues(spark, "name").collect().map(_.getString(0)).toSeq)
   }
 
   test("time + size retention are manifest-only (db.go:865-906)") {
