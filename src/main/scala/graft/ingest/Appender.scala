@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.storage.BlockStore
+
 /** Append-time validation semantics (reference `head.go:1680-1699` +
   * error taxonomy `head.go:43-53`), recast for batch: instead of
   * rejecting samples one at a time behind a per-series lock, classify a
@@ -78,5 +80,60 @@ object Appender {
               .otherwise(lit("amend")))
           .otherwise(lit("out_of_order")))
       .drop("__mx", "__base_t", "__base_v", "__prev_max", "__last_v")
+  }
+
+  /** Open an append transaction against a store — the reference's
+    * `db.Appender()` (`db.go:89-112`). */
+  def txn(store: BlockStore, minValidTime: Long = Long.MinValue): Txn =
+    new Txn(store, minValidTime)
+
+  /** One append transaction. `add` stages sample frames; `commit`
+    * validates the union ([[validate]]) and publishes the accepted
+    * samples as one block — per-sample rejection with a committed
+    * remainder, exactly the reference's Add-rejects / Commit-persists
+    * split. `rollback` (`db.go:100-112`) discards every staged sample
+    * but KEEPS the series the transaction introduced: the reference's
+    * head retains the `memSeries` entries (and the WAL their series
+    * records), so `LabelNames`/`LabelValues`/matcher resolution see a
+    * rolled-back series with zero samples. Here that is
+    * [[BlockStore.registerSeries]] persisting the label pairs into the
+    * store's head dictionary.
+    *
+    * Frames need `(series_key, t, v, arrival)` and — for the series
+    * registration / block index — a `labels` map column. */
+  final class Txn private[ingest] (store: BlockStore, minValidTime: Long) {
+    private var staged: Option[DataFrame] = None
+    private var closed = false
+
+    private def requireOpen(): Unit =
+      require(!closed, "transaction already committed or rolled back")
+
+    def add(samples: DataFrame): this.type = {
+      requireOpen()
+      staged = Some(staged.fold(samples)(_.unionByName(samples)))
+      this
+    }
+
+    /** Publish accepted samples as one block; None when the txn staged
+      * nothing acceptable (the reference commits empty txns as no-ops). */
+    def commit(): Option[Long] = {
+      requireOpen()
+      closed = true
+      staged.flatMap { df =>
+        val ok = validate(df, minValidTime)
+          .where(col("status") === "ok").drop("status")
+          .withColumnRenamed("arrival", "sample_id")
+        if (ok.isEmpty) None else Some(store.write(ok))
+      }
+    }
+
+    /** Drop the staged samples, keep their series (`db.go:100-112`). */
+    def rollback(): Unit = {
+      requireOpen()
+      closed = true
+      staged.filter(_.columns.contains("labels")).foreach { df =>
+        store.registerSeries(df.select("series_key", "labels"))
+      }
+    }
   }
 }

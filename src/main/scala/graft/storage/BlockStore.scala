@@ -69,6 +69,10 @@ final class BlockStore(
   def dataDir = s"$root/data"
   private[storage] def dictDir = s"$root/dict"
   private[storage] def tombsDir = s"$root/tombs"
+  /** Label pairs of series registered without samples (rolled-back
+    * appends, [[registerSeries]]) — the head's series map entries that
+    * survive an `Appender.Rollback` (`db.go:100-112`). */
+  private[storage] def headDictDir = s"$dictDir/head"
   private def blockPath(id: Long) = s"$dataDir/block_id=$id"
   private def tombPath(id: Long) = s"$tombsDir/ts_id=$id"
 
@@ -324,10 +328,29 @@ final class BlockStore(
     else all
   }
 
+  /** Register series WITHOUT samples — the persistence behind a
+    * rolled-back append transaction ([[graft.ingest.Appender.txn]]):
+    * the reference's `Rollback` drops the txn's samples but keeps the
+    * series it created in the head's series map (`db.go:100-112` — the
+    * WAL even logs their series records so a replay recreates them), so
+    * label names/values and matcher resolution see the new series while
+    * no sample exists yet. Input needs `(series_key, labels)`; entries
+    * become redundant (and are absorbed by the index distinct) once a
+    * real block first persists the series. */
+  def registerSeries(labelled: DataFrame): Unit = Manifest.withLock(root) {
+    labelled
+      .dropDuplicates("series_key")
+      .select(col("series_key"),
+        explode(col("labels")).as(Seq("label_name", "label_value")))
+      .write.mode(SaveMode.Append).parquet(headDictDir)
+  }
+
   /** Union of the live blocks' persisted inverted indexes (S12,
     * reference `index/index.go:140-147`): one `(label_name, label_value,
     * series_key)` row per label pair per series — the postings table
-    * [[graft.query.Postings.select]] runs matcher set algebra over. */
+    * [[graft.query.Postings.select]] runs matcher set algebra over.
+    * Sample-less registered series ([[registerSeries]]) ride along like
+    * the reference's head series map entries. */
   def postingsIndex(spark: SparkSession): DataFrame = {
     val ids = manifest.blocks.map(_.blockId)
     require(ids.nonEmpty, s"block store at $root has no published blocks")
@@ -339,10 +362,15 @@ final class BlockStore(
     require(missing.isEmpty,
       s"store at $root has no label index for blocks ${missing.mkString(",")} " +
         "(written without a labels column); label/matcher queries unavailable")
-    spark.read.option("basePath", dictDir)
+    val blocksIdx = spark.read.option("basePath", dictDir)
       .parquet(ids.map(id => s"$dictDir/block_id=$id"): _*)
       .select("label_name", "label_value", "series_key")
-      .distinct()
+    val withHead =
+      if (Files.isDirectory(Paths.get(headDictDir)))
+        blocksIdx.unionByName(spark.read.parquet(headDictDir)
+          .select("label_name", "label_value", "series_key"))
+      else blocksIdx
+    withHead.distinct()
   }
 
   /** The `(name, value)` dictionary view of [[postingsIndex]] — what
@@ -615,6 +643,8 @@ final class BlockStore(
         if (Files.isDirectory(dict))
           copyTree(dict, Paths.get(dest.dictDir, s"block_id=$newId"))
       }
+      if (Files.isDirectory(Paths.get(headDictDir)))
+        copyTree(Paths.get(headDictDir), Paths.get(dest.headDictDir))
       // spilled tombstone side tables get fresh ids in the destination's
       // id space (they share it with block ids)
       var nextId = Manifest.load(destRoot).nextBlockId
@@ -666,6 +696,8 @@ final class BlockStore(
       copyTree(Paths.get(tombPath(f.fileId)),
         Paths.get(destRoot, "tombs", s"ts_id=${f.fileId}"))
     }
+    if (Files.isDirectory(Paths.get(headDictDir)))
+      copyTree(Paths.get(headDictDir), Paths.get(destRoot, "dict", "head"))
     Manifest.publish(destRoot, st)
   }
 }

@@ -452,4 +452,59 @@ class AppenderSpec extends SparkSuite {
       minValidTime = 0)
     assert(got.where($"series_key" === "b").select("status").as[String].head() == "ok")
   }
+
+  def labelled(rows: (String, Long, Double, Long, Map[String, String])*): DataFrame =
+    rows.toDF("series_key", "t", "v", "arrival", "labels")
+
+  test("txn commit publishes accepted samples, rejects the rest (db.go:89-99)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-txn-commit").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    val id = Appender.txn(store, minValidTime = 0)
+      .add(labelled(
+        ("a", 100, 1.0, 1, Map("n" -> "a")),
+        ("a", 50, 9.0, 2, Map("n" -> "a")), // regression: rejected
+        ("b", 200, 2.0, 3, Map("n" -> "b"))))
+      .commit()
+    assert(id.nonEmpty)
+    assert(store.readRange(spark, 0, 5000).select("t").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 200L))
+  }
+
+  test("txn rollback keeps created series, drops samples (db.go:100-112)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-txn-rb").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    store.write(labelled(("a", 100, 1.0, 1, Map("name" -> "cpu", "host" -> "h1")))
+      .withColumnRenamed("arrival", "sample_id"))
+
+    val txn = Appender.txn(store, minValidTime = 0)
+      .add(labelled(("b", 300, 2.0, 2, Map("name" -> "mem", "host" -> "h2"))))
+    txn.rollback()
+
+    // the rolled-back series is visible to label metadata + matchers...
+    assert(store.labelValues(spark, "name").as[String].collect().toSeq == Seq("cpu", "mem"))
+    assert(store.labelNames(spark).as[String].collect().toSeq == Seq("host", "name"))
+    // ...but contributes no samples
+    assert(store.readRange(spark, 0, 5000, graft.matchers.Eq("name", "mem")).count() == 0)
+    assert(store.readRange(spark, 0, 5000).count() == 1)
+    // a later real append of the same series absorbs the registration
+    Appender.txn(store, minValidTime = 0)
+      .add(labelled(("b", 300, 2.0, 2, Map("name" -> "mem", "host" -> "h2"))))
+      .commit()
+    assert(store.readRange(spark, 0, 5000, graft.matchers.Eq("name", "mem"))
+      .select("t").as[Long].collect().toSeq == Seq(300L))
+    assert(store.postingsIndex(spark).where($"series_key" === "b").count() == 2)
+    // double-close is refused
+    assertThrows[IllegalArgumentException](txn.rollback())
+  }
+
+  test("txn commit with nothing acceptable is a no-op (empty commit)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-txn-empty").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    val id = Appender.txn(store, minValidTime = 1000)
+      .add(labelled(("a", 100, 1.0, 1, Map("n" -> "a")))) // out_of_bounds
+      .commit()
+    assert(id.isEmpty)
+    assert(store.manifest.blocks.isEmpty)
+    assert(Appender.txn(store).commit().isEmpty) // nothing staged at all
+  }
 }

@@ -198,11 +198,13 @@ class StreamingSpec extends SparkSuite {
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val store = new BlockStore(root, blockRangeMs = 1000L)
     val in = MemoryStream[Sample]
-    val q = StreamingIngest.ingest(in.toDS(), store, ckpt, minValidTime = 0)
+    // queue data BEFORE starting: AvailableNow snapshots the available
+    // offsets at query start, so later addData may fall outside the run
     in.addData(
       Sample("a", 100, 1.0, 1), Sample("a", 1500, 2.0, 2),
       Sample("a", 200, 9.0, 3), // out of order: dropped
       Sample("b", 2500, 3.0, 4))
+    val q = StreamingIngest.ingest(in.toDS(), store, ckpt, minValidTime = 0)
     q.processAllAvailable()
     q.stop()
     val back = store.read(spark)
@@ -216,14 +218,15 @@ class StreamingSpec extends SparkSuite {
     val ckpt = Files.createTempDirectory("graft-ckpt-idx").toString
     val store = new BlockStore(root, blockRangeMs = 1000L)
     val in = MemoryStream[Sample]
-    val q = StreamingIngest.ingest(in.toDS(), store, ckpt, minValidTime = 0)
     def key(m: Map[String, String]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
     val la = Map("name" -> "cpu", "host" -> "h1")
     val lb = Map("name" -> "mem", "host" -> "h2")
+    // queue before start — AvailableNow races addData-after-start
     in.addData(
       Sample(key(la), 100, 1.0, 1, la), Sample(key(la), 1500, 2.0, 2, la),
       Sample(key(lb), 2500, 3.0, 3, lb))
+    val q = StreamingIngest.ingest(in.toDS(), store, ckpt, minValidTime = 0)
     q.processAllAvailable()
     q.stop()
     // the streamed store answers matcher + label-metadata queries
@@ -239,13 +242,63 @@ class StreamingSpec extends SparkSuite {
     val ckpt2 = Files.createTempDirectory("graft-ckpt-noidx").toString
     val store2 = new BlockStore(root2, blockRangeMs = 1000L)
     val in2 = MemoryStream[Sample]
+    in2.addData(Sample("s", 100, 1.0, 1))
     val q2 = StreamingIngest.ingest(in2.toDS(), store2, ckpt2, minValidTime = 0,
       indexLabels = false)
-    in2.addData(Sample("s", 100, 1.0, 1))
     q2.processAllAvailable()
     q2.stop()
     assert(store2.read(spark).count() == 1)
     assertThrows[IllegalArgumentException](
       store2.readRange(spark, 0, 5000, graft.matchers.Eq("name", "cpu")).count())
+  }
+
+  test("micro-batch block explosion: compaction folds per-trigger blocks back to one (ST4)") {
+    // one block per micro-batch is the streaming write granularity; under
+    // frequent triggers that explodes the block count within a single
+    // block range. Compaction is the cure: the planner's overlap rule
+    // (`compact.go:264-286`) selects the whole run and merges it to one
+    // block, after which it reports nothing left to do.
+    val src = Files.createTempDirectory("graft-granularity-src").toString
+    val root = Files.createTempDirectory("graft-granularity-blocks").toString
+    val ckpt = Files.createTempDirectory("graft-granularity-ckpt").toString
+    val store = new BlockStore(root, blockRangeMs = 10000L)
+
+    // 4 trigger firings, all inside the one [0, 10000) block range: each
+    // run appends new files and re-runs with the same checkpoint, so the
+    // file source delivers exactly one new micro-batch -> one block
+    val batches = Seq(
+      Seq(Sample("a", 100, 1.0, 1), Sample("a", 900, 2.0, 2)),
+      Seq(Sample("b", 200, 3.0, 3)),
+      Seq(Sample("a", 1500, 4.0, 4), Sample("c", 300, 5.0, 5)),
+      Seq(Sample("b", 600, 6.0, 6)))
+    batches.foreach { b =>
+      b.toDF().coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src).as[Sample]
+      val q = StreamingIngest.ingest(stream, store, ckpt, minValidTime = 0)
+      q.processAllAvailable(); q.stop()
+    }
+    assert(store.manifest.blocks.size == 4) // block explosion is real
+    val before = store.readRange(spark, 0, 10000)
+      .select("series_key", "t", "v").collect().map(_.toString).sorted.toSeq
+
+    val ranges = BlockStore.exponentialRanges(10000L, 3)
+    val plan = store.planCompaction(ranges)
+    assert(plan.toSet == store.manifest.blocks.map(_.blockId).toSet) // overlap rule takes the whole run
+    // run plan -> compact to a fixpoint: the planner folds the explosion
+    var guard = 0
+    var next = plan
+    while (next.nonEmpty && guard < 5) {
+      store.compact(spark, next)
+      next = store.planCompaction(ranges)
+      guard += 1
+    }
+    assert(store.manifest.blocks.size == 1)
+    val after = store.readRange(spark, 0, 10000)
+      .select("series_key", "t", "v").collect().map(_.toString).sorted.toSeq
+    assert(after == before && after.size == 6)
+    assert(store.planCompaction(ranges).isEmpty) // the planner kept up
+    // matcher reads still served: the merged block carries the merged index
+    assert(store.readRange(spark, 0, 10000, graft.matchers.Eq("name", "missing")).count() == 0)
   }
 }
