@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.Appender
+import graft.matchers.Matcher
+import graft.storage.{BlockMeta, BlockStore, Compaction}
+import graft.streaming.StreamingIngest
+
+/** The top-level handle — the reference's `tsdb.Open`/`DB` surface
+  * (`db.go:213-318`) as one object tying the pieces together, so a
+  * reference user maps their call sites one-for-one:
+  *
+  * | reference (`db.go`)        | here                                  |
+  * |----------------------------|---------------------------------------|
+  * | `Open(dir, …)`             | `Db.open(spark, dir, opts)`           |
+  * | `db.Appender()`            | [[appender]] (txn: add/commit/rollback) |
+  * | `db.Querier(mint, maxt)`   | [[query]] (matcher select, one call)  |
+  * | `LabelNames/LabelValues`   | [[labelNames]] / [[labelValues]]      |
+  * | `db.Delete(mint,maxt,ms…)` | [[delete]]                            |
+  * | `db.Blocks()`              | [[blocks]]                            |
+  * | `db.Snapshot(dir)`         | [[snapshot]]                          |
+  * | `CleanTombstones`+compactor| [[maintain]] (one explicit pass)      |
+  * | `db.Close()`               | nothing to close — state is on disk   |
+  *
+  * One deliberate divergence: the reference runs compaction on an
+  * internal goroutine loop (`db.go:324-361`). A Spark deployment owns
+  * its own scheduling (Airflow/cron/stream trigger), so background work
+  * is an explicit idempotent [[maintain]] pass the scheduler calls —
+  * same state machine, externally clocked. Streaming ingest is
+  * [[graft.streaming.StreamingIngest.ingest]] against [[store]].
+  */
+final class Db private (
+    val store: BlockStore,
+    spark: SparkSession,
+    compactionRanges: Seq[Long],
+    retentionMs: Long,
+    retentionBytes: Long) {
+
+  /** Open an append transaction (`db.Appender()`, `db.go:89-112`). */
+  def appender(minValidTime: Long = Long.MinValue): Appender.Txn =
+    Appender.txn(store, minValidTime)
+
+  /** Matcher select over a closed time range — the `Querier(mint,
+    * maxt).Select(ms…)` round trip in one call; resolution runs in the
+    * postings index, never on sample rows. */
+  def query(mint: Long, maxt: Long, matchers: Matcher*): DataFrame =
+    store.readRange(spark, mint, maxt, matchers: _*)
+
+  def labelNames(): DataFrame = store.labelNames(spark)
+  def labelValues(name: String): DataFrame = store.labelValues(spark, name)
+
+  /** Record deletion intervals for matching series (`db.go:1203-1232`). */
+  def delete(mint: Long, maxt: Long, matchers: Matcher*): Unit =
+    store.delete(spark, mint, maxt, matchers: _*)
+
+  /** Live block metas, mint-ordered (`db.Blocks()`). */
+  def blocks: Seq[BlockMeta] = store.manifest.blocks.sortBy(_.mint)
+
+  /** One maintenance pass — what the reference's background loop does
+    * per tick (`db.go:324-361`): compact to a fixpoint (overlap runs
+    * first, then range ladder, then tombstone-heavy blocks), apply
+    * retention, reclaim disk. Idempotent; returns the compactions run.
+    * Callers clock it (per micro-batch, per cron tick). */
+  def maintain(): Int = {
+    var passes = 0
+    var plan = store.planCompaction(compactionRanges)
+    // fixpoint with a hard bound: each compaction strictly reduces the
+    // block count, so #blocks passes is a terminating worst case
+    var guard = store.manifest.blocks.size
+    while (plan.nonEmpty && guard > 0) {
+      store.compact(spark, plan)
+      passes += 1
+      guard -= 1
+      plan = store.planCompaction(compactionRanges)
+    }
+    if (retentionMs > 0 || retentionBytes > 0)
+      store.applyRetention(retentionMs, retentionBytes)
+    store.vacuum()
+    passes
+  }
+
+  /** Consistent snapshot into `destRoot` (`db.go:1108-1146`). */
+  def snapshot(destRoot: String): Unit = store.snapshot(destRoot)
+
+  /** Structured-Streaming ingest into this store (the Head+WAL path). */
+  def ingest(
+      samples: org.apache.spark.sql.Dataset[StreamingIngest.Sample],
+      checkpointDir: String,
+      minValidTime: Long): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingIngest.ingest(samples, store, checkpointDir, minValidTime)
+}
+
+object Db {
+  /** Options mirror `tsdb.Options` (`db.go:64-82`): block range =
+    * `MinBlockDuration`, ranges = the exponential ladder, retention =
+    * `RetentionDuration`/`MaxBytes`. */
+  final case class Options(
+      blockRangeMs: Long = 2 * 3600 * 1000L,
+      compactionSteps: Int = 3,
+      retentionMs: Long = 0L,
+      retentionBytes: Long = 0L,
+      seriesBuckets: Int = 8)
+
+  def open(spark: SparkSession, root: String, opts: Options = Options()): Db =
+    new Db(
+      new BlockStore(root, opts.blockRangeMs, opts.seriesBuckets),
+      spark,
+      Compaction.exponentialRanges(opts.blockRangeMs, opts.compactionSteps),
+      opts.retentionMs,
+      opts.retentionBytes)
+}

@@ -48,12 +48,26 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min("doc_id").as("survivor"), count(lit(1)).as("group_size"))
 
-  /** Per-doc distinct shingle sets. Words are bound to a column before
-    * shingling (see [[shinglesFromWords]] performance contract). */
-  def docShingles(df: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame =
-    df.select(col("doc_id"), words(col(textCol)).as("__ws"))
-      .select(col("doc_id"), shinglesFromWords(col("__ws"), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
+  /** Word n-gram rows `(doc_id, shingle)` (NOT distinct), built
+    * relationally — posexplode words, window-`lead` to form the n-gram —
+    * so every operator stays inside whole-stage codegen. The array/
+    * lambda route ([[shinglesFromWords]]) evaluates interpreted, where
+    * each element_at reference re-runs its child; pushed under an
+    * explode that becomes quadratic per document (see [[shingleIndex]]
+    * scaladoc for the full mechanics). The window shuffles on doc_id,
+    * which also parallelizes single-file inputs. */
+  private def gramRows(df: DataFrame, n: Int, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    df.select(col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        (1 until n).foldLeft(col("w")) { (acc, k) =>
+          concat_ws(" ", acc, lead("w", k).over(w))
+        }.as("shingle"),
+        (lead("w", n - 1).over(w).isNotNull).as("__complete"))
+      .where(col("__complete"))
+      .select("doc_id", "shingle")
+  }
 
   /** The inverted shingle index in exploded, hashed form:
     * `(doc_id, n_sh, sh_h)` with one row per *distinct* shingle hash.
@@ -78,16 +92,7 @@ object Dedup {
       n: Int = 3,
       textCol: String = "text",
       maxDf: Option[Long] = None): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val grams = df
-      .select(col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"),
-        (1 until n).foldLeft(col("w")) { (acc, k) =>
-          concat_ws(" ", acc, lead("w", k).over(w))
-        }.as("shingle"),
-        (lead("w", n - 1).over(w).isNotNull).as("__complete"))
-      .where(col("__complete"))
+    val grams = gramRows(df, n, textCol)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val distinctSh = grams.groupBy("doc_id", "sh_h").agg(count(lit(1)).as("__m"))
     // stop-shingle cap: drop shingles shared by more than maxDf docs from
@@ -111,24 +116,6 @@ object Dedup {
     kept
       .join(counts, "doc_id")
       .select(col("doc_id"), col("n_sh"), col("sh_h"))
-  }
-
-  /** Exact-Jaccard verification of candidate (i, j) pairs against the
-    * per-doc shingle sets; emits pairs clearing the threshold. */
-  private def verifyJaccard(
-      candidates: DataFrame,
-      docs: DataFrame,
-      threshold: Double): DataFrame = {
-    val di = docs.select(col("doc_id").as("i"), col("sh").as("sh_i"), col("n_sh").as("ni"))
-    val dj = docs.select(col("doc_id").as("j"), col("sh").as("sh_j"), col("n_sh").as("nj"))
-    candidates
-      .join(di, "i").join(dj, "j")
-      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
-      .withColumn(
-        "jaccard",
-        round(col("inter").cast("double") / (col("ni") + col("nj") - col("inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("i", "j", "jaccard")
   }
 
   /** Near-duplicate pairs by true n-gram Jaccard >= threshold.
@@ -211,18 +198,24 @@ object Dedup {
       r.nextInt((MINHASH_MOD - 1).toInt).toLong))
   }
 
-  /** MinHash signature from a *pre-hashed* shingle array: for each
-    * permutation, the min of `(a * h + b) mod M`. Taking hashes (not
-    * strings) keeps the md5 per shingle computed once, not once per
-    * permutation — 16× less hashing on the hot path. */
-  def minhashSignature(shHashes: Column, perms: Seq[(Long, Long)]): Column =
-    array(perms.map { case (a, b) =>
-      array_min(transform(shHashes, h => (lit(a) * h + lit(b)) % MINHASH_MOD))
-    }: _*)
-
-  /** MinHash-LSH near-dup pairs: band the signature, bucket-join on
-    * (band, key), verify candidates with true Jaccard. `bands * rows`
-    * must equal the permutation count. */
+  /** MinHash-LSH near-dup pairs: per-permutation signature, band the
+    * signature, bucket-join on (band, key), verify candidates with true
+    * Jaccard. `bands * rows` must equal the permutation count.
+    *
+    * Shape: the window-`lead` gram builder ([[gramRows]]) keeps shingle
+    * construction inside whole-stage codegen (the array/`transform`
+    * formulation evaluated every shingle interpreted), then ONE hash
+    * aggregate per doc computes the k-permutation signature as k
+    * codegen'd `min((a*h+b) mod M)` columns — min over the NON-distinct
+    * gram multiset equals min over the set, so no distinct pass runs —
+    * alongside `collect_set(shingle)` for the verification arrays.
+    * Verification joins those arrays to the candidate pairs only (the
+    * LSH-surviving few), intersecting locally: the full gram relation is
+    * never re-shuffled per candidate (a candidate-constrained equi-join
+    * back through the gram rows re-shuffles the whole index and loses to
+    * this at 10× scale). The signature arithmetic (28-bit [[wordHash]],
+    * linear perms mod [[MINHASH_MOD]]) is shared bit-for-bit with the
+    * DuckDB oracle. */
   def minhashLshPairs(
       df: DataFrame,
       perms: Seq[(Long, Long)] = permutations(),
@@ -232,16 +225,22 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(perms.length % bands == 0, "bands must divide the signature length")
     val rows = perms.length / bands
-    val docs = docShingles(df, n, textCol)
-      .withColumn("sh_hashes", transform(col("sh"), wordHash(_)))
-      .withColumn("sig", minhashSignature(col("sh_hashes"), perms))
+    val sigs = gramRows(df, n, textCol)
+      .withColumn("__h", wordHash(col("shingle")))
+      .groupBy("doc_id")
+      .agg(
+        collect_set(col("shingle")).as("sh"),
+        perms.zipWithIndex.map { case ((a, b), i) =>
+          min((lit(a) * col("__h") + lit(b)) % MINHASH_MOD).as(s"__m$i")
+        }: _*)
+      .withColumn("n_sh", size(col("sh")))
     // candidates stay (band, i, j) only — the shingle arrays join back in
-    // once per *verified candidate pair*, not per banded row
-    val banded = docs.select(
+    // once per *candidate pair*, not per banded row
+    val banded = sigs.select(
       col("doc_id"),
       posexplode(
         array((0 until bands).map(bi =>
-          concat_ws("-", (0 until rows).map(ri => col("sig")(bi * rows + ri)): _*)): _*))
+          concat_ws("-", (0 until rows).map(ri => col(s"__m${bi * rows + ri}")): _*)): _*))
         .as(Seq("band", "band_key")))
     val a = banded.select(col("band"), col("band_key"), col("doc_id").as("i"))
     val b = banded.select(col("band"), col("band_key"), col("doc_id").as("j"))
@@ -249,7 +248,16 @@ object Dedup {
       .where(col("i") < col("j"))
       .select("i", "j")
       .dropDuplicates("i", "j")
-    verifyJaccard(candidates, docs.select("doc_id", "sh", "n_sh"), threshold)
+    val di = sigs.select(col("doc_id").as("i"), col("sh").as("sh_i"), col("n_sh").as("ni"))
+    val dj = sigs.select(col("doc_id").as("j"), col("sh").as("sh_j"), col("n_sh").as("nj"))
+    candidates
+      .join(di, "i").join(dj, "j")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn(
+        "jaccard",
+        round(col("inter").cast("double") / (col("ni") + col("nj") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
   }
 
   /** 32-bit SimHash over word-token hashes (with multiplicity): bit b is

@@ -29,12 +29,20 @@ import graft.matchers.Matcher
 object Postings {
 
   /** Derive the inverted index from long-format samples (the persisted
-    * form is materialized per block by [[graft.storage.BlockStore]]). */
+    * form is materialized per block by [[graft.storage.BlockStore]]).
+    * One row per series survives BEFORE the label-map explode: the key
+    * is a function of the label set (graft.functions.seriesKey), so
+    * every row of a series carries the same map and exploding all
+    * sample rows first would shuffle #samples/#series times the data
+    * for an identical result. */
   def fromSamples(samples: DataFrame): DataFrame =
     samples
+      .select(col("series_key"), col("labels"))
+      .dropDuplicates("series_key")
+      // map keys are unique, so the explode output is already one
+      // distinct row per (series, label pair) — no second shuffle
       .select(col("series_key"),
         explode(col("labels")).as(Seq("label_name", "label_value")))
-      .distinct()
 
   /** Series matched by one matcher, with the absent-label-is-empty rule
     * (`querier.go:331-396`): a matcher that matches "" also selects

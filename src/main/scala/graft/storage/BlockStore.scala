@@ -345,6 +345,18 @@ final class BlockStore(
       .write.mode(SaveMode.Append).parquet(headDictDir)
   }
 
+  /** Head truncation's series GC (reference `Head.gc`,
+    * `head.go:1036-1097`): a series that was registered without samples
+    * ([[registerSeries]]) disappears from label metadata once the head
+    * truncates — it has no chunks anywhere, so the reference drops its
+    * `memSeries` entry. Series that later gained a real block keep
+    * answering from that block's own index, so clearing the whole head
+    * dictionary is exactly the reference's post-truncation state. */
+  def truncateHead(): Unit = Manifest.withLock(root) {
+    scala.reflect.io.Directory(new java.io.File(headDictDir)).deleteRecursively()
+    ()
+  }
+
   /** Union of the live blocks' persisted inverted indexes (S12,
     * reference `index/index.go:140-147`): one `(label_name, label_value,
     * series_key)` row per label pair per series — the postings table

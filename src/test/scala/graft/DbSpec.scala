@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.matchers.{Eq, Matcher}
+
+/** The reference-user migration path: every `db.go` call site through
+  * the [[Db]] facade, one lifecycle end to end. */
+class DbSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def batch(rows: (String, Long, Double, Long, Map[String, String])*): DataFrame =
+    rows.toDF("series_key", "t", "v", "arrival", "labels")
+
+  test("open -> append -> query -> delete -> maintain -> snapshot lifecycle") {
+    val root = Files.createTempDirectory("graft-db").toString
+    val db = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))
+
+    // two committed txns -> two overlapping blocks in one range
+    db.appender(minValidTime = 0).add(batch(
+      ("a", 100, 1.0, 1, Map("name" -> "cpu", "host" -> "h1")),
+      ("b", 200, 2.0, 2, Map("name" -> "mem", "host" -> "h2")))).commit()
+    db.appender(minValidTime = 0).add(batch(
+      ("a", 500, 3.0, 3, Map("name" -> "cpu", "host" -> "h1")),
+      ("c", 150, 4.0, 4, Map("name" -> "cpu", "host" -> "h3")))).commit()
+    assert(db.blocks.size == 2) // [100,201) and [150,501): an overlap run
+
+    // matcher query resolves in the index; absent-label rule holds
+    assert(db.query(0, 1000, Eq("name", "cpu"))
+      .select("t").as[Long].collect().sorted.toSeq == Seq(100L, 150L, 500L))
+    assert(db.labelNames().as[String].collect().toSeq == Seq("host", "name"))
+    assert(db.labelValues("host").as[String].collect().toSeq == Seq("h1", "h2", "h3"))
+
+    // delete one series' window, then maintenance folds the overlap run
+    // and physically drops the tombstoned rows
+    db.delete(0, 250, Eq("host", "h2"))
+    assert(db.query(0, 1000).count() == 3)
+    val compactions = db.maintain()
+    assert(compactions >= 1)
+    assert(db.blocks.size == 1)
+    assert(db.query(0, 1000).count() == 3)
+    assert(db.query(0, 1000, Matcher.neq("host", "h1"))
+      .select("t").as[Long].collect().toSeq == Seq(150L))
+    assert(db.maintain() == 0) // idempotent: nothing left to do
+
+    // snapshot is an openable store with identical answers
+    val snap = Files.createTempDirectory("graft-db-snap").toString
+    db.snapshot(snap)
+    val db2 = Db.open(spark, snap, Db.Options(blockRangeMs = 10000L))
+    assert(db2.query(0, 1000).count() == 3)
+  }
+
+  test("rollback through the facade keeps series, drops samples (db.go:100-112)") {
+    val root = Files.createTempDirectory("graft-db-rb").toString
+    val db = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))
+    db.appender(minValidTime = 0).add(batch(
+      ("a", 100, 1.0, 1, Map("name" -> "cpu")))).commit()
+    db.appender(minValidTime = 0).add(batch(
+      ("b", 200, 2.0, 2, Map("name" -> "mem")))).rollback()
+    assert(db.labelValues("name").as[String].collect().toSeq == Seq("cpu", "mem"))
+    assert(db.query(0, 1000).count() == 1)
+  }
+}

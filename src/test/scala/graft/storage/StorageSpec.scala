@@ -456,7 +456,8 @@ class AppenderSpec extends SparkSuite {
   def labelled(rows: (String, Long, Double, Long, Map[String, String])*): DataFrame =
     rows.toDF("series_key", "t", "v", "arrival", "labels")
 
-  test("txn commit publishes accepted samples, rejects the rest (db.go:89-99)") {
+  test("txn commit publishes accepted samples, rejects the rest " +
+    "(db.go:89-99; TestDataAvailableOnlyAfterCommit db_test.go:112)") {
     val root = java.nio.file.Files.createTempDirectory("graft-txn-commit").toString
     val store = new BlockStore(root, blockRangeMs = 1000L)
     val id = Appender.txn(store, minValidTime = 0)
@@ -470,7 +471,8 @@ class AppenderSpec extends SparkSuite {
       Seq(100L, 200L))
   }
 
-  test("txn rollback keeps created series, drops samples (db.go:100-112)") {
+  test("txn rollback keeps created series, drops samples " +
+    "(db.go:100-112; TestDataNotAvailableAfterRollback db_test.go:141)") {
     val root = java.nio.file.Files.createTempDirectory("graft-txn-rb").toString
     val store = new BlockStore(root, blockRangeMs = 1000L)
     store.write(labelled(("a", 100, 1.0, 1, Map("name" -> "cpu", "host" -> "h1")))
@@ -495,6 +497,17 @@ class AppenderSpec extends SparkSuite {
     assert(store.postingsIndex(spark).where($"series_key" === "b").count() == 2)
     // double-close is refused
     assertThrows[IllegalArgumentException](txn.rollback())
+
+    // head truncation GCs sample-less registrations (head.go:1036-1097):
+    // a rolled-back-only series vanishes; block-backed series keep
+    // answering from their block index
+    Appender.txn(store, minValidTime = 0)
+      .add(labelled(("c", 400, 3.0, 3, Map("name" -> "disk")))).rollback()
+    assert(store.labelValues(spark, "name").as[String].collect().toSeq ==
+      Seq("cpu", "disk", "mem"))
+    store.truncateHead()
+    assert(store.labelValues(spark, "name").as[String].collect().toSeq ==
+      Seq("cpu", "mem"))
   }
 
   test("txn commit with nothing acceptable is a no-op (empty commit)") {
