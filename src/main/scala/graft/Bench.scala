@@ -36,7 +36,8 @@ object Bench {
     "q1_agg", "q3_join", "q5_join", "q_window_rank", "ts_select_eq",
     "ts_tombstone_delete", "ts_vertical_dedup", "ts_bucketed_dedup",
     "ts_lookback_delta", "ts_ooo_reject", "emb_cosine_topk",
-    "emb_rand_lsh_ann", "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh")
+    "emb_rand_lsh_ann", "emb_ivf_persisted",
+    "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

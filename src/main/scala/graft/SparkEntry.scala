@@ -656,6 +656,18 @@ object SparkEntry {
     "mm_decode_stats" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Tables.documents(s, dir)).toDF().orderBy("doc_id")),
 
+    // Frame sampling out of the binary container: every 2nd frame,
+    // sliced relationally (codegen binary substring, no UDF); the
+    // oracle re-slices the same bytes from the text the payload wraps.
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir), stride = 2)
+        .orderBy("doc_id", "frame_idx")),
+
+    // Deterministic resize stand-in (typed partition-parallel operator,
+    // the JNI/codec-binding shape): halved dims, every-2nd-byte media.
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeHalf(s, Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+
     // F1: native codegen'd series identity hash with exact byte parity
     // to the reference (labels/labels.go:61-71). Not SQL-expressible in
     // DuckDB -> deliberately rows-only (hash parity is unit-tested
@@ -1019,6 +1031,32 @@ object SparkEntry {
         | 640 + octet_length(encode(text)) % 128 AS width,
         | 360 + ascii(substr(text, 1, 1)) % 72 AS height,
         | 1 + ascii(substr(text, length(text), 1)) % 30 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // media bytes ARE the utf-8 text (ASCII by corpus construction), so
+    // the oracle re-slices frames with substr on the text
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  octet_length(encode(text)) AS media_len,
+        |  1 + ascii(substr(text, length(text), 1)) % 30 AS n_frames
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, media_len, n_frames,
+        |  media_len // n_frames AS frame_len,
+        |  unnest(range(0, n_frames, 2)) AS frame_idx FROM d)
+        |SELECT doc_id, frame_idx,
+        |  CASE WHEN frame_idx = n_frames - 1
+        |    THEN media_len - frame_idx * frame_len ELSE frame_len END AS frame_bytes,
+        |  md5(substr(text, CAST(frame_idx * frame_len + 1 AS INT),
+        |    CAST(CASE WHEN frame_idx = n_frames - 1
+        |      THEN media_len - frame_idx * frame_len ELSE frame_len END AS INT))) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // every-2nd-byte downsample == keep the first char of each pair
+    "mm_resize" ->
+      """SELECT doc_id,
+        | (640 + octet_length(encode(text)) % 128) // 2 AS width,
+        | (360 + ascii(substr(text, 1, 1)) % 72) // 2 AS height,
+        | 1 + ascii(substr(text, length(text), 1)) % 30 AS n_frames,
+        | octet_length(encode(regexp_replace(text, '(.).', '\1', 'g'))) AS byte_len,
+        | md5(regexp_replace(text, '(.).', '\1', 'g')) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q3_join" ->
       """SELECT o_orderkey,

@@ -96,4 +96,78 @@ object Multimodal {
         rows.map { case (id, bytes) => decode(id, bytes) }
       }
   }
+
+  /** Relational little-endian integer parse out of the binary payload
+    * (1-based byte offset): hex the slice, reverse the byte pairs, conv
+    * to decimal — all codegen'd string/binary ops, no UDF. */
+  private def leField(payload: Column, off: Int, n: Int): Column =
+    conv(
+      concat((n - 1 to 0 by -1).map { i =>
+        substring(hex(substring(payload, off, n)), 2 * i + 1, 2)
+      }: _*),
+      16, 10).cast("int")
+
+  /** Frame sampling — every `stride`-th frame of each container, sliced
+    * straight out of the binary column (video keyframe extraction
+    * shape). The media bytes split into `n_frames` fixed-size frames
+    * (floor division; the tail remainder rides the LAST frame). Fully
+    * relational: header fields parse via [[leField]], sampled indexes
+    * `explode(sequence(...))`, slices are binary `substring` — the plan
+    * stays in whole-stage codegen and never moves a payload byte it
+    * doesn't emit. A corrupt magic fails loudly per row
+    * (`raise_error`), like a decoder would. */
+  def frameSample(df: DataFrame, stride: Int = 2, textCol: String = "text"): DataFrame = {
+    val parsed = withPayload(df, textCol)
+      .select(col("doc_id"), col("payload"))
+      .withColumn("__magic_ok",
+        when(substring(col("payload"), 1, 4).cast("string") === Magic, lit(true))
+          .otherwise(raise_error(
+            concat(lit("bad magic for doc "), col("doc_id").cast("string")))))
+      .withColumn("n_frames", leField(col("payload"), 13, 2))
+      .withColumn("media_len", (octet_length(col("payload")) - HeaderLen).cast("long"))
+      .withColumn("frame_len", floor(col("media_len") / col("n_frames")).cast("long"))
+    parsed
+      .select(col("doc_id"), col("payload"), col("n_frames"), col("media_len"),
+        col("frame_len"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("frame_bytes",
+        when(col("frame_idx") === col("n_frames") - 1,
+          col("media_len") - col("frame_idx") * col("frame_len"))
+          .otherwise(col("frame_len")))
+      .withColumn("frame_md5",
+        md5(expr(s"substring(payload, cast($HeaderLen + frame_idx * frame_len + 1 as int), " +
+          "cast(frame_bytes as int))")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_bytes"), col("frame_md5"))
+  }
+
+  final case class Resized(
+      doc_id: Long, width: Int, height: Int, n_frames: Int,
+      byte_len: Long, payload_md5: String)
+
+  /** Deterministic stand-in for a native resize — STUB for the codec
+    * call, real for everything Spark owns: the typed partition-parallel
+    * operator decodes each container, "downsamples" by keeping every
+    * 2nd media byte (where FFmpeg/libjpeg would interpolate pixels),
+    * halves the header dims, and emits the new payload's length + md5.
+    * The bytes in → bytes out + typed meta shape, batch layout, and
+    * partition-level codec reuse are exactly what a JNI binding needs. */
+  def resizeHalf(spark: SparkSession, df: DataFrame): Dataset[Resized] = {
+    import spark.implicits._
+    withPayload(df)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5") // per partition
+        rows.map { case (id, bytes) =>
+          val m = decode(id, bytes)
+          val media = bytes.drop(HeaderLen)
+          val half = Array.tabulate((media.length + 1) / 2)(i => media(2 * i))
+          digest.reset()
+          Resized(id, m.width / 2, m.height / 2, m.n_frames,
+            half.length.toLong,
+            digest.digest(half).map("%02x".format(_)).mkString)
+        }
+      }
+  }
 }

@@ -87,6 +87,22 @@ class DedupSpec extends SparkSuite {
     assert(lsh.nonEmpty || exact.isEmpty)
   }
 
+  test("jaccard self-join reuses one exchange; minhash plan is lambda-free") {
+    val docs = Tables.documents(spark, sf)
+    // the two branches of the inverted-index self-join must dedupe into
+    // one ReusedExchange — at corpus scale the index build is the
+    // dominant cost and must not run twice
+    val jac = Dedup.ngramJaccardPairs(docs)
+    jac.collect() // AQE only materializes exchange reuse in the final plan
+    assert(jac.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      jac.queryExecution.executedPlan.toString.take(2000))
+    // the minhash pipeline stays inside whole-stage codegen: no
+    // higher-order-function lambdas (they evaluate interpreted)
+    val mh = Dedup.minhashLshPairs(docs)
+    val plan = mh.queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"), plan.take(2000))
+  }
+
   test("simhash of near-identical docs is close in hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -316,5 +332,43 @@ class TextStatsSpec extends SparkSuite {
     // a corrupted magic is rejected, proving the parser reads structure
     val bad = payload.clone(); bad(0) = 'X'.toByte
     intercept[IllegalArgumentException] { Multimodal.decode(7L, bad) }
+  }
+
+  test("frameSample slices sampled frames relationally, bytes verified against the model") {
+    import spark.implicits._
+    // "hello spark" -> media 11B, n_frames = 1 + 'k' % 30 = 1 + 107 % 30 = 18
+    // frame_len = 11 / 18 = 0: frames 0..16 empty, frame 17 carries all 11
+    val docs = Seq((7L, "hello spark"), (8L, "abcdef")).toDF("doc_id", "text")
+    val got = Multimodal.frameSample(docs, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    def md5(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got((7L, 0L)) == (0L, md5("")))
+    // doc 8: media "abcdef" 6B, n_frames = 1 + 'f'(102) % 30 = 13 ->
+    // frame_len 0, last frame idx 12 holds everything; stride 2 hits it
+    assert(got((8L, 12L)) == (6L, md5("abcdef")))
+    // a doc where frames are non-trivial: 26 chars, last char 'z'(122) ->
+    // n_frames = 1 + 122 % 30 = 3, frame_len 8, frames 0 and 2 sampled
+    val alpha = Seq((9L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
+    val g2 = Multimodal.frameSample(alpha, stride = 2)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getString(3)))).toMap
+    assert(g2(0L) == (8L, md5("abcdefgh")))
+    assert(g2(2L) == (10L, md5("qrstuvwxyz"))) // tail remainder rides the last frame
+    assert(!g2.contains(1L)) // stride skipped it
+  }
+
+  test("resizeHalf: halved dims, every-2nd-byte media, md5-verified") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello spark")).toDF("doc_id", "text")
+    val r = Multimodal.resizeHalf(spark, docs).collect().head
+    assert(r.width == (640 + 11 % 128) / 2)
+    assert(r.height == (360 + 'h'.toInt % 72) / 2)
+    assert(r.n_frames == 1 + 'k'.toInt % 30)
+    assert(r.byte_len == 6) // "hlosak".length
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("hlosak".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.payload_md5 == want)
   }
 }

@@ -120,5 +120,20 @@ class DbE2eSpec extends SparkSuite {
     store.compact(spark, store.manifest.blocks.map(_.blockId))
     assert(store.manifest.blocks.size == 1)
     check(rng, 6, "compacted")
+
+    // stage 5: a rolled-back append registers its series (visible to
+    // label metadata, zero samples) and must not perturb ANY sample
+    // query; head truncation then GCs it
+    val ghost = Map("a" -> "ghost", "instance" -> "localhost:9090", "job" -> "prometheus")
+    graft.ingest.Appender.txn(store, minValidTime = 0)
+      .add(toDf(Seq(ghost -> P(999999L, 0L, 1.0))).withColumnRenamed("sample_id", "arrival"))
+      .rollback()
+    assert(store.labelValues(spark, "a").as[String].collect().toSeq ==
+      Seq("b", "c", "ghost"))
+    assert(store.readRange(spark, 0, NumPoints * IntervalMs, Eq("a", "ghost")).count() == 0)
+    check(rng, 6, "rollback")
+    store.truncateHead()
+    assert(store.labelValues(spark, "a").as[String].collect().toSeq == Seq("b", "c"))
+    check(rng, 3, "truncated")
   }
 }
