@@ -114,12 +114,49 @@ object Appender {
       this
     }
 
+    private var stagedByRef: Option[DataFrame] = None
+
+    /** `AddFast` (`db.go:93-99`; `TestDBAppenderAddRef`,
+      * `db_test.go:164`): append samples by series ref alone — the
+      * canonical key IS the ref here — without re-shipping the label
+      * map. At commit the refs must already be known to the store (any
+      * block's index or a registered series); an unknown ref fails the
+      * commit loudly (the reference's `ErrNotFound`). This is the
+      * steady-state ingest shape at scale: label sets ship once when a
+      * series first appears, samples thereafter carry only the key. */
+    def addRef(samples: DataFrame): this.type = {
+      requireOpen()
+      stagedByRef = Some(stagedByRef.fold(samples)(_.unionByName(samples)))
+      this
+    }
+
     /** Publish accepted samples as one block; None when the txn staged
       * nothing acceptable (the reference commits empty txns as no-ops). */
     def commit(): Option[Long] = {
       requireOpen()
       closed = true
-      staged.flatMap { df =>
+      val resolved = stagedByRef.map { byRef =>
+        val spark = byRef.sparkSession
+        // rebuild the label maps from the store's index so the new
+        // block's dictionary stays complete (matcher queries must keep
+        // working when a block holds only by-ref samples)
+        val known = store.postingsIndex(spark)
+          .groupBy("series_key")
+          .agg(map_from_entries(
+            collect_list(struct(col("label_name"), col("label_value")))).as("labels"))
+        val withLabels = byRef.join(known, Seq("series_key"), "left")
+        val unknown = withLabels.where(col("labels").isNull)
+          .select("series_key").distinct().limit(5)
+          .collect().map(_.getString(0))
+        require(unknown.isEmpty,
+          s"addRef with unknown series refs (ErrNotFound): ${unknown.mkString(", ")}")
+        withLabels
+      }
+      val all = (staged, resolved) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
+      all.flatMap { df =>
         val ok = validate(df, minValidTime)
           .where(col("status") === "ok").drop("status")
           .withColumnRenamed("arrival", "sample_id")
