@@ -31,19 +31,30 @@ object Appender {
   /** Classify a batch. `samples` needs (series_key, t, v, arrival)
     * where `arrival` is the ingest order within the batch.
     * `baseline` (optional) is (series_key, max_t, last_v) from prior
-    * batches. */
+    * batches.
+    *
+    * `broadcastBaseline` gates the baseline join hint the same way
+    * [[BlockStore.broadcastLimit]] gates matched-series broadcasts: the
+    * baseline is ONE ROW PER SERIES, so at the 10⁸-series design point
+    * an unconditional hint forces a driver-side build that OOMs. Pass
+    * `false` (callers with a store at hand: when the manifest's series
+    * count exceeds `store.broadcastLimit`) to drop the hint and let AQE
+    * pick the join strategy from runtime sizes; the validation windows
+    * are unaffected either way. */
   def validate(
       samples: DataFrame,
       minValidTime: Long,
       baseline: Option[DataFrame] = None,
-      arrivalCol: String = "arrival"): DataFrame = {
+      arrivalCol: String = "arrival",
+      broadcastBaseline: Boolean = true): DataFrame = {
     val withBase = baseline match {
       case Some(b) =>
+        val base = b.select(
+          col("series_key").as("__bk"),
+          col("max_t").as("__base_t"),
+          col("last_v").as("__base_v"))
         samples.join(
-          broadcast(b.select(
-            col("series_key").as("__bk"),
-            col("max_t").as("__base_t"),
-            col("last_v").as("__base_v"))),
+          if (broadcastBaseline) broadcast(base) else base,
           col("series_key") === col("__bk"), "left")
           .drop("__bk")
       case None =>
@@ -157,10 +168,17 @@ object Appender {
         case (a, b) => a.orElse(b)
       }
       all.flatMap { df =>
+        // persist the validated frame: the emptiness probe and the
+        // store write are two actions over the same plan (the validate
+        // windows shuffle the whole staged union) — without the cache
+        // the pipeline runs twice (and addRef's postingsIndex join with
+        // it); mirrors BlockStore.write caching its own input
         val ok = validate(df, minValidTime)
           .where(col("status") === "ok").drop("status")
           .withColumnRenamed("arrival", "sample_id")
-        if (ok.isEmpty) None else Some(store.write(ok))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try { if (ok.isEmpty) None else Some(store.write(ok)) }
+        finally ok.unpersist()
       }
     }
 

@@ -38,7 +38,8 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
 
   /** Distinct word n-gram shingles of a text column (convenience; for
-    * hot paths prefer [[docShingles]], which binds the words first). */
+    * hot paths prefer the relational window-`lead` gram builder
+    * ([[gramRows]]), which stays inside whole-stage codegen). */
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromWords(words(text), n)
 
@@ -74,7 +75,7 @@ object Dedup {
     *
     * Built relationally — posexplode words, window-`lead` to form the
     * n-gram, hash, distinct-by aggregate — so every operator stays inside
-    * whole-stage codegen. The array/lambda route ([[docShingles]]) runs
+    * whole-stage codegen. The array/lambda route ([[shinglesFromWords]]) runs
     * the shingle transform interpreted, and worse, `explode` above it
     * makes the optimizer push an inferred `size(sh) > 0` filter into the
     * scan, substituting the whole shingle expression — inside an
@@ -213,7 +214,18 @@ object Dedup {
     * LSH-surviving few), intersecting locally: the full gram relation is
     * never re-shuffled per candidate (a candidate-constrained equi-join
     * back through the gram rows re-shuffles the whole index and loses to
-    * this at 10× scale). The signature arithmetic (28-bit [[wordHash]],
+    * this at 10× scale).
+    *
+    * The signature relation is PERSISTED (memory-and-disk): it has three
+    * consumers — banding, and both sides of the verification join — and
+    * without the persist each one re-runs the full gram window + the
+    * 17-column aggregate (the `collect_set` arrays make every recompute
+    * GC-heavy on top; this was a measured 2.7× regression at 10× scale).
+    * One cached copy is one row per doc — the cheapest relation in the
+    * pipeline — and exactly what a production minhash pipeline
+    * checkpoints between its banding and verification stages.
+    *
+    * The signature arithmetic (28-bit [[wordHash]],
     * linear perms mod [[MINHASH_MOD]]) is shared bit-for-bit with the
     * DuckDB oracle. */
   def minhashLshPairs(
@@ -234,6 +246,7 @@ object Dedup {
           min((lit(a) * col("__h") + lit(b)) % MINHASH_MOD).as(s"__m$i")
         }: _*)
       .withColumn("n_sh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates stay (band, i, j) only — the shingle arrays join back in
     // once per *candidate pair*, not per banded row
     val banded = sigs.select(

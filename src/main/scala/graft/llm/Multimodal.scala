@@ -114,16 +114,26 @@ object Multimodal {
     * relational: header fields parse via [[leField]], sampled indexes
     * `explode(sequence(...))`, slices are binary `substring` — the plan
     * stays in whole-stage codegen and never moves a payload byte it
-    * doesn't emit. A corrupt magic fails loudly per row
-    * (`raise_error`), like a decoder would. */
+    * doesn't emit.
+    *
+    * Input: a `payload` binary column when present (the served shape —
+    * payloads arrive encoded), else one is synthesized from `textCol`.
+    * A corrupt magic fails loudly per row: the check GATES the
+    * `n_frames` parse (a `when`/`raise_error` branch of the expression
+    * every downstream column consumes), so column pruning can never
+    * drop it — like a decoder erroring before it reports stream
+    * counts. Exercised with a corrupt payload in MultimodalSpec. */
   def frameSample(df: DataFrame, stride: Int = 2, textCol: String = "text"): DataFrame = {
-    val parsed = withPayload(df, textCol)
+    val withP =
+      if (df.columns.contains("payload")) df else withPayload(df, textCol)
+    val parsed = withP
       .select(col("doc_id"), col("payload"))
-      .withColumn("__magic_ok",
-        when(substring(col("payload"), 1, 4).cast("string") === Magic, lit(true))
+      .withColumn("n_frames",
+        when(substring(col("payload"), 1, 4).cast("string") === Magic,
+          leField(col("payload"), 13, 2))
           .otherwise(raise_error(
-            concat(lit("bad magic for doc "), col("doc_id").cast("string")))))
-      .withColumn("n_frames", leField(col("payload"), 13, 2))
+            concat(lit("bad magic for doc "), col("doc_id").cast("string")))
+            .cast("int")))
       .withColumn("media_len", (octet_length(col("payload")) - HeaderLen).cast("long"))
       .withColumn("frame_len", floor(col("media_len") / col("n_frames")).cast("long"))
     parsed

@@ -175,22 +175,54 @@ object Similarity {
   }
 
   /** IVF coarse assignment: nearest centroid (max cosine; ties -> lowest
-    * centroid id) per vector. Centroids broadcast. */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = broadcast(centroids.select(
-      col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
-      norm(col("embedding")).as("ct_nrm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("sim").desc, col("centroid_id"))
-    corpus
-      .withColumn("v_nrm", norm(col("embedding")))
-      .crossJoin(c)
-      .select(
-        col("vec_id"), col("centroid_id"),
-        round(cosinePre(col("embedding"), col("c_emb"), col("v_nrm"), col("ct_nrm")), 4).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    * centroid id) per vector.
+    *
+    * The centroid set is index metadata — driver-sized by definition
+    * (k ≈ hundreds even at 100 TB corpus scale; [[ivfWrite]] already
+    * `coalesce(1)`s it) — so it is collected once and INLINED into a
+    * per-row argmax expression: `array_max` over k `(sim, -id, id)`
+    * structs picks max-sim / lowest-id in one codegen-friendly pass.
+    * No join, no shuffle, no per-vector sort: the corpus is touched
+    * exactly once and the output stays partitioned like the input.
+    * (The previous shape — crossJoin + `row_number` window — shuffled
+    * corpus×k rows and sorted per vector: 256× the corpus at k=256.)
+    *
+    * Numeric parity: the centroid norm is computed driver-side with the
+    * same left-fold as [[norm]], so `sim` is bit-identical to the
+    * joined formulation and to the oracle. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignInlined(corpus, collectCentroids(centroids))
       .select("vec_id", "centroid_id", "sim")
+
+  /** Collect the (tiny, by construction) centroid table to the driver,
+    * ordered by id so tie-break folds deterministically. */
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Float])] =
+    centroids.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Per-row nearest-centroid over inlined centroid literals: appends
+    * `(centroid_id, sim)` to every corpus row with zero shuffles. The
+    * corpus norm is bound to a column first so it computes once per row,
+    * not once per centroid. */
+  private def assignInlined(corpus: DataFrame, cs: Seq[(Long, Seq[Float])]): DataFrame = {
+    require(cs.nonEmpty, "assignInlined needs at least one centroid")
+    val candidates = cs.map { case (cid, ce) =>
+      // same left-fold as norm(): bit-identical to the column form
+      val cNrm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      struct(
+        round(dot(col("embedding"), typedLit(ce)) / (col("__v_nrm") * lit(cNrm)), 4).as("sim"),
+        lit(-cid).as("neg_id"), // struct order: max sim, then lowest id
+        lit(cid).as("centroid_id"))
+    }
+    corpus
+      .withColumn("__v_nrm", norm(col("embedding")))
+      .withColumn("__best", array_max(array(candidates: _*)))
+      .withColumn("centroid_id", col("__best.centroid_id"))
+      .withColumn("sim", col("__best.sim"))
+      .drop("__v_nrm", "__best")
   }
 
   /** Embedding-cosine near-duplicate pairs: `(i, j, sim)` with i < j and
@@ -240,10 +272,10 @@ object Similarity {
 
   /** Train the IVF coarse quantizer with Lloyd's k-means in cosine
     * space (spherical k-means): one Spark pass per iteration —
-    * broadcast centroids → nearest-centroid assignment (same max-cosine
-    * rule as [[ivfAssign]]) → per-centroid per-dimension mean →
-    * renormalize. Only the k×dim centroid matrix ever touches the
-    * driver (tiny by construction); the per-dimension mean is a
+    * inlined-centroid per-row assignment (same max-cosine / lowest-id
+    * rule as [[ivfAssign]], zero shuffles) → per-centroid per-dimension
+    * mean → renormalize. Only the k×dim centroid matrix ever touches
+    * the driver (tiny by construction); the per-dimension mean is a
     * posexplode + hash aggregate, map-side combined, so the shuffle
     * carries k×dim partial sums per task, not vectors. Empty clusters
     * keep their previous centroid. Deterministic: init is the k corpus
@@ -275,10 +307,11 @@ object Similarity {
       .zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
 
     for (_ <- 0 until iters) {
-      val assigned = ivfAssign(corpus, toDf(centroids))
-        .select(col("vec_id"), col("centroid_id"))
-      val sums = corpus
-        .join(assigned, "vec_id")
+      // inlined per-row argmax: assignment adds (centroid_id) to each
+      // row with NO shuffle and no join-back (the embedding rides
+      // along), so each iteration is exactly one job with one k×dim
+      // aggregate shuffle (map-side combined)
+      val sums = assignInlined(corpus, centroids)
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
         .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
@@ -338,11 +371,10 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nprobe: Int = 2): DataFrame = {
-    val assign = ivfAssign(corpus, centroids)
-      .select(col("vec_id"), col("centroid_id"))
-    val listed = corpus
+    // the inlined assignment keeps the corpus columns, so the listed
+    // relation needs no join back on vec_id — one pass, no shuffle
+    val listed = assignInlined(corpus, collectCentroids(centroids))
       .withColumn("c_nrm", norm(col("embedding")))
-      .join(assign, "vec_id")
     scoreAndRank(listed, ivfProbes(centroids, queries, nprobe), k)
   }
 
@@ -358,8 +390,8 @@ object Similarity {
     centroids.select(col("vec_id"), col("embedding"))
       .coalesce(1) // k×dim — driver-sized by construction
       .write.mode("overwrite").parquet(s"$root/centroids")
-    corpus
-      .join(ivfAssign(corpus, centroids).select("vec_id", "centroid_id"), "vec_id")
+    assignInlined(corpus, collectCentroids(centroids))
+      .drop("sim")
       .withColumn("c_nrm", norm(col("embedding")))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$root/corpus")
   }

@@ -77,6 +77,19 @@ object Postings {
   /** Full select through the index: resolve matchers to a series set,
     * then touch the fact table once (semi-join + time clamp).
     *
+    * The index frame is consumed once per matcher branch (present +
+    * absent sides) plus the all-series universe — up to ~2×matchers
+    * subtrees. When it is DERIVED ad hoc ([[fromSamples]]: a full fact
+    * scan + per-series dedup shuffle), re-running that derivation per
+    * consumer is the dominant cost, so `select` materializes the index
+    * once with an eager `localCheckpoint` (executor-local, lineage
+    * severed — every branch reads the materialized rows, and the fact
+    * source is scanned exactly once more for the final semi-join;
+    * plan-asserted in PostingsSpec). The index is #series × #labels
+    * rows — the smallest relation in the query by construction. A
+    * store-persisted index (parquet dict) pays only a redundant small
+    * copy.
+    *
     * `broadcastKeys` hints the matched-series side for the common case
     * (#matched ≪ #samples). Pass `false` when the store's series count
     * makes the worst case (a broad matcher selecting everything)
@@ -90,8 +103,9 @@ object Postings {
       maxt: Long,
       broadcastKeys: Boolean,
       ms: Matcher*): DataFrame = {
-    val allSeries = postings.select("series_key").distinct()
-    val keys = seriesFor(postings, allSeries, ms)
+    val idx = postings.localCheckpoint()
+    val allSeries = idx.select("series_key").distinct()
+    val keys = seriesFor(idx, allSeries, ms)
     samples
       .join(if (broadcastKeys) broadcast(keys) else keys, Seq("series_key"), "left_semi")
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))

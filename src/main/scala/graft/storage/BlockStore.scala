@@ -314,6 +314,39 @@ final class BlockStore(
     withTombs.drop("block_id", "t_bucket")
   }
 
+  /** [[readRange]] with each series' label map re-attached — the
+    * reference's `Series.Labels()` (`querier.go:50-57`): storage is
+    * normalized (sample rows carry only the series key; label pairs
+    * live once per series in the postings index), so consumers doing
+    * per-label grouping downstream (the PromQL `by (label)` shape) get
+    * the map back from ONE pivot of the index — `map_from_entries` over
+    * a per-series collect, joined to the read once, broadcast-gated by
+    * the manifest's series count exactly like matcher semi-joins. The
+    * label-less series `"{}"` owns no index rows and surfaces an empty
+    * map, the reference's `labels.Labels{}`. */
+  def readRange(
+      spark: SparkSession,
+      mint: Long,
+      maxt: Long,
+      withLabels: Boolean,
+      matchers: Matcher*): DataFrame = {
+    val rows = readRange(spark, mint, maxt, matchers: _*)
+    if (!withLabels) rows
+    else {
+      val lab = postingsIndex(spark)
+        .groupBy("series_key")
+        .agg(map_from_entries(
+          collect_list(struct(col("label_name"), col("label_value")))).as("__lab"))
+      val totalSeries = manifest.blocks.map(_.numSeries).sum
+      val hinted = if (totalSeries <= broadcastLimit) broadcast(lab) else lab
+      rows.join(hinted, Seq("series_key"), "left")
+        .withColumn("labels",
+          org.apache.spark.sql.functions.coalesce(
+            col("__lab"), map().cast("map<string,string>")))
+        .drop("__lab")
+    }
+  }
+
   /** The all-series universe for matches-empty resolution: the index's
     * keys, plus — when a matcher matches "" (neq / notRe / empty-eq) —
     * the one key the index can't know, the label-less series `"{}"`
@@ -365,7 +398,13 @@ final class BlockStore(
     * the reference's head series map entries. */
   def postingsIndex(spark: SparkSession): DataFrame = {
     val ids = manifest.blocks.map(_.blockId)
-    require(ids.nonEmpty, s"block store at $root has no published blocks")
+    val hasHead = Files.isDirectory(Paths.get(headDictDir))
+    // a store whose only activity is a rolled-back txn has series but
+    // no blocks: serve the index from the head dictionary alone — the
+    // reference's fresh DB after Rollback still answers LabelNames /
+    // matcher resolution from its head series map (`db.go:100-112`)
+    require(ids.nonEmpty || hasHead,
+      s"block store at $root has no published blocks")
     // fail loudly rather than answer from a partial index: a block
     // written from label-less samples (e.g. a streaming sink) has no
     // postings, so label/matcher queries over this store are undefined
@@ -374,15 +413,17 @@ final class BlockStore(
     require(missing.isEmpty,
       s"store at $root has no label index for blocks ${missing.mkString(",")} " +
         "(written without a labels column); label/matcher queries unavailable")
-    val blocksIdx = spark.read.option("basePath", dictDir)
-      .parquet(ids.map(id => s"$dictDir/block_id=$id"): _*)
-      .select("label_name", "label_value", "series_key")
-    val withHead =
-      if (Files.isDirectory(Paths.get(headDictDir)))
-        blocksIdx.unionByName(spark.read.parquet(headDictDir)
+    val head =
+      if (hasHead)
+        Some(spark.read.parquet(headDictDir)
           .select("label_name", "label_value", "series_key"))
-      else blocksIdx
-    withHead.distinct()
+      else None
+    val blocksIdx =
+      if (ids.isEmpty) None
+      else Some(spark.read.option("basePath", dictDir)
+        .parquet(ids.map(id => s"$dictDir/block_id=$id"): _*)
+        .select("label_name", "label_value", "series_key"))
+    (blocksIdx ++ head).reduce(_ unionByName _).distinct()
   }
 
   /** The `(name, value)` dictionary view of [[postingsIndex]] — what

@@ -359,6 +359,31 @@ class TextStatsSpec extends SparkSuite {
     assert(!g2.contains(1L)) // stride skipped it
   }
 
+  test("frameSample consumes a pre-encoded payload column and rejects a corrupt magic") {
+    import spark.implicits._
+    // the served shape: payloads arrive already encoded — frameSample
+    // must use the column as-is, and the result must match the
+    // synthesized-from-text path byte for byte
+    val withP = Multimodal.withPayload(
+      Seq((9L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text"))
+    val fromPayload = Multimodal.frameSample(withP, stride = 2)
+      .collect().map(_.toSeq).toSeq
+    val fromText = Multimodal.frameSample(withP.drop("payload"), stride = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(fromPayload == fromText && fromPayload.nonEmpty)
+
+    // a corrupt magic fails loudly: the check gates the n_frames parse,
+    // so column pruning cannot drop it (ADVICE r4: the old standalone
+    // __magic_ok column was pruned away and never fired)
+    val bad = withP.withColumn("payload",
+      concat(lit("XXXX".getBytes("US-ASCII")),
+        expr("substring(payload, 5, octet_length(payload) - 4)")))
+    val e = intercept[Throwable] { Multimodal.frameSample(bad, stride = 2).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("bad magic for doc 9")), chain(e).mkString(" | "))
+  }
+
   test("resizeHalf: halved dims, every-2nd-byte media, md5-verified") {
     import spark.implicits._
     val docs = Seq((7L, "hello spark")).toDF("doc_id", "text")
