@@ -71,8 +71,8 @@ object SparkEntry {
     * identical double) and summed with list_reduce, the same
     * left-to-right fold as Spark's `aggregate` — so the sign, and hence
     * the bucket, is bit-identical on both engines. */
-  private def planeBucketSql(e: String): String =
-    Similarity.randomPlanes(EMB_DIM, RAND_LSH_BITS, RAND_LSH_SEED).zipWithIndex
+  private def planeBucketSql(e: String, seed: Long = RAND_LSH_SEED): String =
+    Similarity.randomPlanes(EMB_DIM, RAND_LSH_BITS, seed).zipWithIndex
       .map { case (p, i) =>
         val arr = p.map(java.lang.Double.toString).mkString("[", ",", "]")
         val dot = s"list_reduce(list_transform(generate_series(1, $EMB_DIM), " +
@@ -160,6 +160,20 @@ object SparkEntry {
     }
   }
 
+  /** The single-block store behind `ts_select_labelled`: the full events
+    * table written once (postings index included). Idempotent — reused
+    * when the manifest already holds exactly that block. */
+  private def labelledStore(s: SparkSession, dir: String): BlockStore = {
+    val store = reusableStore("labelled", dir, 7 * DAY)
+    if (store.manifest.blocks.map(_.blockId) == Seq(1L)) store
+    else {
+      store.destroy(s)
+      val fresh = reusableStore("labelled", dir, 7 * DAY)
+      fresh.write(TsdbSource.events(s, dir).samples)
+      fresh
+    }
+  }
+
   /** The persisted IVF layout behind `emb_ivf_persisted`: the
     * embeddings corpus assigned once to the 8 fixed centroids and
     * written partitionBy(centroid_id). Idempotent via a marker file. */
@@ -184,6 +198,7 @@ object SparkEntry {
     * build and query cost. */
   def setup: Map[String, (SparkSession, String) => Unit] = Map(
     "ts_bucketed_dedup" -> ((s, dir) => { bucketedDedupStore(s, dir); () }),
+    "ts_select_labelled" -> ((s, dir) => { labelledStore(s, dir); () }),
     "emb_ivf_persisted" -> ((s, dir) => { ivfLayout(s, dir); () }))
 
   /** DuckDB CTE shared by the storage-semantics oracles: the events table
@@ -325,6 +340,21 @@ object SparkEntry {
         .select(col("sample_id"), col("series_key"), col("t"), col("v"))
         .orderBy("sample_id")
     }),
+
+    // A6 (reference Series.Labels(), querier.go:50-57): a store read
+    // with each series' label MAP re-attached from the postings index —
+    // the input shape of any downstream per-label grouping (PromQL
+    // `by (label)`). The map itself isn't hash-comparable across
+    // engines, so the oracle checks label-derived columns.
+    "ts_select_labelled" -> ((s, dir) =>
+      labelledStore(s, dir)
+        .readRange(s, MINT, MAXT, withLabels = true, Eq("name", "click"))
+        .select(
+          col("sample_id"), col("series_key"), col("t"), col("v"),
+          element_at(col("labels"), "user").as("l_user"),
+          coalesce(element_at(col("labels"), "vip"), lit("")).as("l_vip"),
+          size(col("labels")).as("n_labels"))
+        .orderBy("sample_id")),
 
     // U2/U3: vertical merge of overlapping blocks — later block wins on
     // duplicate (series, t). Block 2 re-ingests [d7, d11) with v+100.
@@ -577,6 +607,18 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // The multi-table recall path, oracle-checked: candidates collide
+    // in EITHER of 2 independent plane sets (seed, seed+1) — the union
+    // that buys recall back at high `bits`. The Spark side explodes
+    // both tables and dedups pairs; the oracle expresses the same set
+    // as an OR of two bit-exact bucket equalities.
+    "emb_rand_lsh_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hyperplaneLshTopK(emb, emb.where(col("vec_id") < 5),
+          k = 3, dim = EMB_DIM, bits = RAND_LSH_BITS, tables = 2, seed = RAND_LSH_SEED)
+        .orderBy("q_id", "rank")
+    }),
+
     // Near-dup pairs through the scale path: random-hyperplane buckets
     // (bits free of the embedding layout) instead of the capped 4-bit
     // signBucket of emb_cosine_neardup. Single table so the oracle stays
@@ -600,6 +642,24 @@ object SparkEntry {
           array_min(col("codes")).as("min_code"),
           array_max(col("codes")).as("max_code"))
         .orderBy("vec_id")),
+
+    // Spherical k-means training, numerics cross-checked: 2 Lloyd
+    // iterations from an explicit init (vec_id < 4 — seeded-hash init
+    // order isn't SQL-expressible, an init frame is). Output digests
+    // the trained centroids the same way emb_quantize digests codes.
+    "emb_kmeans_fit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.kmeansFit(emb, k = 4, iters = 2,
+          init = Some(emb.where(col("vec_id") < 4)))
+        .select(
+          col("vec_id").as("centroid_id"),
+          aggregate(
+            transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")),
+            lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("dim_hash"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("dim1"),
+          round(element_at(col("embedding"), EMB_DIM).cast("double"), 4).as("dim64"))
+        .orderBy("centroid_id")
+    }),
 
     // IVF coarse quantizer: nearest-centroid assignment of the corpus.
     "emb_ivf_assign" -> ((s, dir) => {
@@ -725,6 +785,44 @@ object SparkEntry {
        |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** One Lloyd iteration in DuckDB, numerics aligned with
+    * [[Similarity.kmeansFit]] step by step: assignment = max cosine
+    * rounded 4dp with lowest-id tie-break (same as `assignInlined`);
+    * per-dimension mean in double; renormalized dims pass through a
+    * REAL (float32) cast exactly where the Scala side calls
+    * `.toFloat` — so both engines carry identical float bits into the
+    * next iteration's sim. `prev` is a CTE of (cid, ce DOUBLE list);
+    * emits CTEs `a_<out>`, `m_<out>`, `<out>`. */
+  private def kmeansIterSql(prev: String, out: String): String =
+    s"""a_$out AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e, $prev c) WHERE rn = 1),
+       |m_$out AS (SELECT cid, r.range AS pos,
+       |    sum(CAST(e.embedding[r.range] AS DOUBLE)) / count(*) AS mu
+       |  FROM embeddings e JOIN a_$out USING (vec_id), range(1, ${EMB_DIM + 1}) r
+       |  GROUP BY cid, r.range),
+       |$out AS (SELECT cid, list_transform(dims,
+       |    x -> CAST(CAST(x / sqrt(list_sum(list_transform(dims, y -> y * y))) AS REAL) AS DOUBLE)) AS ce
+       |  FROM (SELECT cid, list(mu ORDER BY pos) AS dims FROM m_$out GROUP BY cid))""".stripMargin
+
+  /** 2 Lloyd iterations from the explicit init (vec_id < 4), centroids
+    * digested like `emb_quantize` digests codes. */
+  private lazy val kmeansFitSql: String =
+    s"""WITH c0 AS (SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id < 4),
+       |${kmeansIterSql("c0", "c1")},
+       |${kmeansIterSql("c1", "c2")}
+       |SELECT cid AS centroid_id,
+       |  list_reduce([0::BIGINT] || list_transform(ce,
+       |    x -> CAST(round(x * 10000) AS BIGINT)),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS dim_hash,
+       |  round(ce[1], 4) AS dim1,
+       |  round(ce[$EMB_DIM], 4) AS dim64
+       |FROM c2 ORDER BY centroid_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -794,6 +892,15 @@ object SparkEntry {
         |ORDER BY n DESC, label_name, label_value LIMIT 10""".stripMargin,
     "ts_select_multi" -> tsSelectSql(
       "event_type = 'click' AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*') AND NOT (user_id % 10 = 0)"),
+    "ts_select_labelled" ->
+      s"""SELECT event_id AS sample_id, $seriesKeySql AS series_key,
+         | epoch_ms(ts) AS t, value AS v,
+         | CAST(user_id AS VARCHAR) AS l_user,
+         | CASE WHEN user_id % 10 = 0 THEN '1' ELSE '' END AS l_vip,
+         | CASE WHEN user_id % 10 = 0 THEN 3 ELSE 2 END AS n_labels
+         |FROM events
+         |WHERE epoch_ms(ts) BETWEEN $MINT AND $MAXT AND event_type = 'click'
+         |ORDER BY sample_id""".stripMargin,
     "ts_select_postings" -> tsSelectSql(
       "event_type = 'click' AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*') AND NOT (user_id % 10 = 0)"),
     "ts_vertical_dedup" ->
@@ -984,6 +1091,19 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "emb_rand_lsh_multi" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+         |  ${cosineSql("q.q_emb", "c.embedding")} AS sim
+         |  FROM embeddings c, q WHERE c.vec_id != q.q_id
+         |    AND (${planeBucketSql("c.embedding")} = ${planeBucketSql("q.q_emb")}
+         |      OR ${planeBucketSql("c.embedding", RAND_LSH_SEED + 1)} = ${planeBucketSql("q.q_emb", RAND_LSH_SEED + 1)}))
+         |SELECT q_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "emb_kmeans_fit" -> kmeansFitSql,
     "emb_ivf_search" -> ivfSearchSql,
     "emb_ivf_persisted" -> ivfSearchSql,
     "emb_rand_neardup" ->

@@ -279,7 +279,10 @@ object Similarity {
     * posexplode + hash aggregate, map-side combined, so the shuffle
     * carries k×dim partial sums per task, not vectors. Empty clusters
     * keep their previous centroid. Deterministic: init is the k corpus
-    * vectors with the smallest seeded hash.
+    * vectors with the smallest seeded hash — or, when `init` is given,
+    * its vectors in vec_id order (the SQL-expressible form a
+    * cross-engine oracle needs: seeded-hash order is engine-specific,
+    * an explicit init frame is not).
     *
     * Returns `(vec_id = centroid_id, embedding)` shaped for
     * [[ivfAssign]]/[[ivfTopK]].
@@ -288,7 +291,8 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       iters: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      init: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -296,15 +300,21 @@ object Similarity {
       cs.toDF("vec_id", "embedding")
 
     // seeded deterministic init: k distinct corpus vectors by hash order
-    var centroids: Seq[(Long, Seq[Float])] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("__h", xxhash64(col("vec_id"), lit(seed)))
-      .orderBy("__h")
-      .limit(k)
-      .select("vec_id", "embedding")
-      .as[(Long, Seq[Float])]
-      .collect().toSeq
-      .zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+    var centroids: Seq[(Long, Seq[Float])] = init match {
+      case Some(df) =>
+        val cs = collectCentroids(df)
+        require(cs.size == k, s"init has ${cs.size} vectors, expected k=$k")
+        cs.zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+      case None => corpus
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("__h", xxhash64(col("vec_id"), lit(seed)))
+        .orderBy("__h")
+        .limit(k)
+        .select("vec_id", "embedding")
+        .as[(Long, Seq[Float])]
+        .collect().toSeq
+        .zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+    }
 
     for (_ <- 0 until iters) {
       // inlined per-row argmax: assignment adds (centroid_id) to each

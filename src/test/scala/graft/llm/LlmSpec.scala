@@ -223,6 +223,15 @@ class SimilaritySpec extends SparkSuite {
         dim = 64, bits = 3, tables = 10, seed = 42L)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert((exact & more).size >= (exact & approx).size)
+
+    // at the emb_rand_lsh_multi oracle config (bits=6, seed=7): the
+    // 2-table union's recall@3 is >= the single table's
+    val exact3 = Similarity.cosineTopK(emb, queries, k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def at(tables: Int) = Similarity.hyperplaneLshTopK(emb, queries, k = 3,
+        dim = 64, bits = 6, tables = tables, seed = 7L)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact3 & at(2)).size >= (exact3 & at(1)).size)
   }
 
   test("int8 quantization: codes bounded, max magnitude hits 127, cosine preserved to quant error") {

@@ -510,6 +510,43 @@ class AppenderSpec extends SparkSuite {
       Seq("cpu", "mem"))
   }
 
+  test("a store whose only activity is a rolled-back txn answers label queries " +
+    "from the head dictionary (db.go:100-112: fresh DB after Rollback)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-headonly").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    Appender.txn(store, minValidTime = 0)
+      .add(labelled(("x", 100, 1.0, 1, Map("name" -> "cpu", "host" -> "h9"))))
+      .rollback()
+    // no published blocks — the postings index serves from the head dict
+    assert(store.manifest.blocks.isEmpty)
+    assert(store.labelNames(spark).as[String].collect().toSeq == Seq("host", "name"))
+    assert(store.labelValues(spark, "name").as[String].collect().toSeq == Seq("cpu"))
+    // addRef resolves against the head-registered series instead of
+    // failing with "no published blocks"
+    val id = Appender.txn(store, minValidTime = 0)
+      .addRef(batch(("x", 200, 2.0, 1)))
+      .commit()
+    assert(id.nonEmpty)
+    assert(store.readRange(spark, 0, 5000, graft.matchers.Eq("name", "cpu")).count() == 1)
+  }
+
+  test("baseline broadcast hint is gated: broadcastBaseline=false leaves the strategy to the planner") {
+    val baseline = Seq(("s", 100L, 9.0)).toDF("series_key", "max_t", "last_v")
+    val b = batch(("s", 150, 2.0, 1), ("s", 160, 3.0, 2))
+    def planOf(broadcastHint: Boolean): String = {
+      val df = Appender.validate(b, 0, Some(baseline), broadcastBaseline = broadcastHint)
+      df.queryExecution.sparkPlan.toString
+    }
+    // with auto-broadcast disabled, only the explicit hint can produce a
+    // broadcast join — proving the gate controls the plan, not size luck
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(planOf(true).contains("BroadcastHashJoin"), planOf(true).take(2000))
+      assert(!planOf(false).contains("BroadcastHashJoin"), planOf(false).take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("txn commit with nothing acceptable is a no-op (empty commit)") {
     val root = java.nio.file.Files.createTempDirectory("graft-txn-empty").toString
     val store = new BlockStore(root, blockRangeMs = 1000L)
