@@ -216,14 +216,19 @@ object Dedup {
     * back through the gram rows re-shuffles the whole index and loses to
     * this at 10× scale).
     *
-    * The signature relation is PERSISTED (memory-and-disk): it has three
-    * consumers — banding, and both sides of the verification join — and
-    * without the persist each one re-runs the full gram window + the
-    * 17-column aggregate (the `collect_set` arrays make every recompute
-    * GC-heavy on top; this was a measured 2.7× regression at 10× scale).
-    * One cached copy is one row per doc — the cheapest relation in the
-    * pipeline — and exactly what a production minhash pipeline
-    * checkpoints between its banding and verification stages.
+    * The signature relation is MATERIALIZED ONCE (eager
+    * `localCheckpoint`): it has three consumers — banding, and both
+    * sides of the verification join — and without the materialization
+    * each one re-runs the full gram window + the 17-column aggregate
+    * (the `collect_set` arrays make every recompute GC-heavy on top;
+    * this was a measured 2.7× regression at 10× scale). One copy is one
+    * row per doc — the cheapest relation in the pipeline — and exactly
+    * what a production minhash pipeline checkpoints between its banding
+    * and verification stages. `localCheckpoint` rather than `persist`:
+    * a CacheManager entry is keyed by the canonicalized plan and
+    * outlives the query, so repeated invocations would silently serve
+    * the first run's cache; the checkpoint is scoped to this call and
+    * GC-reclaimed with it.
     *
     * The signature arithmetic (28-bit [[wordHash]],
     * linear perms mod [[MINHASH_MOD]]) is shared bit-for-bit with the
@@ -246,7 +251,7 @@ object Dedup {
           min((lit(a) * col("__h") + lit(b)) % MINHASH_MOD).as(s"__m$i")
         }: _*)
       .withColumn("n_sh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // candidates stay (band, i, j) only — the shingle arrays join back in
     // once per *candidate pair*, not per banded row
     val banded = sigs.select(

@@ -44,51 +44,69 @@ object Postings {
       .select(col("series_key"),
         explode(col("labels")).as(Seq("label_name", "label_value")))
 
-  /** Series matched by one matcher, with the absent-label-is-empty rule
+  /** `PostingsForMatchers` with the absent-label-is-empty rule
     * (`querier.go:331-396`): a matcher that matches "" also selects
     * every series without the label.
     *
-    * Completeness caveat: `allSeries` must list every series in the
-    * store. The postings index only knows series with ≥1 label, which
-    * in the canonical key scheme means every key except the label-less
-    * `"{}"` — callers that must honor the reference's absent-label rule
-    * for it (reference test `TestNotMatcherSelectsLabelsUnsetSeries`,
-    * `db_test.go:1165`) union a literal `"{}"` row into `allSeries`
-    * ([[graft.storage.BlockStore.readRange]] does): selecting it is a
-    * no-op when no such series exists, and exactly right when it does. */
-  def seriesForOne(postings: DataFrame, allSeries: DataFrame, m: Matcher): DataFrame = {
-    val p = postings.where(col("label_name") === m.name)
-    val present = p
-      .where(Matcher.toColumn(m, _ => col("label_value")))
+    * The whole conjunction resolves in ONE aggregate pass over the
+    * index — per series, per matcher, two map-side-combinable bits:
+    * did any of the label's values match, and does the series carry the
+    * label at all — then one predicate row per series:
+    * `matched_i OR (matches-empty_i AND !has_i)` ANDed across matchers.
+    * This replaces the earlier per-matcher subtree chain (present
+    * branch + anti-join absent branch + semi-join intersect per
+    * matcher: ~2×matchers consumers of the index and as many shuffles);
+    * the aggregate touches the index once and shuffles #series rows,
+    * whatever the matcher count. J1 intersect = the AND; J2 merge =
+    * the OR; J3 without = the `!has` bit.
+    *
+    * Completeness caveat: the postings index only knows series with ≥1
+    * label — in the canonical key scheme, every key except the
+    * label-less `"{}"`. Series present in `allSeries` but absent from
+    * the index carry no labels, so they match exactly when EVERY
+    * matcher matches "" (reference test
+    * `TestNotMatcherSelectsLabelsUnsetSeries`, `db_test.go:1165`);
+    * that one branch is the only second consumer of the index, and it
+    * is statically skipped whenever some matcher demands a value.
+    * Callers union a literal `"{}"` row into `allSeries`
+    * ([[graft.storage.BlockStore.readRange]] does). */
+  def seriesFor(postings: DataFrame, allSeries: DataFrame, ms: Seq[Matcher]): DataFrame = {
+    if (ms.isEmpty) return allSeries
+    val aggs = ms.zipWithIndex.flatMap { case (m, i) =>
+      Seq(
+        max(when(col("label_name") === m.name &&
+          Matcher.toColumn(m, _ => col("label_value")), 1).otherwise(0)).as(s"__match_$i"),
+        max(when(col("label_name") === m.name, 1).otherwise(0)).as(s"__has_$i"))
+    }
+    val pred = ms.zipWithIndex.map { case (m, i) =>
+      if (m.matchesValue("")) col(s"__match_$i") === 1 || col(s"__has_$i") === 0
+      else col(s"__match_$i") === 1
+    }.reduce(_ && _)
+    val fromIndex = postings
+      .groupBy("series_key").agg(aggs.head, aggs.tail: _*)
+      .where(pred)
       .select("series_key")
-    if (m.matchesValue("")) {
-      val withLabel = p.select("series_key")
-      val absent = allSeries.join(withLabel, Seq("series_key"), "left_anti")
-      present.unionByName(absent).distinct() // J2 merge of both branches
-    } else present.distinct()
+    if (ms.forall(_.matchesValue("")))
+      fromIndex.unionByName(
+        allSeries.join(postings.select("series_key"), Seq("series_key"), "left_anti"))
+    else fromIndex
   }
-
-  /** `PostingsForMatchers`: conjunction = J1 intersect = semi-join chain. */
-  def seriesFor(postings: DataFrame, allSeries: DataFrame, ms: Seq[Matcher]): DataFrame =
-    ms.map(seriesForOne(postings, allSeries, _))
-      .reduceOption((a, b) => a.join(b, Seq("series_key"), "left_semi"))
-      .getOrElse(allSeries)
 
   /** Full select through the index: resolve matchers to a series set,
     * then touch the fact table once (semi-join + time clamp).
     *
-    * The index frame is consumed once per matcher branch (present +
-    * absent sides) plus the all-series universe — up to ~2×matchers
-    * subtrees. When it is DERIVED ad hoc ([[fromSamples]]: a full fact
-    * scan + per-series dedup shuffle), re-running that derivation per
-    * consumer is the dominant cost, so `select` materializes the index
-    * once with an eager `localCheckpoint` (executor-local, lineage
-    * severed — every branch reads the materialized rows, and the fact
-    * source is scanned exactly once more for the final semi-join;
-    * plan-asserted in PostingsSpec). The index is #series × #labels
-    * rows — the smallest relation in the query by construction. A
-    * store-persisted index (parquet dict) pays only a redundant small
-    * copy.
+    * [[seriesFor]] consumes the index exactly once (one aggregate), so
+    * even an index DERIVED ad hoc ([[fromSamples]]: a full fact scan +
+    * per-series dedup shuffle) is derived exactly once with no
+    * materialization step — the whole select is one job: derive →
+    * aggregate → broadcast → fact probe; the fact source appears twice
+    * in the plan (the derivation scan, column-pruned to the key +
+    * labels, and the time-clamped probe) and no more, plan-asserted in
+    * PostingsSpec. The one multi-consumer shape — every matcher
+    * matches "" — re-derives the small index a second time for the
+    * universe anti-join; callers on that path hold a persisted dict
+    * ([[graft.storage.BlockStore.postingsIndex]]) where the re-scan is
+    * a parquet re-read of #series × #labels rows.
     *
     * `broadcastKeys` hints the matched-series side for the common case
     * (#matched ≪ #samples). Pass `false` when the store's series count
@@ -103,9 +121,8 @@ object Postings {
       maxt: Long,
       broadcastKeys: Boolean,
       ms: Matcher*): DataFrame = {
-    val idx = postings.localCheckpoint()
-    val allSeries = idx.select("series_key").distinct()
-    val keys = seriesFor(idx, allSeries, ms)
+    val allSeries = postings.select("series_key").distinct()
+    val keys = seriesFor(postings, allSeries, ms)
     samples
       .join(if (broadcastKeys) broadcast(keys) else keys, Seq("series_key"), "left_semi")
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))

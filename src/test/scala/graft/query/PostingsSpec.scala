@@ -61,17 +61,17 @@ class PostingsSpec extends SparkSuite {
       plan.take(2000))
   }
 
-  test("ad-hoc index derives once: a multi-matcher select scans the source exactly once") {
-    // the 3-matcher conjunction consumes the index ~6× (present/absent
-    // branches + all-series); select() materializes the derived index
-    // with localCheckpoint, so the parquet source must appear in the
-    // final plan exactly once — the fact-table semi-join probe
+  test("multi-matcher select scans the source exactly twice: derive once, probe once") {
+    // seriesFor resolves the whole 3-matcher conjunction in ONE
+    // aggregate over the index, so the fact source appears in the plan
+    // exactly twice — the index derivation scan (key + labels only) and
+    // the time-clamped semi-join probe — no matter how many matchers
     val df = Postings.select(
       samples, postings, T0, HI,
       Eq("name", "click"), Re("user", "1.*"), Matcher.neq("vip", "1"))
     val plan = df.queryExecution.executedPlan.toString
     val scans = "FileScan".r.findAllIn(plan).size
-    assert(scans == 1, s"expected 1 FileScan, got $scans:\n${plan.take(3000)}")
+    assert(scans == 2, s"expected 2 FileScans, got $scans:\n${plan.take(3000)}")
     assert(df.count() > 0)
   }
 }

@@ -52,15 +52,23 @@ for t in tables:
     if os.path.exists(p):
         con2.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+# best-of-2, mirroring graft.Bench's methodology on the Spark side: a
+# single pass carries page-cache / first-touch luck, and comparing a
+# best-of-2 Spark number against a single-pass oracle number makes the
+# cross-system ratio partly a methodology artifact
+def time_once(sql):
+    t0 = time.time()
+    con2.sql(sql).df()
+    return round(time.time() - t0, 4)
+
 out = {}
 for name in sorted(names or oracle.keys()):
     if name not in oracle:
         continue
-    t0 = time.time()
     try:
-        con2.sql(oracle[name]).df()
-        out[name] = round(time.time() - t0, 4)
+        out[name] = min(time_once(oracle[name]), time_once(oracle[name]))
     except Exception as e:
         out[name] = f"error: {type(e).__name__}"
     print(f"{name:26s} {out[name]}")
-print(json.dumps({"oracle_sec": out, "sf": sf_dir, "x10": x10}))
+print(json.dumps({"oracle_sec": out, "sf": sf_dir, "x10": x10,
+                  "passes": "best-of-2"}))
