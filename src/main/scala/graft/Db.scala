@@ -47,6 +47,12 @@ final class Db private (
   def query(mint: Long, maxt: Long, matchers: Matcher*): DataFrame =
     store.readRange(spark, mint, maxt, matchers: _*)
 
+  /** [[query]] with each series' label map attached — the reference's
+    * `Series.Labels()` (`querier.go:50-57`); the map comes from one
+    * pivot of the postings index, not from sample rows. */
+  def query(mint: Long, maxt: Long, withLabels: Boolean, matchers: Matcher*): DataFrame =
+    store.readRange(spark, mint, maxt, withLabels, matchers: _*)
+
   def labelNames(): DataFrame = store.labelNames(spark)
   def labelValues(name: String): DataFrame = store.labelValues(spark, name)
 

@@ -30,6 +30,10 @@ class DbSpec extends SparkSuite {
     // matcher query resolves in the index; absent-label rule holds
     assert(db.query(0, 1000, Eq("name", "cpu"))
       .select("t").as[Long].collect().sorted.toSeq == Seq(100L, 150L, 500L))
+    // Series.Labels(): the withLabels read re-attaches the full map
+    assert(db.query(0, 1000, withLabels = true, Eq("host", "h3"))
+      .select("labels").as[Map[String, String]].head() ==
+      Map("name" -> "cpu", "host" -> "h3"))
     assert(db.labelNames().as[String].collect().toSeq == Seq("host", "name"))
     assert(db.labelValues("host").as[String].collect().toSeq == Seq("h1", "h2", "h3"))
 
