@@ -245,6 +245,12 @@ object Bench {
     // LabelSets.readJson -> 100 scrapes @ 30s each -> Appender.validate
     // -> one durable BlockStore.write (1M samples, labels indexed).
     var labelSetStatus = "ok"
+    // bytes/sample on the regular-interval corpus — the regime the
+    // reference's ~1.37 B/sample Gorilla target is stated for (30s
+    // scrapes: delta-of-delta ≈ 0 bits; our DELTA_BINARY_PACKED v2
+    // pages collapse the same way, unlike the irregular events corpus
+    // above where inter-arrival deltas genuinely cost ~20 bits)
+    var bytesPerSampleLabelSets = 0.0
     val writeRpsLabelSets: Double = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-ls-bench-")
       try {
@@ -279,6 +285,7 @@ object Bench {
         val meta = store.manifest.blocks.find(_.blockId == id).get
         require(meta.numSamples == 10000L * scrapes && meta.numSeries == 10000L,
           s"labelsets ingest wrote ${meta.numSamples} samples / ${meta.numSeries} series")
+        bytesPerSampleLabelSets = meta.bytes.toDouble / meta.numSamples
         meta.numSamples / sec
       } catch {
         case e: Throwable =>
@@ -307,6 +314,7 @@ object Bench {
       s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,""" +
       s""""bytes_per_sample":$bytesPerSample,""" +
       s""""write_rows_per_sec_labelsets":$writeRpsLabelSets,""" +
+      s""""bytes_per_sample_labelsets":$bytesPerSampleLabelSets,""" +
       s""""labelsets_status":"$labelSetStatus",""" +
       s""""store_status":"$storeStatus","sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
@@ -329,6 +337,7 @@ object Bench {
         s""""write_rows_per_sec":${ms(writeRps)},"compact_sec":${ms(compactSec)},""" +
         s""""bytes_per_sample":${ms(bytesPerSample)},""" +
         s""""write_rows_per_sec_labelsets":${ms(writeRpsLabelSets)},""" +
+        s""""bytes_per_sample_labelsets":${ms(bytesPerSampleLabelSets)},""" +
         (if (labelSetStatus != "ok") s""""labelsets_status":"$labelSetStatus",""" else "") +
         s""""store_status":"$storeStatus","sf":"$sfDir","detail":"$detailPath"}"""
     }

@@ -113,6 +113,7 @@ final class BlockStore(
              |  sample_id BIGINT, series_key STRING, t BIGINT, v DOUBLE,
              |  block_id BIGINT, t_bucket BIGINT)
              |USING PARQUET
+             |OPTIONS (${BlockStore.parquetOptionsSql})
              |PARTITIONED BY (block_id, t_bucket)
              |CLUSTERED BY (series_key) SORTED BY (series_key, t)
              |INTO $seriesBuckets BUCKETS
@@ -210,6 +211,7 @@ final class BlockStore(
             .select(col("series_key"),
               explode(col("labels")).as(Seq("label_name", "label_value")))
             .write.mode(SaveMode.Overwrite)
+            .options(BlockStore.parquetWriteOptions)
             .parquet(s"$dictDir/block_id=$id")
           dictObs.get("n_series").asInstanceOf[Long]
         } else
@@ -375,7 +377,9 @@ final class BlockStore(
       .dropDuplicates("series_key")
       .select(col("series_key"),
         explode(col("labels")).as(Seq("label_name", "label_value")))
-      .write.mode(SaveMode.Append).parquet(headDictDir)
+      .write.mode(SaveMode.Append)
+      .options(BlockStore.parquetWriteOptions)
+      .parquet(headDictDir)
   }
 
   /** Head truncation's series GC (reference `Head.gc`,
@@ -482,7 +486,9 @@ final class BlockStore(
         keys
           .observe(obs, count(lit(1)).as("n"))
           .withColumn("mint", lit(mint)).withColumn("maxt", lit(maxt))
-          .write.mode(SaveMode.Overwrite).parquet(tombPath(fid))
+          .write.mode(SaveMode.Overwrite)
+          .options(BlockStore.parquetWriteOptions)
+          .parquet(tombPath(fid))
         val n = obs.get("n").asInstanceOf[Long]
         Manifest.update(root) { st =>
           val fs = st.tombstoneFiles :+ TombstoneFile(fid, mint, maxt, n)
@@ -568,7 +574,9 @@ final class BlockStore(
         spark.read.option("basePath", dictDir)
           .parquet(dictIds.map(id => s"$dictDir/block_id=$id"): _*)
           .select("label_name", "label_value", "series_key").distinct()
-          .write.mode(SaveMode.Overwrite).parquet(s"$dictDir/block_id=$newId")
+          .write.mode(SaveMode.Overwrite)
+          .options(BlockStore.parquetWriteOptions)
+          .parquet(s"$dictDir/block_id=$newId")
     }
     val n = stats("n").asInstanceOf[Long]
     // exact series count via one column-pruned scan of the written
@@ -756,6 +764,25 @@ final class BlockStore(
 }
 
 object BlockStore {
+  /** Parquet options for every file the store writes. The reference
+    * packs chunks with Gorilla delta-of-delta timestamps + XOR values
+    * (`chunkenc/xor.go:51-106`); the parquet equivalents are the v2
+    * data pages — DELTA_BINARY_PACKED on the sorted `t`/`sample_id`
+    * longs where the v1 writer stored them plain — with zstd over the
+    * residual double payload. Applied as table storage properties
+    * (so `insertInto` block writes pick them up) and as writer options
+    * on the side files (dict/tombstones). Stores created before this
+    * existed keep their original table options; mixed codecs per file
+    * are fine for readers. */
+  private[storage] val parquetWriteOptions: Map[String, String] = Map(
+    "compression" -> "zstd",
+    "parquet.writer.version" -> "v2")
+
+  /** [[parquetWriteOptions]] rendered for a `CREATE TABLE ... OPTIONS`
+    * clause. */
+  private[storage] def parquetOptionsSql: String =
+    parquetWriteOptions.map { case (k, v) => s"'$k' '$v'" }.mkString(", ")
+
   /** Exponential compaction ranges 2h × 3^k (reference
     * `ExponentialBlockRanges`, `compact.go:41-50`; defaults `db.go:51`). */
   def exponentialRanges(minMs: Long, steps: Int, factor: Int = 3): Seq[Long] =
