@@ -47,6 +47,49 @@ object SparkEntry {
   private def hashSql(x: String): String =
     s"('0x' || substr(md5($x), 1, 7))::BIGINT"
 
+  /** The minhash-LSH pair pipeline as a CTE chain ending in
+    * `mh(i, j, jaccard)` — shared by the pairs oracle and the
+    * cluster/survivor oracles built on its transitive closure. */
+  private lazy val MINHASH_PAIRS_CTE: String = {
+    val perms = Dedup.permutations()
+    val mod = Dedup.MINHASH_MOD
+    val sig = perms.map { case (a, b) =>
+      s"list_min(list_transform(sh, s -> ($a * ${hashSql("s")} + $b) % $mod))"
+    }.mkString("[", ",\n   ", "]")
+    s"""$SHINGLES_CTE,
+       |d AS (SELECT doc_id, sh, len(sh) AS n_sh,
+       |  $sig AS sig FROM sh),
+       |bd AS (SELECT doc_id, band,
+       |  array_to_string(sig[band * 4 + 1 : band * 4 + 4], '-') AS band_key
+       |  FROM d, (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |v AS (SELECT c.i, c.j, len(list_intersect(di.sh, dj.sh)) AS inter,
+       |  di.n_sh AS ni, dj.n_sh AS nj
+       |  FROM cand c JOIN d di ON di.doc_id = c.i JOIN d dj ON dj.doc_id = c.j),
+       |mh AS (SELECT i, j, round(inter::DOUBLE / (ni + nj - inter), 4) AS jaccard
+       |  FROM v WHERE round(inter::DOUBLE / (ni + nj - inter), 4) >= 0.4)"""
+      .stripMargin
+  }
+
+  /** Transitive closure of `mh` as a recursive CTE ending in
+    * `comp(node, cluster_id)` — the oracle for the alternating-star
+    * [[Dedup.connectedComponents]]. Walks of every length from each
+    * node enumerate its whole (symmetrized) component; min over them
+    * is the component id. Pair sets at verify scale are tiny, so the
+    * quadratic-in-component-size closure is fine for an oracle. */
+  private lazy val MINHASH_CLUSTERS_CTE: String =
+    MINHASH_PAIRS_CTE.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |sym AS (SELECT i AS src, j AS dst FROM mh
+         |  UNION ALL SELECT j AS src, i AS dst FROM mh),
+         |cc AS (SELECT DISTINCT src AS node, src AS comp FROM sym
+         |  UNION
+         |  SELECT s.dst AS node, c.comp FROM cc c JOIN sym s ON s.src = c.node),
+         |comp AS (SELECT node, min(comp) AS cluster_id FROM cc GROUP BY node)"""
+        .stripMargin
+
   /** Double-precision cosine in DuckDB, rounded to 4dp like
     * [[Similarity.cosine]] usage. */
   private def cosineSql(a: String, b: String): String =
@@ -566,6 +609,23 @@ object SparkEntry {
     "doc_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy("i", "j")),
 
+    // Duplicate clusters: the transitive closure of the minhash pairs
+    // (A~B, B~C collapse to one cluster) via alternating
+    // large-star/small-star connected components.
+    "doc_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.minhashLshPairs(Tables.documents(s, dir)).select("i", "j"))
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")),
+
+    // End-to-end dedup: pairs -> clusters -> keep the min doc_id per
+    // cluster, singletons untouched.
+    "doc_dedup_survivors" -> ((s, dir) =>
+      Dedup.dedupSurvivors(
+          Tables.documents(s, dir),
+          Dedup.minhashLshPairs(Tables.documents(s, dir)).select("i", "j"))
+        .select("doc_id").orderBy("doc_id")),
+
     // 32-bit SimHash signatures.
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1034,28 +1094,17 @@ object SparkEntry {
          |SELECT i, j, round(inter::DOUBLE / (ni + nj - inter), 4) AS jaccard
          |FROM p WHERE round(inter::DOUBLE / (ni + nj - inter), 4) >= 0.4
          |ORDER BY i, j""".stripMargin,
-    "doc_minhash_lsh" -> {
-      val perms = Dedup.permutations()
-      val mod = Dedup.MINHASH_MOD
-      val sig = perms.map { case (a, b) =>
-        s"list_min(list_transform(sh, s -> ($a * ${hashSql("s")} + $b) % $mod))"
-      }.mkString("[", ",\n   ", "]")
-      s"""$SHINGLES_CTE,
-         |d AS (SELECT doc_id, sh, len(sh) AS n_sh,
-         |  $sig AS sig FROM sh),
-         |bd AS (SELECT doc_id, band,
-         |  array_to_string(sig[band * 4 + 1 : band * 4 + 4], '-') AS band_key
-         |  FROM d, (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-         |  FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
-         |  WHERE a.doc_id < b.doc_id),
-         |v AS (SELECT c.i, c.j, len(list_intersect(di.sh, dj.sh)) AS inter,
-         |  di.n_sh AS ni, dj.n_sh AS nj
-         |  FROM cand c JOIN d di ON di.doc_id = c.i JOIN d dj ON dj.doc_id = c.j)
-         |SELECT i, j, round(inter::DOUBLE / (ni + nj - inter), 4) AS jaccard
-         |FROM v WHERE round(inter::DOUBLE / (ni + nj - inter), 4) >= 0.4
-         |ORDER BY i, j""".stripMargin
-    },
+    "doc_minhash_lsh" ->
+      s"""$MINHASH_PAIRS_CTE
+         |SELECT i, j, jaccard FROM mh ORDER BY i, j""".stripMargin,
+    "doc_dedup_clusters" ->
+      s"""$MINHASH_CLUSTERS_CTE
+         |SELECT node AS doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin,
+    "doc_dedup_survivors" ->
+      s"""$MINHASH_CLUSTERS_CTE
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "doc_simhash" -> {
       val bitSums = (0 until 32).map { b =>
         s"CASE WHEN list_sum(list_transform(whs, h -> ((h // ${1L << b}) % 2) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"

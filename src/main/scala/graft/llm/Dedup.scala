@@ -278,6 +278,108 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Connected components of an undirected edge set — the *cluster*
+    * step of a near-dup pipeline: LSH/Jaccard emit pairs, but "drop all
+    * but one copy" needs the transitive closure (doc A ~ B, B ~ C must
+    * collapse to ONE cluster even when A ~ C was never emitted).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * distributed-join formulation, not a vertex-program: each half-round
+    * is one hash aggregate (`min` per node, map-side combined) plus an
+    * equi-join back on the SAME key, so the aggregate's exchange is
+    * reused and a round costs two shuffles of the (shrinking) edge set.
+    * Converges in O(log n) rounds on any graph; near-dup graphs (many
+    * tiny dense clusters) converge in 2–3. Compare GraphX/pregel-style
+    * label propagation: O(diameter) rounds and a full vertex+edge state
+    * shuffle per round.
+    *
+    * Each round's edge set is eagerly `localCheckpoint`'d: an iterative
+    * DataFrame loop otherwise stacks every prior round's shuffles into
+    * one ever-growing lineage that re-executes per action (and the
+    * convergence check IS an action per round).
+    *
+    * Convergence is detected by an order-insensitive checksum
+    * (count + bit_xor of per-edge xxhash64 — the edge set is distinct,
+    * so XOR never self-cancels; a sum would overflow ANSI longs) of the
+    * oriented edge set being stable across a full round — one tiny
+    * aggregate per round, no driver-side edge materialization ever.
+    *
+    * Returns `(node, component)` — component = minimum node id in the
+    * component — one row per node that appears in `edges`. Nodes with no
+    * edge (singleton docs) are absent by construction; callers keep them
+    * implicitly (see [[dedupSurvivors]]).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val Seq(cu, cv) = edges.columns.take(2).toSeq
+    def orient(e: DataFrame): DataFrame =
+      e.select(greatest("u", "v").as("u"), least("u", "v").as("v"))
+    var cur = orient(
+      edges.select(col(cu).cast("long").as("u"), col(cv).cast("long").as("v"))
+        .where(col(cu).cast("long") =!= col(cv).cast("long")))
+      .distinct()
+      .localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var last = checksum(cur)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+      // small-star on the (now naturally oriented) result: every smaller
+      // neighbor of u — and u itself — links to u's minimum neighbor
+      val o = orient(ls).distinct()
+      val ssMin = o.groupBy("u").agg(min("v").as("m"))
+      val ss = o.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val sig = checksum(ss)
+      converged = sig == last
+      last = sig
+      cur = ss
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint is a star forest: each non-root points straight at its
+    // component min; roots are exactly the nodes never on the left side
+    val roots = cur.select(col("v").as("node")).distinct()
+      .join(cur.select(col("u").as("node")).distinct(), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    cur.select(col("u").as("node"), col("v").as("component"))
+      .union(roots)
+  }
+
+  /** Documents surviving near-duplicate clustering: one representative —
+    * the minimum `idCol` — per duplicate cluster, singletons untouched.
+    * The end-to-end shape every training-data pipeline runs: pairs (from
+    * [[minhashLshPairs]] / [[ngramJaccardPairs]]) → transitive closure →
+    * anti-join the non-representatives away. The anti-join's right side
+    * is one row per *duplicate* doc (≪ corpus at realistic dup rates),
+    * which AQE broadcasts when it fits. */
+  def dedupSurvivors(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val dropped = connectedComponents(pairs)
+      .where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over word-token hashes (with multiplicity): bit b is
     * the sign of the sum of ±1 contributions from each token's bit b.
     *

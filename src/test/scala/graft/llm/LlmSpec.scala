@@ -112,6 +112,34 @@ class DedupSpec extends SparkSuite {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
+
+  test("connected components: chains collapse, components stay separate") {
+    // 1-2-3-4 is a path (transitivity: no direct 1~4 edge), {10,11}
+    // a pair, 99 isolated (edge to itself must be ignored)
+    val edges = Seq((2L, 1L), (3L, 2L), (3L, 4L), (10L, 11L), (99L, 99L))
+      .toDF("i", "j")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: a long chain needs the log-round closure") {
+    // a 64-node path: one-hop label propagation would need 63 rounds;
+    // alternating star must converge within the default maxIter (25)
+    val edges = (1L until 64L).map(k => (k, k + 1)).toDF("u", "v")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 1L))
+  }
+
+  test("dedup survivors keep one doc per cluster and all singletons") {
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (7L, "e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val got = Dedup.dedupSurvivors(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L, 7L)) // 2,3 fold into 1's cluster
+  }
 }
 
 class SimilaritySpec extends SparkSuite {
