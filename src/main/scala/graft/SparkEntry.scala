@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.ingest.Appender
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
-import graft.query.{LabelDictionary, TsdbSource}
+import graft.query.{LabelDictionary, Rate, TsdbSource}
 import graft.sources.Tables
 import graft.storage.{BlockStore, Merge, Tombstones}
 import graft.{functions => gf}
@@ -456,6 +456,13 @@ object SparkEntry {
         .orderBy("series_key", "t", "sample_id")
     }),
 
+    // Counter rate/increase with reset handling — the PromQL-consumer
+    // aggregation over the W1 lookback surface: one series-partitioned
+    // window + one hash agg (no exchange over a bucketed store scan).
+    "ts_counter_rate" -> ((s, dir) =>
+      Rate.increase(TsdbSource.events(s, dir).samples, DAY)
+        .orderBy("series_key", "t_bucket")),
+
     // F6/ST4: tumbling block buckets (rangeForTimestamp) + per-block agg.
     "ts_time_bucket" -> ((s, dir) =>
       TsdbSource.events(s, dir).samples
@@ -586,6 +593,11 @@ object SparkEntry {
     // Quality scoring: length/word/stopword features + composite score.
     "doc_quality" -> ((s, dir) =>
       TextStats.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus-relative keywords: top-3 terms per doc by smoothed TF-IDF
+    // (two chained hash aggs + broadcast scalar N + per-doc window).
+    "doc_tfidf_topk" -> ((s, dir) =>
+      TextStats.tfidfTopK(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
 
     // Language-ID heuristic: n-gram profile scores + argmax.
     "doc_langid" -> ((s, dir) =>
@@ -1002,6 +1014,22 @@ object SparkEntry {
          |  CASE WHEN prev_t >= t - $LOOKBACK THEN v - prev_v END AS delta
          |FROM l WHERE t BETWEEN $MINT AND $MAXT
          |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_counter_rate" ->
+      s"""$samplesCte,
+         |l AS (SELECT series_key, t, v,
+         |  lag(v) OVER (PARTITION BY series_key ORDER BY t, sample_id) AS prev_v
+         |  FROM s),
+         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  CASE WHEN prev_v IS NULL THEN NULL
+         |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc,
+         |  CASE WHEN prev_v IS NOT NULL AND v < prev_v THEN 1 ELSE 0 END AS reset
+         |  FROM l),
+         |g AS (SELECT series_key, t_bucket, round(sum(inc), 2) AS increase,
+         |  count(inc) AS n_deltas, sum(reset)::BIGINT AS n_resets
+         |  FROM i GROUP BY 1, 2)
+         |SELECT series_key, t_bucket, increase, n_deltas, n_resets,
+         |  round(increase / ${DAY / 1000}.0, 6) AS rate_per_sec
+         |FROM g ORDER BY series_key, t_bucket""".stripMargin,
     "ts_time_bucket" ->
       s"""$samplesCte
          |SELECT (t // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS t_bucket,
@@ -1055,6 +1083,18 @@ object SparkEntry {
          | round(n_stop::DOUBLE / n_words, 4) AS stopword_ratio,
          | round(least(1.0, n_words::DOUBLE / 100) * (0.5 + 0.5 * (n_stop::DOUBLE / n_words)), 4) AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+    "doc_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS_SQL) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS nn FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |  round(tf * (ln((nn + 1.0) / (df + 1.0)) + 1), 4) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT doc_id, rank, term, tf, df, score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "doc_langid" -> {
       val scores = LANG_PROFILES.map { case (name, prof) =>
         s"len(list_filter(ws, x -> x IN (${prof.map(w => s"'$w'").mkString(", ")}))) AS score_$name"

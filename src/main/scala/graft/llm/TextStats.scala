@@ -74,6 +74,40 @@ object TextStats {
     scored.withColumn("predicted", pred).drop("__ws")
   }
 
+  /** Top-k terms per document by TF-IDF — the classic corpus-relative
+    * keyword extractor (smoothed idf, sklearn's convention:
+    * `ln((N+1)/(df+1)) + 1`).
+    *
+    * Plan shape for 100 TB: term frequencies are one hash aggregate on
+    * `(doc_id, term)` (map-side combined); document frequencies reuse
+    * that aggregate's output (one more agg on `term`, tiny); the corpus
+    * size joins in as a broadcast one-row cross join (never an action
+    * at build time); ranking is a per-doc window over ≤ |doc's terms|
+    * rows. No data is ever collected to the driver.
+    *
+    * Cross-engine determinism: scores are rounded (4dp) BEFORE ranking
+    * so a last-ulp `ln` difference between engines can neither reorder
+    * the top-k nor fail the hash compare; rank ties break on the term
+    * string. */
+  def tfidfTopK(
+      df: DataFrame,
+      k: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col("doc_id"), explode(words(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    val scored = tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("score",
+        round(col("tf") * (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + 1), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
   /** Rolling polynomial fingerprint over word hashes:
     * `fp = fold(0, (acc, h) => (acc * 31 + h) mod 1e9+7)` — an
     * order-sensitive document signature (content-defined chunking /

@@ -1,0 +1,63 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.rangeForTimestamp
+
+/** Counter increase/rate — the PromQL-consumer computation over tsdb
+  * reads. The reference stores raw monotone counters and leaves
+  * `rate()` to the consuming engine, whose iterator machinery is
+  * exactly the W1 lookback surface (`querier.go:50-57` series
+  * iteration + BufferedSeriesIterator peek-back); this is that
+  * consumer's aggregation, Spark-native.
+  *
+  * Counter semantics: a drop (v < previous v) is a *reset* — the
+  * counter restarted near zero, so the post-reset value itself is the
+  * increase since the reset (the standard Prometheus convention).
+  *
+  * Plan shape: ONE window partitioned by series (consumed directly
+  * from a bucketed store scan with no exchange — the same property
+  * `ts_vertical_dedup` plan-asserts) followed by one hash aggregate
+  * with map-side partial combine. Nothing is quadratic, nothing
+  * collects: this scales as a single pass over the samples.
+  */
+object Rate {
+
+  /** Per `(series_key, t_bucket)` counter increase and per-second rate.
+    *
+    * The lag runs over the series' whole stream (ordered by
+    * `(t, sample_id)` — the deterministic total order the other ts
+    * queries use), so the first sample of a bucket measures against the
+    * last sample of the previous bucket; a bucket's `increase` is the
+    * sum of its samples' deltas with resets replaced by the post-reset
+    * value. `n_deltas` counts contributing deltas, `n_resets` the
+    * detected resets.
+    *
+    * Float determinism: `increase` is a sum of doubles, rounded (2dp)
+    * like every cross-engine-checked sum in this suite; `rate_per_sec`
+    * divides the *rounded* increase by the exact bucket seconds so both
+    * engines divide identical bits. */
+  def increase(samples: DataFrame, bucketMs: Long): DataFrame = {
+    val w = Window.partitionBy("series_key").orderBy("t", "sample_id")
+    val prev = samples
+      .withColumn("__prev_v", lag("v", 1).over(w))
+    val inc = prev.select(
+      col("series_key"),
+      rangeForTimestamp(col("t"), bucketMs).as("t_bucket"),
+      when(col("__prev_v").isNull, lit(null).cast("double"))
+        .when(col("v") >= col("__prev_v"), col("v") - col("__prev_v"))
+        .otherwise(col("v"))
+        .as("__inc"),
+      (col("__prev_v").isNotNull && col("v") < col("__prev_v"))
+        .cast("long").as("__reset"))
+    inc.groupBy("series_key", "t_bucket")
+      .agg(
+        round(sum("__inc"), 2).as("increase"),
+        count(col("__inc")).as("n_deltas"),
+        sum(col("__reset")).as("n_resets"))
+      .withColumn("rate_per_sec",
+        round(col("increase") / (bucketMs / 1000.0), 6))
+  }
+}

@@ -346,6 +346,24 @@ class TextStatsSpec extends SparkSuite {
     assert(fps(1L) != fps(2L))
   }
 
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    // "rare" appears in 1 of 3 docs, "common" in all 3; doc 1 has both
+    // at tf=1, so rare must outrank common; ties break on the term
+    val df = Seq(
+      (1L, "common rare"),
+      (2L, "common x"),
+      (3L, "common y")).toDF("doc_id", "text")
+    val got = TextStats.tfidfTopK(df, k = 2)
+      .select("doc_id", "rank", "term", "tf", "df")
+      .as[(Long, Int, String, Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got(1L) == Seq("rare", "common"))
+    // idf is corpus-relative: df("common") = 3 everywhere
+    val dfs = TextStats.tfidfTopK(df, k = 2)
+      .where($"term" === "common").select("df").as[Long].collect()
+    assert(dfs.forall(_ == 3L))
+  }
+
   test("multimodal decode parses the binary container per row") {
     val meta = Multimodal.decodeMeta(spark, Tables.documents(spark, sf)).collect()
     assert(meta.length == 500)

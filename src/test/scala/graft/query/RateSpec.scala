@@ -1,0 +1,59 @@
+package graft.query
+
+import graft.SparkSuite
+
+class RateSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("increase sums deltas, treats drops as counter resets") {
+    // series a: 0 -> 10 -> 4 (reset: +4) -> 9 (+5); series b monotone
+    val samples = Seq(
+      (1L, "a", 0L, 0.0), (2L, "a", 100L, 10.0),
+      (3L, "a", 200L, 4.0), (4L, "a", 300L, 9.0),
+      (5L, "b", 0L, 5.0), (6L, "b", 100L, 7.5))
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.increase(samples, bucketMs = 1000L)
+      .select("series_key", "t_bucket", "increase", "n_deltas", "n_resets", "rate_per_sec")
+      .as[(String, Long, Double, Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set(
+      ("a", 1000L, 19.0, 3L, 1L, 19.0), // 10 + 4(reset) + 5, over a 1s bucket
+      ("b", 1000L, 2.5, 1L, 0L, 2.5)))
+  }
+
+  test("lag crosses bucket boundaries: first sample of a bucket measures against the last of the previous") {
+    val samples = Seq(
+      (1L, "a", 500L, 10.0), (2L, "a", 1500L, 16.0))
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.increase(samples, bucketMs = 1000L)
+      .select("t_bucket", "increase", "n_deltas")
+      .as[(Long, java.lang.Double, Long)].collect()
+      .map { case (b, i, n) => b -> ((i, n)) }.toMap
+    // bucket 1000 (t=500): only the lag-less first sample -> null sum
+    assert(got(2000L) == (6.0, 1L))
+    assert(got(1000L)._2 == 0L)
+  }
+
+  test("rate window consumes the bucketed store scan without an exchange") {
+    // same no-shuffle property ts_vertical_dedup asserts: the window's
+    // series partitioning is satisfied by the store's bucketed layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-rate-").toString
+    try {
+      val store = new graft.storage.BlockStore(dir, 86400000L, seriesBuckets = 4)
+      store.write(
+        TsdbSource.events(spark, sf).samples.select("sample_id", "series_key", "t", "v"))
+      val plan = Rate.increase(store.read(spark), 86400000L)
+        .queryExecution.executedPlan.toString
+      val windowIdx = plan.indexOf("Window")
+      assert(windowIdx >= 0)
+      // printed plans are root-first, so anything BELOW the window
+      // appears after it in the string: no shuffle may sit between the
+      // bucketed scan and the window (the final agg's exchange, if any,
+      // is above the window and prints before it)
+      assert(plan.indexOf("Exchange hashpartitioning", windowIdx) < 0, plan.take(3000))
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+  }
+}
