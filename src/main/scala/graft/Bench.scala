@@ -43,7 +43,10 @@ object Bench {
     "ts_lookback_delta", "ts_ooo_reject", "emb_cosine_topk",
     "emb_rand_lsh_ann", "emb_ivf_persisted", "emb_ivf_search",
     "ts_select_postings", "ts_regex_dict", "ts_select_multi", "ts_select_regex",
-    "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh")
+    "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh",
+    // end-to-end dedup: minhash pairs + log-round closure + anti-join —
+    // the closure's round count must stay scale-insensitive
+    "doc_dedup_survivors")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

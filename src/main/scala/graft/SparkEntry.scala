@@ -764,6 +764,16 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy("i", "j")),
 
+    // The closure composes across modalities: embedding near-dup pairs
+    // fold into duplicate clusters through the same alternating-star
+    // connected components as the text path.
+    "emb_neardup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+            .select("i", "j"))
+        .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+        .orderBy("vec_id")),
+
     // J5/U1: series churn — full-outer alignment of two adjacent block
     // windows on series_key (mergedSeriesSet semantics: series present
     // in one window, the other, or both).
@@ -1209,6 +1219,20 @@ object SparkEntry {
          |  ${cosineSql("l.embedding", "r.embedding")} AS sim
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
          |SELECT i, j, sim FROM p WHERE sim >= 0.4 ORDER BY i, j""".stripMargin,
+    "emb_neardup_clusters" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT l.vec_id AS i, r.vec_id AS j,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |e AS (SELECT i, j FROM p WHERE sim >= 0.4),
+         |sym AS (SELECT i AS src, j AS dst FROM e
+         |  UNION ALL SELECT j AS src, i AS dst FROM e),
+         |cc AS (SELECT DISTINCT src AS node, src AS comp FROM sym
+         |  UNION
+         |  SELECT s.dst AS node, c.comp FROM cc c JOIN sym s ON s.src = c.node)
+         |SELECT node AS vec_id, min(comp) AS cluster_id FROM cc
+         |GROUP BY node ORDER BY vec_id""".stripMargin,
     "ts_series_churn" ->
       s"""$samplesCte,
          |a AS (SELECT series_key, count(*) AS n_a FROM s
