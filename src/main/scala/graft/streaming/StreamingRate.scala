@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming counter increments — [[graft.query.Rate]]'s semantics as a
+  * stateful stream. The batch operator derives each delta from a
+  * series-partitioned `lag` window, i.e. a full re-sort of the corpus;
+  * here the previous sample is O(#series) state (the same bound the
+  * ingest validator and the reference's in-memory series map hold), so
+  * each micro-batch emits its samples' increases incrementally and a
+  * delta correctly spans the batch boundary. Downstream, a windowed sum
+  * over `inc` is the live per-window rate — chained stateful operators
+  * the engine supports natively in append mode.
+  *
+  * Counter semantics match the batch side: a drop is a reset and the
+  * post-reset value is the increase. A sample at or below the series
+  * high-water mark is dropped (the upstream [[StreamingIngest.validated]]
+  * lane already routes those to reject statuses; this operator must not
+  * double-count what a replay re-delivers). NaN on either side of a
+  * delta yields no increase (a rate over NaN is undefined, not zero).
+  */
+object StreamingRate {
+
+  final case class Increment(
+      series_key: String, t: Long, v: Double,
+      inc: Option[Double], reset: Boolean)
+
+  final case class RateState(maxT: Long, lastV: Double)
+
+  private[streaming] def incrementsForSeries(
+      key: String,
+      it: Iterator[StreamingIngest.Sample],
+      state: GroupState[RateState]): Iterator[Increment] = {
+    var st = state.getOption.getOrElse(RateState(Long.MinValue, Double.NaN))
+    val out = it.toSeq.sortBy(s => (s.t, s.arrival)).flatMap { s =>
+      if (s.t <= st.maxT) None // stale/duplicate: never re-counted
+      else {
+        val hasPrev = st.maxT != Long.MinValue
+        val undefined = !hasPrev || st.lastV.isNaN || s.v.isNaN
+        val reset = !undefined && s.v < st.lastV
+        val inc =
+          if (undefined) None
+          else if (reset) Some(s.v)
+          else Some(s.v - st.lastV)
+        st = RateState(s.t, s.v)
+        Some(Increment(key, s.t, s.v, inc, reset))
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Per-sample increases of a (validated) sample stream, keyed state
+    * per series. Append-mode compatible: emits exactly once per
+    * accepted sample. */
+  def increments(
+      samples: Dataset[StreamingIngest.Sample]): Dataset[Increment] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.series_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        incrementsForSeries)
+  }
+}

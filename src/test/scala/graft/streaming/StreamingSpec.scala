@@ -301,4 +301,27 @@ class StreamingSpec extends SparkSuite {
     // matcher reads still served: the merged block carries the merged index
     assert(store.readRange(spark, 0, 10000, graft.matchers.Eq("name", "missing")).count() == 0)
   }
+
+  test("streaming rate: deltas span micro-batch boundaries, resets and stale samples handled") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamingRate.increments(in.toDS())
+      .writeStream.format("memory").queryName("rate1")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Sample("s", 10, 5.0, 1), Sample("s", 20, 9.0, 2))
+    q.processAllAvailable()
+    // batch 2: the first delta measures against batch 1's last value via
+    // state (the batch operator would need the whole history re-sorted);
+    // a drop is a reset; a stale t is dropped, never re-counted
+    in.addData(Sample("s", 30, 2.0, 3), Sample("s", 15, 100.0, 4), Sample("s", 40, 3.5, 5))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rate1").as[StreamingRate.Increment].collect()
+      .sortBy(_.t).map(i => (i.t, i.inc, i.reset)).toSeq
+    assert(got == Seq(
+      (10L, None, false), // no previous
+      (20L, Some(4.0), false),
+      (30L, Some(2.0), true), // 9 -> 2: reset, post-reset value counts
+      (40L, Some(1.5), false))) // t=15 stale: dropped
+  }
 }
