@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.ingest.Appender
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
-import graft.query.{LabelDictionary, Rate, TsdbSource}
+import graft.query.{Histogram, LabelDictionary, Rate, TsdbSource}
 import graft.sources.Tables
 import graft.storage.{BlockStore, Merge, Tombstones}
 import graft.{functions => gf}
@@ -152,6 +152,8 @@ object SparkEntry {
   private val DEL1_LO = T0 + 2 * DAY; private val DEL1_HI = T0 + 5 * DAY
   private val DEL2_LO = T0 + 9 * DAY; private val DEL2_HI = T0 + 19 * DAY
   private val LOOKBACK = 3600000L // 1h PeekBack window
+  /** Finite `le` bucket boundaries for ts_hist_quantile (v ∈ [0, 490]). */
+  private val HIST_LES = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
   private val BUCKET_W = 21600000L // 6h block range
   private val KEEP = 14 * DAY // retention
   private val MIN_VALID = T0 + 12 * 3600000L // ooo lower bound
@@ -463,6 +465,20 @@ object SparkEntry {
       Rate.increase(TsdbSource.events(s, dir).samples, DAY)
         .orderBy("series_key", "t_bucket")),
 
+    // PromQL histogram_quantile over the le-bucket data-model
+    // convention: bucket counts per (series, day), cumulative walk,
+    // linear interpolation inside the φ=0.9 bucket.
+    "ts_hist_quantile" -> ((s, dir) =>
+      Histogram.quantile(TsdbSource.events(s, dir).samples, DAY, HIST_LES, 0.9)
+        .orderBy("series_key", "t_bucket")),
+
+    // PromQL *_over_time range vectors: trailing-1h sliding aggregates
+    // per sample via ONE range-frame window (count/min/max/sum/avg).
+    "ts_over_time" -> ((s, dir) =>
+      Rate.overTime(TsdbSource.events(s, dir).samples, LOOKBACK)
+        .where(col("t").between(MINT, MAXT))
+        .orderBy("series_key", "t", "sample_id")),
+
     // F6/ST4: tumbling block buckets (rangeForTimestamp) + per-block agg.
     "ts_time_bucket" -> ((s, dir) =>
       TsdbSource.events(s, dir).samples
@@ -593,6 +609,15 @@ object SparkEntry {
     // Quality scoring: length/word/stopword features + composite score.
     "doc_quality" -> ((s, dir) =>
       TextStats.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Gopher-style repetition filters: top-word fraction + duplicated
+    // bigram fraction per document.
+    "doc_repetition" -> ((s, dir) =>
+      TextStats.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Per-source corpus rollup: docs, exact-dup rate, size, lang spread.
+    "doc_source_stats" -> ((s, dir) =>
+      TextStats.sourceStats(Tables.documents(s, dir)).orderBy("source")),
 
     // Corpus-relative keywords: top-3 terms per doc by smoothed TF-IDF
     // (two chained hash aggs + broadcast scalar N + per-doc window).
@@ -1040,6 +1065,38 @@ object SparkEntry {
          |SELECT series_key, t_bucket, increase, n_deltas, n_resets,
          |  round(increase / ${DAY / 1000}.0, 6) AS rate_per_sec
          |FROM g ORDER BY series_key, t_bucket""".stripMargin,
+    "ts_hist_quantile" -> {
+      val leCase = HIST_LES.sorted
+        .map(b => s"WHEN v <= $b THEN ${b}::DOUBLE")
+        .mkString("CASE ", " ", " ELSE 'infinity'::DOUBLE END")
+      s"""$samplesCte,
+         |b AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  $leCase AS le FROM s),
+         |c AS (SELECT series_key, t_bucket, le, count(*) AS n FROM b GROUP BY 1, 2, 3),
+         |w AS (SELECT *,
+         |  sum(n) OVER (PARTITION BY series_key, t_bucket ORDER BY le) AS cum,
+         |  sum(n) OVER (PARTITION BY series_key, t_bucket)::BIGINT AS total,
+         |  coalesce(lag(le) OVER (PARTITION BY series_key, t_bucket ORDER BY le), 0.0) AS prev_le
+         |  FROM c)
+         |SELECT series_key, t_bucket, total,
+         |  round(CASE WHEN isinf(le) THEN ${HIST_LES.max}
+         |    ELSE prev_le + (le - prev_le) * (total * 0.9 - (cum - n)) / n END, 4) AS q
+         |FROM w WHERE cum >= total * 0.9 AND (cum - n) < total * 0.9
+         |ORDER BY series_key, t_bucket""".stripMargin
+    },
+    "ts_over_time" ->
+      s"""$samplesCte,
+         |w AS (SELECT series_key, t, sample_id,
+         |  count(*) OVER win AS n_win,
+         |  min(v) OVER win AS min_win,
+         |  max(v) OVER win AS max_win,
+         |  round(sum(v) OVER win, 2) AS sum_win
+         |  FROM s WINDOW win AS (PARTITION BY series_key ORDER BY t
+         |    RANGE BETWEEN $LOOKBACK PRECEDING AND CURRENT ROW))
+         |SELECT series_key, t, sample_id, n_win, min_win, max_win, sum_win,
+         |  round(sum_win / n_win, 4) AS avg_win
+         |FROM w WHERE t BETWEEN $MINT AND $MAXT
+         |ORDER BY series_key, t, sample_id""".stripMargin,
     "ts_time_bucket" ->
       s"""$samplesCte
          |SELECT (t // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS t_bucket,
@@ -1093,6 +1150,29 @@ object SparkEntry {
          | round(n_stop::DOUBLE / n_words, 4) AS stopword_ratio,
          | round(least(1.0, n_words::DOUBLE / 100) * (0.5 + 0.5 * (n_stop::DOUBLE / n_words)), 4) AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, sum(c)::BIGINT AS n_words, max(c) AS top_c,
+         |  count(*) AS n_distinct_words FROM wc GROUP BY 1),
+         |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 1),
+         |  i -> ws[i] || ' ' || ws[i + 1]) AS gs FROM w),
+         |ga AS (SELECT doc_id, len(gs) AS n_bigrams,
+         |  len(list_distinct(gs)) AS n_distinct_bigrams FROM g)
+         |SELECT wa.doc_id, n_words, n_distinct_words,
+         |  round(top_c::DOUBLE / n_words, 4) AS top_word_ratio,
+         |  CASE WHEN n_bigrams > 0
+         |    THEN round(1.0 - n_distinct_bigrams::DOUBLE / n_bigrams, 4) END
+         |    AS dup_bigram_ratio
+         |FROM wa JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "doc_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_unique,
+        | sum(n_chars)::BIGINT AS sum_chars,
+        | round(sum(n_chars)::DOUBLE / count(*), 2) AS avg_chars,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "doc_tfidf_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS_SQL) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -108,6 +108,60 @@ object TextStats {
       .select("doc_id", "rank", "term", "tf", "df", "score")
   }
 
+  /** Repetition-quality signals (the Gopher-style repetition filters
+    * every web-corpus pipeline applies before training): per document,
+    * the fraction of words taken by the most frequent word and the
+    * fraction of duplicated word bigrams. High values flag boilerplate
+    * and degenerate repetition that length/stopword heuristics
+    * ([[quality]]) miss.
+    *
+    * Plan shape: one `(doc_id, word)` hash aggregate (map-side
+    * combined) for the word stats; bigrams form relationally (the
+    * window-`lead` gram builder — same rationale as
+    * [[Dedup.shingleIndex]]: stays in whole-stage codegen) and reduce
+    * in a second doc-keyed aggregate. Both aggregates and the final
+    * join share the doc_id partitioning, so after the first exchange
+    * nothing reshuffles; no per-doc state exceeds the doc's own token
+    * count. */
+  def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = df.select(
+      col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val wordAgg = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), max("c").as("top_c"),
+        count(lit(1)).as("n_distinct_words"))
+    val wLead = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bigramAgg = tok
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), lead("w", 1).over(wLead)).as("bg"),
+        lead("w", 1).over(wLead).isNotNull.as("__complete"))
+      .where(col("__complete"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct("bg").as("n_distinct_bigrams"))
+    wordAgg.join(bigramAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct_words"),
+        round(col("top_c").cast("double") / col("n_words"), 4).as("top_word_ratio"),
+        when(col("n_bigrams") > 0,
+          round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 4))
+          .as("dup_bigram_ratio"))
+  }
+
+  /** Per-source corpus rollup — the per-domain accounting view a
+    * training-data pipeline keeps (docs, exact-dup rate via distinct
+    * content hash, size, language spread). One hash aggregate keyed by
+    * `source`: map-side combined, |sources| output rows, no second
+    * shuffle. `avg_chars` divides the exact long sum by the exact
+    * count, so both engines divide identical bits. */
+  def sourceStats(df: DataFrame): DataFrame =
+    df.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"),
+      sum("n_chars").as("sum_chars"),
+      round(sum("n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"),
+      countDistinct("lang").as("n_langs"))
+
   /** Rolling polynomial fingerprint over word hashes:
     * `fp = fold(0, (acc, h) => (acc * 31 + h) mod 1e9+7)` — an
     * order-sensitive document signature (content-defined chunking /

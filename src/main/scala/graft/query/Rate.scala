@@ -60,4 +60,29 @@ object Rate {
       .withColumn("rate_per_sec",
         round(col("increase") / (bucketMs / 1000.0), 6))
   }
+
+  /** The `*_over_time` family — per-sample sliding-window aggregations
+    * over the trailing `windowMs` of the same series (PromQL's range
+    * vectors: `sum/count/min/max/avg_over_time`), as ONE range-frame
+    * window: `RANGE BETWEEN windowMs PRECEDING AND CURRENT ROW` over
+    * `t`. Samples sharing a timestamp are frame peers in both engines,
+    * so the result is well defined without a tiebreaker.
+    *
+    * Like [[increase]], this consumes a bucketed store scan with no
+    * exchange (partitioned by `series_key`); the frame is bounded by
+    * the window span, so state per open frame is O(window), not
+    * O(series history). Determinism: min/max/count are exact; the
+    * float sum is rounded (2dp) and the mean divides the *rounded* sum
+    * by the exact count so both engines divide identical bits. */
+  def overTime(samples: DataFrame, windowMs: Long): DataFrame = {
+    val w = Window.partitionBy("series_key").orderBy("t")
+      .rangeBetween(-windowMs, 0)
+    samples.select(
+      col("series_key"), col("t"), col("sample_id"),
+      count(lit(1)).over(w).as("n_win"),
+      min("v").over(w).as("min_win"), // exact: stored doubles, no rounding
+      max("v").over(w).as("max_win"),
+      round(sum("v").over(w), 2).as("sum_win"))
+      .withColumn("avg_win", round(col("sum_win") / col("n_win"), 4))
+  }
 }

@@ -340,6 +340,35 @@ class TextStatsSpec extends SparkSuite {
 
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 
+  test("repetition: top-word and duplicate-bigram fractions; no bigrams -> null") {
+    val df = Seq((1L, "a a a b"), (2L, "solo")).toDF("doc_id", "text")
+    val r = TextStats.repetition(df).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Long]("n_words") == 4)
+    assert(r(1L).getAs[Long]("n_distinct_words") == 2)
+    assert(r(1L).getAs[Double]("top_word_ratio") == 0.75)
+    // bigrams "a a", "a a", "a b": 3 total, 2 distinct
+    assert(r(1L).getAs[Double]("dup_bigram_ratio") == round4(1.0 - 2.0 / 3))
+    assert(r(2L).getAs[Double]("top_word_ratio") == 1.0)
+    assert(r(2L).isNullAt(r(2L).fieldIndex("dup_bigram_ratio")))
+  }
+
+  test("sourceStats: dup-aware per-source rollup") {
+    val df = Seq(
+      (1L, "same text", "en", "s1", 9L),
+      (2L, "same text", "en", "s1", 9L), // exact dup within s1
+      (3L, "other", "fr", "s1", 5L),
+      (4L, "x", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.sourceStats(df).collect()
+      .map(row => row.getAs[String]("source") -> row).toMap
+    assert(r("s1").getAs[Long]("n_docs") == 3)
+    assert(r("s1").getAs[Long]("n_unique") == 2)
+    assert(r("s1").getAs[Long]("sum_chars") == 23)
+    assert(r("s1").getAs[Long]("n_langs") == 2)
+    assert(r("s2").getAs[Long]("n_docs") == 1)
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fps = TextStats.fingerprint(df).as[(Long, Long)].collect().toMap

@@ -1,0 +1,45 @@
+package graft.query
+
+import graft.SparkSuite
+
+class HistogramSpec extends SparkSuite {
+  import spark.implicits._
+
+  // one series, one bucket: 4 samples ≤10, 4 in (10,20], 2 above
+  private def samples = Seq(2.0, 4.0, 6.0, 8.0, 12.0, 14.0, 16.0, 18.0, 25.0, 30.0)
+    .zipWithIndex
+    .map { case (v, i) => (i.toLong, "a", 100L + i, v) }
+    .toDF("sample_id", "series_key", "t", "v")
+
+  private def q(phi: Double): Double =
+    Histogram.quantile(samples, bucketMs = 1000L, les = Seq(10.0, 20.0), phi = phi)
+      .select("q").as[Double].head()
+
+  test("interpolates linearly inside the located bucket") {
+    // rank = 5 lands in (10,20] (cum 4 -> 8): 10 + 10 * (5-4)/4
+    assert(q(0.5) == 12.5)
+  }
+
+  test("first finite bucket interpolates from lower bound 0") {
+    // rank = 2 lands in (0,10]: 0 + 10 * 2/4
+    assert(q(0.2) == 5.0)
+  }
+
+  test("rank in the +Inf bucket returns the highest finite boundary") {
+    // rank = 9.5 > cum(20)=8 -> +Inf bucket -> 20
+    assert(q(0.95) == 20.0)
+  }
+
+  test("groups are independent per (series, t_bucket) and totals are exact") {
+    val two = samples.unionByName(
+      Seq((100L, "b", 150L, 3.0), (101L, "b", 160L, 50.0))
+        .toDF("sample_id", "series_key", "t", "v"))
+    val got = Histogram.quantile(two, 1000L, Seq(10.0, 20.0), 0.5)
+      .select("series_key", "total", "q")
+      .as[(String, Long, Double)].collect()
+      .map { case (k, total, qq) => k -> ((total, qq)) }.toMap
+    assert(got("a") == (10L, 12.5))
+    // series b: rank 1 in (0,10] with n=1 -> 0 + 10 * 1/1 = 10
+    assert(got("b") == (2L, 10.0))
+  }
+}

@@ -34,6 +34,25 @@ class RateSpec extends SparkSuite {
     assert(got(1000L)._2 == 0L)
   }
 
+  test("overTime aggregates the trailing range frame, timestamp peers included") {
+    val samples = Seq(
+      (1L, "a", 0L, 1.0), (2L, "a", 1000L, 2.0),
+      (3L, "a", 2000L, 3.0), (4L, "a", 2000L, 5.0), // peers at t=2000
+      (5L, "a", 5000L, 4.0))
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.overTime(samples, windowMs = 1500L)
+      .select("sample_id", "n_win", "min_win", "max_win", "sum_win", "avg_win")
+      .as[(Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1.0, 1.0, 1.0, 1.0)))
+    assert(got(2L) == ((2L, 2L, 1.0, 2.0, 3.0, 1.5)))
+    // frame [500, 2000] holds t=1000 and BOTH t=2000 peers — for both rows
+    assert(got(3L) == ((3L, 3L, 2.0, 5.0, 10.0, 3.3333)))
+    assert(got(4L) == ((4L, 3L, 2.0, 5.0, 10.0, 3.3333)))
+    // frame [3500, 5000]: only itself
+    assert(got(5L) == ((5L, 1L, 4.0, 4.0, 4.0, 4.0)))
+  }
+
   test("rate window consumes the bucketed store scan without an exchange") {
     // same no-shuffle property ts_vertical_dedup asserts: the window's
     // series partitioning is satisfied by the store's bucketed layout
