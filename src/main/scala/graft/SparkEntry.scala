@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.ingest.Appender
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
-import graft.query.{Histogram, LabelDictionary, Rate, TsdbSource}
+import graft.query.{AsOf, Histogram, LabelDictionary, Rate, TsdbSource}
 import graft.sources.Tables
 import graft.storage.{BlockStore, Merge, Tombstones}
 import graft.{functions => gf}
@@ -154,6 +154,8 @@ object SparkEntry {
   private val LOOKBACK = 3600000L // 1h PeekBack window
   /** Finite `le` bucket boundaries for ts_hist_quantile (v ∈ [0, 490]). */
   private val HIST_LES = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
+  /** Per-source sampling rates for doc_sample_mix (default 0.25). */
+  private val MIX_RATES = Seq("src0" -> 0.8, "src1" -> 0.8, "src2" -> 0.5)
   private val BUCKET_W = 21600000L // 6h block range
   private val KEEP = 14 * DAY // retention
   private val MIN_VALID = T0 + 12 * 3600000L // ooo lower bound
@@ -479,6 +481,23 @@ object SparkEntry {
         .where(col("t").between(MINT, MAXT))
         .orderBy("series_key", "t", "sample_id")),
 
+    // As-of join: each click sample aligned to the user's latest
+    // purchase within 1h — union + running-last window, one shuffle on
+    // the key, no range-join explosion (oracle: DuckDB's native ASOF).
+    "ts_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("sample_id"),
+        col("user_id").cast("long").as("user_id"),
+        expr("ts div 1000000").as("t"),
+        col("value").cast("double").as("v"),
+        col("event_type"))
+      val l = ev.where(col("event_type") === "click").drop("event_type")
+      val r = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "t").agg(max("v").as("r_v"))
+      AsOf.join(l, r, Seq("user_id"), LOOKBACK)
+        .orderBy("user_id", "t", "sample_id")
+    }),
+
     // F6/ST4: tumbling block buckets (rangeForTimestamp) + per-block agg.
     "ts_time_bucket" -> ((s, dir) =>
       TsdbSource.events(s, dir).samples
@@ -618,6 +637,12 @@ object SparkEntry {
     // Per-source corpus rollup: docs, exact-dup rate, size, lang spread.
     "doc_source_stats" -> ((s, dir) =>
       TextStats.sourceStats(Tables.documents(s, dir)).orderBy("source")),
+
+    // Data mixing: deterministic hash-Bernoulli sampling at per-source
+    // rates — a per-row codegen'd keep/drop, zero shuffles.
+    "doc_sample_mix" -> ((s, dir) =>
+      TextStats.weightedSample(Tables.documents(s, dir), MIX_RATES, 0.25)
+        .orderBy("doc_id")),
 
     // Corpus-relative keywords: top-3 terms per doc by smoothed TF-IDF
     // (two chained hash aggs + broadcast scalar N + per-doc window).
@@ -1097,6 +1122,16 @@ object SparkEntry {
          |  round(sum_win / n_win, 4) AS avg_win
          |FROM w WHERE t BETWEEN $MINT AND $MAXT
          |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_asof_join" ->
+      s"""$samplesCte,
+         |l AS (SELECT user_id, t, sample_id, v FROM s WHERE event_type = 'click'),
+         |r AS (SELECT user_id, t AS rt, max(v) AS rv FROM s
+         |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT l.user_id, l.t, l.sample_id, l.v,
+         |  CASE WHEN rt >= l.t - $LOOKBACK THEN rt END AS r_t,
+         |  CASE WHEN rt >= l.t - $LOOKBACK THEN rv END AS r_v
+         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= rt
+         |ORDER BY l.user_id, l.t, l.sample_id""".stripMargin,
     "ts_time_bucket" ->
       s"""$samplesCte
          |SELECT (t // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS t_bucket,
@@ -1173,6 +1208,17 @@ object SparkEntry {
         | round(sum(n_chars)::DOUBLE / count(*), 2) AS avg_chars,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "doc_sample_mix" -> {
+      val rateCase = MIX_RATES
+        .map { case (src, p) => s"WHEN source = '$src' THEN $p" }
+        .mkString("CASE ", " ", " ELSE 0.25 END")
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${hashSql("'mix:' || doc_id::VARCHAR")} % 10000 AS sample_hash
+         |  FROM documents)
+         |SELECT doc_id, source, sample_hash FROM h
+         |WHERE sample_hash < ($rateCase) * 10000
+         |ORDER BY doc_id""".stripMargin
+    },
     "doc_tfidf_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS_SQL) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -162,6 +162,33 @@ object TextStats {
       round(sum("n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"),
       countDistinct("lang").as("n_langs"))
 
+  /** Deterministic hash-Bernoulli sampling with per-source rates — the
+    * data-mixing primitive: a training run that wants 80% of source A
+    * and 25% of everything else keeps a row iff its content-stable hash
+    * falls under the stratum's rate. Zero shuffles, zero coordination:
+    * the decision is a per-row codegen'd expression, so the "sample" is
+    * reproducible across runs, engines, AND corpus growth (a doc's
+    * in/out never changes as neighbors arrive — the property reservoir
+    * or fraction-of-count sampling cannot give at 100 TB).
+    *
+    * The hash is salted (`"mix:"`) so the sample is independent of any
+    * other hash-ordered decision on the same ids. `rates` is applied as
+    * a literal CASE chain; sources absent from it fall to
+    * `defaultRate`. */
+  def weightedSample(
+      df: DataFrame,
+      rates: Seq[(String, Double)],
+      defaultRate: Double): DataFrame = {
+    val rate = rates.foldRight(lit(defaultRate)) { case ((src, p), els) =>
+      when(col("source") === src, lit(p)).otherwise(els)
+    }
+    df.select(
+      col("doc_id"), col("source"),
+      (wordHash(concat(lit("mix:"), col("doc_id").cast("string"))) % 10000)
+        .as("sample_hash"))
+      .where(col("sample_hash") < rate * 10000)
+  }
+
   /** Rolling polynomial fingerprint over word hashes:
     * `fp = fold(0, (acc, h) => (acc * 31 + h) mod 1e9+7)` — an
     * order-sensitive document signature (content-defined chunking /

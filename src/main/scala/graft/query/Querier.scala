@@ -61,6 +61,16 @@ final class Querier(val samples: DataFrame) {
       .orderBy(col("n").desc, col("label_name"), col("label_value"))
       .limit(k)
 
+  /** Counter increase/rate per `(series, bucket)` — see [[Rate.increase]]. */
+  def rate(bucketMs: Long): DataFrame = Rate.increase(samples, bucketMs)
+
+  /** Trailing-window `*_over_time` aggregates — see [[Rate.overTime]]. */
+  def overTime(windowMs: Long): DataFrame = Rate.overTime(samples, windowMs)
+
+  /** le-bucket φ-quantile per `(series, bucket)` — see [[Histogram.quantile]]. */
+  def histogramQuantile(bucketMs: Long, les: Seq[Double], phi: Double): DataFrame =
+    Histogram.quantile(samples, bucketMs, les, phi)
+
   /** Per-series sample-span stats — min/max time maintenance (reference
     * `head.go:301-320`) and block-stats accumulation (`compact.go:827-831`). */
   def seriesStats(): DataFrame =

@@ -369,6 +369,32 @@ class TextStatsSpec extends SparkSuite {
     assert(r("s2").getAs[Long]("n_docs") == 1)
   }
 
+  test("weightedSample: per-source rates honored, decision is content-stable") {
+    val df = (1L to 60L).map { i =>
+      val src = if (i <= 20) "all" else if (i <= 40) "none" else "half"
+      (i, s"text $i", "en", src, 6L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextStats.weightedSample(df, Seq("all" -> 1.0, "none" -> 0.0), 0.5)
+      .select("doc_id", "source", "sample_hash")
+      .as[(Long, String, Long)].collect()
+    val bySrc = kept.groupBy(_._2)
+    assert(bySrc("all").map(_._1).toSet == (1L to 20L).toSet) // rate 1: everything
+    assert(!bySrc.contains("none"))                           // rate 0: nothing
+    // default stratum: exactly the ids whose salted hash is under 5000
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long): Long = {
+      val hex = md.digest(s"mix:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val expect = (41L to 60L).filter(h(_) < 5000).toSet
+    assert(bySrc.get("half").map(_.map(_._1).toSet).getOrElse(Set.empty) == expect)
+    // growth-stability: adding rows never flips an existing decision
+    val kept2 = TextStats.weightedSample(df.limit(50), Seq("all" -> 1.0, "none" -> 0.0), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept.map(_._1).filter(_ <= 50).toSet)
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fps = TextStats.fingerprint(df).as[(Long, Long)].collect().toMap

@@ -1,0 +1,32 @@
+package graft.query
+
+import graft.SparkSuite
+
+class AsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("latest in-window right match per left row; same-instant wins; keys isolated") {
+    val l = Seq(
+      (1L, 1L, 100L, 1.0), (2L, 1L, 200L, 2.0),
+      (3L, 1L, 1000L, 3.0), (4L, 2L, 100L, 4.0))
+      .toDF("sample_id", "user_id", "t", "v")
+    val r = Seq((1L, 50L, 5.0), (1L, 200L, 7.0), (2L, 90L, 9.0))
+      .toDF("user_id", "t", "r_v")
+    val got = AsOf.join(l, r, Seq("user_id"), lookbackMs = 300L)
+      .select("sample_id", "r_t", "r_v")
+      .as[(Long, Option[Long], Option[Double])]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(got(1L) == ((Some(50L), Some(5.0))))   // strictly-before match
+    assert(got(2L) == ((Some(200L), Some(7.0))))  // same instant visible
+    assert(got(3L) == ((None, None)))             // latest match too old -> null
+    assert(got(4L) == ((Some(90L), Some(9.0))))   // other key's rows invisible
+  }
+
+  test("left rows with no right key at all survive with null fill") {
+    val l = Seq((1L, 9L, 100L, 1.0)).toDF("sample_id", "user_id", "t", "v")
+    val r = Seq((1L, 50L, 5.0)).toDF("user_id", "t", "r_v")
+    val got = AsOf.join(l, r, Seq("user_id"), 1000L)
+      .select("sample_id", "r_t").as[(Long, Option[Long])].collect()
+    assert(got.toSeq == Seq((1L, None)))
+  }
+}
