@@ -481,6 +481,30 @@ object SparkEntry {
         .where(col("t").between(MINT, MAXT))
         .orderBy("series_key", "t", "sample_id")),
 
+    // Exact per-bucket value quantiles (p50/p95): interpolation between
+    // stored doubles — no float summation, deterministic across engines.
+    "ts_quantile_bucket" -> ((s, dir) =>
+      TsdbSource.events(s, dir).samples
+        .groupBy(col("series_key"), gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"))
+        .agg(
+          round(expr("percentile(v, 0.5)"), 4).as("p50"),
+          round(expr("percentile(v, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("series_key", "t_bucket")),
+
+    // PromQL instant-vector evaluation on a regular grid: every series
+    // sampled at 6h steps, value = latest sample within the 1h
+    // staleness window — the series-keys × grid frame as-of joined to
+    // the samples ([[AsOf.join]] composition; gap-fill/resample).
+    "ts_grid_eval" -> ((s, dir) => {
+      val samples = TsdbSource.events(s, dir).samples
+      val grid = samples.select("series_key").distinct()
+        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
+      val r = samples.groupBy("series_key", "t").agg(max("v").as("r_v"))
+      AsOf.join(grid, r, Seq("series_key"), LOOKBACK)
+        .orderBy("series_key", "t")
+    }),
+
     // As-of join: each click sample aligned to the user's latest
     // purchase within 1h — union + running-last window, one shuffle on
     // the key, no range-join explosion (oracle: DuckDB's native ASOF).
@@ -1122,6 +1146,23 @@ object SparkEntry {
          |  round(sum_win / n_win, 4) AS avg_win
          |FROM w WHERE t BETWEEN $MINT AND $MAXT
          |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_quantile_bucket" ->
+      s"""$samplesCte
+         |SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  round(quantile_cont(v, 0.5), 4) AS p50,
+         |  round(quantile_cont(v, 0.95), 4) AS p95,
+         |  count(*) AS n
+         |FROM s GROUP BY 1, 2 ORDER BY series_key, t_bucket""".stripMargin,
+    "ts_grid_eval" ->
+      s"""$samplesCte,
+         |g AS (SELECT series_key, unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t
+         |  FROM (SELECT DISTINCT series_key FROM s)),
+         |r AS (SELECT series_key, t AS rt, max(v) AS rv FROM s GROUP BY 1, 2)
+         |SELECT g.series_key, g.t,
+         |  CASE WHEN rt >= g.t - $LOOKBACK THEN rt END AS r_t,
+         |  CASE WHEN rt >= g.t - $LOOKBACK THEN rv END AS r_v
+         |FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt
+         |ORDER BY g.series_key, g.t""".stripMargin,
     "ts_asof_join" ->
       s"""$samplesCte,
          |l AS (SELECT user_id, t, sample_id, v FROM s WHERE event_type = 'click'),
