@@ -964,7 +964,17 @@ object SparkEntry {
        |  FROM (SELECT cid, list(mu ORDER BY pos) AS dims FROM m_$out GROUP BY cid))""".stripMargin
 
   /** 2 Lloyd iterations from the explicit init (vec_id < 4), centroids
-    * digested like `emb_quantize` digests codes. */
+    * digested like `emb_quantize` digests codes.
+    *
+    * Config constraint, deliberate: this SQL has no empty-cluster branch
+    * (a cid with no assignments would drop out of `m_<out>`, and a
+    * zero-norm mean would NaN through `x / sqrt(0)`) where
+    * [[Similarity.kmeansFit]] keeps the previous centroid in both cases.
+    * With this corpus + the vec_id<4 init every cluster stays populated
+    * (LlmSpec pins the engine-side semantics for the divergent cases);
+    * encoding keep-previous in SQL would triple the CTE chain for a
+    * branch the oracle never exercises. If the fixture ever changes,
+    * the compare fails loudly rather than silently diverging. */
   private lazy val kmeansFitSql: String =
     s"""WITH c0 AS (SELECT vec_id AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce

@@ -312,13 +312,28 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val Seq(cu, cv) = edges.columns.take(2).toSeq
+    val sc = edges.sparkSession.sparkContext
+    // localCheckpoint blocks are RDD-cached, which Dataset.unpersist
+    // does NOT reach — without explicit release every superseded round
+    // stays resident until driver GC (up to maxIter edge-set copies).
+    // Track each checkpoint's RDD ids and free the previous round's as
+    // soon as the (eager) successor no longer reads it. The ids are
+    // diffed around the checkpoint call; this operator runs its rounds
+    // sequentially, so the diff is exactly the new checkpoint's blocks.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     def orient(e: DataFrame): DataFrame =
       e.select(greatest("u", "v").as("u"), least("u", "v").as("v"))
-    var cur = orient(
+    var (cur, curIds) = checkpointTracked(orient(
       edges.select(col(cu).cast("long").as("u"), col(cv).cast("long").as("v"))
         .where(col(cu).cast("long") =!= col(cv).cast("long")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)),
@@ -346,11 +361,13 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
-      val sig = checksum(ss)
+      val (ssCk, ssIds) = checkpointTracked(ss)
+      release(curIds) // the eager successor no longer reads these blocks
+      val sig = checksum(ssCk)
       converged = sig == last
       last = sig
-      cur = ss
+      cur = ssCk
+      curIds = ssIds
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

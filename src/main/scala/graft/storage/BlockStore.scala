@@ -272,8 +272,11 @@ final class BlockStore(
   def readRange(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): DataFrame = {
     val st = manifest
     val live = st.blocks.filter(_.overlaps(mint, maxt))
+    // no overlapping block — including a store with no published blocks
+    // at all (e.g. only rolled-back txns): an empty result, not an
+    // error, matching a fresh reference DB's Querier (`db.go:1150-1196`)
     if (live.isEmpty)
-      return read(spark).where(lit(false)).drop("block_id", "t_bucket")
+      return storeTable(spark).where(lit(false)).drop("block_id", "t_bucket")
     // t_bucket bounds derived from the query range: partition pruning at
     // the chunk grain (P9, reference `populatedChunkSeries` chunk drops)
     // on top of the row-group stats the t filter gives (P10)

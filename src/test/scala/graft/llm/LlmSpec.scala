@@ -312,6 +312,23 @@ class SimilaritySpec extends SparkSuite {
     assert(res.count() == 9)
   }
 
+  test("kmeansFit: empty cluster and zero-norm mean both keep the previous centroid") {
+    // all mass near +x: the -x centroid gets no assignments -> unchanged
+    // (the branch the SQL oracle deliberately does not encode)
+    val corpus = Seq((10L, Seq(1f, 0f)), (11L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq((0L, Seq(1f, 0f)), (1L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(corpus, k = 2, iters = 2, init = Some(init))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(got(1L) == Seq(-1f, 0f))
+    // opposing unit vectors: the lone cluster's mean is zero-norm -> unchanged
+    val corpus2 = Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val init2 = Seq((0L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val got2 = Similarity.kmeansFit(corpus2, k = 1, iters = 1, init = Some(init2))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(got2(0L) == Seq(0f, 1f))
+  }
+
   test("hyperplaneNearDupPairs finds the planted duplicate across any table") {
     val dup = emb.where($"vec_id" === 0)
       .select(lit(9999L).as("vec_id"), $"embedding", $"label")

@@ -521,6 +521,9 @@ class AppenderSpec extends SparkSuite {
     assert(store.manifest.blocks.isEmpty)
     assert(store.labelNames(spark).as[String].collect().toSeq == Seq("host", "name"))
     assert(store.labelValues(spark, "name").as[String].collect().toSeq == Seq("cpu"))
+    // reads answer empty, not an error (a fresh reference DB's Querier)
+    assert(store.readRange(spark, 0, 5000).count() == 0)
+    assert(store.readRange(spark, 0, 5000, graft.matchers.Eq("name", "cpu")).count() == 0)
     // addRef resolves against the head-registered series instead of
     // failing with "no published blocks"
     val id = Appender.txn(store, minValidTime = 0)
