@@ -481,6 +481,12 @@ object SparkEntry {
         .where(col("t").between(MINT, MAXT))
         .orderBy("series_key", "t", "sample_id")),
 
+    // PromQL deriv(): per-(series, day) least-squares slope from
+    // closed-form sums — exact integer time sums, rounded float sums.
+    "ts_deriv" -> ((s, dir) =>
+      Rate.deriv(TsdbSource.events(s, dir).samples, DAY)
+        .orderBy("series_key", "t_bucket")),
+
     // Exact per-bucket value quantiles (p50/p95): interpolation between
     // stored doubles — no float summation, deterministic across engines.
     "ts_quantile_bucket" -> ((s, dir) =>
@@ -1156,6 +1162,19 @@ object SparkEntry {
          |  round(sum_win / n_win, 4) AS avg_win
          |FROM w WHERE t BETWEEN $MINT AND $MAXT
          |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_deriv" ->
+      s"""$samplesCte,
+         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  (t - (t // $DAY) * $DAY) // 60000 AS x, v FROM s),
+         |g AS (SELECT series_key, t_bucket, count(*) AS n,
+         |  sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+         |  round(sum(v), 2) AS sy, round(sum(x * v), 2) AS sxy
+         |  FROM i GROUP BY 1, 2)
+         |SELECT series_key, t_bucket, n,
+         |  CASE WHEN n * sxx - sx * sx > 0
+         |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 60.0, 6) END
+         |    AS deriv_per_sec
+         |FROM g ORDER BY series_key, t_bucket""".stripMargin,
     "ts_quantile_bucket" ->
       s"""$samplesCte
          |SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,

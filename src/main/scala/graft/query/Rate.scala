@@ -61,6 +61,43 @@ object Rate {
         round(col("increase") / (bucketMs / 1000.0), 6))
   }
 
+  /** Per-bucket `deriv()` — least-squares slope of v over time (the
+    * PromQL gauge-trend function), in per-second units.
+    *
+    * Built from closed-form sums, NOT `regr_slope`: the regression
+    * aggregate's internal covariance accumulation is engine-specific
+    * float arithmetic, unverifiable across engines. Here the time axis
+    * is recentred to minutes within the bucket, making `Σx` and `Σx²`
+    * EXACT integer arithmetic (well inside 2⁵³ at any bucket size), and
+    * the only float sums — `Σv`, `Σxv` — are rounded (2dp) before the
+    * closed form combines them, so both engines divide identical bits.
+    * Recentring also avoids the classic catastrophic cancellation of
+    * `Σt²` at epoch-millisecond magnitudes.
+    *
+    * One hash aggregate, map-side combined; a degenerate bucket (all
+    * samples in one minute) yields null rather than a 0/0. */
+  def deriv(samples: DataFrame, bucketMs: Long): DataFrame = {
+    val bucket = rangeForTimestamp(col("t"), bucketMs)
+    // minutes since bucket start; double-div + truncate is exact here:
+    // non-integer quotients sit ≥ 1/60000 from an integer, 8 orders
+    // above the division's ulp at these magnitudes
+    val x = ((col("t") - (bucket - bucketMs)) / lit(60000)).cast("long")
+    samples
+      .select(col("series_key"), bucket.as("t_bucket"), x.as("x"), col("v"))
+      .groupBy("series_key", "t_bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+        round(sum("v"), 2).as("sy"), round(sum(col("x") * col("v")), 2).as("sxy"))
+      .withColumn("deriv_per_sec",
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) / 60.0,
+            6)))
+      .select("series_key", "t_bucket", "n", "deriv_per_sec")
+  }
+
   /** The `*_over_time` family — per-sample sliding-window aggregations
     * over the trailing `windowMs` of the same series (PromQL's range
     * vectors: `sum/count/min/max/avg_over_time`), as ONE range-frame

@@ -34,6 +34,21 @@ class RateSpec extends SparkSuite {
     assert(got(1000L)._2 == 0L)
   }
 
+  test("deriv: least-squares slope per bucket, degenerate buckets null") {
+    val samples = Seq(
+      // series a: v = 1 + 2*minute -> slope 2/min = 1/30 per sec
+      (1L, "a", 0L, 1.0), (2L, "a", 60000L, 3.0), (3L, "a", 120000L, 5.0),
+      // series b: single sample -> zero x-variance -> null
+      (4L, "b", 0L, 7.0))
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.deriv(samples, bucketMs = 240000L)
+      .select("series_key", "n", "deriv_per_sec")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((3L, Some(0.033333))))
+    assert(got("b") == ((1L, None)))
+  }
+
   test("overTime aggregates the trailing range frame, timestamp peers included") {
     val samples = Seq(
       (1L, "a", 0L, 1.0), (2L, "a", 1000L, 2.0),
