@@ -498,6 +498,20 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("series_key", "t_bucket")),
 
+    // The sketch path for the same question: Greenwald-Khanna
+    // approx_percentile holds O(accuracy) state per group instead of
+    // the group's values — the shape exact percentile cannot keep at
+    // 100 TB group sizes. No cross-engine oracle (sketch internals are
+    // engine-private): driver records the rows-only check; LlmSpec-style
+    // error-bound assertion lives in RateSpec instead.
+    "ts_quantile_sketch" -> ((s, dir) =>
+      TsdbSource.events(s, dir).samples
+        .groupBy(col("series_key"), gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"))
+        .agg(
+          expr("approx_percentile(v, 0.95, 1000)").as("p95_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("series_key", "t_bucket")),
+
     // PromQL instant-vector evaluation on a regular grid: every series
     // sampled at 6h steps, value = latest sample within the 1h
     // staleness window — the series-keys × grid frame as-of joined to

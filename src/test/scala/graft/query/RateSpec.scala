@@ -68,6 +68,30 @@ class RateSpec extends SparkSuite {
     assert(got(5L) == ((5L, 1L, 4.0, 4.0, 4.0, 4.0)))
   }
 
+  test("approx_percentile lands inside the exact rank window its error bound promises") {
+    // GK returns a REAL sample whose rank is within n/accuracy of the
+    // target rank — assert membership in that rank window (±1 rank of
+    // slack for rounding-convention differences), not against the
+    // interpolated exact percentile, which is not a sample at all
+    import org.apache.spark.sql.functions.expr
+    val df = TsdbSource.events(spark, sf).samples
+    val approx = df.groupBy("series_key")
+      .agg(expr("approx_percentile(v, 0.95, 1000)").as("approx"))
+      .as[(String, Double)].collect().toMap
+    assert(approx.nonEmpty)
+    val values = df.select("series_key", "v").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (k, a) =>
+      val vs = values(k)
+      val target = 0.95 * vs.length
+      val eps = vs.length / 1000.0
+      val lo = math.max(0, math.floor(target - eps).toInt - 1)
+      val hi = math.min(vs.length - 1, math.ceil(target + eps).toInt + 1)
+      val window = vs.slice(lo, hi + 1)
+      assert(window.contains(a), s"$k: $a not in rank window ${window.mkString(",")}")
+    }
+  }
+
   test("rate window consumes the bucketed store scan without an exchange") {
     // same no-shuffle property ts_vertical_dedup asserts: the window's
     // series partitioning is satisfied by the store's bucketed layout
