@@ -481,6 +481,45 @@ object SparkEntry {
         .where(col("t").between(MINT, MAXT))
         .orderBy("series_key", "t", "sample_id")),
 
+    // PromQL binary op with on(user) matching: click / purchase ratio
+    // evaluated on the common 6h grid (two staleness-windowed as-of
+    // alignments joined on the match labels — the full eval model:
+    // align each side, then arithmetic on the matched instants).
+    "ts_binary_op" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("long").as("user_id"),
+        expr("ts div 1000000").as("t"),
+        col("value").cast("double").as("v"),
+        col("event_type"))
+      val grid = ev.select("user_id").distinct()
+        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
+      def side(tpe: String, out: String) =
+        AsOf.join(
+          grid,
+          ev.where(col("event_type") === tpe)
+            .groupBy("user_id", "t").agg(max("v").as("r_v")),
+          Seq("user_id"), DAY) // 1-day staleness: per-user events are sparse
+          .select(col("user_id"), col("t"), col("r_v").as(out))
+      side("click", "c_v")
+        .join(side("purchase", "p_v"), Seq("user_id", "t"))
+        .where(col("c_v").isNotNull && col("p_v").isNotNull)
+        .select(col("user_id"), col("t"), round(col("c_v") / col("p_v"), 4).as("ratio"))
+        .orderBy("user_id", "t")
+    }),
+
+    // topk(5, increase(...)): per-bucket leaderboard over the counter
+    // rates — one rank window over the (tiny) rate aggregate.
+    "ts_topk_by_rate" -> ((s, dir) => {
+      val w = Window.partitionBy("t_bucket")
+        .orderBy(col("increase").desc, col("series_key"))
+      Rate.increase(TsdbSource.events(s, dir).samples, DAY)
+        .where(col("increase").isNotNull)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select("t_bucket", "rk", "series_key", "increase")
+        .orderBy("t_bucket", "rk")
+    }),
+
     // PromQL deriv(): per-(series, day) least-squares slope from
     // closed-form sums — exact integer time sums, rounded float sums.
     "ts_deriv" -> ((s, dir) =>
@@ -1176,6 +1215,40 @@ object SparkEntry {
          |  round(sum_win / n_win, 4) AS avg_win
          |FROM w WHERE t BETWEEN $MINT AND $MAXT
          |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_binary_op" ->
+      s"""$samplesCte,
+         |g AS (SELECT user_id, unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t
+         |  FROM (SELECT DISTINCT user_id FROM s)),
+         |ca AS (SELECT user_id, t AS rt, max(v) AS rv FROM s
+         |  WHERE event_type = 'click' GROUP BY 1, 2),
+         |pa AS (SELECT user_id, t AS rt, max(v) AS rv FROM s
+         |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |c AS (SELECT g.user_id, g.t,
+         |  CASE WHEN rt >= g.t - $DAY THEN rv END AS c_v
+         |  FROM g ASOF LEFT JOIN ca ON g.user_id = ca.user_id AND g.t >= rt),
+         |p AS (SELECT g.user_id, g.t,
+         |  CASE WHEN rt >= g.t - $DAY THEN rv END AS p_v
+         |  FROM g ASOF LEFT JOIN pa ON g.user_id = pa.user_id AND g.t >= rt)
+         |SELECT c.user_id, c.t, round(c_v / p_v, 4) AS ratio
+         |FROM c JOIN p ON c.user_id = p.user_id AND c.t = p.t
+         |WHERE c_v IS NOT NULL AND p_v IS NOT NULL
+         |ORDER BY c.user_id, c.t""".stripMargin,
+    "ts_topk_by_rate" ->
+      s"""$samplesCte,
+         |l AS (SELECT series_key, t, v,
+         |  lag(v) OVER (PARTITION BY series_key ORDER BY t, sample_id) AS prev_v
+         |  FROM s),
+         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  CASE WHEN prev_v IS NULL THEN NULL
+         |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc
+         |  FROM l),
+         |g AS (SELECT series_key, t_bucket, round(sum(inc), 2) AS increase
+         |  FROM i GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY t_bucket ORDER BY increase DESC, series_key) AS rk
+         |  FROM g WHERE increase IS NOT NULL)
+         |SELECT t_bucket, rk, series_key, increase
+         |FROM r WHERE rk <= 5 ORDER BY t_bucket, rk""".stripMargin,
     "ts_deriv" ->
       s"""$samplesCte,
          |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
