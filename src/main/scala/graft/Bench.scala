@@ -42,7 +42,7 @@ object Bench {
     "ts_tombstone_delete", "ts_vertical_dedup", "ts_bucketed_dedup",
     "ts_lookback_delta", "ts_ooo_reject", "ts_counter_rate",
     "ts_hist_quantile", "ts_over_time", "ts_asof_join", "ts_quantile_bucket",
-    "emb_cosine_topk",
+    "ts_grid_eval", "emb_cosine_topk",
     "emb_rand_lsh_ann", "emb_ivf_persisted", "emb_ivf_search",
     "ts_select_postings", "ts_regex_dict", "ts_select_multi", "ts_select_regex",
     "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh",
