@@ -482,9 +482,10 @@ object SparkEntry {
         .orderBy("series_key", "t", "sample_id")),
 
     // PromQL binary op with on(user) matching: click / purchase ratio
-    // evaluated on the common 6h grid (two staleness-windowed as-of
-    // alignments joined on the match labels — the full eval model:
-    // align each side, then arithmetic on the matched instants).
+    // evaluated on the common 6h grid — BOTH operands staleness-aligned
+    // in ONE AsOf.joinMany pass (one union-window shuffle total), then
+    // arithmetic on the matched instants. 1-day staleness: per-user
+    // events are sparse.
     "ts_binary_op" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         col("user_id").cast("long").as("user_id"),
@@ -493,15 +494,11 @@ object SparkEntry {
         col("event_type"))
       val grid = ev.select("user_id").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      def side(tpe: String, out: String) =
-        AsOf.join(
-          grid,
-          ev.where(col("event_type") === tpe)
-            .groupBy("user_id", "t").agg(max("v").as("r_v")),
-          Seq("user_id"), DAY) // 1-day staleness: per-user events are sparse
-          .select(col("user_id"), col("t"), col("r_v").as(out))
-      side("click", "c_v")
-        .join(side("purchase", "p_v"), Seq("user_id", "t"))
+      def agg(tpe: String) =
+        ev.where(col("event_type") === tpe)
+          .groupBy("user_id", "t").agg(max("v").as("r_v"))
+      AsOf.joinMany(grid, Seq("c" -> agg("click"), "p" -> agg("purchase")),
+        Seq("user_id"), DAY)
         .where(col("c_v").isNotNull && col("p_v").isNotNull)
         .select(col("user_id"), col("t"), round(col("c_v") / col("p_v"), 4).as("ratio"))
         .orderBy("user_id", "t")

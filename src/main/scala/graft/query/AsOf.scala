@@ -41,24 +41,52 @@ object AsOf {
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
+      lookbackMs: Long): DataFrame =
+    joinMany(left, Seq("r" -> right), keys, lookbackMs)
+
+  /** N-ary as-of: every right side resolved against the SAME left in
+    * ONE union + window pass — N running `last` fills over one window
+    * spec collapse into a single Window operator, so the plan pays one
+    * shuffle+sort of `|L| + Σ|Rᵢ|` total, not one per side. This is
+    * what a PromQL binary/ternary op wants: align every operand to the
+    * evaluation instants in one pass, then do arithmetic
+    * ([[graft.SparkEntry]]'s `ts_binary_op`).
+    *
+    * Each right needs `keys :+ t :+ r_v`; its columns come back as
+    * `<name>_t` / `<name>_v` (nulled outside the lookback). All rights
+    * sort before left at equal `t` (same-instant visibility). */
+  def joinMany(
+      left: DataFrame,
+      rights: Seq[(String, DataFrame)],
+      keys: Seq[String],
       lookbackMs: Long): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
-    val l = left.withColumn("__side", lit(1))
-    val r = right
-      .select(keys.map(col) :+ col("t") :+ col("r_v"): _*)
-      .withColumn("__side", lit(0))
-    // left-only columns are null on right rows; right's r_v is null on
-    // left rows until the window fills it
-    val unioned = l.drop("r_v").unionByName(r, allowMissingColumns = true)
+    require(rights.nonEmpty && rights.map(_._1).distinct.size == rights.size,
+      "right sides need distinct names")
+    val n = rights.size
+    val l = left.withColumn("__side", lit(n))
+    val unioned = rights.zipWithIndex.foldLeft(l) { case (acc, ((_, r), i)) =>
+      acc.unionByName(
+        r.select(keys.map(col) :+ col("t") :+ col("r_v").as(s"__rv_$i"): _*)
+          .withColumn("__side", lit(i)),
+        allowMissingColumns = true)
+    }
     val w = Window.partitionBy(keys.map(col): _*).orderBy("t", "__side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rRow = when(col("__side") === 0, struct(col("t"), col("r_v")))
-    unioned
-      .withColumn("__r", last(rRow, ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-      .withColumn("__ok", col("__r.t") >= col("t") - lookbackMs)
-      .withColumn("r_t", when(col("__ok"), col("__r.t")))
-      .withColumn("r_v", when(col("__ok"), col("__r.r_v")))
-      .drop("__side", "__r", "__ok")
+    val filled = rights.zipWithIndex.foldLeft(unioned) { case (acc, (_, i)) =>
+      acc.withColumn(s"__r_$i",
+        last(when(col("__side") === i, struct(col("t"), col(s"__rv_$i"))),
+          ignoreNulls = true).over(w))
+    }
+    val out = rights.zipWithIndex.foldLeft(filled.where(col("__side") === n)) {
+      case (acc, ((name, _), i)) =>
+        val ok = col(s"__r_$i.t") >= col("t") - lookbackMs
+        acc
+          .withColumn(s"${name}_t", when(ok, col(s"__r_$i.t")))
+          .withColumn(s"${name}_v", when(ok, col(s"__r_$i.__rv_$i")))
+    }
+    val drop = Seq("__side") ++
+      rights.indices.flatMap(i => Seq(s"__rv_$i", s"__r_$i"))
+    out.drop(drop: _*)
   }
 }

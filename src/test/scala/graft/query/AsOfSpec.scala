@@ -22,6 +22,22 @@ class AsOfSpec extends SparkSuite {
     assert(got(4L) == ((Some(90L), Some(9.0))))   // other key's rows invisible
   }
 
+  test("joinMany aligns N sides in one pass, equal to N separate joins") {
+    val l = Seq((1L, 1L, 100L), (2L, 1L, 300L)).toDF("sample_id", "user_id", "t")
+    val a = Seq((1L, 50L, 5.0), (1L, 250L, 6.0)).toDF("user_id", "t", "r_v")
+    val b = Seq((1L, 90L, 9.0)).toDF("user_id", "t", "r_v")
+    val many = AsOf.joinMany(l, Seq("a" -> a, "b" -> b), Seq("user_id"), 100L)
+      .select("sample_id", "a_t", "a_v", "b_t", "b_v")
+      .as[(Long, Option[Long], Option[Double], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(many(1L) == ((Some(50L), Some(5.0), Some(90L), Some(9.0))))
+    assert(many(2L) == ((Some(250L), Some(6.0), None, None))) // b too old at 300
+    // one union-window shuffle resolves BOTH sides (no per-side pass)
+    val plan = AsOf.joinMany(l, Seq("a" -> a, "b" -> b), Seq("user_id"), 100L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
   test("left rows with no right key at all survive with null fill") {
     val l = Seq((1L, 9L, 100L, 1.0)).toDF("sample_id", "user_id", "t", "v")
     val r = Seq((1L, 50L, 5.0)).toDF("user_id", "t", "r_v")
