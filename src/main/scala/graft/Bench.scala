@@ -46,6 +46,7 @@ object Bench {
     "emb_rand_lsh_ann", "emb_ivf_persisted", "emb_ivf_search",
     "ts_select_postings", "ts_regex_dict", "ts_select_multi", "ts_select_regex",
     "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh",
+    "doc_repetition", "doc_tfidf_topk", "ts_binary_op",
     // end-to-end dedup: minhash pairs + log-round closure + anti-join —
     // the closure's round count must stay scale-insensitive
     "doc_dedup_survivors")
