@@ -482,10 +482,10 @@ object SparkEntry {
         .orderBy("series_key", "t", "sample_id")),
 
     // PromQL binary op with on(user) matching: click / purchase ratio
-    // evaluated on the common 6h grid — BOTH operands staleness-aligned
-    // in ONE AsOf.joinMany pass (one union-window shuffle total), then
-    // arithmetic on the matched instants. 1-day staleness: per-user
-    // events are sparse.
+    // evaluated on the common 6h grid — both operands pivot out of ONE
+    // fact aggregate and staleness-align independently in ONE
+    // union-window pass (AsOf.joinWide), then arithmetic on the matched
+    // instants. 1-day staleness: per-user events are sparse.
     "ts_binary_op" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         col("user_id").cast("long").as("user_id"),
@@ -494,11 +494,12 @@ object SparkEntry {
         col("event_type"))
       val grid = ev.select("user_id").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      def agg(tpe: String) =
-        ev.where(col("event_type") === tpe)
-          .groupBy("user_id", "t").agg(max("v").as("r_v"))
-      AsOf.joinMany(grid, Seq("c" -> agg("click"), "p" -> agg("purchase")),
-        Seq("user_id"), DAY)
+      val both = ev.where(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "t")
+        .agg(
+          max(when(col("event_type") === "click", col("v"))).as("c"),
+          max(when(col("event_type") === "purchase", col("v"))).as("p"))
+      AsOf.joinWide(grid, both, Seq("user_id"), DAY, Seq("c", "p"))
         .where(col("c_v").isNotNull && col("p_v").isNotNull)
         .select(col("user_id"), col("t"), round(col("c_v") / col("p_v"), 4).as("ratio"))
         .orderBy("user_id", "t")

@@ -44,6 +44,45 @@ object AsOf {
       lookbackMs: Long): DataFrame =
     joinMany(left, Seq("r" -> right), keys, lookbackMs)
 
+  /** One right relation carrying SEVERAL value columns, each filled
+    * independently: a row where `valueCols(i)` is null does NOT clobber
+    * column i's running fill (the conditional-struct guard includes the
+    * value's non-nullness). This is the shape for operands that pivot
+    * out of one aggregate — e.g. `max(v) FILTER (type='click')` and
+    * `...'purchase'` per (key, t) — so a PromQL binary op costs ONE
+    * fact aggregate + ONE union-window, instead of one aggregate and
+    * one union per operand ([[joinMany]]'s shape for genuinely separate
+    * relations). Output columns: `<c>_t` / `<c>_v` per value column. */
+  def joinWide(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lookbackMs: Long,
+      valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(valueCols.nonEmpty, "joinWide needs at least one value column")
+    val l = left.withColumn("__side", lit(1))
+    val unioned = l.unionByName(
+      right.select((keys.map(col) :+ col("t")) ++
+        valueCols.map(c => col(c).as(s"__w_$c")): _*)
+        .withColumn("__side", lit(0)),
+      allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("t", "__side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (acc, c) =>
+      acc.withColumn(s"__r_$c",
+        last(when(col("__side") === 0 && col(s"__w_$c").isNotNull,
+          struct(col("t"), col(s"__w_$c"))), ignoreNulls = true).over(w))
+    }
+    val out = valueCols.foldLeft(filled.where(col("__side") === 1)) { (acc, c) =>
+      val ok = col(s"__r_$c.t") >= col("t") - lookbackMs
+      acc
+        .withColumn(s"${c}_t", when(ok, col(s"__r_$c.t")))
+        .withColumn(s"${c}_v", when(ok, col(s"__r_$c.__w_$c")))
+    }
+    out.drop(Seq("__side") ++ valueCols.flatMap(c => Seq(s"__w_$c", s"__r_$c")): _*)
+  }
+
   /** N-ary as-of: every right side resolved against the SAME left in
     * ONE union + window pass — N running `last` fills over one window
     * spec collapse into a single Window operator, so the plan pays one

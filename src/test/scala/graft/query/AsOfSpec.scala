@@ -38,6 +38,20 @@ class AsOfSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(2000))
   }
 
+  test("joinWide: value columns fill independently; a null value never clobbers") {
+    val l = Seq((1L, 1L, 300L)).toDF("sample_id", "user_id", "t")
+    // at t=100 only a; at t=200 only b — b's null `a` must not erase a's fill
+    val r = Seq(
+      (1L, 100L, Some(5.0), Option.empty[Double]),
+      (1L, 200L, Option.empty[Double], Some(9.0)))
+      .toDF("user_id", "t", "a", "b")
+    val got = AsOf.joinWide(l, r, Seq("user_id"), 1000L, Seq("a", "b"))
+      .select("a_t", "a_v", "b_t", "b_v")
+      .as[(Option[Long], Option[Double], Option[Long], Option[Double])]
+      .collect().head
+    assert(got == ((Some(100L), Some(5.0), Some(200L), Some(9.0))))
+  }
+
   test("left rows with no right key at all survive with null fill") {
     val l = Seq((1L, 9L, 100L, 1.0)).toDF("sample_id", "user_id", "t", "v")
     val r = Seq((1L, 50L, 5.0)).toDF("user_id", "t", "r_v")
