@@ -492,13 +492,17 @@ object SparkEntry {
         expr("ts div 1000000").as("t"),
         col("value").cast("double").as("v"),
         col("event_type"))
-      val grid = ev.select("user_id").distinct()
-        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
       val both = ev.where(col("event_type").isin("click", "purchase"))
         .groupBy("user_id", "t")
         .agg(
           max(when(col("event_type") === "click", col("v"))).as("c"),
           max(when(col("event_type") === "purchase", col("v"))).as("p"))
+      // grid keys come from the operand aggregate, not a second fact
+      // scan: a user surviving the final not-null filter needs fills on
+      // BOTH operands, so users outside `both` can only produce
+      // discarded rows
+      val grid = both.select("user_id").distinct()
+        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
       AsOf.joinWide(grid, both, Seq("user_id"), DAY, Seq("c", "p"))
         .where(col("c_v").isNotNull && col("p_v").isNotNull)
         .select(col("user_id"), col("t"), round(col("c_v") / col("p_v"), 4).as("ratio"))
@@ -1046,6 +1050,22 @@ object SparkEntry {
        |  round(ce[$EMB_DIM], 4) AS dim64
        |FROM c2 ORDER BY centroid_id""".stripMargin
 
+  /** Counter-increase classification shared by the rate-family oracles
+    * (`ts_counter_rate`, `ts_topk_by_rate`) — ONE definition of the
+    * reset convention, the bucket expression, and the lag order, so the
+    * semantics cannot drift between entries. Ends in
+    * `i(series_key, t_bucket, inc, reset)`. */
+  private lazy val rateIncCte: String =
+    s"""$samplesCte,
+       |l AS (SELECT series_key, t, v,
+       |  lag(v) OVER (PARTITION BY series_key ORDER BY t, sample_id) AS prev_v
+       |  FROM s),
+       |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+       |  CASE WHEN prev_v IS NULL THEN NULL
+       |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc,
+       |  CASE WHEN prev_v IS NOT NULL AND v < prev_v THEN 1 ELSE 0 END AS reset
+       |  FROM l)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1166,15 +1186,7 @@ object SparkEntry {
          |FROM l WHERE t BETWEEN $MINT AND $MAXT
          |ORDER BY series_key, t, sample_id""".stripMargin,
     "ts_counter_rate" ->
-      s"""$samplesCte,
-         |l AS (SELECT series_key, t, v,
-         |  lag(v) OVER (PARTITION BY series_key ORDER BY t, sample_id) AS prev_v
-         |  FROM s),
-         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
-         |  CASE WHEN prev_v IS NULL THEN NULL
-         |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc,
-         |  CASE WHEN prev_v IS NOT NULL AND v < prev_v THEN 1 ELSE 0 END AS reset
-         |  FROM l),
+      s"""$rateIncCte,
          |g AS (SELECT series_key, t_bucket, round(sum(inc), 2) AS increase,
          |  count(inc) AS n_deltas, sum(reset)::BIGINT AS n_resets
          |  FROM i GROUP BY 1, 2)
@@ -1232,14 +1244,7 @@ object SparkEntry {
          |WHERE c_v IS NOT NULL AND p_v IS NOT NULL
          |ORDER BY c.user_id, c.t""".stripMargin,
     "ts_topk_by_rate" ->
-      s"""$samplesCte,
-         |l AS (SELECT series_key, t, v,
-         |  lag(v) OVER (PARTITION BY series_key ORDER BY t, sample_id) AS prev_v
-         |  FROM s),
-         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
-         |  CASE WHEN prev_v IS NULL THEN NULL
-         |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc
-         |  FROM l),
+      s"""$rateIncCte,
          |g AS (SELECT series_key, t_bucket, round(sum(inc), 2) AS increase
          |  FROM i GROUP BY 1, 2),
          |r AS (SELECT *, row_number() OVER (

@@ -316,14 +316,18 @@ object Dedup {
     // localCheckpoint blocks are RDD-cached, which Dataset.unpersist
     // does NOT reach — without explicit release every superseded round
     // stays resident until driver GC (up to maxIter edge-set copies).
-    // Track each checkpoint's RDD ids and free the previous round's as
-    // soon as the (eager) successor no longer reads it. The ids are
-    // diffed around the checkpoint call; this operator runs its rounds
-    // sequentially, so the diff is exactly the new checkpoint's blocks.
+    // Free the previous round's blocks as soon as the (eager) successor
+    // no longer reads them. The checkpoint's RDD ids are read off the
+    // returned plan's own LogicalRDD leaves — never by diffing the
+    // context-global persistent-RDD registry, which would misattribute
+    // (and later unpersist) RDDs a concurrent caller persisted in the
+    // same SparkContext while the checkpoint job ran.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      val ids = out.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
+      (out, ids)
     }
     def release(ids: Set[Int]): Unit =
       ids.foreach(id =>

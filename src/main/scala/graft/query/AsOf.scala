@@ -59,28 +59,16 @@ object AsOf {
       keys: Seq[String],
       lookbackMs: Long,
       valueCols: Seq[String]): DataFrame = {
-    require(keys.nonEmpty, "as-of join needs at least one key column")
     require(valueCols.nonEmpty, "joinWide needs at least one value column")
-    val l = left.withColumn("__side", lit(1))
-    val unioned = l.unionByName(
+    val unioned = left.withColumn("__side", lit(1)).unionByName(
       right.select((keys.map(col) :+ col("t")) ++
         valueCols.map(c => col(c).as(s"__w_$c")): _*)
         .withColumn("__side", lit(0)),
       allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy("t", "__side")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (acc, c) =>
-      acc.withColumn(s"__r_$c",
-        last(when(col("__side") === 0 && col(s"__w_$c").isNotNull,
-          struct(col("t"), col(s"__w_$c"))), ignoreNulls = true).over(w))
-    }
-    val out = valueCols.foldLeft(filled.where(col("__side") === 1)) { (acc, c) =>
-      val ok = col(s"__r_$c.t") >= col("t") - lookbackMs
-      acc
-        .withColumn(s"${c}_t", when(ok, col(s"__r_$c.t")))
-        .withColumn(s"${c}_v", when(ok, col(s"__r_$c.__w_$c")))
-    }
-    out.drop(Seq("__side") ++ valueCols.flatMap(c => Seq(s"__w_$c", s"__r_$c")): _*)
+    fillAsOf(unioned, keys, lookbackMs, leftSide = 1,
+      fills = valueCols.map(c =>
+        (c, col("__side") === 0 && col(s"__w_$c").isNotNull, col(s"__w_$c"))))
+      .drop(valueCols.map(c => s"__w_$c"): _*)
   }
 
   /** N-ary as-of: every right side resolved against the SAME left in
@@ -99,33 +87,48 @@ object AsOf {
       rights: Seq[(String, DataFrame)],
       keys: Seq[String],
       lookbackMs: Long): DataFrame = {
-    require(keys.nonEmpty, "as-of join needs at least one key column")
     require(rights.nonEmpty && rights.map(_._1).distinct.size == rights.size,
       "right sides need distinct names")
     val n = rights.size
-    val l = left.withColumn("__side", lit(n))
-    val unioned = rights.zipWithIndex.foldLeft(l) { case (acc, ((_, r), i)) =>
-      acc.unionByName(
-        r.select(keys.map(col) :+ col("t") :+ col("r_v").as(s"__rv_$i"): _*)
-          .withColumn("__side", lit(i)),
-        allowMissingColumns = true)
+    val unioned = rights.zipWithIndex.foldLeft(left.withColumn("__side", lit(n))) {
+      case (acc, ((_, r), i)) =>
+        acc.unionByName(
+          r.select(keys.map(col) :+ col("t") :+ col("r_v").as(s"__rv_$i"): _*)
+            .withColumn("__side", lit(i)),
+          allowMissingColumns = true)
     }
+    fillAsOf(unioned, keys, lookbackMs, leftSide = n,
+      fills = rights.zipWithIndex.map { case ((name, _), i) =>
+        (name, col("__side") === i, col(s"__rv_$i"))
+      })
+      .drop(rights.indices.map(i => s"__rv_$i"): _*)
+  }
+
+  /** The shared mechanics every as-of variant delegates to: one window
+    * per key ordered `(t, __side)` over the pre-built union, one running
+    * `last(when(cond, struct(t, value)))` per fill, the lookback mask,
+    * and the left-row projection. `fills` = (output name, source-row
+    * predicate, value expression). */
+  private def fillAsOf(
+      unioned: DataFrame,
+      keys: Seq[String],
+      lookbackMs: Long,
+      leftSide: Int,
+      fills: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)]): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
     val w = Window.partitionBy(keys.map(col): _*).orderBy("t", "__side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rights.zipWithIndex.foldLeft(unioned) { case (acc, (_, i)) =>
-      acc.withColumn(s"__r_$i",
-        last(when(col("__side") === i, struct(col("t"), col(s"__rv_$i"))),
-          ignoreNulls = true).over(w))
+    val filled = fills.foldLeft(unioned) { case (acc, (name, cond, value)) =>
+      acc.withColumn(s"__r_$name",
+        last(when(cond, struct(col("t"), value.as("v"))), ignoreNulls = true).over(w))
     }
-    val out = rights.zipWithIndex.foldLeft(filled.where(col("__side") === n)) {
-      case (acc, ((name, _), i)) =>
-        val ok = col(s"__r_$i.t") >= col("t") - lookbackMs
+    val out = fills.foldLeft(filled.where(col("__side") === leftSide)) {
+      case (acc, (name, _, _)) =>
+        val ok = col(s"__r_$name.t") >= col("t") - lookbackMs
         acc
-          .withColumn(s"${name}_t", when(ok, col(s"__r_$i.t")))
-          .withColumn(s"${name}_v", when(ok, col(s"__r_$i.__rv_$i")))
+          .withColumn(s"${name}_t", when(ok, col(s"__r_$name.t")))
+          .withColumn(s"${name}_v", when(ok, col(s"__r_$name.v")))
     }
-    val drop = Seq("__side") ++
-      rights.indices.flatMap(i => Seq(s"__rv_$i", s"__r_$i"))
-    out.drop(drop: _*)
+    out.drop("__side" +: fills.map(f => s"__r_${f._1}"): _*)
   }
 }
