@@ -566,6 +566,39 @@ object SparkEntry {
         .orderBy("series_key", "t")
     }),
 
+    // PromQL irate()/idelta(): instantaneous rate from the last two
+    // samples of each (series, day) — one window pass, one surviving
+    // row per bucket, reset convention shared with ts_counter_rate.
+    "ts_irate" -> ((s, dir) =>
+      Rate.instant(TsdbSource.events(s, dir).samples, DAY)
+        .orderBy("series_key", "t_bucket")),
+
+    // PromQL resets()/changes() per (series, day): consecutive-sample
+    // drops and value changes — lag window + one hash aggregate.
+    "ts_resets_changes" -> ((s, dir) =>
+      Rate.resetsChanges(TsdbSource.events(s, dir).samples, DAY)
+        .orderBy("series_key", "t_bucket")),
+
+    // PromQL sum by (name)(...): the instant-vector grid aggregated
+    // across series by a label read straight off the samples' label map
+    // — the "by (label)" consumer shape (labels ride the read; no index
+    // join). n_series counts only present (non-stale) series at each
+    // instant, like PromQL's vector cardinality.
+    "ts_agg_by" -> ((s, dir) => {
+      val sl = TsdbSource.events(s, dir).samples
+        .select(col("series_key"), col("labels")("name").as("name"),
+          col("t"), col("v"))
+      val grid = sl.select("series_key", "name").distinct()
+        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
+      val r = sl.groupBy("series_key", "t").agg(max("v").as("r_v"))
+      AsOf.join(grid, r, Seq("series_key"), LOOKBACK)
+        .groupBy("name", "t")
+        .agg(
+          count(col("r_v")).as("n_series"),
+          round(sum("r_v"), 2).as("sum_v"))
+        .orderBy("name", "t")
+    }),
+
     // As-of join: each click sample aligned to the user's latest
     // purchase within 1h — union + running-last window, one shuffle on
     // the key, no range-join explosion (oracle: DuckDB's native ASOF).
@@ -1282,6 +1315,43 @@ object SparkEntry {
          |  CASE WHEN rt >= g.t - $LOOKBACK THEN rv END AS r_v
          |FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt
          |ORDER BY g.series_key, g.t""".stripMargin,
+    "ts_irate" ->
+      s"""$samplesCte,
+         |l AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket, t, v,
+         |  lag(t) OVER win AS prev_t, lag(v) OVER win AS prev_v,
+         |  row_number() OVER win AS rn,
+         |  count(*) OVER (PARTITION BY series_key, (t // $DAY) * $DAY + $DAY) AS n
+         |  FROM s WINDOW win AS (
+         |    PARTITION BY series_key, (t // $DAY) * $DAY + $DAY
+         |    ORDER BY t, sample_id))
+         |SELECT series_key, t_bucket, t - prev_t AS dt_ms,
+         |  round(v - prev_v, 2) AS idelta,
+         |  CASE WHEN t > prev_t THEN round(
+         |    (CASE WHEN v >= prev_v THEN v - prev_v ELSE v END)
+         |      / ((t - prev_t) / 1000.0), 6) END AS irate_per_sec
+         |FROM l WHERE rn = n AND prev_t IS NOT NULL
+         |ORDER BY series_key, t_bucket""".stripMargin,
+    "ts_resets_changes" ->
+      s"""$samplesCte,
+         |l AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket, v,
+         |  lag(v) OVER (PARTITION BY series_key, (t // $DAY) * $DAY + $DAY
+         |    ORDER BY t, sample_id) AS prev_v
+         |  FROM s)
+         |SELECT series_key, t_bucket, count(*) AS n_samples,
+         |  sum(CASE WHEN prev_v IS NOT NULL AND v != prev_v THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+         |  sum(CASE WHEN prev_v IS NOT NULL AND v < prev_v THEN 1 ELSE 0 END)::BIGINT AS n_resets
+         |FROM l GROUP BY 1, 2 ORDER BY series_key, t_bucket""".stripMargin,
+    "ts_agg_by" ->
+      s"""$samplesCte,
+         |g AS (SELECT series_key, event_type AS name,
+         |  unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t
+         |  FROM (SELECT DISTINCT series_key, event_type FROM s)),
+         |r AS (SELECT series_key, t AS rt, max(v) AS rv FROM s GROUP BY 1, 2),
+         |f AS (SELECT g.name, g.t,
+         |  CASE WHEN rt >= g.t - $LOOKBACK THEN rv END AS r_v
+         |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt)
+         |SELECT name, t, count(r_v) AS n_series, round(sum(r_v), 2) AS sum_v
+         |FROM f GROUP BY 1, 2 ORDER BY name, t""".stripMargin,
     "ts_asof_join" ->
       s"""$samplesCte,
          |l AS (SELECT user_id, t, sample_id, v FROM s WHERE event_type = 'click'),

@@ -98,6 +98,64 @@ object Rate {
       .select("series_key", "t_bucket", "n", "deriv_per_sec")
   }
 
+  /** PromQL `irate()`/`idelta()` — the *instantaneous* rate family:
+    * only the LAST TWO samples of each (series, bucket) matter, so the
+    * result reacts to the newest movement instead of averaging the
+    * whole range the way [[increase]] does.
+    *
+    * One window spec (per-(series, bucket), ordered `(t, sample_id)`)
+    * carries the lag, the row number, and the partition count — same
+    * partitioning and sort, so Catalyst runs them in one sort pass —
+    * and the filter keeps exactly the final row of each bucket that has
+    * a predecessor. `idelta` is the raw last-step delta; `irate` applies
+    * the counter-reset convention ([[increase]]'s) and divides by the
+    * exact step seconds. A zero-width step (two samples at one
+    * timestamp) yields null rather than an infinity.
+    *
+    * Scale: the window consumes a bucketed store scan with no exchange,
+    * and the filter drops all but one row per (series, bucket) before
+    * anything downstream runs. */
+  def instant(samples: DataFrame, bucketMs: Long): DataFrame = {
+    val w = Window.partitionBy("series_key", "t_bucket").orderBy("t", "sample_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val secs = (col("t") - col("__prev_t")) / 1000.0
+    samples
+      .withColumn("t_bucket", rangeForTimestamp(col("t"), bucketMs))
+      .withColumn("__prev_t", lag("t", 1).over(w))
+      .withColumn("__prev_v", lag("v", 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__rn") === col("__n") && col("__prev_t").isNotNull)
+      .select(
+        col("series_key"), col("t_bucket"),
+        (col("t") - col("__prev_t")).as("dt_ms"),
+        round(col("v") - col("__prev_v"), 2).as("idelta"),
+        when(col("t") > col("__prev_t"),
+          round(
+            when(col("v") >= col("__prev_v"), col("v") - col("__prev_v"))
+              .otherwise(col("v")) / secs,
+            6)).as("irate_per_sec"))
+  }
+
+  /** PromQL `resets()` + `changes()` per (series, bucket): the count of
+    * counter resets (value drops) and of value changes among
+    * consecutive samples *within* the bucket. One lag window feeding
+    * one hash aggregate (map-side combined); equality on stored doubles
+    * is bitwise and engine-independent. */
+  def resetsChanges(samples: DataFrame, bucketMs: Long): DataFrame = {
+    val w = Window.partitionBy("series_key", "t_bucket").orderBy("t", "sample_id")
+    samples
+      .withColumn("t_bucket", rangeForTimestamp(col("t"), bucketMs))
+      .withColumn("__prev_v", lag("v", 1).over(w))
+      .groupBy("series_key", "t_bucket")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum((col("__prev_v").isNotNull && col("v") =!= col("__prev_v"))
+          .cast("long")).as("n_changes"),
+        sum((col("__prev_v").isNotNull && col("v") < col("__prev_v"))
+          .cast("long")).as("n_resets"))
+  }
+
   /** The `*_over_time` family — per-sample sliding-window aggregations
     * over the trailing `windowMs` of the same series (PromQL's range
     * vectors: `sum/count/min/max/avg_over_time`), as ONE range-frame

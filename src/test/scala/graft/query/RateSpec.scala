@@ -68,6 +68,42 @@ class RateSpec extends SparkSuite {
     assert(got(5L) == ((5L, 1L, 4.0, 4.0, 4.0, 4.0)))
   }
 
+  test("instant keeps only the last step of each bucket; resets divide, zero-width steps null") {
+    val samples = Seq(
+      // series a, bucket 1000: 3 samples; last step 10 -> 4 is a reset
+      (1L, "a", 100L, 2.0), (2L, "a", 500L, 10.0), (3L, "a", 900L, 4.0),
+      // series a, bucket 2000: one sample only -> no step, dropped
+      (4L, "a", 1500L, 6.0),
+      // series b: last two samples share t=800 -> idelta, but null irate
+      (5L, "b", 200L, 1.0), (6L, "b", 800L, 3.0), (7L, "b", 800L, 5.0))
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.instant(samples, bucketMs = 1000L)
+      .select("series_key", "t_bucket", "dt_ms", "idelta", "irate_per_sec")
+      .as[(String, Long, Long, Double, Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      ("a", 1000L, 400L, -6.0, Some(10.0)), // reset: post-reset v=4 over 0.4s
+      ("b", 1000L, 0L, 2.0, None)))
+  }
+
+  test("resetsChanges counts within-bucket drops and value changes") {
+    val samples = Seq(
+      // a: 1 -> 1 (no change) -> 3 (change) -> 2 (change + reset)
+      (1L, "a", 0L, 1.0), (2L, "a", 100L, 1.0),
+      (3L, "a", 200L, 3.0), (4L, "a", 300L, 2.0),
+      // b spans two buckets: the cross-boundary drop must NOT count
+      (5L, "b", 900L, 9.0), (6L, "b", 1100L, 1.0))
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.resetsChanges(samples, bucketMs = 1000L)
+      .select("series_key", "t_bucket", "n_samples", "n_changes", "n_resets")
+      .as[(String, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("a", 1000L, 4L, 2L, 1L),
+      ("b", 1000L, 1L, 0L, 0L),
+      ("b", 2000L, 1L, 0L, 0L)))
+  }
+
   test("approx_percentile lands inside the exact rank window its error bound promises") {
     // GK returns a REAL sample whose rank is within n/accuracy of the
     // target rank — assert membership in that rank window (±1 rank of
