@@ -784,6 +784,12 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir)).orderBy("i", "j")),
 
+    // Duplicated-n-gram fraction per document (cross-corpus boilerplate
+    // signal): document frequency over the hashed inverted index joined
+    // back once — never all-pairs.
+    "doc_dup_ngrams" -> ((s, dir) =>
+      Dedup.dupShingleFraction(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // MinHash + LSH banding: sub-quadratic candidate generation, then
     // exact-Jaccard verification of candidates only.
     "doc_minhash_lsh" -> ((s, dir) =>
@@ -1500,6 +1506,15 @@ object SparkEntry {
          |SELECT i, j, round(inter::DOUBLE / (ni + nj - inter), 4) AS jaccard
          |FROM p WHERE round(inter::DOUBLE / (ni + nj - inter), 4) >= 0.4
          |ORDER BY i, j""".stripMargin,
+    "doc_dup_ngrams" ->
+      s"""$SHINGLES_CTE,
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |d AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+         |j AS (SELECT e.doc_id, CASE WHEN d.df >= 2 THEN 1 ELSE 0 END AS dup
+         |  FROM e JOIN d USING (s))
+         |SELECT doc_id, count(*) AS n_sh, sum(dup)::BIGINT AS n_dup,
+         |  round(sum(dup)::DOUBLE / count(*), 4) AS dup_frac
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_minhash_lsh" ->
       s"""$MINHASH_PAIRS_CTE
          |SELECT i, j, jaccard FROM mh ORDER BY i, j""".stripMargin,

@@ -162,6 +162,33 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Cross-document duplicated-shingle fraction — the "how much of this
+    * document exists elsewhere in the corpus" quality signal (the
+    * duplicated-n-gram family of filters large training pipelines run
+    * alongside near-dup removal): per document, the share of its
+    * distinct n-gram shingles whose corpus document frequency is ≥ 2.
+    *
+    * Same hashed inverted index as [[ngramJaccardPairs]]
+    * ([[shingleIndex]]), but instead of a self-join the index feeds a
+    * document-frequency aggregate (map-side combined, longs only) that
+    * joins back once on the hash — cost is two hash shuffles of the
+    * distinct (doc, shingle) relation, never pairs. Skewed viral
+    * shingles are just heavy *keys* here (AQE-splittable), not
+    * quadratic join fan-out. */
+  def dupShingleFraction(
+      df: DataFrame,
+      n: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val inv = shingleIndex(df, n, textCol)
+    val dfreq = inv.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+    inv.join(dfreq, "sh_h")
+      .groupBy("doc_id", "n_sh")
+      .agg(sum((col("__df") >= 2).cast("long")).as("n_dup"))
+      .select(
+        col("doc_id"), col("n_sh"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_sh"), 4).as("dup_frac"))
+  }
+
   /** Cross-corpus contamination check — the train/eval decontamination
     * pass every benchmark-clean training pipeline runs: emit
     * `(train_id, test_id, n_shared)` for train docs sharing at least

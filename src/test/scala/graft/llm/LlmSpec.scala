@@ -57,6 +57,22 @@ class DedupSpec extends SparkSuite {
     assert(uni == 0)
   }
 
+  test("dupShingleFraction: shared shingles counted corpus-wide, unique docs at zero") {
+    val df = Seq(
+      // docs 1 and 2 share exactly their first 3-gram ("a b c"); the
+      // rest of each is unique
+      (1L, "a b c one two three"),   // shingles: "a b c","b c one","c one two","one two three"
+      (2L, "a b c four five six"),
+      (3L, "seven eight nine ten")). // fully unique
+      toDF("doc_id", "text")
+    val got = Dedup.dupShingleFraction(df)
+      .select("doc_id", "n_sh", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0.25)))
+    assert(got(2L) == ((2L, 4L, 1L, 0.25)))
+    assert(got(3L) == ((3L, 2L, 0L, 0.0)))
+  }
+
   test("cross-corpus decontamination flags planted leakage only") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
