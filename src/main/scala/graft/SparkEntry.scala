@@ -108,6 +108,10 @@ object SparkEntry {
   private val RAND_LSH_BITS = 6
   private val RAND_LSH_SEED = 7L
   private val EMB_DIM = 64
+  /** PQ config shared by the Spark queries and oracle: 4 subspaces of
+    * 16 dims, 8 codes each, sampled codebook (vec_id < 8 slices). */
+  private val PQ_M = 4
+  private val PQ_KSUB = 8
 
   /** Plane dot in DuckDB with exact Spark parity: plane values inlined
     * via Double.toString (shortest round-trip — DuckDB parses back the
@@ -889,6 +893,35 @@ object SparkEntry {
           array_max(col("codes")).as("max_code"))
         .orderBy("vec_id")),
 
+    // Product quantization, encode side: m=4 subspaces × ksub=8 codes
+    // from the sampled (iters=0 — the SQL-expressible form) codebook;
+    // inlined per-row argmin, zero shuffles. Codes digested like
+    // emb_quantize digests its int8 codes.
+    "emb_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, dim = EMB_DIM, m = PQ_M, ksub = PQ_KSUB,
+        iters = 0, init = emb.where(col("vec_id") < PQ_KSUB))
+      Similarity.pqEncode(emb, cb)
+        .select(
+          col("vec_id"),
+          aggregate(col("codes"), lit(0L),
+            (acc, c) => (acc * 31 + c) % 1000000007L).as("codes_hash"),
+          array_min(col("codes")).as("min_code"),
+          array_max(col("codes")).as("max_code"))
+        .orderBy("vec_id")
+    }),
+
+    // PQ ADC search: per-query LUT built once, corpus scored by m array
+    // lookups over its codes — no per-pair vector arithmetic.
+    "emb_pq_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, dim = EMB_DIM, m = PQ_M, ksub = PQ_KSUB,
+        iters = 0, init = emb.where(col("vec_id") < PQ_KSUB))
+      Similarity.pqAdcTopK(Similarity.pqEncode(emb, cb), cb,
+          emb.where(col("vec_id") < 5), k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Spherical k-means training, numerics cross-checked: 2 Lloyd
     // iterations from an explicit init (vec_id < 4 — seeded-hash init
     // order isn't SQL-expressible, an init frame is). Output digests
@@ -1088,6 +1121,34 @@ object SparkEntry {
        |  round(ce[1], 4) AS dim1,
        |  round(ce[$EMB_DIM], 4) AS dim64
        |FROM c2 ORDER BY centroid_id""".stripMargin
+
+  /** The PQ pipeline as a CTE chain shared by the encode and ADC-search
+    * oracles, numerics aligned with [[Similarity.pqEncode]] /
+    * [[Similarity.pqAdcTopK]] step by step: codebook = the vec_id <
+    * PQ_KSUB slices (the iters=0 sampled form — Lloyd-trained codebooks
+    * are unit-tested engine-side), per-(vector, subspace, code) squared
+    * L2 rounded 4dp, argmin with lowest-code tie-break. Ends in
+    * `pq_d(vec_id, sub, code, d)`, `pq_best(vec_id, sub, code)`,
+    * `pq_codes(vec_id, codes)`. */
+  private lazy val pqCte: String = {
+    val sd = EMB_DIM / PQ_M
+    s"""WITH pq_cb AS (SELECT s.sub, e.vec_id AS code,
+       |    e.embedding[s.sub * $sd + 1 : s.sub * $sd + $sd] AS ce
+       |  FROM embeddings e,
+       |    (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS sub) s
+       |  WHERE e.vec_id < $PQ_KSUB),
+       |pq_d AS (SELECT v.vec_id, c.sub, c.code,
+       |  round(list_sum(list_transform(generate_series(1, $sd),
+       |    i -> (CAST(v.embedding[c.sub * $sd + i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+       |       * (CAST(v.embedding[c.sub * $sd + i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 4) AS d
+       |  FROM embeddings v, pq_cb c),
+       |pq_best AS (SELECT vec_id, sub, code FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM pq_d)
+       |  WHERE rn = 1),
+       |pq_codes AS (SELECT vec_id, list(code::INT ORDER BY sub) AS codes
+       |  FROM pq_best GROUP BY vec_id)""".stripMargin
+  }
 
   /** Counter-increase classification shared by the rate-family oracles
     * (`ts_counter_rate`, `ts_topk_by_rate`) — ONE definition of the
@@ -1548,6 +1609,25 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS codes_hash,
         |  list_min(codes) AS min_code, list_max(codes) AS max_code
         |FROM c ORDER BY vec_id""".stripMargin,
+    "emb_pq_encode" ->
+      s"""$pqCte
+         |SELECT vec_id,
+         |  list_reduce([0::BIGINT] || list_transform(codes, c -> c::BIGINT),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS codes_hash,
+         |  list_min(codes) AS min_code, list_max(codes) AS max_code
+         |FROM pq_codes ORDER BY vec_id""".stripMargin,
+    "emb_pq_search" ->
+      s"""$pqCte,
+         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, a.sub, a.d
+         |  FROM pq_best b JOIN pq_d a ON a.sub = b.sub AND a.code = b.code
+         |  WHERE a.vec_id < 5 AND b.vec_id != a.vec_id),
+         |sc AS (SELECT q_id, neighbor_id,
+         |  round(list_reduce(list(d ORDER BY sub), (x, y) -> x + y), 4) AS adist
+         |  FROM p GROUP BY q_id, neighbor_id)
+         |SELECT q_id, rank, neighbor_id, adist FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "emb_cosine_topk" -> embTopKSql(k = 5),
     "emb_lsh_ann" -> embTopKSql(k = 3, sameBucket = true),
     "emb_rand_lsh_ann" ->

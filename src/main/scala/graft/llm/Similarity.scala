@@ -343,6 +343,129 @@ object Similarity {
     toDf(centroids)
   }
 
+  /** Double-precision squared L2 distance of two float-array columns —
+    * the PQ metric (codegen'd fold, like [[dot]]). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Product quantization — the memory-side ANN scale path: split the
+    * `dim`-dimensional space into `m` contiguous subspaces and learn a
+    * `ksub`-entry codebook per subspace (Lloyd's k-means in squared
+    * L2), so a vector stores as `m` small codes (m bytes at ksub ≤ 256)
+    * instead of `dim` floats — the 100 TB corpus-in-RAM trick IVF lists
+    * combine with ([[ivfWrite]] partitions, PQ compresses within).
+    *
+    * Train returns the codebook driver-side — `m × ksub × dim/m`
+    * floats, index metadata by construction, the same size class as
+    * [[ivfAssign]]'s centroid set. Each Lloyd iteration is ONE corpus
+    * pass: the per-row inlined code assignment ([[pqEncode]]'s
+    * expression, zero shuffles) feeds a per-(subspace, code, dimension)
+    * mean — a hash aggregate of ≤ `dim × ksub` groups, map-side
+    * combined. Empty cells keep their previous centroid.
+    *
+    * `init` seeds all m codebooks with the slices of its `ksub` vectors
+    * in vec_id order (like [[kmeansFit]]'s explicit-init form, the
+    * cross-engine-expressible choice); `iters = 0` returns the sampled
+    * codebook as-is — the form the DuckDB oracle pins bit-for-bit. */
+  def pqTrain(
+      corpus: DataFrame,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      init: DataFrame): Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val subdim = dim / m
+    val seeds = collectCentroids(init)
+    require(seeds.size == ksub, s"init has ${seeds.size} vectors, expected ksub=$ksub")
+    var codebook: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(s => seeds.map(_._2.slice(s * subdim, (s + 1) * subdim)))
+    for (_ <- 0 until iters) {
+      val sums = pqEncode(corpus, codebook)
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(
+          (col("pos") / subdim).cast("int").as("sub"), col("pos"),
+          col("x").cast("double").as("x"), col("codes"))
+        .withColumn("code", element_at(col("codes"), col("sub") + 1))
+        .groupBy("sub", "code", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebook = codebook.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (prev, code) =>
+          byCell.get((s, code)) match {
+            case None => prev // empty cell
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2))
+                .map(r => (r.getDouble(3) / r.getLong(4)).toFloat).toSeq
+          }
+        }
+      }
+    }
+    codebook
+  }
+
+  /** PQ encoding over an inlined codebook: appends `codes`
+    * (array<int>, one per subspace — argmin squared-L2 entry, ties to
+    * the lowest code) to every corpus row with ZERO shuffles — the same
+    * inlined-argmin shape as [[ivfAssign]], m times. Each subspace
+    * slice binds to a column first so it computes once per row, not
+    * once per codebook entry. */
+  def pqEncode(corpus: DataFrame, codebook: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val m = codebook.size
+    val subdim = codebook.head.head.size
+    val sliced = (0 until m).foldLeft(corpus)((df, s) =>
+      df.withColumn(s"__sub_$s", slice(col("embedding"), s * subdim + 1, subdim)))
+    val codes = array((0 until m).map { s =>
+      array_min(array(codebook(s).zipWithIndex.map { case (ce, code) =>
+        struct(
+          round(l2Sq(col(s"__sub_$s"), typedLit(ce)), 4).as("d"),
+          lit(code).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+    sliced
+      .withColumn("codes", codes)
+      .drop((0 until m).map(s => s"__sub_$s"): _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    * its `m × ksub` lookup table ONCE (squared L2 between its subspace
+    * slices and every codebook entry — broadcast with the query row),
+    * and a corpus row's approximate distance is `m` array lookups
+    * summed — no float-vector arithmetic per pair, which is the whole
+    * point of PQ: the scored relation carries codes, not embeddings.
+    * Rank ascending by (distance, neighbor id). */
+  def pqAdcTopK(
+      encoded: DataFrame,
+      codebook: Seq[Seq[Seq[Float]]],
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val m = codebook.size
+    val subdim = codebook.head.head.size
+    val lut = array((0 until m).map { s =>
+      array(codebook(s).map(ce =>
+        round(l2Sq(slice(col("q_emb"), s * subdim + 1, subdim), typedLit(ce)), 4)): _*)
+    }: _*)
+    val q = broadcast(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("__lut", lut)
+        .drop("q_emb"))
+    val adist = (0 until m).map(s =>
+        element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist").asc, col("neighbor_id"))
+    encoded.select(col("vec_id"), col("codes")).crossJoin(q)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), round(adist, 4).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "neighbor_id", "adist")
+  }
+
   /** The `nprobe` nearest centroid lists per query:
     * `(q_id, q_emb, q_nrm, centroid_id)` — shared by the ad-hoc and
     * persisted IVF search paths so both probe identically. */

@@ -278,6 +278,56 @@ class SimilaritySpec extends SparkSuite {
     assert((exact3 & at(2)).size >= (exact3 & at(1)).size)
   }
 
+  test("pq: training converges to subspace cluster means; duplicates share codes; ADC finds the twin") {
+    // dim=4, m=2 subspaces of 2; each subspace has two well-separated
+    // clusters around (0,0) and (10,10)
+    val corpus = Seq(
+      (0L, Seq(0.1f, 0.0f, 10.1f, 10.0f)),   // init seed 0
+      (1L, Seq(10.0f, 10.2f, 0.2f, 0.0f)),   // init seed 1
+      (2L, Seq(0.0f, 0.2f, 9.9f, 10.1f)),
+      (3L, Seq(9.9f, 10.0f, 0.0f, 0.1f)),
+      (4L, Seq(0.1f, 0.0f, 10.1f, 10.0f)))   // exact duplicate of 0
+      .toDF("vec_id", "embedding")
+    val init = corpus.where(col("vec_id") < 2)
+
+    val sampled = Similarity.pqTrain(corpus, dim = 4, m = 2, ksub = 2, iters = 0, init)
+    val trained = Similarity.pqTrain(corpus, dim = 4, m = 2, ksub = 2, iters = 3, init)
+    assert(trained.size == 2 && trained.forall(_.size == 2))
+    // trained entries are the per-cluster means (3 low vectors / 2 high
+    // per subspace-cluster), far from the raw seeds
+    def err(cb: Seq[Seq[Seq[Float]]]): Double = {
+      val codes = Similarity.pqEncode(corpus, cb)
+        .select("vec_id", "embedding", "codes")
+        .as[(Long, Seq[Float], Seq[Int])].collect()
+      codes.map { case (_, emb, cs) =>
+        cs.zipWithIndex.map { case (c, s) =>
+          val ce = cb(s)(c)
+          emb.slice(s * 2, (s + 1) * 2).zip(ce)
+            .map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+        }.sum
+      }.sum
+    }
+    assert(err(trained) < err(sampled),
+      s"training must cut quantization error: ${err(trained)} vs ${err(sampled)}")
+
+    val codes = Similarity.pqEncode(corpus, trained)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == codes(4L)) // exact duplicate -> identical codes
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 2)))
+
+    val top = Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, trained), trained,
+        corpus.where(col("vec_id") === 0), k = 2)
+      .select("q_id", "rank", "neighbor_id", "adist")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    // ADC is asymmetric: every neighbor sharing the query's codes sits
+    // at the query's own quantization distance — so the same-cluster
+    // vectors {2, 4} tie at the top (id tiebreak), ahead of the
+    // opposite-cluster ones
+    assert(top.map(_._3).toSet == Set(2L, 4L))
+    assert(top(0)._4 == top(1)._4)
+  }
+
   test("int8 quantization: codes bounded, max magnitude hits 127, cosine preserved to quant error") {
     val q = Similarity.quantized(emb)
     val rows = q.collect()
