@@ -603,6 +603,48 @@ object SparkEntry {
         .orderBy("name", "t")
     }),
 
+    // PromQL absent(): grid instants where NO series matching the
+    // selector has a sample inside the staleness window. Staleness <
+    // step, so each sample maps to exactly ONE grid instant (its ceil
+    // boundary) — presence is a per-sample projection + distinct, the
+    // grid join is boundary-count-sized: no window, no explosion.
+    "ts_absent" -> ((s, dir) => {
+      val sel = TsdbSource.events(s, dir)
+        .select(T0, MAXT, Eq("name", "error"), Eq("user", "7"))
+      val present = sel
+        .select(gf.rangeForTimestamp(col("t") - 1, BUCKET_W).as("g"), col("t"))
+        .where(col("t") > col("g") - LOOKBACK && col("g").between(MINT, MAXT))
+        .select("g").distinct()
+      val grid = s.range(MINT, MAXT + 1, BUCKET_W).select(col("id").as("t"))
+      grid.join(present, grid("t") === present("g"), "left")
+        .select(col("t"), when(col("g").isNull, 1).otherwise(0).as("absent"))
+        .orderBy("t")
+    }),
+
+    // PromQL label_replace()/label_join(): a derived label from a regex
+    // capture over an existing one, per series — pure projection on the
+    // (tiny) distinct-series set.
+    "ts_label_replace" -> ((s, dir) =>
+      TsdbSource.events(s, dir).samples
+        .select(col("series_key"), col("labels")("user").as("user_label"))
+        .distinct()
+        .withColumn("tier",
+          concat(lit("t"), regexp_extract(col("user_label"), "^(\\d)", 1)))
+        .orderBy("series_key")),
+
+    // PromQL subquery composition — max_over_time(increase(...)[24h:6h]):
+    // the rate family re-aggregated by a range-frame window over its own
+    // (bucket-sized, not sample-sized) output.
+    "ts_subquery" -> ((s, dir) => {
+      val r = Rate.increase(TsdbSource.events(s, dir).samples, BUCKET_W)
+        .where(col("increase").isNotNull)
+      val w = Window.partitionBy("series_key").orderBy("t_bucket")
+        .rangeBetween(-DAY, 0)
+      r.select(col("series_key"), col("t_bucket"),
+          max("increase").over(w).as("max_rate_24h"))
+        .orderBy("series_key", "t_bucket")
+    }),
+
     // As-of join: each click sample aligned to the user's latest
     // purchase within 1h — union + running-last window, one shuffle on
     // the key, no range-join explosion (oracle: DuckDB's native ASOF).
@@ -1419,6 +1461,38 @@ object SparkEntry {
          |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt)
          |SELECT name, t, count(r_v) AS n_series, round(sum(r_v), 2) AS sum_v
          |FROM f GROUP BY 1, 2 ORDER BY name, t""".stripMargin,
+    "ts_absent" ->
+      s"""$samplesCte,
+         |sel AS (SELECT t FROM s WHERE event_type = 'error' AND user_id = 7
+         |  AND t BETWEEN $T0 AND $MAXT),
+         |p AS (SELECT DISTINCT ((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS g
+         |  FROM sel
+         |  WHERE t > ((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W - $LOOKBACK
+         |    AND ((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W BETWEEN $MINT AND $MAXT)
+         |SELECT g.t, CASE WHEN p.g IS NULL THEN 1 ELSE 0 END AS absent
+         |FROM (SELECT unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t) g
+         |LEFT JOIN p ON g.t = p.g ORDER BY g.t""".stripMargin,
+    "ts_label_replace" ->
+      s"""SELECT DISTINCT $seriesKeySql AS series_key,
+         | CAST(user_id AS VARCHAR) AS user_label,
+         | 't' || regexp_extract(CAST(user_id AS VARCHAR), '^(\\d)', 1) AS tier
+         |FROM events ORDER BY series_key""".stripMargin,
+    "ts_subquery" ->
+      s"""$samplesCte,
+         |l AS (SELECT series_key, t, v,
+         |  lag(v) OVER (PARTITION BY series_key ORDER BY t, sample_id) AS prev_v
+         |  FROM s),
+         |i AS (SELECT series_key, (t // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS t_bucket,
+         |  CASE WHEN prev_v IS NULL THEN NULL
+         |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc
+         |  FROM l),
+         |r AS (SELECT series_key, t_bucket, round(sum(inc), 2) AS increase
+         |  FROM i GROUP BY 1, 2),
+         |f AS (SELECT * FROM r WHERE increase IS NOT NULL)
+         |SELECT series_key, t_bucket,
+         |  max(increase) OVER (PARTITION BY series_key ORDER BY t_bucket
+         |    RANGE BETWEEN $DAY PRECEDING AND CURRENT ROW) AS max_rate_24h
+         |FROM f ORDER BY series_key, t_bucket""".stripMargin,
     "ts_asof_join" ->
       s"""$samplesCte,
          |l AS (SELECT user_id, t, sample_id, v FROM s WHERE event_type = 'click'),
