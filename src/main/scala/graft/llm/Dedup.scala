@@ -179,11 +179,23 @@ object Dedup {
       df: DataFrame,
       n: Int = 3,
       textCol: String = "text"): DataFrame = {
-    val inv = shingleIndex(df, n, textCol)
-    val dfreq = inv.groupBy("sh_h").agg(count(lit(1)).as("__df"))
-    inv.join(dfreq, "sh_h")
-      .groupBy("doc_id", "n_sh")
-      .agg(sum((col("__df") >= 2).cast("long")).as("n_dup"))
+    // document frequency as an unordered COUNT window over the shingle
+    // hash instead of an aggregate + join-back: the distinct
+    // (doc, shingle) relation derives ONCE and flows straight through —
+    // one scan, one sh_h shuffle (O(1) window state, no sort: the frame
+    // is the whole partition), one per-doc aggregate. The join
+    // formulation re-derived the gram relation per consumer (the
+    // Aggregate's distribution requirement swallows any explicit
+    // repartition, so the branches never dedupe into a ReusedExchange).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh_h")
+    gramRows(df, n, textCol)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+      .distinct()
+      .withColumn("__df", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum((col("__df") >= 2).cast("long")).as("n_dup"))
       .select(
         col("doc_id"), col("n_sh"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_sh"), 4).as("dup_frac"))
