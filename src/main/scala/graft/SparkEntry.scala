@@ -592,10 +592,16 @@ object SparkEntry {
       val sl = TsdbSource.events(s, dir).samples
         .select(col("series_key"), col("labels")("name").as("name"),
           col("t"), col("v"))
-      val grid = sl.select("series_key", "name").distinct()
+      // name is functionally dependent on series_key, so carrying it
+      // through the aggregate keys changes nothing — and the grid then
+      // derives from the aggregate's KEY set: its branch column-prunes
+      // to a keys-only aggregate (the shuffle carries keys, not
+      // values), and a series surviving to the output needs a fill
+      // anyway, so no key outside the aggregate can contribute
+      val r = sl.groupBy("series_key", "name", "t").agg(max("v").as("r_v"))
+      val grid = r.select("series_key", "name").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      val r = sl.groupBy("series_key", "t").agg(max("v").as("r_v"))
-      AsOf.join(grid, r, Seq("series_key"), LOOKBACK)
+      AsOf.join(grid, r.select("series_key", "t", "r_v"), Seq("series_key"), LOOKBACK)
         .groupBy("name", "t")
         .agg(
           count(col("r_v")).as("n_series"),
@@ -613,7 +619,9 @@ object SparkEntry {
         .select(T0, MAXT, Eq("name", "error"), Eq("user", "7"))
       val present = sel
         .select(gf.rangeForTimestamp(col("t") - 1, BUCKET_W).as("g"), col("t"))
-        .where(col("t") > col("g") - LOOKBACK && col("g").between(MINT, MAXT))
+        // inclusive horizon, matching AsOf.fillAsOf's `r_t >= t - lookback`
+        // — absent() must be the exact complement of grid presence
+        .where(col("t") >= col("g") - LOOKBACK && col("g").between(MINT, MAXT))
         .select("g").distinct()
       val grid = s.range(MINT, MAXT + 1, BUCKET_W).select(col("id").as("t"))
       grid.join(present, grid("t") === present("g"), "left")
@@ -1467,7 +1475,7 @@ object SparkEntry {
          |  AND t BETWEEN $T0 AND $MAXT),
          |p AS (SELECT DISTINCT ((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS g
          |  FROM sel
-         |  WHERE t > ((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W - $LOOKBACK
+         |  WHERE t >= ((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W - $LOOKBACK
          |    AND ((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W BETWEEN $MINT AND $MAXT)
          |SELECT g.t, CASE WHEN p.g IS NULL THEN 1 ELSE 0 END AS absent
          |FROM (SELECT unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t) g

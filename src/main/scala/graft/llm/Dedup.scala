@@ -168,30 +168,30 @@ object Dedup {
     * alongside near-dup removal): per document, the share of its
     * distinct n-gram shingles whose corpus document frequency is ≥ 2.
     *
-    * Same hashed inverted index as [[ngramJaccardPairs]]
-    * ([[shingleIndex]]), but instead of a self-join the index feeds a
-    * document-frequency aggregate (map-side combined, longs only) that
-    * joins back once on the hash — cost is two hash shuffles of the
+    * Same hashed gram relation as [[ngramJaccardPairs]]'s index, but
+    * instead of a self-join it feeds a document-frequency aggregate
+    * (map-side combined, longs only) that joins back once on the hash —
+    * cost is the gram window plus two long-keyed shuffles of the
     * distinct (doc, shingle) relation, never pairs. Skewed viral
-    * shingles are just heavy *keys* here (AQE-splittable), not
-    * quadratic join fan-out. */
+    * shingles are heavy join *keys* (AQE-skew-splittable) with partial
+    * combine on the aggregate side — a COUNT *window* over sh_h would
+    * put every occurrence of a hot shingle into one unsplittable task
+    * instead. */
   def dupShingleFraction(
       df: DataFrame,
       n: Int = 3,
       textCol: String = "text"): DataFrame = {
-    // document frequency as an unordered COUNT window over the shingle
-    // hash instead of an aggregate + join-back: the distinct
-    // (doc, shingle) relation derives ONCE and flows straight through —
-    // one scan, one sh_h shuffle (O(1) window state, no sort: the frame
-    // is the whole partition), one per-doc aggregate. The join
-    // formulation re-derived the gram relation per consumer (the
-    // Aggregate's distribution requirement swallows any explicit
-    // repartition, so the branches never dedupe into a ReusedExchange).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh_h")
-    gramRows(df, n, textCol)
+    // the distinct relation is consumed twice (df aggregate + probe
+    // side); materialize it once, call-scoped, like [[minhashLshPairs]]'s
+    // signature relation — an Aggregate's distribution requirement
+    // swallows any explicit repartition, so without this the two
+    // branches re-derive the gram window rather than sharing an exchange
+    val distinct = gramRows(df, n, textCol)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
       .distinct()
-      .withColumn("__df", count(lit(1)).over(w))
+      .localCheckpoint()
+    val dfreq = distinct.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+    distinct.join(dfreq, "sh_h")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_sh"),

@@ -104,10 +104,10 @@ object Rate {
     * whole range the way [[increase]] does.
     *
     * One window spec (per-(series, bucket), ordered `(t, sample_id)`)
-    * carries the lag, the row number, and the partition count — same
-    * partitioning and sort, so Catalyst runs them in one sort pass —
-    * and the filter keeps exactly the final row of each bucket that has
-    * a predecessor. `idelta` is the raw last-step delta; `irate` applies
+    * carries the lag and a lead-is-null last-row test — one sort pass,
+    * row-offset frames only — and the filter keeps exactly the final
+    * row of each bucket that has a predecessor. `idelta` is the raw
+    * last-step delta; `irate` applies
     * the counter-reset convention ([[increase]]'s) and divides by the
     * exact step seconds. A zero-width step (two samples at one
     * timestamp) yields null rather than an infinity.
@@ -117,15 +117,13 @@ object Rate {
     * anything downstream runs. */
   def instant(samples: DataFrame, bucketMs: Long): DataFrame = {
     val w = Window.partitionBy("series_key", "t_bucket").orderBy("t", "sample_id")
-    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val secs = (col("t") - col("__prev_t")) / 1000.0
     samples
       .withColumn("t_bucket", rangeForTimestamp(col("t"), bucketMs))
       .withColumn("__prev_t", lag("t", 1).over(w))
       .withColumn("__prev_v", lag("v", 1).over(w))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .where(col("__rn") === col("__n") && col("__prev_t").isNotNull)
+      .withColumn("__last", lead("t", 1).over(w).isNull)
+      .where(col("__last") && col("__prev_t").isNotNull)
       .select(
         col("series_key"), col("t_bucket"),
         (col("t") - col("__prev_t")).as("dt_ms"),
