@@ -94,7 +94,11 @@ object TextStats {
       k: Int = 3,
       textCol: String = "text"): DataFrame = {
     val tok = df.select(col("doc_id"), explode(words(col(textCol))).as("term"))
+    // tf is consumed twice (df aggregate + score join): materialize it
+    // once, call-scoped, like [[Dedup.dupShingleFraction]]'s distinct
+    // relation — otherwise both branches re-run tokenize + aggregate
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = broadcast(df.agg(count(lit(1)).as("__n")))
     val scored = tf.join(dfreq, "term").crossJoin(n)
