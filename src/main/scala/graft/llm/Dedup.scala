@@ -109,7 +109,12 @@ object Dedup {
         .where(col("__df") > cap)
         .select("sh_h")
       distinctSh.join(hot, Seq("sh_h"), "left_anti")
-    }
+    // kept feeds both the per-doc cardinality aggregate and the
+    // join-back below (and, under maxDf, distinctSh additionally feeds
+    // the hot-shingle aggregate): materialize once, call-scoped — an
+    // Aggregate's distribution requirement swallows any repartition, so
+    // the branches otherwise re-run the gram window per consumer
+    }.localCheckpoint()
     // per-doc cardinality joins back without a hint: AQE sees the actual
     // (docs-sized) aggregate output and broadcasts when it fits, falling
     // back to a shuffle join at corpus scales where it wouldn't
