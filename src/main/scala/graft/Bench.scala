@@ -48,8 +48,10 @@ object Bench {
     "doc_ngram_jaccard", "doc_simhash", "doc_minhash_lsh",
     "doc_repetition", "doc_tfidf_topk", "ts_binary_op",
     // r5 additions: the by-label grid aggregate, the inverted-index df
-    // signal, and PQ ADC search — each a distinct scale shape
+    // signal, PQ ADC search, and the new window-family consumers —
+    // each a distinct scale shape
     "ts_agg_by", "doc_dup_ngrams", "emb_pq_search",
+    "ts_irate", "ts_resets_changes", "ts_subquery",
     // end-to-end dedup: minhash pairs + log-round closure + anti-join —
     // the closure's round count must stay scale-insensitive
     "doc_dedup_survivors")

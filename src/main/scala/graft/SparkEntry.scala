@@ -609,6 +609,34 @@ object SparkEntry {
         .orderBy("name", "t")
     }),
 
+    // PromQL stddev/stdvar by (name): spread across series at each grid
+    // instant, from rounded power sums (Σv, Σv²) like deriv's closed
+    // form — both engines combine identical bits, and sqrt of identical
+    // doubles is identical (IEEE), so the sketchy float variance
+    // accumulators (engine-private) never run.
+    "ts_stddev_by" -> ((s, dir) => {
+      val sl = TsdbSource.events(s, dir).samples
+        .select(col("series_key"), col("labels")("name").as("name"),
+          col("t"), col("v"))
+      val r = sl.groupBy("series_key", "name", "t").agg(max("v").as("r_v"))
+      val grid = r.select("series_key", "name").distinct()
+        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
+      AsOf.join(grid, r.select("series_key", "t", "r_v"), Seq("series_key"), LOOKBACK)
+        .where(col("r_v").isNotNull)
+        .groupBy("name", "t")
+        .agg(
+          count(lit(1)).as("n_series"),
+          round(sum("r_v"), 2).as("s1"),
+          round(sum(col("r_v") * col("r_v")), 2).as("s2"))
+        .withColumn("stdvar",
+          round(greatest(lit(0.0),
+            col("s2") / col("n_series")
+              - (col("s1") / col("n_series")) * (col("s1") / col("n_series"))), 4))
+        .withColumn("stddev", round(sqrt(col("stdvar")), 4))
+        .select("name", "t", "n_series", "stdvar", "stddev")
+        .orderBy("name", "t")
+    }),
+
     // PromQL absent(): grid instants where NO series matching the
     // selector has a sample inside the staleness window. Staleness <
     // step, so each sample maps to exactly ONE grid instant (its ceil
@@ -1469,6 +1497,25 @@ object SparkEntry {
          |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt)
          |SELECT name, t, count(r_v) AS n_series, round(sum(r_v), 2) AS sum_v
          |FROM f GROUP BY 1, 2 ORDER BY name, t""".stripMargin,
+    "ts_stddev_by" ->
+      s"""$samplesCte,
+         |r AS (SELECT series_key, event_type AS name, t AS rt, max(v) AS rv
+         |  FROM s GROUP BY 1, 2, 3),
+         |g AS (SELECT series_key, name,
+         |  unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t
+         |  FROM (SELECT DISTINCT series_key, name FROM r)),
+         |f AS (SELECT g.name, g.t,
+         |  CASE WHEN rt >= g.t - $LOOKBACK THEN rv END AS r_v
+         |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt),
+         |a AS (SELECT name, t, count(r_v) AS n_series,
+         |  round(sum(r_v), 2) AS s1, round(sum(r_v * r_v), 2) AS s2
+         |  FROM f WHERE r_v IS NOT NULL GROUP BY 1, 2),
+         |b AS (SELECT name, t, n_series,
+         |  round(greatest(0.0,
+         |    s2 / n_series - (s1 / n_series) * (s1 / n_series)), 4) AS stdvar
+         |  FROM a)
+         |SELECT name, t, n_series, stdvar, round(sqrt(stdvar), 4) AS stddev
+         |FROM b ORDER BY name, t""".stripMargin,
     "ts_absent" ->
       s"""$samplesCte,
          |sel AS (SELECT t FROM s WHERE event_type = 'error' AND user_id = 7
