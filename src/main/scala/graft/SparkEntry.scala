@@ -559,14 +559,16 @@ object SparkEntry {
 
     // PromQL instant-vector evaluation on a regular grid: every series
     // sampled at 6h steps, value = latest sample within the 1h
-    // staleness window — the series-keys × grid frame as-of joined to
-    // the samples ([[AsOf.join]] composition; gap-fill/resample).
+    // staleness window. Staleness < step, so the [[AsOf.gridLatest]]
+    // fast path applies: per-(series, instant) latest-sample aggregate
+    // (map-side combined) + grid join — no sample-scale union-window
+    // sort ([[AsOf.join]] remains the general-lookback path).
     "ts_grid_eval" -> ((s, dir) => {
       val samples = TsdbSource.events(s, dir).samples
       val grid = samples.select("series_key").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
       val r = samples.groupBy("series_key", "t").agg(max("v").as("r_v"))
-      AsOf.join(grid, r, Seq("series_key"), LOOKBACK)
+      AsOf.gridLatest(grid, r, Seq("series_key"), BUCKET_W, LOOKBACK)
         .orderBy("series_key", "t")
     }),
 
@@ -601,7 +603,8 @@ object SparkEntry {
       val r = sl.groupBy("series_key", "name", "t").agg(max("v").as("r_v"))
       val grid = r.select("series_key", "name").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      AsOf.join(grid, r.select("series_key", "t", "r_v"), Seq("series_key"), LOOKBACK)
+      AsOf.gridLatest(grid, r.select("series_key", "t", "r_v"),
+          Seq("series_key"), BUCKET_W, LOOKBACK)
         .groupBy("name", "t")
         .agg(
           count(col("r_v")).as("n_series"),
@@ -621,7 +624,8 @@ object SparkEntry {
       val r = sl.groupBy("series_key", "name", "t").agg(max("v").as("r_v"))
       val grid = r.select("series_key", "name").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      AsOf.join(grid, r.select("series_key", "t", "r_v"), Seq("series_key"), LOOKBACK)
+      AsOf.gridLatest(grid, r.select("series_key", "t", "r_v"),
+          Seq("series_key"), BUCKET_W, LOOKBACK)
         .where(col("r_v").isNotNull)
         .groupBy("name", "t")
         .agg(

@@ -104,6 +104,46 @@ object AsOf {
       .drop(rights.indices.map(i => s"__rv_$i"): _*)
   }
 
+  /** Grid evaluation fast path for `lookback < step` — the regime where
+    * the general union-window ([[join]]) is overkill: a right row at
+    * `rt` can satisfy at most ONE grid instant (its ceil boundary
+    * `g = ⌈rt⌉_step`, and only when `rt >= g - lookback`), so the fill
+    * is a per-(key, instant) latest-row aggregate — map-side combined,
+    * no sort over the sample-scale union — joined to the instant grid.
+    * At 100 TB this replaces a shuffle+sort of |samples|+|grid| rows
+    * with one combine-shrunk aggregate plus a grid-sized join.
+    *
+    * Exact [[join]] semantics: inclusive horizon (`rt >= g - lookback`),
+    * same-instant rows visible (`rt = g` maps to `g`), latest `rt` wins
+    * (`right` unique per (keys, t), as every as-of variant requires).
+    * The strict `lookback < step` bound matters: at `lookback = step` a
+    * boundary-exact sample satisfies TWO instants and the general path
+    * must be used.
+    *
+    * `grid` must be the `keys × instants` frame (instant column `t`);
+    * output = grid columns + `<name>_t`/`<name>_v`, null when no sample
+    * is inside the instant's staleness window — identical schema to
+    * [[join]]'s output on the same grid. */
+  def gridLatest(
+      grid: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      stepMs: Long,
+      lookbackMs: Long,
+      name: String = "r"): DataFrame = {
+    require(lookbackMs < stepMs,
+      s"gridLatest needs lookback < step ($lookbackMs >= $stepMs): use join()")
+    val g = (floor((col("t") - 1) / stepMs) * stepMs + stepMs).cast("long")
+    val latest = right
+      .withColumn("__g", g)
+      .where(col("t") >= col("__g") - lookbackMs)
+      .groupBy(keys.map(col) :+ col("__g"): _*)
+      .agg(max(struct(col("t").as("t"), col("r_v").as("v"))).as("__m"))
+      .select(keys.map(col) ++ Seq(col("__g").as("t"),
+        col("__m.t").as(s"${name}_t"), col("__m.v").as(s"${name}_v")): _*)
+    grid.join(latest, keys :+ "t", "left")
+  }
+
   /** The shared mechanics every as-of variant delegates to: one window
     * per key ordered `(t, __side)` over the pre-built union, one running
     * `last(when(cond, struct(t, value)))` per fill, the lookback mask,

@@ -52,6 +52,44 @@ class AsOfSpec extends SparkSuite {
     assert(got == ((Some(100L), Some(5.0), Some(200L), Some(9.0))))
   }
 
+  test("gridLatest ≡ the general union-window path on a boundary-heavy grid") {
+    import org.apache.spark.sql.functions._
+    val step = 100L
+    val lookback = 40L
+    // instants 100..500; samples hit: exactly on an instant, exactly at
+    // the inclusive horizon (g - lookback), just outside it, two in one
+    // window (latest must win), and a key with no samples at all
+    val r = Seq(
+      (1L, 100L, 1.0),  // rt == g: same-instant visible at 100
+      (1L, 160L, 2.0),  // 200-40=160: inclusive horizon edge -> fills 200
+      (1L, 259L, 3.0),  // 300-41: outside window of 300 -> fills nothing
+      (1L, 470L, 4.0), (1L, 480L, 5.0), // both in 500's window: 480 wins
+      (2L, 310L, 6.0))
+      .toDF("key", "t", "r_v")
+    val grid = Seq(1L, 2L, 3L).toDF("key")
+      .withColumn("t", explode(sequence(lit(step), lit(5 * step), lit(step))))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "t", "r_t", "r_v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    val fast = norm(AsOf.gridLatest(grid, r, Seq("key"), step, lookback))
+    val general = norm(AsOf.join(grid, r, Seq("key"), lookback))
+    assert(fast == general)
+    // and the specific edges hold
+    val m = fast.map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    assert(m((1L, 100L)) == ((Some(100L), Some(1.0))))
+    assert(m((1L, 200L)) == ((Some(160L), Some(2.0))))
+    assert(m((1L, 300L)) == ((None, None)))
+    assert(m((1L, 500L)) == ((Some(480L), Some(5.0))))
+    assert(m((3L, 100L)) == ((None, None)))
+    // the fast path must not carry a sample-scale sort: no Window at all
+    val plan = AsOf.gridLatest(grid, r, Seq("key"), step, lookback)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    intercept[IllegalArgumentException] {
+      AsOf.gridLatest(grid, r, Seq("key"), stepMs = 100L, lookbackMs = 100L)
+    }
+  }
+
   test("left rows with no right key at all survive with null fill") {
     val l = Seq((1L, 9L, 100L, 1.0)).toDF("sample_id", "user_id", "t", "v")
     val r = Seq((1L, 50L, 5.0)).toDF("user_id", "t", "r_v")
