@@ -258,6 +258,26 @@ object SparkEntry {
     s"""WITH s AS (SELECT event_id AS sample_id, $seriesKeySql AS series_key,
        | epoch_ms(ts) AS t, value AS v, user_id, event_type FROM events)""".stripMargin
 
+  /** Shared scaffold of the by-label grid aggregations (`ts_agg_by`,
+    * `ts_stddev_by`): the per-(series, name, instant) fill frame from
+    * [[AsOf.gridLatest]]. `name` is functionally dependent on
+    * `series_key`, so carrying it through the aggregate keys changes
+    * nothing — and the grid derives from the aggregate's KEY set (its
+    * branch column-prunes to a keys-only aggregate whose shuffle
+    * carries keys, not values). Two fact scans by design, like
+    * `ts_grid_eval`: materializing the samples-scale fill aggregate
+    * would cost more than the second pruned scan. */
+  private def namedGridFill(s: SparkSession, dir: String): DataFrame = {
+    val sl = TsdbSource.events(s, dir).samples
+      .select(col("series_key"), col("labels")("name").as("name"),
+        col("t"), col("v"))
+    val r = sl.groupBy("series_key", "name", "t").agg(max("v").as("r_v"))
+    val grid = r.select("series_key", "name").distinct()
+      .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
+    AsOf.gridLatest(grid, r.select("series_key", "t", "r_v"),
+      Seq("series_key"), BUCKET_W, LOOKBACK)
+  }
+
   /** Shared: the events table as a TsdbSource, selected and projected to
     * the output shape used by the ts_select_* queries. */
   private def tsSelect(s: SparkSession, dir: String, ms: Matcher*): DataFrame =
@@ -590,42 +610,21 @@ object SparkEntry {
     // — the "by (label)" consumer shape (labels ride the read; no index
     // join). n_series counts only present (non-stale) series at each
     // instant, like PromQL's vector cardinality.
-    "ts_agg_by" -> ((s, dir) => {
-      val sl = TsdbSource.events(s, dir).samples
-        .select(col("series_key"), col("labels")("name").as("name"),
-          col("t"), col("v"))
-      // name is functionally dependent on series_key, so carrying it
-      // through the aggregate keys changes nothing — and the grid then
-      // derives from the aggregate's KEY set: its branch column-prunes
-      // to a keys-only aggregate (the shuffle carries keys, not
-      // values), and a series surviving to the output needs a fill
-      // anyway, so no key outside the aggregate can contribute
-      val r = sl.groupBy("series_key", "name", "t").agg(max("v").as("r_v"))
-      val grid = r.select("series_key", "name").distinct()
-        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      AsOf.gridLatest(grid, r.select("series_key", "t", "r_v"),
-          Seq("series_key"), BUCKET_W, LOOKBACK)
+    "ts_agg_by" -> ((s, dir) =>
+      namedGridFill(s, dir)
         .groupBy("name", "t")
         .agg(
           count(col("r_v")).as("n_series"),
           round(sum("r_v"), 2).as("sum_v"))
-        .orderBy("name", "t")
-    }),
+        .orderBy("name", "t")),
 
     // PromQL stddev/stdvar by (name): spread across series at each grid
     // instant, from rounded power sums (Σv, Σv²) like deriv's closed
     // form — both engines combine identical bits, and sqrt of identical
     // doubles is identical (IEEE), so the sketchy float variance
     // accumulators (engine-private) never run.
-    "ts_stddev_by" -> ((s, dir) => {
-      val sl = TsdbSource.events(s, dir).samples
-        .select(col("series_key"), col("labels")("name").as("name"),
-          col("t"), col("v"))
-      val r = sl.groupBy("series_key", "name", "t").agg(max("v").as("r_v"))
-      val grid = r.select("series_key", "name").distinct()
-        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      AsOf.gridLatest(grid, r.select("series_key", "t", "r_v"),
-          Seq("series_key"), BUCKET_W, LOOKBACK)
+    "ts_stddev_by" -> ((s, dir) =>
+      namedGridFill(s, dir)
         .where(col("r_v").isNotNull)
         .groupBy("name", "t")
         .agg(
@@ -638,8 +637,7 @@ object SparkEntry {
               - (col("s1") / col("n_series")) * (col("s1") / col("n_series"))), 4))
         .withColumn("stddev", round(sqrt(col("stdvar")), 4))
         .select("name", "t", "n_series", "stdvar", "stddev")
-        .orderBy("name", "t")
-    }),
+        .orderBy("name", "t")),
 
     // PromQL absent(): grid instants where NO series matching the
     // selector has a sample inside the staleness window. Staleness <

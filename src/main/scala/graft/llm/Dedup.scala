@@ -104,17 +104,19 @@ object Dedup {
     // is recounted AFTER the filter), it just no longer credits
     // boilerplate as similarity — the trade every production near-dup
     // pipeline makes.
-    val kept = maxDf.fold(distinctSh) { cap =>
-      val hot = distinctSh.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+    // the distinct relation has up to four consumers (the per-doc
+    // cardinality aggregate, the join-back below, and — under maxDf —
+    // the hot-shingle aggregate plus both anti-join sides): materialize
+    // it once, call-scoped, BEFORE the anti-join, so the gram window
+    // never re-runs; an Aggregate's distribution requirement swallows
+    // any repartition, so the consumers can't share an exchange instead
+    val distinctCk = distinctSh.localCheckpoint()
+    val kept = maxDf.fold(distinctCk) { cap =>
+      val hot = distinctCk.groupBy("sh_h").agg(count(lit(1)).as("__df"))
         .where(col("__df") > cap)
         .select("sh_h")
-      distinctSh.join(hot, Seq("sh_h"), "left_anti")
-    // kept feeds both the per-doc cardinality aggregate and the
-    // join-back below (and, under maxDf, distinctSh additionally feeds
-    // the hot-shingle aggregate): materialize once, call-scoped — an
-    // Aggregate's distribution requirement swallows any repartition, so
-    // the branches otherwise re-run the gram window per consumer
-    }.localCheckpoint()
+      distinctCk.join(hot, Seq("sh_h"), "left_anti")
+    }
     // per-doc cardinality joins back without a hint: AQE sees the actual
     // (docs-sized) aggregate output and broadcasts when it fits, falling
     // back to a shuffle join at corpus scales where it wouldn't

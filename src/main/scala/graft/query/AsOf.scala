@@ -120,20 +120,26 @@ object AsOf {
     * boundary-exact sample satisfies TWO instants and the general path
     * must be used.
     *
-    * `grid` must be the `keys × instants` frame (instant column `t`);
-    * output = grid columns + `<name>_t`/`<name>_v`, null when no sample
-    * is inside the instant's staleness window — identical schema to
-    * [[join]]'s output on the same grid. */
+    * `grid` must be the `keys × instants` frame (instant column `t`),
+    * and every instant must sit on the step lattice `originMs + k·step`
+    * — the ceil-boundary mapping is computed against that lattice, so a
+    * phase-offset grid (e.g. anchored at a query start that is not a
+    * step multiple) MUST pass its anchor as `originMs` or every fill
+    * comes back null. Output = grid columns + `<name>_t`/`<name>_v`,
+    * null when no sample is inside the instant's staleness window —
+    * identical schema to [[join]]'s output on the same grid. */
   def gridLatest(
       grid: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       stepMs: Long,
       lookbackMs: Long,
-      name: String = "r"): DataFrame = {
+      name: String = "r",
+      originMs: Long = 0L): DataFrame = {
     require(lookbackMs < stepMs,
       s"gridLatest needs lookback < step ($lookbackMs >= $stepMs): use join()")
-    val g = (floor((col("t") - 1) / stepMs) * stepMs + stepMs).cast("long")
+    val g = (floor((col("t") - 1 - originMs) / stepMs) * stepMs + stepMs + originMs)
+      .cast("long")
     val latest = right
       .withColumn("__g", g)
       .where(col("t") >= col("__g") - lookbackMs)
