@@ -836,6 +836,11 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextStats.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Word-distribution Shannon entropy: the gibberish/boilerplate
+    // quality filter — one explode + one doc-keyed shuffle.
+    "doc_entropy" -> ((s, dir) =>
+      TextStats.entropy(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // Per-source corpus rollup: docs, exact-dup rate, size, lang spread.
     "doc_source_stats" -> ((s, dir) =>
       TextStats.sourceStats(Tables.documents(s, dir)).orderBy("source")),
@@ -1613,6 +1618,14 @@ object SparkEntry {
          | round(n_stop::DOUBLE / n_words, 4) AS stopword_ratio,
          | round(least(1.0, n_words::DOUBLE / 100) * (0.5 + 0.5 * (n_stop::DOUBLE / n_words)), 4) AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+    "doc_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS_SQL) AS w FROM documents),
+         |t AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |x AS (SELECT doc_id, tf,
+         |  sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS n FROM t)
+         |SELECT doc_id, count(*) AS n_distinct, max(n) AS n_words,
+         |  round(-sum((tf::DOUBLE / n) * ln(tf::DOUBLE / n)), 4) AS entropy
+         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_repetition" ->
       s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
          |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),

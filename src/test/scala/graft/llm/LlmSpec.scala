@@ -436,6 +436,21 @@ class TextStatsSpec extends SparkSuite {
     assert(r(2L).isNullAt(r(2L).fieldIndex("dup_bigram_ratio")))
   }
 
+  test("entropy: uniform doc hits ln(k), constant doc hits zero") {
+    val df = Seq(
+      (1L, "a b c d"),      // 4 distinct, uniform -> ln(4)
+      (2L, "x x x x"),      // constant -> 0
+      (3L, "a a b"))        // -(2/3 ln 2/3 + 1/3 ln 1/3)
+      .toDF("doc_id", "text")
+    val got = TextStats.entropy(df)
+      .select("doc_id", "n_distinct", "n_words", "entropy")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 4L, BigDecimal(math.log(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) == ((2L, 1L, 4L, 0.0)))
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(got(3L)._4 - h3) < 1e-3)
+  }
+
   test("sourceStats: dup-aware per-source rollup") {
     val df = Seq(
       (1L, "same text", "en", "s1", 9L),
