@@ -1051,6 +1051,19 @@ object SparkEntry {
           Tables.embeddings(s, dir).where(col("vec_id") < 5), k = 3, nprobe = 2)
         .orderBy("q_id", "rank")),
 
+    // IVF + PQ composed (FAISS-IVFPQ shape, raw-vector codes): probe
+    // pruning bounds WHICH vectors are scored, ADC bounds HOW — the
+    // only full-width vector reads are the one-pass assign+encode and
+    // the per-query LUT build.
+    "emb_ivfpq_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, dim = EMB_DIM, m = PQ_M, ksub = PQ_KSUB,
+        iters = 0, init = emb.where(col("vec_id") < PQ_KSUB))
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 8), cb,
+          emb.where(col("vec_id") < 5), k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding-cosine near-dup pairs via sign-LSH bucket equi-join.
     "emb_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
@@ -1129,11 +1142,12 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")),
   )
 
-  /** IVF probe-then-scan oracle — shared by `emb_ivf_search` (ad-hoc
-    * assignment) and `emb_ivf_persisted` (partitioned layout): the
-    * physical layout must not change the answer. */
-  private lazy val ivfSearchSql: String =
-    s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+  /** The IVF probe machinery as spliceable CTEs — `ce` (centroid set),
+    * `asg` (corpus nearest-centroid assignment), `pr` (each query's
+    * nprobe=2 probed lists) — shared by the plain IVF search oracles
+    * and the IVF+PQ composition. */
+  private lazy val ivfProbeCtes: String =
+    s"""ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
        |  FROM embeddings WHERE vec_id < 8),
        |asg AS (SELECT vec_id, centroid_id FROM (
        |  SELECT t.*, row_number() OVER (
@@ -1148,7 +1162,13 @@ object SparkEntry {
        |    SELECT q.vec_id AS q_id, q.embedding AS q_emb, centroid_id,
        |      ${cosineSql("q.embedding", "c_emb")} AS c_sim
        |    FROM embeddings q, ce WHERE q.vec_id < 5) t)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= 2)""".stripMargin
+
+  /** IVF probe-then-scan oracle — shared by `emb_ivf_search` (ad-hoc
+    * assignment) and `emb_ivf_persisted` (partitioned layout): the
+    * physical layout must not change the answer. */
+  private lazy val ivfSearchSql: String =
+    s"""WITH $ivfProbeCtes,
        |sc AS (SELECT pr.q_id, e.vec_id AS neighbor_id,
        |  ${cosineSql("pr.q_emb", "e.embedding")} AS sim
        |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
@@ -1215,9 +1235,13 @@ object SparkEntry {
     * L2 rounded 4dp, argmin with lowest-code tie-break. Ends in
     * `pq_d(vec_id, sub, code, d)`, `pq_best(vec_id, sub, code)`,
     * `pq_codes(vec_id, codes)`. */
-  private lazy val pqCte: String = {
+  private lazy val pqCte: String = s"WITH $pqCteBody"
+
+  /** [[pqCte]] without the WITH, spliceable into composed chains
+    * (`emb_ivfpq_search`). */
+  private lazy val pqCteBody: String = {
     val sd = EMB_DIM / PQ_M
-    s"""WITH pq_cb AS (SELECT s.sub, e.vec_id AS code,
+    s"""pq_cb AS (SELECT s.sub, e.vec_id AS code,
        |    e.embedding[s.sub * $sd + 1 : s.sub * $sd + $sd] AS ce
        |  FROM embeddings e,
        |    (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS sub) s
@@ -1800,6 +1824,23 @@ object SparkEntry {
     "emb_kmeans_fit" -> kmeansFitSql,
     "emb_ivf_search" -> ivfSearchSql,
     "emb_ivf_persisted" -> ivfSearchSql,
+    "emb_ivfpq_search" ->
+      s"""WITH $ivfProbeCtes,
+         |$pqCteBody,
+         |p AS (SELECT pr.q_id, b.vec_id AS neighbor_id, a.sub, a.d
+         |  FROM pq_best b
+         |  JOIN asg ON asg.vec_id = b.vec_id
+         |  JOIN pr ON asg.centroid_id = pr.centroid_id
+         |  JOIN pq_d a ON a.sub = b.sub AND a.code = b.code
+         |    AND a.vec_id = pr.q_id
+         |  WHERE b.vec_id != pr.q_id),
+         |sc AS (SELECT q_id, neighbor_id,
+         |  round(list_reduce(list(d ORDER BY sub), (x, y) -> x + y), 4) AS adist
+         |  FROM p GROUP BY q_id, neighbor_id)
+         |SELECT q_id, rank, neighbor_id, adist FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "emb_rand_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${planeBucketSql("embedding")} AS bucket FROM embeddings),

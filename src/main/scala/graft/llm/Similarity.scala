@@ -431,39 +431,84 @@ object Similarity {
       .drop((0 until m).map(s => s"__sub_$s"): _*)
   }
 
+  /** The per-query ADC lookup table over `q_emb`: `lut[sub][code]` =
+    * squared L2 (rounded 4dp) between the query's subspace slice and
+    * the codebook entry — `m × ksub` doubles per query row. */
+  private def pqLut(codebook: Seq[Seq[Seq[Float]]]): Column = {
+    val subdim = codebook.head.head.size
+    array(codebook.zipWithIndex.map { case (cb, s) =>
+      array(cb.map(ce =>
+        round(l2Sq(slice(col("q_emb"), s * subdim + 1, subdim), typedLit(ce)), 4)): _*)
+    }: _*)
+  }
+
+  /** Approximate distance of a codes row against a `__lut` column:
+    * `m` array lookups summed left-to-right. */
+  private def pqAdist(m: Int): Column =
+    (0 until m).map(s =>
+        element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+
+  private def pqRanked(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
-    * its `m × ksub` lookup table ONCE (squared L2 between its subspace
-    * slices and every codebook entry — broadcast with the query row),
-    * and a corpus row's approximate distance is `m` array lookups
-    * summed — no float-vector arithmetic per pair, which is the whole
-    * point of PQ: the scored relation carries codes, not embeddings.
-    * Rank ascending by (distance, neighbor id). */
+    * its `m × ksub` lookup table ONCE ([[pqLut]] — broadcast with the
+    * query row), and a corpus row's approximate distance is `m` array
+    * lookups summed — no float-vector arithmetic per pair, which is the
+    * whole point of PQ: the scored relation carries codes, not
+    * embeddings. Rank ascending by (distance, neighbor id). */
   def pqAdcTopK(
       encoded: DataFrame,
       codebook: Seq[Seq[Seq[Float]]],
       queries: DataFrame,
       k: Int): DataFrame = {
-    val m = codebook.size
-    val subdim = codebook.head.head.size
-    val lut = array((0 until m).map { s =>
-      array(codebook(s).map(ce =>
-        round(l2Sq(slice(col("q_emb"), s * subdim + 1, subdim), typedLit(ce)), 4)): _*)
-    }: _*)
     val q = broadcast(
       queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .withColumn("__lut", lut)
+        .withColumn("__lut", pqLut(codebook))
         .drop("q_emb"))
-    val adist = (0 until m).map(s =>
-        element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
-      .reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("adist").asc, col("neighbor_id"))
-    encoded.select(col("vec_id"), col("codes")).crossJoin(q)
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), round(adist, 4).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "rank", "neighbor_id", "adist")
+    pqRanked(
+      encoded.select(col("vec_id"), col("codes")).crossJoin(q)
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(pqAdist(codebook.size), 4).as("adist")),
+      k)
+  }
+
+  /** IVF + PQ — the canonical composed ANN index (the FAISS-style IVFPQ
+    * shape, minus residual encoding: codes are over raw vectors, so
+    * encoding is byte-identical to [[pqEncode]] standalone): the IVF
+    * probe bounds WHICH vectors are scored (`nprobe / k_centroids` of
+    * the corpus — an equi-join on the list id, partition-prunable under
+    * an [[ivfWrite]]-style layout), and PQ ADC bounds HOW each is
+    * scored (`m` array lookups over codes). Per-pair work has no vector
+    * arithmetic anywhere: the only full-width reads are the one-pass
+    * assignment+encode and the per-query LUT build. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      codebook: Seq[Seq[Seq[Float]]],
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val encoded = pqEncode(assignInlined(corpus, collectCentroids(centroids)), codebook)
+      .select("vec_id", "centroid_id", "codes")
+    val q = broadcast(
+      ivfProbes(centroids, queries, nprobe)
+        .withColumn("__lut", pqLut(codebook))
+        .select("q_id", "centroid_id", "__lut"))
+    pqRanked(
+      encoded.join(q, Seq("centroid_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(pqAdist(codebook.size), 4).as("adist")),
+      k)
   }
 
   /** The `nprobe` nearest centroid lists per query:

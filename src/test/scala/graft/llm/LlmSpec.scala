@@ -328,6 +328,42 @@ class SimilaritySpec extends SparkSuite {
     assert(top(0)._4 == top(1)._4)
   }
 
+  test("ivfPqTopK scores only the probed lists, ADC-consistent within them") {
+    val corpus = Seq(
+      (0L, Seq(0.1f, 0.0f, 10.1f, 10.0f)),
+      (1L, Seq(10.0f, 10.2f, 0.2f, 0.0f)),
+      (2L, Seq(0.0f, 0.2f, 9.9f, 10.1f)),
+      (3L, Seq(9.9f, 10.0f, 0.0f, 0.1f)),
+      (4L, Seq(0.1f, 0.0f, 10.1f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = corpus.where(col("vec_id") < 2)
+    val cb = Similarity.pqTrain(corpus, dim = 4, m = 2, ksub = 2, iters = 0,
+      init = corpus.where(col("vec_id") < 2))
+    val assign = Similarity.ivfAssign(corpus, centroids)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val got = Similarity.ivfPqTopK(corpus, centroids, cb,
+        corpus.where(col("vec_id") === 0), k = 5, nprobe = 1)
+      .select("q_id", "rank", "neighbor_id", "adist")
+      .as[(Long, Int, Long, Double)].collect()
+    // nprobe=1: every returned neighbor lives in q's own list
+    assert(got.nonEmpty)
+    assert(got.forall(r => assign(r._3) == assign(0L)), got.mkString(","))
+    // and within the probed list the scores match the plain ADC path
+    val adc = Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, cb), cb,
+        corpus.where(col("vec_id") === 0), k = 5)
+      .select("neighbor_id", "adist").as[(Long, Double)].collect().toMap
+    assert(got.forall(r => adc(r._3) == r._4))
+    // nprobe = #centroids degenerates to the full ADC ranking
+    val full = Similarity.ivfPqTopK(corpus, centroids, cb,
+        corpus.where(col("vec_id") === 0), k = 5, nprobe = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSet
+    val fullAdc = Similarity.pqAdcTopK(Similarity.pqEncode(corpus, cb), cb,
+        corpus.where(col("vec_id") === 0), k = 5)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSet
+    assert(full == fullAdc)
+  }
+
   test("int8 quantization: codes bounded, max magnitude hits 127, cosine preserved to quant error") {
     val q = Similarity.quantized(emb)
     val rows = q.collect()
