@@ -50,7 +50,7 @@ object Bench {
     // r5 additions: the by-label grid aggregate, the inverted-index df
     // signal, PQ ADC search, and the new window-family consumers —
     // each a distinct scale shape
-    "ts_agg_by", "doc_dup_ngrams", "emb_pq_search",
+    "ts_agg_by", "doc_dup_ngrams", "emb_pq_search", "emb_ivfpq_search",
     "ts_irate", "ts_resets_changes", "ts_subquery",
     // end-to-end dedup: minhash pairs + log-round closure + anti-join —
     // the closure's round count must stay scale-insensitive
