@@ -552,6 +552,12 @@ object SparkEntry {
       Rate.deriv(TsdbSource.events(s, dir).samples, DAY)
         .orderBy("series_key", "t_bucket")),
 
+    // PromQL predict_linear(): deriv's closed-form regression forecast
+    // 1h past each day bucket's end — identical sums, identical tree.
+    "ts_predict_linear" -> ((s, dir) =>
+      Rate.predictLinear(TsdbSource.events(s, dir).samples, DAY, LOOKBACK)
+        .orderBy("series_key", "t_bucket")),
+
     // Exact per-bucket value quantiles (p50/p95): interpolation between
     // stored doubles — no float summation, deterministic across engines.
     "ts_quantile_bucket" -> ((s, dir) =>
@@ -1473,6 +1479,20 @@ object SparkEntry {
          |  CASE WHEN n * sxx - sx * sx > 0
          |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 60.0, 6) END
          |    AS deriv_per_sec
+         |FROM g ORDER BY series_key, t_bucket""".stripMargin,
+    "ts_predict_linear" ->
+      s"""$samplesCte,
+         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  (t - (t // $DAY) * $DAY) // 60000 AS x, v FROM s),
+         |g AS (SELECT series_key, t_bucket, count(*) AS n,
+         |  sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+         |  round(sum(v), 2) AS sy, round(sum(x * v), 2) AS sxy
+         |  FROM i GROUP BY 1, 2)
+         |SELECT series_key, t_bucket, n,
+         |  CASE WHEN n * sxx - sx * sx > 0 THEN round(
+         |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         |    + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+         |      * ${(DAY + LOOKBACK) / 60000.0}, 4) END AS predicted
          |FROM g ORDER BY series_key, t_bucket""".stripMargin,
     "ts_quantile_bucket" ->
       s"""$samplesCte

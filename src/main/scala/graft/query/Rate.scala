@@ -76,13 +76,13 @@ object Rate {
     *
     * One hash aggregate, map-side combined; a degenerate bucket (all
     * samples in one minute) yields null rather than a 0/0. */
-  def deriv(samples: DataFrame, bucketMs: Long): DataFrame = {
+  def deriv(samples: DataFrame, bucketMs: Long, keepSums: Boolean = false): DataFrame = {
     val bucket = rangeForTimestamp(col("t"), bucketMs)
     // minutes since bucket start; double-div + truncate is exact here:
     // non-integer quotients sit ≥ 1/60000 from an integer, 8 orders
     // above the division's ulp at these magnitudes
     val x = ((col("t") - (bucket - bucketMs)) / lit(60000)).cast("long")
-    samples
+    val agg = samples
       .select(col("series_key"), bucket.as("t_bucket"), x.as("x"), col("v"))
       .groupBy("series_key", "t_bucket")
       .agg(
@@ -95,7 +95,26 @@ object Rate {
             (col("n") * col("sxy") - col("sx") * col("sy")) /
               (col("n") * col("sxx") - col("sx") * col("sx")) / 60.0,
             6)))
-      .select("series_key", "t_bucket", "n", "deriv_per_sec")
+    if (keepSums) agg
+    else agg.select("series_key", "t_bucket", "n", "deriv_per_sec")
+  }
+
+  /** PromQL `predict_linear(v[range], t)` — the least-squares forecast:
+    * [[deriv]]'s closed-form slope plus the intercept from the SAME
+    * rounded sums, extrapolated `horizonMs` past the bucket end. Same
+    * determinism argument as deriv: `Σx`/`Σx²`/n are exact integers,
+    * the float sums are rounded before the closed form combines them,
+    * and both engines then evaluate an identical arithmetic tree.
+    * One hash aggregate; degenerate buckets (zero x-variance) null. */
+  def predictLinear(samples: DataFrame, bucketMs: Long, horizonMs: Long): DataFrame = {
+    val xp = (bucketMs + horizonMs) / 60000.0 // minutes past bucket start
+    val det = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / det
+    val intercept = (col("sy") - slope * col("sx")) / col("n")
+    deriv(samples, bucketMs, keepSums = true)
+      .withColumn("predicted",
+        when(det > 0, round(intercept + slope * xp, 4)))
+      .select("series_key", "t_bucket", "n", "predicted")
   }
 
   /** PromQL `irate()`/`idelta()` — the *instantaneous* rate family:

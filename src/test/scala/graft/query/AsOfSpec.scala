@@ -90,6 +90,45 @@ class AsOfSpec extends SparkSuite {
     }
   }
 
+  test("gridLatest ≡ union-window ≡ driver model over 50 seeded random fixtures") {
+    import org.apache.spark.sql.functions._
+    val step = 100L
+    val lookback = 37L
+    val rnd = new scala.util.Random(20260813L)
+    // 50 fixtures × up to 40 samples, keys 0..2, t in [0, 600]; one
+    // (fid, key) pair is the composite as-of key, so ONE pair of Spark
+    // jobs exercises all fixtures
+    val rows = (for {
+      fid <- 0 until 50
+      _ <- 0 until rnd.nextInt(40)
+    } yield (fid.toLong, rnd.nextInt(3).toLong, rnd.nextInt(601).toLong,
+      rnd.nextInt(100).toDouble))
+      .distinctBy(r => (r._1, r._2, r._3)) // right unique per (keys, t)
+    val r = rows.toDF("fid", "key", "t", "r_v")
+    val grid = (0 until 50).map(_.toLong).toDF("fid")
+      .crossJoin(Seq(0L, 1L, 2L).toDF("key"))
+      .withColumn("t", explode(sequence(lit(step), lit(6 * step), lit(step))))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("fid", "key", "t", "r_t", "r_v")
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect().toSet
+    val fast = norm(AsOf.gridLatest(grid, r, Seq("fid", "key"), step, lookback))
+    val general = norm(AsOf.join(grid, r, Seq("fid", "key"), lookback))
+    assert(fast == general)
+    // independent driver-side model
+    val byKey = rows.groupBy(x => (x._1, x._2))
+    val model = (for {
+      fid <- (0 until 50).map(_.toLong)
+      key <- Seq(0L, 1L, 2L)
+      g <- (step to 6 * step by step)
+    } yield {
+      val hit = byKey.getOrElse((fid, key), Seq.empty)
+        .filter(x => x._3 <= g && x._3 >= g - lookback)
+        .sortBy(_._3).lastOption
+      (fid, key, g, hit.map(_._3), hit.map(_._4))
+    }).toSet
+    assert(fast == model)
+  }
+
   test("left rows with no right key at all survive with null fill") {
     val l = Seq((1L, 9L, 100L, 1.0)).toDF("sample_id", "user_id", "t", "v")
     val r = Seq((1L, 50L, 5.0)).toDF("user_id", "t", "r_v")

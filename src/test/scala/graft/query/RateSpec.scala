@@ -68,6 +68,21 @@ class RateSpec extends SparkSuite {
     assert(got(5L) == ((5L, 1L, 4.0, 4.0, 4.0, 4.0)))
   }
 
+  test("predictLinear extrapolates the bucket's fit; degenerate buckets null") {
+    val samples = Seq(
+      // series a: v = 1 + 2*minute exactly -> prediction at minute 5
+      // (bucket 240000 ms = 4 min, horizon 60000 ms = 1 min) = 11
+      (1L, "a", 0L, 1.0), (2L, "a", 60000L, 3.0), (3L, "a", 120000L, 5.0),
+      (4L, "b", 0L, 7.0)) // single sample -> null
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.predictLinear(samples, bucketMs = 240000L, horizonMs = 60000L)
+      .select("series_key", "n", "predicted")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((3L, Some(11.0))))
+    assert(got("b") == ((1L, None)))
+  }
+
   test("instant keeps only the last step of each bucket; resets divide, zero-width steps null") {
     val samples = Seq(
       // series a, bucket 1000: 3 samples; last step 10 -> 4 is a reset
