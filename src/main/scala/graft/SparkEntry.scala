@@ -1265,6 +1265,20 @@ object SparkEntry {
        |  FROM pq_best GROUP BY vec_id)""".stripMargin
   }
 
+  /** The per-(series, day-bucket) regression sums shared by the
+    * `ts_deriv` and `ts_predict_linear` oracles — ONE definition of the
+    * bucket expression, the minute recentring, and the sum rounding, so
+    * the two fits cannot drift apart. Ends in
+    * `g(series_key, t_bucket, n, sx, sxx, sy, sxy)`. */
+  private lazy val derivSumsCte: String =
+    s"""$samplesCte,
+       |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+       |  (t - (t // $DAY) * $DAY) // 60000 AS x, v FROM s),
+       |g AS (SELECT series_key, t_bucket, count(*) AS n,
+       |  sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+       |  round(sum(v), 2) AS sy, round(sum(x * v), 2) AS sxy
+       |  FROM i GROUP BY 1, 2)""".stripMargin
+
   /** Counter-increase classification shared by the rate-family oracles
     * (`ts_counter_rate`, `ts_topk_by_rate`) — ONE definition of the
     * reset convention, the bucket expression, and the lag order, so the
@@ -1468,26 +1482,14 @@ object SparkEntry {
          |SELECT t_bucket, rk, series_key, increase
          |FROM r WHERE rk <= 5 ORDER BY t_bucket, rk""".stripMargin,
     "ts_deriv" ->
-      s"""$samplesCte,
-         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
-         |  (t - (t // $DAY) * $DAY) // 60000 AS x, v FROM s),
-         |g AS (SELECT series_key, t_bucket, count(*) AS n,
-         |  sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
-         |  round(sum(v), 2) AS sy, round(sum(x * v), 2) AS sxy
-         |  FROM i GROUP BY 1, 2)
+      s"""$derivSumsCte
          |SELECT series_key, t_bucket, n,
          |  CASE WHEN n * sxx - sx * sx > 0
          |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 60.0, 6) END
          |    AS deriv_per_sec
          |FROM g ORDER BY series_key, t_bucket""".stripMargin,
     "ts_predict_linear" ->
-      s"""$samplesCte,
-         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
-         |  (t - (t // $DAY) * $DAY) // 60000 AS x, v FROM s),
-         |g AS (SELECT series_key, t_bucket, count(*) AS n,
-         |  sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
-         |  round(sum(v), 2) AS sy, round(sum(x * v), 2) AS sxy
-         |  FROM i GROUP BY 1, 2)
+      s"""$derivSumsCte
          |SELECT series_key, t_bucket, n,
          |  CASE WHEN n * sxx - sx * sx > 0 THEN round(
          |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
@@ -1668,7 +1670,7 @@ object SparkEntry {
          |x AS (SELECT doc_id, tf,
          |  sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS n FROM t)
          |SELECT doc_id, count(*) AS n_distinct, max(n) AS n_words,
-         |  round(-sum((tf::DOUBLE / n) * ln(tf::DOUBLE / n)), 4) AS entropy
+         |  round(-sum((tf::DOUBLE / n) * ln(tf::DOUBLE / n)), 4) + 0.0 AS entropy
          |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_repetition" ->
       s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),

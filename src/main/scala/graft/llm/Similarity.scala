@@ -499,10 +499,14 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     val encoded = pqEncode(assignInlined(corpus, collectCentroids(centroids)), codebook)
       .select("vec_id", "centroid_id", "codes")
+    // the LUT is built once per QUERY and joined to its nprobe probe
+    // rows — not recomputed per probe row
+    val probes = ivfProbes(centroids, queries, nprobe)
+    val qlut = probes.select("q_id", "q_emb").distinct()
+      .withColumn("__lut", pqLut(codebook))
+      .select("q_id", "__lut")
     val q = broadcast(
-      ivfProbes(centroids, queries, nprobe)
-        .withColumn("__lut", pqLut(codebook))
-        .select("q_id", "centroid_id", "__lut"))
+      probes.select("q_id", "centroid_id").join(qlut, "q_id"))
     pqRanked(
       encoded.join(q, Seq("centroid_id"))
         .where(col("vec_id") =!= col("q_id"))

@@ -89,6 +89,30 @@ object TextStats {
     * so a last-ulp `ln` difference between engines can neither reorder
     * the top-k nor fail the hash compare; rank ties break on the term
     * string. */
+  /** Word-distribution (Shannon) entropy per document — the
+    * gibberish/boilerplate quality filter: low entropy flags repeated
+    * boilerplate, implausibly high flags random noise.
+    *
+    * Plan shape: one explode + ONE doc-keyed shuffle — the explicit
+    * doc_id repartition satisfies the (doc_id, w) aggregate (clustering
+    * on a superset of the partition keys), the per-doc total window,
+    * AND the final per-doc aggregate, so nothing downstream reshuffles.
+    * Determinism: the float entropy sum is rounded (4dp) like every
+    * cross-engine float fold in this suite. */
+  def entropy(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    df.select(col("doc_id"), explode(words(col(textCol))).as("w"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("n", sum("tf").over(wdoc))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        max("n").as("n_words"),
+        round(-sum((col("tf") / col("n")) * log(col("tf") / col("n"))), 4)
+          .as("entropy"))
+  }
+
   def tfidfTopK(
       df: DataFrame,
       k: Int = 3,
@@ -127,27 +151,6 @@ object TextStats {
     * join share the doc_id partitioning, so after the first exchange
     * nothing reshuffles; no per-doc state exceeds the doc's own token
     * count. */
-  /** Word-distribution (Shannon) entropy per document — the
-    * gibberish/boilerplate quality filter: low entropy flags repeated
-    * boilerplate, implausibly high flags random noise. One explode +
-    * ONE doc-keyed shuffle: the term-frequency aggregate, the per-doc
-    * total (an unordered window over the same key — no extra
-    * exchange), and the final per-doc aggregate all share the doc_id
-    * partitioning. Determinism: the float entropy sum is rounded (4dp)
-    * like every cross-engine float fold in this suite. */
-  def entropy(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    df.select(col("doc_id"), explode(words(col(textCol))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .withColumn("n", sum("tf").over(wdoc))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_distinct"),
-        max("n").as("n_words"),
-        round(-sum((col("tf") / col("n")) * log(col("tf") / col("n"))), 4)
-          .as("entropy"))
-  }
-
   def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
     val tok = df.select(
       col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
