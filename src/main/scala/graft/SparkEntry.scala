@@ -552,6 +552,13 @@ object SparkEntry {
       Rate.deriv(TsdbSource.events(s, dir).samples, DAY)
         .orderBy("series_key", "t_bucket")),
 
+    // PromQL holt_winters(): double exponential smoothing — the
+    // inherently sequential rate-family member, as a codegen'd
+    // aggregate left fold both engines replay bit-identically.
+    "ts_holt_winters" -> ((s, dir) =>
+      Rate.holtWinters(TsdbSource.events(s, dir).samples, DAY, sf = 0.3, tf = 0.1)
+        .orderBy("series_key", "t_bucket")),
+
     // PromQL predict_linear(): deriv's closed-form regression forecast
     // 1h past each day bucket's end — identical sums, identical tree.
     "ts_predict_linear" -> ((s, dir) =>
@@ -1488,6 +1495,36 @@ object SparkEntry {
          |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 60.0, 6) END
          |    AS deriv_per_sec
          |FROM g ORDER BY series_key, t_bucket""".stripMargin,
+    "ts_holt_winters" ->
+      // a recursive-CTE fold (scalar double arithmetic per step) rather
+      // than list_reduce: DuckDB's struct-lambda reduce proved
+      // context-sensitive (different results for the same group inside
+      // vs outside the full query) — the recursion is the reliable
+      // sequential-fold form, like MINHASH_CLUSTERS' closure
+      s"""${samplesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |o AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket, v,
+         |  row_number() OVER win AS i, count(*) OVER (
+         |    PARTITION BY series_key, (t // $DAY) * $DAY + $DAY) AS n
+         |  FROM s WINDOW win AS (
+         |    PARTITION BY series_key, (t // $DAY) * $DAY + $DAY
+         |    ORDER BY t, sample_id)),
+         |st AS (
+         |  SELECT o1.series_key, o1.t_bucket, o1.n, 1 AS i,
+         |    o1.v AS sm, o2.v - o1.v AS b
+         |  FROM o o1 JOIN o o2 ON o1.series_key = o2.series_key
+         |    AND o1.t_bucket = o2.t_bucket AND o1.i = 1 AND o2.i = 2
+         |  UNION ALL
+         |  SELECT st.series_key, st.t_bucket, st.n, st.i + 1,
+         |    0.3::DOUBLE * o.v
+         |      + (1::DOUBLE - 0.3::DOUBLE) * (st.sm + st.b),
+         |    0.1::DOUBLE * ((0.3::DOUBLE * o.v
+         |        + (1::DOUBLE - 0.3::DOUBLE) * (st.sm + st.b)) - st.sm)
+         |      + (1::DOUBLE - 0.1::DOUBLE) * st.b
+         |  FROM st JOIN o ON o.series_key = st.series_key
+         |    AND o.t_bucket = st.t_bucket AND o.i = st.i + 1)
+         |SELECT series_key, t_bucket, n, round(sm, 4) AS smoothed
+         |FROM st WHERE i = n
+         |ORDER BY series_key, t_bucket""".stripMargin,
     "ts_predict_linear" ->
       s"""$derivSumsCte
          |SELECT series_key, t_bucket, n,

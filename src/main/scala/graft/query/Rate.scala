@@ -117,6 +117,56 @@ object Rate {
       .select("series_key", "t_bucket", "n", "predicted")
   }
 
+  /** PromQL `holt_winters(v[range], sf, tf)` — double exponential
+    * smoothing, the one rate-family member that is inherently
+    * SEQUENTIAL per series (each smoothed value depends on the
+    * previous): expressed as a codegen'd `aggregate` left fold over the
+    * bucket's sorted points — no window can do it and no driver loop
+    * touches data. Per-group state is the bucket's own point list (the
+    * same group-local buffer class as exact `percentile`; a group too
+    * big for that buffer belongs on the sketch path anyway), and the
+    * fold itself carries only the two-double (level, trend) accumulator.
+    *
+    * Recurrence (the standard Holt formulation): `s₀ = v₀`,
+    * `b₀ = v₁ − v₀`; for i ≥ 1, `sᵢ = sf·vᵢ + (1−sf)·(sᵢ₋₁ + bᵢ₋₁)`,
+    * `bᵢ = tf·(sᵢ − sᵢ₋₁) + (1−tf)·bᵢ₋₁`. Output = the final level.
+    *
+    * Cross-engine determinism WITHOUT per-step rounding: both engines
+    * fold the SAME doubles in the SAME order through the SAME
+    * arithmetic tree (`1 − sf` is written as a subtraction on both
+    * sides — its IEEE result is not the literal 0.7), so every
+    * intermediate is bit-identical; only the final level is rounded.
+    * Buckets with fewer than 2 points have no trend and drop, like
+    * PromQL's NaN. */
+  def holtWinters(
+      samples: DataFrame,
+      bucketMs: Long,
+      sf: Double,
+      tf: Double): DataFrame = {
+    val pts = sort_array(collect_list(struct(col("t"), col("sample_id"), col("v"))))
+    val v0 = element_at(col("pts"), 1).getField("v")
+    val v1 = element_at(col("pts"), 2).getField("v")
+    val sfL = lit(sf); val tfL = lit(tf)
+    val smoothed = aggregate(
+      slice(col("pts"), lit(2), size(col("pts")) - 1),
+      struct(v0.as("s"), (v1 - v0).as("b")),
+      (acc, p) => {
+        val s1 = sfL * p.getField("v") + (lit(1.0) - sfL) * (acc.getField("s") + acc.getField("b"))
+        struct(
+          s1.as("s"),
+          (tfL * (s1 - acc.getField("s")) + (lit(1.0) - tfL) * acc.getField("b")).as("b"))
+      })
+      .getField("s")
+    samples
+      .groupBy(col("series_key"), rangeForTimestamp(col("t"), bucketMs).as("t_bucket"))
+      .agg(pts.as("pts"))
+      .where(size(col("pts")) >= 2)
+      .select(
+        col("series_key"), col("t_bucket"),
+        size(col("pts")).as("n"),
+        round(smoothed, 4).as("smoothed"))
+  }
+
   /** PromQL `irate()`/`idelta()` — the *instantaneous* rate family:
     * only the LAST TWO samples of each (series, bucket) matter, so the
     * result reacts to the newest movement instead of averaging the

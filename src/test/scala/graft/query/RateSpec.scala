@@ -68,6 +68,19 @@ class RateSpec extends SparkSuite {
     assert(got(5L) == ((5L, 1L, 4.0, 4.0, 4.0, 4.0)))
   }
 
+  test("holtWinters tracks a perfect line exactly; single-point buckets drop") {
+    val samples = Seq(
+      // series a: perfectly linear 10,12,14 -> level tracks the line
+      (1L, "a", 0L, 10.0), (2L, "a", 100L, 12.0), (3L, "a", 200L, 14.0),
+      (4L, "b", 0L, 5.0)) // one point: no trend seed -> dropped
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.holtWinters(samples, bucketMs = 1000L, sf = 0.5, tf = 0.5)
+      .select("series_key", "n", "smoothed")
+      .as[(String, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3, 14.0)))
+    assert(!got.contains("b"))
+  }
+
   test("predictLinear extrapolates the bucket's fit; degenerate buckets null") {
     val samples = Seq(
       // series a: v = 1 + 2*minute exactly -> prediction at minute 5
