@@ -112,6 +112,9 @@ object SparkEntry {
     * 16 dims, 8 codes each, sampled codebook (vec_id < 8 slices). */
   private val PQ_M = 4
   private val PQ_KSUB = 8
+  /** holt_winters smoothing/trend factors, shared query ↔ oracle. */
+  private val HW_SF = 0.3
+  private val HW_TF = 0.1
 
   /** Plane dot in DuckDB with exact Spark parity: plane values inlined
     * via Double.toString (shortest round-trip — DuckDB parses back the
@@ -553,10 +556,10 @@ object SparkEntry {
         .orderBy("series_key", "t_bucket")),
 
     // PromQL holt_winters(): double exponential smoothing — the
-    // inherently sequential rate-family member, as a codegen'd
-    // aggregate left fold both engines replay bit-identically.
+    // inherently sequential rate-family member, as a native aggregate
+    // left fold both engines replay bit-identically.
     "ts_holt_winters" -> ((s, dir) =>
-      Rate.holtWinters(TsdbSource.events(s, dir).samples, DAY, sf = 0.3, tf = 0.1)
+      Rate.holtWinters(TsdbSource.events(s, dir).samples, DAY, sf = HW_SF, tf = HW_TF)
         .orderBy("series_key", "t_bucket")),
 
     // PromQL predict_linear(): deriv's closed-form regression forecast
@@ -1515,11 +1518,11 @@ object SparkEntry {
          |    AND o1.t_bucket = o2.t_bucket AND o1.i = 1 AND o2.i = 2
          |  UNION ALL
          |  SELECT st.series_key, st.t_bucket, st.n, st.i + 1,
-         |    0.3::DOUBLE * o.v
-         |      + (1::DOUBLE - 0.3::DOUBLE) * (st.sm + st.b),
-         |    0.1::DOUBLE * ((0.3::DOUBLE * o.v
-         |        + (1::DOUBLE - 0.3::DOUBLE) * (st.sm + st.b)) - st.sm)
-         |      + (1::DOUBLE - 0.1::DOUBLE) * st.b
+         |    $HW_SF::DOUBLE * o.v
+         |      + (1::DOUBLE - $HW_SF::DOUBLE) * (st.sm + st.b),
+         |    $HW_TF::DOUBLE * (($HW_SF::DOUBLE * o.v
+         |        + (1::DOUBLE - $HW_SF::DOUBLE) * (st.sm + st.b)) - st.sm)
+         |      + (1::DOUBLE - $HW_TF::DOUBLE) * st.b
          |  FROM st JOIN o ON o.series_key = st.series_key
          |    AND o.t_bucket = st.t_bucket AND o.i = st.i + 1)
          |SELECT series_key, t_bucket, n, round(sm, 4) AS smoothed

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    nearest lists only. At 100 TB the lists are the partition key, so
   *    a probe is a partition-pruned scan, not a full pass.
   *
-  * All arithmetic is done in double precision via codegen'd higher-order
-  * functions (`zip_with` + `aggregate`) — no UDFs.
+  * All arithmetic is done in double precision via native Catalyst
+  * higher-order functions (`zip_with` + `aggregate` — interpreted-eval
+  * expressions, but UDF-free, null-safe, and fully distributable).
   */
 object Similarity {
 
@@ -344,7 +345,7 @@ object Similarity {
   }
 
   /** Double-precision squared L2 distance of two float-array columns —
-    * the PQ metric (codegen'd fold, like [[dot]]). */
+    * the PQ metric (native expression fold, like [[dot]]). */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>

@@ -120,9 +120,11 @@ object Rate {
   /** PromQL `holt_winters(v[range], sf, tf)` — double exponential
     * smoothing, the one rate-family member that is inherently
     * SEQUENTIAL per series (each smoothed value depends on the
-    * previous): expressed as a codegen'd `aggregate` left fold over the
-    * bucket's sorted points — no window can do it and no driver loop
-    * touches data. Per-group state is the bucket's own point list (the
+    * previous): expressed as a native Catalyst `aggregate` left fold
+    * over the bucket's sorted points (a higher-order expression — it
+    * evaluates interpreted, not whole-stage-codegen'd, but stays fully
+    * distributable with no UDF and no driver loop) — no window can
+    * express it. Per-group state is the bucket's own point list (the
     * same group-local buffer class as exact `percentile`; a group too
     * big for that buffer belongs on the sketch path anyway), and the
     * fold itself carries only the two-double (level, trend) accumulator.

@@ -81,6 +81,17 @@ class RateSpec extends SparkSuite {
     assert(!got.contains("b"))
   }
 
+  test("holtWinters with asymmetric parameters on a trend break: sf/tf not interchangeable") {
+    // 10, 12, 11 with sf=0.3, tf=0.1: s0=10, b0=2; s1=12, b1=2;
+    // s2 = .3*11 + .7*14 = 13.1 — swapping sf/tf would give 13.7
+    val samples = Seq(
+      (1L, "a", 0L, 10.0), (2L, "a", 100L, 12.0), (3L, "a", 200L, 11.0))
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.holtWinters(samples, bucketMs = 1000L, sf = 0.3, tf = 0.1)
+      .select("smoothed").as[Double].collect()
+    assert(got.toSeq == Seq(13.1))
+  }
+
   test("predictLinear extrapolates the bucket's fit; degenerate buckets null") {
     val samples = Seq(
       // series a: v = 1 + 2*minute exactly -> prediction at minute 5
