@@ -220,34 +220,47 @@ object Bench {
     // so the number is larger but honest.
     var storeStatus = "ok"
     val (writeRps, compactSec, bytesPerSample) = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-").toString
-      try {
-        // 7d buckets over the ~40d events span: a handful of real-sized
-        // blocks (6h buckets would mean 160 footer-dominated slivers at
-        // this sf and misstate both write rate and bytes/sample)
-        val store = new graft.storage.BlockStore(tmp, 7 * 86400000L, seriesBuckets = 4)
-        val samples = query.TsdbSource.events(spark, sfDir).samples
-        val n = samples.count()
-        val t0 = System.nanoTime()
-        store.write(samples)
-        val wSec = (System.nanoTime() - t0) / 1e9
-        // BASELINE's compression row (~1.37 B/sample Gorilla design
-        // target): our on-disk cost per sample, parquet-encoded
-        // normalized blocks (data files only, index excluded)
-        val bps = {
-          val m = store.manifest.blocks.head
-          m.bytes.toDouble / m.numSamples
+      // One full write+compact lifecycle against a fresh store dir.
+      // Each pass gets its own store (compact mutates the manifest, so
+      // the two measurements must not share state).
+      def lifecyclePass(): (Double, Double, Double) = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-").toString
+        try {
+          // 7d buckets over the ~40d events span: a handful of real-sized
+          // blocks (6h buckets would mean 160 footer-dominated slivers at
+          // this sf and misstate both write rate and bytes/sample)
+          val store = new graft.storage.BlockStore(tmp, 7 * 86400000L, seriesBuckets = 4)
+          val samples = query.TsdbSource.events(spark, sfDir).samples
+          val n = samples.count()
+          val t0 = System.nanoTime()
+          store.write(samples)
+          val wSec = (System.nanoTime() - t0) / 1e9
+          // BASELINE's compression row (~1.37 B/sample Gorilla design
+          // target): our on-disk cost per sample, parquet-encoded
+          // normalized blocks (data files only, index excluded)
+          val bps = {
+            val m = store.manifest.blocks.head
+            m.bytes.toDouble / m.numSamples
+          }
+          val t1 = System.nanoTime()
+          store.compact(spark, store.manifest.blocks.map(_.blockId))
+          val cSec = (System.nanoTime() - t1) / 1e9
+          (n / wSec, cSec, bps)
+        } finally {
+          scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
         }
-        val t1 = System.nanoTime()
-        store.compact(spark, store.manifest.blocks.map(_.blockId))
-        val cSec = (System.nanoTime() - t1) / 1e9
-        (n / wSec, cSec, bps)
+      }
+      try {
+        // Best-of-2, like every query row: BENCH_r05 recorded a 5×/8×
+        // one-off on these I/O-bound rows (cold page cache / GC luck on
+        // a single timed run) that two passes would have absorbed.
+        val (w1, c1, b1) = lifecyclePass()
+        val (w2, c2, _) = lifecyclePass()
+        (math.max(w1, w2), math.min(c1, c2), b1)
       } catch {
         case e: Throwable =>
           storeStatus = s"error: ${e.getClass.getSimpleName}"
           (0.0, 0.0, 0.0)
-      } finally {
-        scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
       }
     }
 
@@ -263,47 +276,53 @@ object Bench {
     // above where inter-arrival deltas genuinely cost ~20 bits)
     var bytesPerSampleLabelSets = 0.0
     val writeRpsLabelSets: Double = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ls-bench-")
-      try {
-        val jsonPath = tmp.resolve("labelsets.json")
-        val w = java.nio.file.Files.newBufferedWriter(jsonPath)
+      def labelSetPass(): Double = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ls-bench-")
         try {
-          var i = 0
-          while (i < 10000) {
-            w.write(s"""{"__name__":"metric_${i % 100}","job":"job_${i % 20}","instance":"inst_${i / 100}","zone":"z${i % 5}"}""")
-            w.newLine()
-            i += 1
-          }
-        } finally w.close()
-        val scrapes = 100
-        val sets = sources.LabelSets.readJson(spark, jsonPath.toString)
-        val expanded = sets.select(
-            col("labels"), col("series_key"), col("series_hash"),
-            explode(sequence(lit(0L), lit(scrapes - 1L))).as("arrival"))
-          .select(
-            col("labels"), col("series_key"),
-            (pmod(col("series_hash"), lit(10000000L)) * 1000 + col("arrival")).as("sample_id"),
-            (lit(1704067200000L) + col("arrival") * 30000L).as("t"),
-            (pmod(col("series_hash"), lit(1000L)) + col("arrival")).cast("double").as("v"),
-            col("arrival"))
-        val valid = ingest.Appender.validate(expanded, minValidTime = 0L)
-          .where(col("status") === "ok").drop("status", "arrival")
-        val store = new graft.storage.BlockStore(
-          tmp.resolve("store").toString, 2 * 3600000L, seriesBuckets = 4)
-        val t0 = System.nanoTime()
-        val id = store.write(valid)
-        val sec = (System.nanoTime() - t0) / 1e9
-        val meta = store.manifest.blocks.find(_.blockId == id).get
-        require(meta.numSamples == 10000L * scrapes && meta.numSeries == 10000L,
-          s"labelsets ingest wrote ${meta.numSamples} samples / ${meta.numSeries} series")
-        bytesPerSampleLabelSets = meta.bytes.toDouble / meta.numSamples
-        meta.numSamples / sec
+          val jsonPath = tmp.resolve("labelsets.json")
+          val w = java.nio.file.Files.newBufferedWriter(jsonPath)
+          try {
+            var i = 0
+            while (i < 10000) {
+              w.write(s"""{"__name__":"metric_${i % 100}","job":"job_${i % 20}","instance":"inst_${i / 100}","zone":"z${i % 5}"}""")
+              w.newLine()
+              i += 1
+            }
+          } finally w.close()
+          val scrapes = 100
+          val sets = sources.LabelSets.readJson(spark, jsonPath.toString)
+          val expanded = sets.select(
+              col("labels"), col("series_key"), col("series_hash"),
+              explode(sequence(lit(0L), lit(scrapes - 1L))).as("arrival"))
+            .select(
+              col("labels"), col("series_key"),
+              (pmod(col("series_hash"), lit(10000000L)) * 1000 + col("arrival")).as("sample_id"),
+              (lit(1704067200000L) + col("arrival") * 30000L).as("t"),
+              (pmod(col("series_hash"), lit(1000L)) + col("arrival")).cast("double").as("v"),
+              col("arrival"))
+          val valid = ingest.Appender.validate(expanded, minValidTime = 0L)
+            .where(col("status") === "ok").drop("status", "arrival")
+          val store = new graft.storage.BlockStore(
+            tmp.resolve("store").toString, 2 * 3600000L, seriesBuckets = 4)
+          val t0 = System.nanoTime()
+          val id = store.write(valid)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val meta = store.manifest.blocks.find(_.blockId == id).get
+          require(meta.numSamples == 10000L * scrapes && meta.numSeries == 10000L,
+            s"labelsets ingest wrote ${meta.numSamples} samples / ${meta.numSeries} series")
+          bytesPerSampleLabelSets = meta.bytes.toDouble / meta.numSamples
+          meta.numSamples / sec
+        } finally {
+          scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+        }
+      }
+      try {
+        // best-of-2 (max throughput), same rationale as the lifecycle rows
+        math.max(labelSetPass(), labelSetPass())
       } catch {
         case e: Throwable =>
           labelSetStatus = s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"
           0.0
-      } finally {
-        scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
       }
     }
 

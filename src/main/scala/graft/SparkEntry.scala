@@ -1436,6 +1436,12 @@ object SparkEntry {
       val leCase = HIST_LES.sorted
         .map(b => s"WHEN v <= $b THEN ${b}::DOUBLE")
         .mkString("CASE ", " ", " ELSE 'infinity'::DOUBLE END")
+      // prev_le is the adjacent CONFIGURED boundary (static CASE over the
+      // literal list, matching Histogram.prevLeOf) — not lag(le) over the
+      // observed rows, which would skip empty buckets
+      val prevCase = HIST_LES.sorted.zip(0.0 +: HIST_LES.sorted.init)
+        .map { case (b, p) => s"WHEN le = $b THEN ${p}::DOUBLE" }
+        .mkString("CASE ", " ", s" ELSE ${HIST_LES.max}::DOUBLE END")
       s"""$samplesCte,
          |b AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
          |  $leCase AS le FROM s),
@@ -1443,7 +1449,7 @@ object SparkEntry {
          |w AS (SELECT *,
          |  sum(n) OVER (PARTITION BY series_key, t_bucket ORDER BY le) AS cum,
          |  sum(n) OVER (PARTITION BY series_key, t_bucket)::BIGINT AS total,
-         |  coalesce(lag(le) OVER (PARTITION BY series_key, t_bucket ORDER BY le), 0.0) AS prev_le
+         |  $prevCase AS prev_le
          |  FROM c)
          |SELECT series_key, t_bucket, total,
          |  round(CASE WHEN isinf(le) THEN ${HIST_LES.max}

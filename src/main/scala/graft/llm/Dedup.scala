@@ -109,7 +109,13 @@ object Dedup {
     // the hot-shingle aggregate plus both anti-join sides): materialize
     // it once, call-scoped, BEFORE the anti-join, so the gram window
     // never re-runs; an Aggregate's distribution requirement swallows
-    // any repartition, so the consumers can't share an exchange instead
+    // any repartition, so the consumers can't share an exchange instead.
+    // Fault-tolerance trade (applies to every call-scoped localCheckpoint
+    // in this package): the blocks are executor-local and unreplicated,
+    // so losing an executor mid-query fails the query (resubmit) instead
+    // of recomputing the lineage — the right trade for these short-lived
+    // intra-query materializations; durable `checkpoint()` would cost a
+    // full write to reliable storage per call.
     val distinctCk = distinctSh.localCheckpoint()
     val kept = maxDf.fold(distinctCk) { cap =>
       val hot = distinctCk.groupBy("sh_h").agg(count(lit(1)).as("__df"))
@@ -367,12 +373,23 @@ object Dedup {
     // returned plan's own LogicalRDD leaves — never by diffing the
     // context-global persistent-RDD registry, which would misattribute
     // (and later unpersist) RDDs a concurrent caller persisted in the
-    // same SparkContext while the checkpoint job ran.
+    // same SparkContext while the checkpoint job ran. Like every
+    // localCheckpoint here, the loop state is executor-local and
+    // unreplicated: an executor loss mid-loop fails the job (caller
+    // resubmits and the loop restarts from the edges) rather than
+    // recomputing lineage — acceptable because each round is minutes,
+    // not the job-scale hours durable checkpointing is built for.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val out = df.localCheckpoint()
       val ids = out.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
       }.toSet
+      // Loud-fail if the plan-leaf pattern ever stops matching (verified
+      // on Spark 4.1: a localCheckpoint'd Dataset analyzes to exactly one
+      // LogicalRDD leaf): an empty id set would silently turn release()
+      // into a no-op and reintroduce the up-to-maxIter cached-copy leak.
+      require(ids.nonEmpty,
+        "localCheckpoint plan has no LogicalRDD leaf - release() would leak")
       (out, ids)
     }
     def release(ids: Set[Int]): Unit =

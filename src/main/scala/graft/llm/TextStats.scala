@@ -74,21 +74,6 @@ object TextStats {
     scored.withColumn("predicted", pred).drop("__ws")
   }
 
-  /** Top-k terms per document by TF-IDF — the classic corpus-relative
-    * keyword extractor (smoothed idf, sklearn's convention:
-    * `ln((N+1)/(df+1)) + 1`).
-    *
-    * Plan shape for 100 TB: term frequencies are one hash aggregate on
-    * `(doc_id, term)` (map-side combined); document frequencies reuse
-    * that aggregate's output (one more agg on `term`, tiny); the corpus
-    * size joins in as a broadcast one-row cross join (never an action
-    * at build time); ranking is a per-doc window over ≤ |doc's terms|
-    * rows. No data is ever collected to the driver.
-    *
-    * Cross-engine determinism: scores are rounded (4dp) BEFORE ranking
-    * so a last-ulp `ln` difference between engines can neither reorder
-    * the top-k nor fail the hash compare; rank ties break on the term
-    * string. */
   /** Word-distribution (Shannon) entropy per document — the
     * gibberish/boilerplate quality filter: low entropy flags repeated
     * boilerplate, implausibly high flags random noise.
@@ -113,6 +98,21 @@ object TextStats {
           .as("entropy"))
   }
 
+  /** Top-k terms per document by TF-IDF — the classic corpus-relative
+    * keyword extractor (smoothed idf, sklearn's convention:
+    * `ln((N+1)/(df+1)) + 1`).
+    *
+    * Plan shape for 100 TB: term frequencies are one hash aggregate on
+    * `(doc_id, term)` (map-side combined); document frequencies reuse
+    * that aggregate's output (one more agg on `term`, tiny); the corpus
+    * size joins in as a broadcast one-row cross join (never an action
+    * at build time); ranking is a per-doc window over ≤ |doc's terms|
+    * rows. No data is ever collected to the driver.
+    *
+    * Cross-engine determinism: scores are rounded (4dp) BEFORE ranking
+    * so a last-ulp `ln` difference between engines can neither reorder
+    * the top-k nor fail the hash compare; rank ties break on the term
+    * string. */
   def tfidfTopK(
       df: DataFrame,
       k: Int = 3,

@@ -30,7 +30,10 @@ import graft.functions.rangeForTimestamp
   * sorts |buckets|-row groups, so the whole computation scales as one
   * aggregate over the corpus — the same shape at 100 TB.
   *
-  * Quantile semantics follow the Prometheus convention: the first finite
+  * Quantile semantics follow the Prometheus convention: each bucket
+  * interpolates from the adjacent configured boundary below it (derived
+  * statically from the boundary list, so buckets that received no
+  * samples in a window don't widen the interval); the first finite
   * bucket interpolates from lower bound 0; a rank landing in the +Inf
   * bucket returns the highest finite boundary (no extrapolation).
   *
@@ -46,6 +49,20 @@ object Histogram {
     les.sorted.foldRight(lit(Double.PositiveInfinity): Column) { (b, els) =>
       when(v <= b, lit(b)).otherwise(els)
     }
+
+  /** The configured boundary immediately below `le` (0 below the first,
+    * the highest finite boundary below +Inf). Statically derived from
+    * the literal boundary list — NOT `lag(le)` over the observed rows,
+    * which would skip empty buckets and widen the interpolation interval
+    * (Prometheus always interpolates against the adjacent configured
+    * boundary, because cumulative bucket series exist even when empty). */
+  private def prevLeOf(le: Column, les: Seq[Double]): Column = {
+    val sorted = les.sorted
+    val prev = sorted.zip(0.0 +: sorted.init)
+    prev.foldRight(lit(sorted.last): Column) { case ((b, p), els) =>
+      when(le === b, lit(p)).otherwise(els) // the +Inf bucket falls through to sorted.last
+    }
+  }
 
   /** φ-quantile per `(series_key, t_bucket)` from le-bucketed counts.
     * Output: `(series_key, t_bucket, total, q)`. */
@@ -70,7 +87,7 @@ object Histogram {
       .withColumn("cum", sum("n").over(wCum))
       // empty buckets have no row, so lag(cum) == cum - n always holds
       .withColumn("prev_cum", col("cum") - col("n"))
-      .withColumn("prev_le", coalesce(lag("le", 1).over(wCum), lit(0.0)))
+      .withColumn("prev_le", prevLeOf(col("le"), les))
       .withColumn("total", sum("n").over(wAll))
       // the unique first bucket whose cumulative count reaches the rank
       .where(col("cum") >= rank && col("prev_cum") < rank)

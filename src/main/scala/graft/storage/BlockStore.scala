@@ -779,6 +779,10 @@ object BlockStore {
     * are fine for readers. */
   private[storage] val parquetWriteOptions: Map[String, String] = Map(
     "compression" -> "zstd",
+    // Pin the codec level explicitly (3 is parquet-java's default): the
+    // write-throughput row is a cross-round record, and an ambient
+    // default change would silently move it.
+    "parquet.compression.codec.zstd.level" -> "3",
     "parquet.writer.version" -> "v2")
 
   /** [[parquetWriteOptions]] rendered for a `CREATE TABLE ... OPTIONS`
