@@ -261,6 +261,19 @@ object SparkEntry {
     s"""WITH s AS (SELECT event_id AS sample_id, $seriesKeySql AS series_key,
        | epoch_ms(ts) AS t, value AS v, user_id, event_type FROM events)""".stripMargin
 
+  /** DuckDB twin of [[namedGridFill]] — the `f` frame (series_key, name,
+    * t, r_v) every by-label instant-vector oracle aggregates over. */
+  private lazy val namedGridCte =
+    s"""$samplesCte,
+       |r AS (SELECT series_key, event_type AS name, t AS rt, max(v) AS rv
+       |  FROM s GROUP BY 1, 2, 3),
+       |g AS (SELECT series_key, name,
+       |  unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t
+       |  FROM (SELECT DISTINCT series_key, name FROM r)),
+       |f AS (SELECT g.series_key, g.name, g.t,
+       |  CASE WHEN rt >= g.t - $LOOKBACK THEN rv END AS r_v
+       |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt)""".stripMargin
+
   /** Shared scaffold of the by-label grid aggregations (`ts_agg_by`,
     * `ts_stddev_by`): the per-(series, name, instant) fill frame from
     * [[AsOf.gridLatest]]. `name` is functionally dependent on
@@ -654,6 +667,63 @@ object SparkEntry {
         .withColumn("stddev", round(sqrt(col("stdvar")), 4))
         .select("name", "t", "n_series", "stdvar", "stddev")
         .orderBy("name", "t")),
+
+    // PromQL min/max/avg/count by (name): the remaining classic
+    // aggregations over the same instant-vector grid — one aggregate
+    // over the shared fill frame, no new plan shape. count(r_v) is
+    // PromQL's count(): present (non-stale) series only; avg follows
+    // the suite's float convention (sum rounded 2dp, then divided).
+    "ts_minmax_by" -> ((s, dir) =>
+      namedGridFill(s, dir)
+        .groupBy("name", "t")
+        .agg(
+          count(col("r_v")).as("n_series"),
+          min("r_v").as("min_v"),
+          max("r_v").as("max_v"),
+          round(sum("r_v"), 2).as("s1"))
+        .withColumn("avg_v", round(col("s1") / col("n_series"), 4))
+        .select("name", "t", "n_series", "min_v", "max_v", "avg_v")
+        .orderBy("name", "t")),
+
+    // PromQL quantile(φ, ...) across series at each grid instant —
+    // exact interpolated percentile over the ≤|series| present values
+    // of each (name, t) group (same linear-interpolation convention in
+    // both engines; interpolation between stored doubles, no float
+    // summation).
+    "ts_quantile_by" -> ((s, dir) =>
+      namedGridFill(s, dir)
+        .where(col("r_v").isNotNull)
+        .groupBy("name", "t")
+        .agg(
+          count(lit(1)).as("n_series"),
+          round(expr("percentile(r_v, 0.5)"), 4).as("q50"),
+          round(expr("percentile(r_v, 0.9)"), 4).as("q90"))
+        .orderBy("name", "t")),
+
+    // PromQL count_values(): series count per distinct sample VALUE at
+    // each instant (the value becomes a group key — histogram-of-values
+    // consumer shape). Values group raw (no arithmetic), so the float
+    // group key is bit-stable across engines.
+    "ts_count_values" -> ((s, dir) =>
+      namedGridFill(s, dir)
+        .where(col("r_v").isNotNull)
+        .groupBy("name", "t", "r_v")
+        .agg(count(lit(1)).as("n_series"))
+        .orderBy("name", "t", "r_v")),
+
+    // PromQL bottomk(3, ...) by (name): k smallest present series at
+    // each instant — topk's mirror, rank ascending with the series key
+    // as the deterministic tie-break.
+    "ts_bottomk" -> ((s, dir) => {
+      val w = Window.partitionBy("name", "t")
+        .orderBy(col("r_v").asc, col("series_key"))
+      namedGridFill(s, dir)
+        .where(col("r_v").isNotNull)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("name", "t", "rk", "series_key", "r_v")
+        .orderBy("name", "t", "rk")
+    }),
 
     // PromQL absent(): grid instants where NO series matching the
     // selector has a sample inside the staleness window. Staleness <
@@ -1615,6 +1685,32 @@ object SparkEntry {
          |  FROM a)
          |SELECT name, t, n_series, stdvar, round(sqrt(stdvar), 4) AS stddev
          |FROM b ORDER BY name, t""".stripMargin,
+    "ts_minmax_by" ->
+      s"""$namedGridCte,
+         |a AS (SELECT name, t, count(r_v) AS n_series,
+         |  min(r_v) AS min_v, max(r_v) AS max_v, round(sum(r_v), 2) AS s1
+         |  FROM f GROUP BY 1, 2)
+         |SELECT name, t, n_series, min_v, max_v,
+         |  round(s1 / n_series, 4) AS avg_v
+         |FROM a ORDER BY name, t""".stripMargin,
+    "ts_quantile_by" ->
+      s"""$namedGridCte
+         |SELECT name, t, count(*) AS n_series,
+         |  round(quantile_cont(r_v, 0.5), 4) AS q50,
+         |  round(quantile_cont(r_v, 0.9), 4) AS q90
+         |FROM f WHERE r_v IS NOT NULL GROUP BY 1, 2 ORDER BY name, t""".stripMargin,
+    "ts_count_values" ->
+      s"""$namedGridCte
+         |SELECT name, t, r_v, count(*) AS n_series
+         |FROM f WHERE r_v IS NOT NULL GROUP BY 1, 2, 3
+         |ORDER BY name, t, r_v""".stripMargin,
+    "ts_bottomk" ->
+      s"""$namedGridCte,
+         |b AS (SELECT name, t, series_key, r_v, row_number() OVER (
+         |  PARTITION BY name, t ORDER BY r_v, series_key) AS rk
+         |  FROM f WHERE r_v IS NOT NULL)
+         |SELECT name, t, rk, series_key, r_v
+         |FROM b WHERE rk <= 3 ORDER BY name, t, rk""".stripMargin,
     "ts_absent" ->
       s"""$samplesCte,
          |sel AS (SELECT t FROM s WHERE event_type = 'error' AND user_id = 7
