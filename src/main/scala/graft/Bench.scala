@@ -183,15 +183,25 @@ object Bench {
       timeQueries(spark, selected, sfDir))
     val total = results.map(_._2).sum
 
-    // 10×-scale headline pass (disable with SPARK_GRAFT_X10=0)
-    val doX10 = sys.env.getOrElse("SPARK_GRAFT_X10", "1") != "0" && only.isEmpty
+    // 10×-scale headline pass (disable with SPARK_GRAFT_X10=0).
+    // Dev aid: SPARK_GRAFT_X10_DIR=<dir> keeps the scaled corpus across
+    // runs (built once, marker-gated) and allows combining with
+    // SPARK_GRAFT_ONLY — the per-entry x10 iteration loop.
+    val x10Dir = sys.env.get("SPARK_GRAFT_X10_DIR")
+    val doX10 = sys.env.getOrElse("SPARK_GRAFT_X10", "1") != "0" &&
+      (only.isEmpty || x10Dir.nonEmpty)
     val (x10Results, x10PrepSec) =
       if (!doX10) (Nil, 0.0)
       else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-x10-").toString
+        val tmp = x10Dir.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-x10-").toString)
         try {
+          val marker = java.nio.file.Paths.get(tmp, "_GRAFT_X10_OK")
           val t0 = System.nanoTime()
-          scaleTables(spark, sfDir, tmp, 10)
+          if (x10Dir.isEmpty || !java.nio.file.Files.exists(marker)) {
+            scaleTables(spark, sfDir, tmp, 10)
+            if (x10Dir.nonEmpty) java.nio.file.Files.createFile(marker)
+          }
           val prep = (System.nanoTime() - t0) / 1e9
           val subset = selected.filter(q => X10.contains(q._1))
           runSetup(spark, subset, tmp)
@@ -208,7 +218,8 @@ object Bench {
             (Seq(("__x10_prep", 0.0,
               s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}")), 0.0)
         } finally {
-          scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+          if (x10Dir.isEmpty)
+            scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
         }
       }
 
@@ -218,8 +229,12 @@ object Bench {
     // compact_sec then measured a noop-sink plan; it now measures the
     // real durable rewrite (parquet out + dictionary + manifest swap),
     // so the number is larger but honest.
+    // dev aid: SPARK_GRAFT_LIFECYCLE=0 skips the store write/compact and
+    // labelsets ingest rows (query-iteration runs); the driver never
+    // sets it, so shipped artifacts always carry real lifecycle rows
+    val doLifecycle = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE", "1") != "0"
     var storeStatus = "ok"
-    val (writeRps, compactSec, bytesPerSample) = {
+    val (writeRps, compactSec, bytesPerSample) = if (!doLifecycle) (0.0, 0.0, 0.0) else {
       // One full write+compact lifecycle against a fresh store dir.
       // Each pass gets its own store (compact mutates the manifest, so
       // the two measurements must not share state).
@@ -275,7 +290,7 @@ object Bench {
     // pages collapse the same way, unlike the irregular events corpus
     // above where inter-arrival deltas genuinely cost ~20 bits)
     var bytesPerSampleLabelSets = 0.0
-    val writeRpsLabelSets: Double = {
+    val writeRpsLabelSets: Double = if (!doLifecycle) 0.0 else {
       def labelSetPass(): Double = {
         val tmp = java.nio.file.Files.createTempDirectory("graft-ls-bench-")
         try {

@@ -487,9 +487,13 @@ object SparkEntry {
 
     // W1: BufferedSeriesIterator — per-series lookback: previous sample's
     // value within a 1h delta, else null (rate()-style PeekBack).
+    // (no final orderBy in this family: Rate.seriesOrdered's range
+    // partitioning + in-partition sort IS the result's total order —
+    // a global orderBy here would re-execute the window stage in its
+    // range-sampling job, the family's dominant cost at x10)
     "ts_lookback_delta" -> ((s, dir) => {
       val w = Window.partitionBy("series_key").orderBy("t", "sample_id")
-      TsdbSource.events(s, dir).samples
+      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
         .withColumn("prev_t", lag("t", 1).over(w))
         .withColumn("prev_v", lag("v", 1).over(w))
         .where(col("t").between(MINT, MAXT))
@@ -497,29 +501,28 @@ object SparkEntry {
           col("series_key"), col("t"), col("sample_id"),
           when(col("prev_t") >= col("t") - LOOKBACK, col("v") - col("prev_v"))
             .as("delta"))
-        .orderBy("series_key", "t", "sample_id")
     }),
 
     // Counter rate/increase with reset handling — the PromQL-consumer
     // aggregation over the W1 lookback surface: one series-partitioned
     // window + one hash agg (no exchange over a bucketed store scan).
     "ts_counter_rate" -> ((s, dir) =>
-      Rate.increase(TsdbSource.events(s, dir).samples, DAY)
-        .orderBy("series_key", "t_bucket")),
+      Rate.increase(Rate.seriesOrdered(TsdbSource.events(s, dir).samples), DAY)
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // PromQL histogram_quantile over the le-bucket data-model
     // convention: bucket counts per (series, day), cumulative walk,
     // linear interpolation inside the φ=0.9 bucket.
     "ts_hist_quantile" -> ((s, dir) =>
-      Histogram.quantile(TsdbSource.events(s, dir).samples, DAY, HIST_LES, 0.9)
-        .orderBy("series_key", "t_bucket")),
+      Histogram.quantile(Rate.seriesOrdered(TsdbSource.events(s, dir).samples),
+          DAY, HIST_LES, 0.9)
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // PromQL *_over_time range vectors: trailing-1h sliding aggregates
     // per sample via ONE range-frame window (count/min/max/sum/avg).
     "ts_over_time" -> ((s, dir) =>
-      Rate.overTime(TsdbSource.events(s, dir).samples, LOOKBACK)
-        .where(col("t").between(MINT, MAXT))
-        .orderBy("series_key", "t", "sample_id")),
+      Rate.overTime(Rate.seriesOrdered(TsdbSource.events(s, dir).samples), LOOKBACK)
+        .where(col("t").between(MINT, MAXT))),
 
     // PromQL binary op with on(user) matching: click / purchase ratio
     // evaluated on the common 6h grid — both operands pivot out of ONE
@@ -571,9 +574,13 @@ object SparkEntry {
     // PromQL holt_winters(): double exponential smoothing — the
     // inherently sequential rate-family member, as a native aggregate
     // left fold both engines replay bit-identically.
+    // seriesOrdered: like ts_quantile_bucket, the point-list buffer has
+    // no combine shrink, and the global orderBy's sampling job would
+    // re-run the interpreted smoothing fold.
     "ts_holt_winters" -> ((s, dir) =>
-      Rate.holtWinters(TsdbSource.events(s, dir).samples, DAY, sf = HW_SF, tf = HW_TF)
-        .orderBy("series_key", "t_bucket")),
+      Rate.holtWinters(Rate.seriesOrdered(TsdbSource.events(s, dir).samples),
+          DAY, sf = HW_SF, tf = HW_TF)
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // PromQL predict_linear(): deriv's closed-form regression forecast
     // 1h past each day bucket's end — identical sums, identical tree.
@@ -583,14 +590,19 @@ object SparkEntry {
 
     // Exact per-bucket value quantiles (p50/p95): interpolation between
     // stored doubles — no float summation, deterministic across engines.
+    // seriesOrdered applies here too even with no window: percentile's
+    // partial buffer is the group's raw values (no combine shrink), so
+    // the exchange carries sample volume either way — the range
+    // pre-pass trades that wash for a sampling job that re-scans only
+    // the parquet, not a re-run of the value-buffering aggregate.
     "ts_quantile_bucket" -> ((s, dir) =>
-      TsdbSource.events(s, dir).samples
+      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
         .groupBy(col("series_key"), gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"))
         .agg(
           round(expr("percentile(v, 0.5)"), 4).as("p50"),
           round(expr("percentile(v, 0.95)"), 4).as("p95"),
           count(lit(1)).as("n"))
-        .orderBy("series_key", "t_bucket")),
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // The sketch path for the same question: Greenwald-Khanna
     // approx_percentile holds O(accuracy) state per group instead of
@@ -625,14 +637,14 @@ object SparkEntry {
     // samples of each (series, day) — one window pass, one surviving
     // row per bucket, reset convention shared with ts_counter_rate.
     "ts_irate" -> ((s, dir) =>
-      Rate.instant(TsdbSource.events(s, dir).samples, DAY)
-        .orderBy("series_key", "t_bucket")),
+      Rate.instant(Rate.seriesOrdered(TsdbSource.events(s, dir).samples), DAY)
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // PromQL resets()/changes() per (series, day): consecutive-sample
     // drops and value changes — lag window + one hash aggregate.
     "ts_resets_changes" -> ((s, dir) =>
-      Rate.resetsChanges(TsdbSource.events(s, dir).samples, DAY)
-        .orderBy("series_key", "t_bucket")),
+      Rate.resetsChanges(Rate.seriesOrdered(TsdbSource.events(s, dir).samples), DAY)
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // PromQL sum by (name)(...): the instant-vector grid aggregated
     // across series by a label read straight off the samples' label map
@@ -760,13 +772,13 @@ object SparkEntry {
     // the rate family re-aggregated by a range-frame window over its own
     // (bucket-sized, not sample-sized) output.
     "ts_subquery" -> ((s, dir) => {
-      val r = Rate.increase(TsdbSource.events(s, dir).samples, BUCKET_W)
+      val r = Rate.increase(
+          Rate.seriesOrdered(TsdbSource.events(s, dir).samples), BUCKET_W)
         .where(col("increase").isNotNull)
       val w = Window.partitionBy("series_key").orderBy("t_bucket")
         .rangeBetween(-DAY, 0)
       r.select(col("series_key"), col("t_bucket"),
           max("increase").over(w).as("max_rate_24h"))
-        .orderBy("series_key", "t_bucket")
     }),
 
     // As-of join: each click sample aligned to the user's latest

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,29 @@ import graft.functions.rangeForTimestamp
   * collects: this scales as a single pass over the samples.
   */
 object Rate {
+
+  /** Canonical pre-pass for the ad-hoc (non-store) consumer path: ONE
+    * range exchange on `series_key` + ONE in-partition sort in the
+    * family's total order `(series_key, t, sample_id)`. Every window
+    * and aggregate in the family is satisfied by this
+    * distribution+ordering (range partitioning on `series_key` clusters
+    * any key set it prefixes; the sort is the windows' exact required
+    * order), and the partition ranges make the output order the
+    * entries' RESULT order — so family queries need no final global
+    * `orderBy`, whose range-sampling job re-executes the entire window
+    * stage a second time (measured as the family's dominant constant
+    * factor at x10). A bucketed store scan provides the same
+    * distribution with zero exchanges; this is the raw-parquet
+    * equivalent, paying one exchange total.
+    *
+    * NOT for the partial-combine aggregates ([[deriv]],
+    * [[predictLinear]], the sketch path): those shrink their shuffle to
+    * per-group sums, while this routes full sample volume through the
+    * exchange — only right when the downstream window needs every row
+    * on one partition anyway. */
+  def seriesOrdered(samples: DataFrame): DataFrame =
+    samples.repartitionByRange(col("series_key"))
+      .sortWithinPartitions("series_key", "t", "sample_id")
 
   /** Per `(series_key, t_bucket)` counter increase and per-second rate.
     *
@@ -187,14 +210,24 @@ object Rate {
     * and the filter drops all but one row per (series, bucket) before
     * anything downstream runs. */
   def instant(samples: DataFrame, bucketMs: Long): DataFrame = {
-    val w = Window.partitionBy("series_key", "t_bucket").orderBy("t", "sample_id")
+    // ONE whole-series window in the family's canonical order — shared
+    // with [[increase]]/[[seriesOrdered]], so a pre-sorted input (store
+    // scan or seriesOrdered) pays no per-bucket re-sort; bucket locality
+    // is recovered by masking (lag/lead crossing a bucket boundary is
+    // rejected exactly where the per-bucket partition would have had
+    // null), which preserves the per-(series, bucket) semantics bit for
+    // bit.
+    val w = Window.partitionBy("series_key").orderBy("t", "sample_id")
     val secs = (col("t") - col("__prev_t")) / 1000.0
+    val bucketOf = (c: Column) => rangeForTimestamp(c, bucketMs)
     samples
-      .withColumn("t_bucket", rangeForTimestamp(col("t"), bucketMs))
+      .withColumn("t_bucket", bucketOf(col("t")))
       .withColumn("__prev_t", lag("t", 1).over(w))
       .withColumn("__prev_v", lag("v", 1).over(w))
-      .withColumn("__last", lead("t", 1).over(w).isNull)
-      .where(col("__last") && col("__prev_t").isNotNull)
+      .withColumn("__next_t", lead("t", 1).over(w))
+      .where(
+        (col("__next_t").isNull || bucketOf(col("__next_t")) =!= col("t_bucket")) &&
+          col("__prev_t").isNotNull && bucketOf(col("__prev_t")) === col("t_bucket"))
       .select(
         col("series_key"), col("t_bucket"),
         (col("t") - col("__prev_t")).as("dt_ms"),
@@ -212,16 +245,22 @@ object Rate {
     * one hash aggregate (map-side combined); equality on stored doubles
     * is bitwise and engine-independent. */
   def resetsChanges(samples: DataFrame, bucketMs: Long): DataFrame = {
-    val w = Window.partitionBy("series_key", "t_bucket").orderBy("t", "sample_id")
+    // Whole-series window + same-bucket mask, like [[instant]]: a pair
+    // straddling a bucket boundary is masked out exactly where the
+    // per-bucket lag would have been null.
+    val w = Window.partitionBy("series_key").orderBy("t", "sample_id")
+    val sameBucket =
+      rangeForTimestamp(col("__prev_t"), bucketMs) === col("t_bucket")
     samples
       .withColumn("t_bucket", rangeForTimestamp(col("t"), bucketMs))
+      .withColumn("__prev_t", lag("t", 1).over(w))
       .withColumn("__prev_v", lag("v", 1).over(w))
       .groupBy("series_key", "t_bucket")
       .agg(
         count(lit(1)).as("n_samples"),
-        sum((col("__prev_v").isNotNull && col("v") =!= col("__prev_v"))
+        sum((col("__prev_t").isNotNull && sameBucket && col("v") =!= col("__prev_v"))
           .cast("long")).as("n_changes"),
-        sum((col("__prev_v").isNotNull && col("v") < col("__prev_v"))
+        sum((col("__prev_t").isNotNull && sameBucket && col("v") < col("__prev_v"))
           .cast("long")).as("n_resets"))
   }
 
