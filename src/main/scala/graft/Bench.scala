@@ -137,6 +137,94 @@ object Bench {
       else (n1, math.min(t1, t2), "ok")
     }
 
+  /** BASELINE row 6 — the reference's `BenchmarkHeadPostingForMatchers`
+    * (`head_bench_test.go:52-120`): its 16 matcher shapes against its
+    * exact 5M-series corpus (10 `n` × 100k `i` × 5 label shapes). The
+    * persisted postings index + label dictionary are built UNTIMED (the
+    * store persists both per block at write time); each case then times
+    * the full matcher-resolution path — `LabelDictionary.rewrite`
+    * (regexes become pushdown sets when the value list is collectable;
+    * the `maxValues` guard keeps the 100k-value `i=~".+"` as a regex —
+    * no driver blowup) + `Postings.seriesFor` + the matched-series
+    * count — best-of-2 like every other row. Every case's count is
+    * asserted against its closed form, so a wrong-answer run cannot
+    * report a time. */
+  private def matcherBench(spark: SparkSession): Seq[(String, Double, String)] = {
+    import graft.matchers.{Eq, Matcher, Not, Re}
+    import graft.query.{LabelDictionary, Postings}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-matchers-").toString
+    try {
+      val shape = col("id") % 5
+      val idx = expr("id div 5") // integer division (`/` on longs is a double)
+      val nBase = (idx % 10).cast("string")
+      val iVal = expr("(id div 5) div 10").cast("string")
+      val nVal = when(shape === 2, concat(lit("0_"), nBase))
+        .when(shape === 3, concat(lit("1_"), nBase))
+        .when(shape === 4, concat(lit("2_"), nBase))
+        .otherwise(nBase)
+      val jVal = when(shape.isin(1, 2, 3), lit("bar")).otherwise(lit("foo"))
+      val labels = map(
+        lit("i"), iVal, lit("j"), jVal, lit("n"), nVal)
+      spark.range(0, 5000000L)
+        .select(graft.functions.seriesKey(labels).as("series_key"), labels.as("labels"))
+        .select(col("series_key"),
+          explode(col("labels")).as(Seq("label_name", "label_value")))
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+      val postings = spark.read.parquet(s"$tmp/postings")
+      postings.select("label_name", "label_value").distinct()
+        .write.mode("overwrite").parquet(s"$tmp/dict")
+      val dict = spark.read.parquet(s"$tmp/dict")
+      // every series in this corpus carries labels → no extra (label-less)
+      // series beyond the index universe
+      val noExtra = postings.select("series_key").limit(0)
+
+      val n1 = Eq("n", "1"); val jFoo = Eq("j", "foo")
+      val jNotFoo = Not(jFoo)
+      val iStar = Re("i", ".*"); val iPlus = Re("i", ".+")
+      val i1Plus = Re("i", "1.+"); val iEmptyRe = Re("i", "")
+      val iNotEmpty = Not(Eq("i", ""))
+      // reference names these iNot2/iNot2Star but the first is n!="2"
+      // (head_bench_test.go:87) — kept verbatim
+      val iNot2 = Not(Eq("n", "2")); val iNot2Star = Not(Re("i", "2.*"))
+      // closed forms: i in 0..99999 → "1?.+" matches 10+100+1000+10000 =
+      // 11110 values; "2.*" matches 1+10+100+1000+10000 = 11111
+      val cases: Seq[(String, Seq[Matcher], Long)] = Seq(
+        ("n_eq_1", Seq(n1), 200000L),
+        ("n1_jfoo", Seq(n1, jFoo), 100000L),
+        ("jfoo_n1", Seq(jFoo, n1), 100000L),
+        ("n1_jnotfoo", Seq(n1, jNotFoo), 100000L),
+        ("i_re_star", Seq(iStar), 5000000L),
+        ("i_re_plus", Seq(iPlus), 5000000L),
+        ("i_re_empty", Seq(iEmptyRe), 0L),
+        ("i_neq_empty", Seq(iNotEmpty), 5000000L),
+        ("n1_istar_jfoo", Seq(n1, iStar, jFoo), 100000L),
+        ("n1_istar_nnot2_jfoo", Seq(n1, iStar, iNot2, jFoo), 100000L),
+        ("n1_inotempty", Seq(n1, iNotEmpty), 200000L),
+        ("n1_inotempty_jfoo", Seq(n1, iNotEmpty, jFoo), 100000L),
+        ("n1_iplus_jfoo", Seq(n1, iPlus, jFoo), 100000L),
+        ("n1_i1plus_jfoo", Seq(n1, i1Plus, jFoo), 11110L),
+        ("n1_iplus_nnot2_jfoo", Seq(n1, iPlus, iNot2, jFoo), 100000L),
+        ("n1_iplus_inot2star_jfoo", Seq(n1, iPlus, iNot2Star, jFoo), 88889L))
+
+      def onePass(): Seq[(String, Double, String)] = cases.map { case (name, ms, want) =>
+        val t0 = System.nanoTime()
+        val status =
+          try {
+            val rewritten = LabelDictionary.rewrite(dict, ms)
+            val n = Postings.seriesFor(postings, noExtra, rewritten).count()
+            require(n == want, s"matched $n series, want $want")
+            "ok"
+          } catch { case e: Throwable =>
+            s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"
+          }
+        (name, (System.nanoTime() - t0) / 1e9, status)
+      }
+      bestOf(onePass(), onePass())
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   private def jsonMap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -341,7 +429,14 @@ object Bench {
       }
     }
 
-    val errors = (results ++ x10Results).count(_._3 != "ok") +
+    // High-cardinality matcher pass (BASELINE row 6). Skipped during
+    // SPARK_GRAFT_ONLY iteration unless forced with SPARK_GRAFT_MATCHERS=1.
+    val doMatchers = sys.env.getOrElse("SPARK_GRAFT_MATCHERS",
+      if (only.isEmpty) "1" else "0") != "0"
+    val matcherResults = if (doMatchers) matcherBench(spark) else Nil
+    val matcherTotal = matcherResults.map(_._2).sum
+
+    val errors = (results ++ x10Results ++ matcherResults).count(_._3 != "ok") +
       (if (storeStatus == "ok") 0 else 1) +
       (if (labelSetStatus == "ok") 0 else 1)
 
@@ -355,6 +450,8 @@ object Bench {
       s""""status":${jsonMap(results.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""queries_x10":${jsonMap(x10Results.map { case (k, v, _) => k -> v.toString })},""" +
       s""""status_x10":${jsonMap(x10Results.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""matchers_5m":${jsonMap(matcherResults.map { case (k, v, _) => k -> v.toString })},""" +
+      s""""matchers_5m_status":${jsonMap(matcherResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""x10_prep_sec":$x10PrepSec,"errors":$errors,""" +
       s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,""" +
       s""""bytes_per_sample":$bytesPerSample,""" +
@@ -370,6 +467,7 @@ object Bench {
     // not-ok (the detail file always has everything).
     val badSt = results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     val badSt10 = x10Results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
+    val badStM = matcherResults.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     def headline(withQueries: Boolean): String = {
       val perQuery =
         if (!withQueries) ""
@@ -378,6 +476,8 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" + perQuery +
         (if (badSt.nonEmpty) s""""status":${jsonMap(badSt)},""" else "") +
         (if (badSt10.nonEmpty) s""""status_x10":${jsonMap(badSt10)},""" else "") +
+        (if (badStM.nonEmpty) s""""matchers_5m_status":${jsonMap(badStM)},""" else "") +
+        s""""matchers_5m_total_sec":${ms(matcherTotal)},""" +
         s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +
         s""""write_rows_per_sec":${ms(writeRps)},"compact_sec":${ms(compactSec)},""" +
         s""""bytes_per_sample":${ms(bytesPerSample)},""" +

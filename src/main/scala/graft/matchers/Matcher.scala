@@ -62,6 +62,17 @@ object Matcher {
   def neq(name: String, value: String): Matcher = Not(Eq(name, value))
   def notRe(name: String, pattern: String): Matcher = Not(Re(name, pattern))
 
+  /** Syntactic match-everything detection: `=~".*"` (bare or anchored)
+    * matches every present value AND the absent label, so it filters
+    * nothing and can be dropped from any conjunction — the reference
+    * resolves it to all postings rather than walking values. Purely
+    * syntactic on the common spellings; a semantically-total regex
+    * written another way just misses the fast path. */
+  def matchesAll(m: Matcher): Boolean = m match {
+    case Re(_, p) => p == ".*" || p == "^.*$" || p == "^(?:.*)$"
+    case _        => false
+  }
+
   /** Detects `a|b|c` alternations of literals — the reference's regex→set
     * fast path (`querier.go:284-324`) — so `=~"a|b|c"` compiles to an
     * `IN` list instead of a regex eval per row. */

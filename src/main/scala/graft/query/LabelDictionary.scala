@@ -33,11 +33,16 @@ object LabelDictionary {
     * it over the dictionary (`=~` and, via [[Not]], `!~`). Non-regex
     * matchers pass through. The value list is collected to the driver
     * (it becomes an `isin` the scan can push down); `maxValues` guards
-    * against a pathological dictionary — beyond it the matcher is left
-    * as a regex, which is still correct, just not the fast path. For
-    * dictionaries too large to collect at all, use [[semiJoin]].
+    * the collect — beyond it the matcher is left as a regex, which is
+    * still correct (one rlike per distinct index/dictionary row), just
+    * not the pushdown path. The default is deliberately small: measured
+    * against a 100k-value label (the 5M-series matcher bench), a
+    * collected 100k-literal `isin` costs seconds of analysis/codegen
+    * and beats the plain regex at nothing — past ~1k values the
+    * per-distinct-value regex eval IS the fast path. For dictionaries
+    * too large to collect at all, use [[semiJoin]].
     */
-  def rewrite(dict: DataFrame, ms: Seq[Matcher], maxValues: Int = 100000): Seq[Matcher] = {
+  def rewrite(dict: DataFrame, ms: Seq[Matcher], maxValues: Int = 1000): Seq[Matcher] = {
     def rw(m: Matcher): Matcher = m match {
       case re @ Re(name, _) =>
         val vals = dict

@@ -62,16 +62,25 @@ object Postings {
     *
     * Completeness caveat: the postings index only knows series with ≥1
     * label — in the canonical key scheme, every key except the
-    * label-less `"{}"`. Series present in `allSeries` but absent from
-    * the index carry no labels, so they match exactly when EVERY
-    * matcher matches "" (reference test
-    * `TestNotMatcherSelectsLabelsUnsetSeries`, `db_test.go:1165`);
-    * that one branch is the only second consumer of the index, and it
-    * is statically skipped whenever some matcher demands a value.
-    * Callers union a literal `"{}"` row into `allSeries`
-    * ([[graft.storage.BlockStore.readRange]] does). */
-  def seriesFor(postings: DataFrame, allSeries: DataFrame, ms: Seq[Matcher]): DataFrame = {
-    if (ms.isEmpty) return allSeries
+    * label-less `"{}"`. That one key is the ONLY universe the index can
+    * miss, so callers pass it as `extraSeries` (rows already known to
+    * be absent from the index — [[graft.storage.BlockStore]] passes the
+    * phantom `"{}"` row when a matcher matches ""); those series carry
+    * no labels, so they match exactly when EVERY matcher matches ""
+    * (reference test `TestNotMatcherSelectsLabelsUnsetSeries`,
+    * `db_test.go:1165`) and union in as-is. Declaring the complement
+    * instead of passing a full universe frame removes what used to be a
+    * per-query distinct + anti-join over the whole index (~8 s of the
+    * 16-s `i=~""` row on the 5M-series matcher bench).
+    *
+    * Match-all matchers (`=~".*"` — every value AND absent) are dropped
+    * from the conjunction before the aggregate (the reference's
+    * all-postings fast path): each would cost two aggregate bits per
+    * series and filter nothing. */
+  def seriesFor(postings: DataFrame, extraSeries: DataFrame, ms0: Seq[Matcher]): DataFrame = {
+    val ms = ms0.filterNot(Matcher.matchesAll)
+    if (ms.isEmpty)
+      return postings.select("series_key").distinct().unionByName(extraSeries)
     val aggs = ms.zipWithIndex.flatMap { case (m, i) =>
       Seq(
         max(when(col("label_name") === m.name &&
@@ -87,8 +96,7 @@ object Postings {
       .where(pred)
       .select("series_key")
     if (ms.forall(_.matchesValue("")))
-      fromIndex.unionByName(
-        allSeries.join(postings.select("series_key"), Seq("series_key"), "left_anti"))
+      fromIndex.unionByName(extraSeries)
     else fromIndex
   }
 
@@ -121,8 +129,9 @@ object Postings {
       maxt: Long,
       broadcastKeys: Boolean,
       ms: Matcher*): DataFrame = {
-    val allSeries = postings.select("series_key").distinct()
-    val keys = seriesFor(postings, allSeries, ms)
+    // ad-hoc frames derive the index from the samples themselves, so
+    // the index universe IS complete — no extra (label-less) series
+    val keys = seriesFor(postings, postings.select("series_key").limit(0), ms)
     samples
       .join(if (broadcastKeys) broadcast(keys) else keys, Seq("series_key"), "left_semi")
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))

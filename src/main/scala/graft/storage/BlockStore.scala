@@ -302,7 +302,7 @@ final class BlockStore(
       else {
         val idx = postingsIndex(spark)
         val keys = graft.query.Postings.seriesFor(
-          idx, allSeriesFor(spark, idx, matchers), matchers)
+          idx, extraSeriesFor(spark, idx, matchers), matchers)
         val totalSeries = live.map(_.numSeries).sum // upper bound on |keys|
         val hinted = if (totalSeries <= broadcastLimit) broadcast(keys) else keys
         raw0.join(hinted, Seq("series_key"), "left_semi")
@@ -352,18 +352,17 @@ final class BlockStore(
     }
   }
 
-  /** The all-series universe for matches-empty resolution: the index's
-    * keys, plus — when a matcher matches "" (neq / notRe / empty-eq) —
-    * the one key the index can't know, the label-less series `"{}"`
-    * (the reference's absent-label rule selects it too,
-    * `db_test.go:1165`). The phantom row is harmless when no such
-    * series exists: the final fact semi-join drops it. */
-  private def allSeriesFor(spark: SparkSession, idx: DataFrame, ms: Seq[Matcher]): DataFrame = {
+  /** The series the postings index can't know, for matches-empty
+    * resolution ([[graft.query.Postings.seriesFor]]'s `extraSeries`):
+    * in the canonical key scheme that is exactly the label-less series
+    * `"{}"` — passed as a phantom row when a matcher matches ""
+    * (neq / notRe / empty-eq; the reference's absent-label rule selects
+    * it too, `db_test.go:1165`). Harmless when no such series exists:
+    * the final fact semi-join drops it. */
+  private def extraSeriesFor(spark: SparkSession, idx: DataFrame, ms: Seq[Matcher]): DataFrame = {
     import spark.implicits._
-    val all = idx.select("series_key").distinct()
-    if (ms.exists(_.matchesValue("")))
-      all.unionByName(Seq("{}").toDF("series_key")).distinct()
-    else all
+    if (ms.exists(_.matchesValue(""))) Seq("{}").toDF("series_key")
+    else idx.select("series_key").limit(0)
   }
 
   /** Register series WITHOUT samples — the persistence behind a
@@ -471,7 +470,7 @@ final class BlockStore(
     Manifest.withLock(root) {
       val idx = postingsIndex(spark)
       val keys = graft.query.Postings
-        .seriesFor(idx, allSeriesFor(spark, idx, matchers), matchers)
+        .seriesFor(idx, extraSeriesFor(spark, idx, matchers), matchers)
       // probe at most threshold+1 keys: a narrow delete inlines T
       // records; a wide one NEVER materializes its series set on the
       // driver — it spills to a parquet side table referenced by one

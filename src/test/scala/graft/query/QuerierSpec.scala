@@ -88,6 +88,25 @@ class QuerierSpec extends SparkSuite {
     assert(got == want && got > 0)
   }
 
+  test("rewrite maxValues guard: a high-cardinality label stays a regex (no driver blowup)") {
+    import spark.implicits._
+    // a 100k-value label, the cardinality the 5M-series matcher bench
+    // runs at: the matching set (all 100k values) exceeds maxValues, so
+    // the matcher must come back UNREWRITTEN — the collect is bounded at
+    // maxValues+1 rows and the plan keeps the per-distinct-value regex
+    val bigDict = spark.range(0, 100000L)
+      .select(lit("i").as("label_name"), $"id".cast("string").as("label_value"))
+    val broad = Re("i", ".+")
+    val Seq(kept) = LabelDictionary.rewrite(bigDict, Seq(broad))
+    assert(kept eq broad, s"expected the original regex back, got $kept")
+    // while a selective regex over the same dictionary still rewrites
+    val Seq(narrow) = LabelDictionary.rewrite(bigDict, Seq(Re("i", "123|456")))
+    narrow match {
+      case graft.matchers.InSet("i", values) => assert(values == Set("123", "456"))
+      case other => fail(s"expected InSet, got $other")
+    }
+  }
+
   test("dictionary path pushes In to the fact scan, never RLike (SURVEY 7.5.6)") {
     val dict = LabelDictionary.fromSamples(src.samples)
     val ms = LabelDictionary.rewrite(dict, Seq(Re("name", "c.*|sig.*")))
