@@ -54,7 +54,10 @@ object Bench {
     "ts_irate", "ts_resets_changes", "ts_subquery",
     // end-to-end dedup: minhash pairs + log-round closure + anti-join —
     // the closure's round count must stay scale-insensitive
-    "doc_dedup_survivors")
+    "doc_dedup_survivors",
+    // r6: the seek shape — must sit at the scheduling floor regardless
+    // of corpus scale (bucket + partition pruning, BASELINE seek row)
+    "ts_seek")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

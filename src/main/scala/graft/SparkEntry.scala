@@ -253,6 +253,7 @@ object SparkEntry {
   def setup: Map[String, (SparkSession, String) => Unit] = Map(
     "ts_bucketed_dedup" -> ((s, dir) => { bucketedDedupStore(s, dir); () }),
     "ts_select_labelled" -> ((s, dir) => { labelledStore(s, dir); () }),
+    "ts_seek" -> ((s, dir) => { labelledStore(s, dir); () }),
     "emb_ivf_persisted" -> ((s, dir) => { ivfLayout(s, dir); () }))
 
   /** DuckDB CTE shared by the storage-semantics oracles: the events table
@@ -442,6 +443,17 @@ object SparkEntry {
           coalesce(element_at(col("labels"), "vip"), lit("")).as("l_vip"),
           size(col("labels")).as("n_labels"))
         .orderBy("sample_id")),
+
+    // The seek shape (querier_test.go:1555-1644): ONE series by full
+    // label set over a narrow 2-day range — driver-side canonical key,
+    // literal-equality scan, bucket + partition pruning, no index, no
+    // join (plan-asserted in BlockStoreSpec). The dashboard-panel
+    // latency floor of the bucketed layout.
+    "ts_seek" -> ((s, dir) =>
+      labelledStore(s, dir)
+        .seek(s, Map("name" -> "click", "user" -> "7"),
+          T0 + 7 * DAY, T0 + 21 * DAY)
+        .orderBy("t", "sample_id")),
 
     // U2/U3: vertical merge of overlapping blocks — later block wins on
     // duplicate (series, t). Block 2 re-ingests [d7, d11) with v+100.
@@ -1467,6 +1479,13 @@ object SparkEntry {
          |ORDER BY sample_id""".stripMargin,
     "ts_select_postings" -> tsSelectSql(
       "event_type = 'click' AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*') AND NOT (user_id % 10 = 0)"),
+    "ts_seek" ->
+      s"""SELECT event_id AS sample_id, $seriesKeySql AS series_key,
+         | epoch_ms(ts) AS t, value AS v
+         |FROM events
+         |WHERE epoch_ms(ts) BETWEEN ${T0 + 7 * DAY} AND ${T0 + 21 * DAY}
+         |  AND event_type = 'click' AND user_id = 7
+         |ORDER BY t, sample_id""".stripMargin,
     "ts_vertical_dedup" ->
       s"""$samplesCte,
          |u AS (

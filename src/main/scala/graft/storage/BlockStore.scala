@@ -269,7 +269,55 @@ final class BlockStore(
     * re-ingested/backfilled data read correctly with later-block-wins
     * semantics. Tombstoned intervals are filtered via broadcast range
     * anti-join when any exist. */
-  def readRange(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): DataFrame = {
+  def readRange(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): DataFrame =
+    // matcher selection resolves ENTIRELY in the postings index — the
+    // reference's Select never evaluates matchers on sample data
+    // (`querier.go:326-396`); the fact side gets one semi-join, hinted
+    // broadcast only when the manifest's series count bounds the matched
+    // set safely (a broad matcher over 10⁸ series must not OOM the
+    // driver), otherwise AQE picks the strategy from runtime sizes
+    readSelected(spark, mint, maxt) { (raw0, live) =>
+      if (matchers.isEmpty) raw0
+      else {
+        val idx = postingsIndex(spark)
+        val keys = graft.query.Postings.seriesFor(
+          idx, extraSeriesFor(spark, idx, matchers), matchers)
+        val totalSeries = live.map(_.numSeries).sum // upper bound on |keys|
+        val hinted = if (totalSeries <= broadcastLimit) broadcast(keys) else keys
+        raw0.join(hinted, Seq("series_key"), "left_semi")
+      }
+    }
+
+  /** Point lookup — the reference's seek shape
+    * (`querier_test.go:1555-1644`, the narrow-range single-series read
+    * every dashboard panel issues). The series is identified by its
+    * FULL label set, so the canonical key is computed driver-side
+    * ([[graft.model.Labels.canonical]]) and the scan carries a literal
+    * `series_key` equality: no index touch, no join — the manifest +
+    * t_bucket bounds prune partitions outside the range, and the pushed
+    * key filter over the `SORTED BY (series_key, t)` layout skips every
+    * non-matching bucket file at row-group-stats grain (a footer-only
+    * touch; Spark's planner additionally prunes whole buckets when it
+    * retains the bucketed scan). The 100 TB cost is O(blocks-in-range)
+    * file reads of one series' row groups — the latency floor of the
+    * layout (plan-asserted in BlockStoreSpec, measured as the `ts_seek`
+    * bench row). */
+  def seek(
+      spark: SparkSession,
+      labels: Map[String, String],
+      mint: Long,
+      maxt: Long): DataFrame = {
+    val key = graft.model.Labels.fromMap(labels).canonical
+    readSelected(spark, mint, maxt) { (raw0, _) =>
+      raw0.where(col("series_key") === lit(key))
+    }
+  }
+
+  /** Shared read-path scaffolding: manifest block pruning, t_bucket
+    * bounds, sample-grain time clamp, then `select` (the series
+    * restriction), then overlap dedup + tombstones. */
+  private def readSelected(spark: SparkSession, mint: Long, maxt: Long)(
+      select: (DataFrame, Seq[BlockMeta]) => DataFrame): DataFrame = {
     val st = manifest
     val live = st.blocks.filter(_.overlaps(mint, maxt))
     // no overlapping block — including a store with no published blocks
@@ -291,22 +339,7 @@ final class BlockStore(
         case _ => lit(true)
       })
       .where(col("t") >= lit(mint) && col("t") <= lit(maxt))
-    // matcher selection resolves ENTIRELY in the postings index — the
-    // reference's Select never evaluates matchers on sample data
-    // (`querier.go:326-396`); the fact side gets one semi-join, hinted
-    // broadcast only when the manifest's series count bounds the matched
-    // set safely (a broad matcher over 10⁸ series must not OOM the
-    // driver), otherwise AQE picks the strategy from runtime sizes
-    val raw =
-      if (matchers.isEmpty) raw0
-      else {
-        val idx = postingsIndex(spark)
-        val keys = graft.query.Postings.seriesFor(
-          idx, extraSeriesFor(spark, idx, matchers), matchers)
-        val totalSeries = live.map(_.numSeries).sum // upper bound on |keys|
-        val hinted = if (totalSeries <= broadcastLimit) broadcast(keys) else keys
-        raw0.join(hinted, Seq("series_key"), "left_semi")
-      }
+    val raw = select(raw0, live)
     val vertical = Compaction.overlappingGroups(live).nonEmpty
     val merged =
       if (vertical) Merge.dedupLatest(raw, seqCol = "block_id")

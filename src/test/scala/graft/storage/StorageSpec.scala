@@ -107,6 +107,33 @@ class BlockStoreSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: ["), plan.take(1500))
   }
 
+  test("seek: point lookup prunes to one bucket, the range's partitions, no join (querier_test.go:1555-1644)") {
+    val store = freshStore()
+    store.write(samples.where(col("t") < T0 + 10 * DAY))
+    store.write(samples.where(col("t") >= T0 + 10 * DAY))
+    val mint = T0 + 11 * DAY
+    val maxt = T0 + 13 * DAY
+    val got = store.seek(spark, Map("name" -> "click", "user" -> "7"), mint, maxt)
+    val want = samples.where(col("t").between(mint, maxt) &&
+      col("series_key") === """{name="click",user="7"}""")
+    assert(got.count() == want.count() && got.count() > 0)
+    val plan = got.queryExecution.executedPlan
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.size == 1, plan.toString.take(2000))
+    // the literal key reaches the scan as a pushed filter — over the
+    // SORTED BY (series_key, t) files that's a row-group-stats skip of
+    // every non-matching bucket file (footer-only touch)
+    assert(scan.head.metadata("PushedFilters").contains("EqualTo(series_key,"),
+      scan.head.metadata("PushedFilters"))
+    // manifest + t_bucket bounds prune to the range's partition dirs
+    assert(scan.head.partitionFilters.nonEmpty, plan.toString.take(2000))
+    // no index resolution, no join, no dedup window on adjacent blocks
+    val ps = plan.toString
+    assert(!ps.contains("Join") && !ps.contains("Window"), ps.take(2000))
+  }
+
   test("overlapping writes are auto-deduped at read: later block wins (db.go:1185-1195)") {
     val store = freshStore()
     store.write(samples)
