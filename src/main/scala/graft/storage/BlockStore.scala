@@ -3,7 +3,7 @@ package graft.storage
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.rangeForTimestamp
@@ -342,7 +342,7 @@ final class BlockStore(
     val raw = select(raw0, live)
     val vertical = Compaction.overlappingGroups(live).nonEmpty
     val merged =
-      if (vertical) Merge.dedupLatest(raw, seqCol = "block_id")
+      if (vertical) Merge.dedupLatest(raw, blockRecency(live), col("sample_id"))
       else raw
     val nTombs = tombstoneCount(st)
     val withTombs =
@@ -561,6 +561,21 @@ final class BlockStore(
       }.reverse.map(i => TombstoneInterval(key, i.mint, i.maxt))
     }
 
+  /** Overlap-dedup recency of each live block — its rank in the
+    * reference's query order, which is MIN-TIME order re-imposed on
+    * every reload (`db.go:386-388`): the overlapping block with the
+    * greatest `mint` wins duplicate timestamps, with `block_id`
+    * breaking exact-mint ties deterministically (the reference's
+    * unstable sort leaves them unspecified). Pinned by the ported
+    * `TestVerticalCompaction` table (`db_test.go:1793`, case 4: a
+    * later-created backfill block with an earlier mint loses). A
+    * literal CASE chain over the manifest's few blocks — no join. */
+  private def blockRecency(blocks: Seq[BlockMeta]): Column =
+    blocks.sortBy(b => (b.mint, b.blockId)).map(_.blockId).zipWithIndex
+      .foldLeft(lit(-1)) { case (els, (id, rank)) =>
+        when(col("block_id") === id, lit(rank)).otherwise(els)
+      }
+
   /** Compaction plan over the current manifest (reference `Plan`,
     * `compact.go:190-254`): block ids to merge next, or empty. */
   def planCompaction(ranges: Seq[Long]): Seq[Long] =
@@ -568,7 +583,8 @@ final class BlockStore(
 
   /** Merge the given blocks into one new block (reference `Compact`,
     * `compact.go:373-464` + `populateBlock`): vertical dedup
-    * (later block_id wins), physical tombstone drop, one sorted write,
+    * (min-time-order recency, [[blockRecency]]), physical tombstone
+    * drop, one sorted write,
     * then an atomic manifest swap that retires the inputs. Tombstone
     * intervals that no longer touch any remaining block are dropped
     * (`CleanTombstones`, `db.go:1234-1261`). */
@@ -579,7 +595,7 @@ final class BlockStore(
     val inputs = st.blocks.filter(b => ids.contains(b.blockId))
     require(inputs.size == ids.size, s"unknown block ids in $ids")
     val raw = readBlocks(spark, ids)
-    val deduped = Merge.dedupLatest(raw, seqCol = "block_id")
+    val deduped = Merge.dedupLatest(raw, blockRecency(inputs), col("sample_id"))
     val nTombs = tombstoneCount(st)
     val cleaned =
       if (nTombs == 0L) deduped

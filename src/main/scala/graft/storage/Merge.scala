@@ -1,6 +1,6 @@
 package graft.storage
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Series-set merge semantics (reference `querier.go:533-667`,
@@ -14,10 +14,19 @@ import org.apache.spark.sql.functions._
   * "the sample in a is discarded").
   *
   * Spark's union order is nondeterministic, so "later" must be an
-  * explicit column: `block_seq`, a monotone block recency (ULID order /
-  * ingest sequence in a real deployment). A further unique tie-break
-  * (`sample_id`) makes the result reproducible even if one block
-  * carries duplicate timestamps.
+  * explicit expression. What "later" means is the caller's contract:
+  * the reference queries blocks in MIN-TIME order (`db.go:386-388`,
+  * re-sorted on every reload), so its vertical fold's winner on a
+  * duplicate timestamp is the overlapping block with the greatest
+  * `minTime` — NOT the most recently created one (pinned by
+  * `TestVerticalCompaction` case 4, `db_test.go:1793`: a later-written
+  * backfill block with an earlier minTime LOSES to the block it
+  * backfills under). [[graft.storage.BlockStore]] passes that recency
+  * ([[BlockStore]]`.blockRecency`: manifest rank by `(mint, block_id)`
+  * — block_id breaking the tie Go's unstable sort leaves unspecified);
+  * ad-hoc callers pass any monotone ingest sequence. A further unique
+  * tie-break (`sample_id`) makes the result reproducible even if one
+  * block carries duplicate timestamps.
   *
   * Scale note: the dedup is one shuffle on (series_key, t), expressed
   * as a hash aggregate (`max_by` over the recency key) rather than a
@@ -34,13 +43,18 @@ object Merge {
   def dedupLatest(
       samples: DataFrame,
       seqCol: String = "block_seq",
-      tieBreak: String = "sample_id"): DataFrame = {
+      tieBreak: String = "sample_id"): DataFrame =
+    dedupLatest(samples, col(seqCol), col(tieBreak))
+
+  /** [[dedupLatest]] with the recency as an arbitrary expression (the
+    * store's manifest-derived min-time rank). */
+  def dedupLatest(samples: DataFrame, seq: Column, tieBreak: Column): DataFrame = {
     val cols = samples.columns
     samples
       .groupBy(col("series_key"), col("t"))
       .agg(max_by(
         struct(cols.map(col): _*),
-        struct(col(seqCol), col(tieBreak))).as("__row"))
+        struct(seq, tieBreak)).as("__row"))
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 }

@@ -92,7 +92,11 @@ class DbE2eSpec extends SparkSuite {
     check(rng, 6, "blocks")
 
     // stage 2: overlapping re-ingest with AMENDED values for one series
-    // in [150, 450] — later block wins, model updated to match
+    // in [150, 450]. Recency is MIN-TIME order (db.go:386-388, pinned by
+    // the VerticalCompactionSpec table): the amended block (mint 150)
+    // wins over chunk 0 (mint 0) but LOSES to chunk 1 (mint 300), so
+    // only [150, 299] actually amends — an amend must not start before
+    // the block it corrects.
     val target = labelSets(3)
     val rewrite = model(target)
       .filter(p => p.t >= 150 && p.t <= 450)
@@ -100,7 +104,7 @@ class DbE2eSpec extends SparkSuite {
     store.write(toDf(rewrite.map(target -> _)))
     model = model.updated(target,
       model(target).map(p =>
-        if (p.t >= 150 && p.t <= 450) p.copy(v = p.v + 1000) else p))
+        if (p.t >= 150 && p.t <= 299) p.copy(v = p.v + 1000) else p))
     check(rng, 6, "overlap")
 
     // stage 3: two matcher deletes (TestDelete_e2e shape)
