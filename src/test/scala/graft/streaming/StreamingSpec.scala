@@ -192,6 +192,84 @@ class StreamingSpec extends SparkSuite {
     assert(vals == Seq(100L, 1500L, 2000L))
   }
 
+  test("crash between write and commit: replayed batch is absorbed by overlap dedup (ST5, wal_test.go:32 family)") {
+    // Spark's checkpoint commits a batch AFTER foreachBatch ran, so a
+    // crash in between (simulated: delete the newest commit-log entry)
+    // makes the restart REPLAY that batch — at-least-once block writes.
+    // The store's overlap dedup is what upgrades that to exactly-once
+    // READS: the replayed block duplicates (series, t) pairs of the
+    // original, vertical dedup collapses them, and readRange answers
+    // identically — the reference's WAL-replay property (a re-read
+    // segment must not duplicate samples).
+    val src = Files.createTempDirectory("graft-crash-src").toString
+    val root = Files.createTempDirectory("graft-crash-blocks").toString
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    Seq(Sample("a", 100, 1.0, 1), Sample("a", 1500, 2.0, 2), Sample("b", 300, 5.0, 3))
+      .toDF().write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src).as[Sample]
+      val q = StreamingIngest.ingest(stream, store, ckpt, minValidTime = 0)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val blocksBefore = store.manifest.blocks.size
+    val want = store.readRange(spark, 0, 10000)
+      .select("series_key", "t", "v").as[(String, Long, Double)].collect().toSeq.sorted
+
+    // tear the tail: the last batch's commit record vanishes, its offset
+    // entry (written first) survives — exactly the crash window
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // the checksum sidecar the local FS writes must tear with it
+    new java.io.File(commits.last.getParent, "." + commits.last.getName + ".crc").delete()
+
+    runOnce() // replays the uncommitted batch
+    // the replay wrote a duplicate block (at-least-once)...
+    assert(store.manifest.blocks.size > blocksBefore)
+    // ...but reads are exactly-once: identical rows, no duplicates
+    val got = store.readRange(spark, 0, 10000)
+      .select("series_key", "t", "v").as[(String, Long, Double)].collect().toSeq.sorted
+    assert(got == want)
+  }
+
+  test("corrupted checkpoint offset log fails loudly; the store is untouched (ST5)") {
+    // A torn/garbage offset record is unrecoverable state — the contract
+    // is recover-or-loud-fail, never silent loss: the restart must throw
+    // and the store must be byte-identical to its pre-corruption state
+    // (divergence from the reference documented in SURVEY §7.5.7: the
+    // reference's wal.Repair truncates to the last good record instead).
+    val src = Files.createTempDirectory("graft-corrupt-src").toString
+    val root = Files.createTempDirectory("graft-corrupt-blocks").toString
+    val ckpt = Files.createTempDirectory("graft-corrupt-ckpt").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    Seq(Sample("a", 100, 1.0, 1), Sample("a", 1500, 2.0, 2))
+      .toDF().write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src).as[Sample]
+      val q = StreamingIngest.ingest(stream, store, ckpt, minValidTime = 0)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val versionBefore = graft.storage.Manifest.currentVersion(store.root)
+
+    val offsets = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(offsets.nonEmpty)
+    Files.write(offsets.last.toPath, "v1\n{garbage".getBytes)
+
+    // more data is waiting, but the restart must fail loudly...
+    Seq(Sample("a", 2500, 3.0, 5)).toDF().write.mode("append").parquet(src)
+    intercept[Exception] { runOnce() }
+    // ...and the store publish no new state
+    assert(graft.storage.Manifest.currentVersion(store.root) == versionBefore)
+    assert(store.read(spark).count() == 2)
+  }
+
   test("end-to-end ingest: stream -> validated -> block partitions on disk") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-stream-blocks").toString
