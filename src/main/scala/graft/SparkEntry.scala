@@ -262,6 +262,66 @@ object SparkEntry {
     s"""WITH s AS (SELECT event_id AS sample_id, $seriesKeySql AS series_key,
        | epoch_ms(ts) AS t, value AS v, user_id, event_type FROM events)""".stripMargin
 
+  /** DuckDB-side XXHash64(seed 0) over the canonical `name\xff value\xff`
+    * label bytes — the cross-engine oracle for `ts_series_id` (which was
+    * rows-only through r5: "native-hash digest"). The hash is pure
+    * 64-bit integer arithmetic, so it IS expressible in SQL: bytes come
+    * from `hex()` (DuckDB can't index blobs directly), 64×64 modular
+    * multiply splits the multiplicand into 32-bit halves (a full 64×64
+    * product can overflow signed INT128), and the fold is a CTE chain —
+    * the <32-byte path only, unrolled (every canonical events key is
+    * ≤30 bytes; a ≥32-byte key yields NULL and fails the compare loudly
+    * instead of hashing wrong). Differentially validated against the
+    * Scala/Catalyst twins ([[graft.model.XXHash64]]) by the driver's
+    * hash compare over all 750 series. */
+  private lazy val seriesIdOracleSql: String = {
+    val MOD = "18446744073709551616::HUGEINT"
+    val P1 = "11400714785074694791"; val P2 = "14029467366897019727"
+    val P3 = "1609587929392839161"; val P4 = "9650029242287828579"
+    val P5 = "2870177450012600261"
+    def mul(a: String, b: String): String =
+      s"((((($a)::HUGEINT % 4294967296) * ($b)::HUGEINT " +
+        s"+ (((($a)::HUGEINT // 4294967296) * ($b)::HUGEINT % 4294967296) * 4294967296)) % $MOD)::UBIGINT)"
+    def add(a: String, b: String): String =
+      s"((($a)::HUGEINT + ($b)::HUGEINT % $MOD) % $MOD)::UBIGINT"
+    def rot(x: String, r: Int): String =
+      s"(${mul(x, (BigInt(1) << r).toString)} | (($x) >> ${64 - r}))"
+    def xr(a: String, b: String): String = s"xor($a, $b)"
+    def lane(off: String, bytes: Int): String =
+      (0 until bytes).map(k => s"B[$off+${k + 1}]::HUGEINT * ${BigInt(1) << (8 * k)}")
+        .mkString("(", " + ", s") % $MOD")
+    def round0(l: String): String = mul(rot(mul(s"($l)::UBIGINT", P2), 31), P1)
+    def round8(h: String, l: String): String = add(mul(rot(xr(h, round0(l)), 27), P1), P4)
+    def step4(h: String, l: String): String =
+      add(mul(rot(xr(h, mul(s"($l)::UBIGINT", P1)), 23), P2), P3)
+    def stepB(h: String, b: String): String = mul(rot(xr(h, mul(b, P5)), 11), P1)
+    val ff = """'\xFF'::BLOB"""
+    s"""WITH ser AS (SELECT DISTINCT $seriesKeySql AS series_key,
+       |  encode('name') || $ff || encode(event_type) || $ff ||
+       |  encode('user') || $ff || encode(CAST(user_id AS VARCHAR)) || $ff ||
+       |  CASE WHEN user_id % 10 = 0
+       |    THEN encode('vip') || $ff || encode('1') || $ff ELSE ''::BLOB END AS kb
+       |  FROM events),
+       |bb AS (SELECT series_key,
+       |  [('0x' || substr(hex(kb), 2*i+1, 2))::UBIGINT for i in range(octet_length(kb))] AS B,
+       |  octet_length(kb)::BIGINT AS n FROM ser),
+       |s0 AS (SELECT *, CASE WHEN n >= 32 THEN NULL ELSE ${add(P5, "n")} END AS h0 FROM bb),
+       |s1 AS (SELECT *, CASE WHEN n >= 8 AND n < 32 THEN ${round8("h0", lane("0", 8))} ELSE h0 END AS h1 FROM s0),
+       |s2 AS (SELECT *, CASE WHEN n >= 16 AND n < 32 THEN ${round8("h1", lane("8", 8))} ELSE h1 END AS h2 FROM s1),
+       |s3 AS (SELECT *, CASE WHEN n >= 24 AND n < 32 THEN ${round8("h2", lane("16", 8))} ELSE h2 END AS h3 FROM s2),
+       |s4 AS (SELECT *, CASE WHEN n % 8 >= 4 THEN ${step4("h3", lane("((n // 8) * 8)", 4))} ELSE h3 END AS h4 FROM s3),
+       |s5 AS (SELECT *, CASE WHEN n % 4 >= 1 THEN ${stepB("h4", "B[(n // 4) * 4 + 1]")} ELSE h4 END AS h5 FROM s4),
+       |s6 AS (SELECT *, CASE WHEN n % 4 >= 2 THEN ${stepB("h5", "B[(n // 4) * 4 + 2]")} ELSE h5 END AS h6 FROM s5),
+       |s7 AS (SELECT *, CASE WHEN n % 4 >= 3 THEN ${stepB("h6", "B[(n // 4) * 4 + 3]")} ELSE h6 END AS h7 FROM s6),
+       |a1 AS (SELECT *, ${mul(xr("h7", "h7 >> 33"), P2)} AS ha FROM s7),
+       |a2 AS (SELECT *, ${mul(xr("ha", "ha >> 29"), P3)} AS hb FROM a1),
+       |a3 AS (SELECT *, ${xr("hb", "hb >> 32")} AS hc FROM a2)
+       |SELECT series_key,
+       |  CASE WHEN hc >= 9223372036854775808
+       |    THEN (hc::HUGEINT - $MOD)::BIGINT ELSE hc::BIGINT END AS series_id
+       |FROM a3 ORDER BY series_key""".stripMargin
+  }
+
   /** DuckDB twin of [[namedGridFill]] — the `f` frame (series_key, name,
     * t, r_v) every by-label instant-vector oracle aggregates over. */
   private lazy val namedGridCte =
@@ -1226,9 +1286,11 @@ object SparkEntry {
       Multimodal.resizeHalf(s, Tables.documents(s, dir)).toDF().orderBy("doc_id")),
 
     // F1: native codegen'd series identity hash with exact byte parity
-    // to the reference (labels/labels.go:61-71). Not SQL-expressible in
-    // DuckDB -> deliberately rows-only (hash parity is unit-tested
-    // against the pure-Scala model in CatalystSpec).
+    // to the reference (labels/labels.go:61-71). Cross-engine checked
+    // since r6: the oracle implements XXHash64 as DuckDB integer SQL
+    // ([[seriesIdOracleSql]]), closing what was a rows-only entry
+    // (hash parity is ALSO unit-tested against the pure-Scala model in
+    // CatalystSpec).
     "ts_series_id" -> ((s, dir) => {
       graft.catalyst.GraftExtensions.install(s)
       TsdbSource.events(s, dir).samples
@@ -1486,6 +1548,7 @@ object SparkEntry {
          |WHERE epoch_ms(ts) BETWEEN ${T0 + 7 * DAY} AND ${T0 + 21 * DAY}
          |  AND event_type = 'click' AND user_id = 7
          |ORDER BY t, sample_id""".stripMargin,
+    "ts_series_id" -> seriesIdOracleSql,
     "ts_vertical_dedup" ->
       s"""$samplesCte,
          |u AS (
