@@ -1087,6 +1087,18 @@ object SparkEntry {
         .orderBy("train_id", "test_id")
     }),
 
+    // Exact-substring decontamination (the stronger check paired with
+    // doc_decontaminate's shingle overlap): stride-aligned train
+    // windows vs every test window — any >=49-char shared run detected
+    // exactly, no false positives.
+    "doc_exact_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactSubstringContamination(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0))
+        .orderBy("test_id", "train_id")
+    }),
+
     // Exact ANN baseline: brute-force cosine top-5 for 5 query vectors.
     "emb_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1985,6 +1997,18 @@ object SparkEntry {
          |WHERE tr.doc_id % 20 != 0 AND te.doc_id % 20 = 0
          |  AND len(list_intersect(tr.sh, te.sh)) >= 5
          |ORDER BY train_id, test_id""".stripMargin,
+    "doc_exact_contamination" ->
+      s"""WITH tr AS (
+         |  SELECT DISTINCT doc_id AS train_id, substr(text, p, 40) AS w
+         |  FROM documents, unnest(range(1, greatest(length(text) - 38, 1), 10)) AS u(p)
+         |  WHERE doc_id % 20 != 0 AND length(substr(text, p, 40)) = 40),
+         |te AS (
+         |  SELECT DISTINCT doc_id AS test_id, substr(text, p, 40) AS w
+         |  FROM documents, unnest(range(1, greatest(length(text) - 38, 1), 1)) AS u(p)
+         |  WHERE doc_id % 20 = 0 AND length(substr(text, p, 40)) = 40)
+         |SELECT test_id, train_id, count(*) AS n_hits
+         |FROM te JOIN tr USING (w) GROUP BY 1, 2
+         |ORDER BY test_id, train_id""".stripMargin,
     "doc_ngram_jaccard" ->
       s"""$SHINGLES_CTE,
          |p AS (SELECT a.doc_id AS i, b.doc_id AS j,

@@ -241,6 +241,49 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Exact-substring decontamination — the stronger eval-contamination
+    * check production pipelines pair with [[crossCorpusOverlap]]'s
+    * shingle overlap: emit `(test_id, train_id, n_hits)` for test docs
+    * sharing an exact CHARACTER substring with a train doc.
+    *
+    * Windowed alignment trick (suffix-array-free exact matching): the
+    * train side takes `window`-char substrings at `stride` (linear in
+    * the corpus, 1/stride windows per char); the test side takes EVERY
+    * `window`-char substring (stride 1 — the eval corpus is the small
+    * side by construction). Any common substring of length
+    * ≥ `window + stride − 1` must contain a stride-aligned train
+    * window in full, so detection at that length is exact — and the
+    * join is on window CONTENT, so there are no false positives at any
+    * length. `n_hits` counts the distinct shared windows.
+    *
+    * Scale shape: per-side distinct (map-side combined), one equi-join
+    * on the window — never all-pairs; cost is Σ_window df_train ×
+    * df_test, linear in the train side for a small eval set. At 100 TB
+    * the window key would pre-hash to 8 bytes (xxhash64) with identical
+    * plan shape; the raw string key here keeps the DuckDB oracle an
+    * exact twin. */
+  def exactSubstringContamination(
+      train: DataFrame,
+      test: DataFrame,
+      window: Int = 40,
+      stride: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    def windows(df: DataFrame, step: Int, idCol: String): DataFrame =
+      df.select(
+          col("doc_id").as(idCol),
+          explode(sequence(lit(1),
+            greatest(length(col(textCol)) - lit(window - 1), lit(1)),
+            lit(step))).as("p"),
+          col(textCol))
+        .select(col(idCol), expr(s"substr($textCol, p, $window)").as("w"))
+        .where(length(col("w")) === window)
+        .distinct()
+    windows(test, 1, "test_id")
+      .join(windows(train, stride, "train_id"), "w")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Seeded linear-permutation parameters (a, b) for MinHash, shared
     * with the oracle SQL. Modulus is prime and < 2^28 so a*x+b stays
     * far from long overflow. */
