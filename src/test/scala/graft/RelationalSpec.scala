@@ -29,11 +29,11 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("every oracle key has a query and vice versa") {
-    // Deliberately rows-only: ts_series_id's native xxhash64 series hash
-    // is not expressible in DuckDB (parity covered by CatalystSpec);
-    // ts_quantile_sketch's GK sketch is engine-private (error bound
-    // covered by RateSpec's rank-window test)
-    val rowsOnly = Set("ts_series_id", "ts_quantile_sketch")
+    // Deliberately rows-only: ts_quantile_sketch's GK sketch is
+    // engine-private (error bound covered by RateSpec's rank-window
+    // test). ts_series_id left this set in r6 — its oracle implements
+    // XXHash64 as DuckDB integer SQL.
+    val rowsOnly = Set("ts_quantile_sketch")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly)
   }
 }
