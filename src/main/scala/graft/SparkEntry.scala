@@ -586,7 +586,7 @@ object SparkEntry {
     // convention: bucket counts per (series, day), cumulative walk,
     // linear interpolation inside the φ=0.9 bucket.
     "ts_hist_quantile" -> ((s, dir) =>
-      Histogram.quantile(Rate.seriesOrdered(TsdbSource.events(s, dir).samples),
+      Histogram.quantile(Rate.seriesClustered(TsdbSource.events(s, dir).samples),
           DAY, HIST_LES, 0.9)
         .sortWithinPartitions("series_key", "t_bucket")),
 
@@ -595,6 +595,42 @@ object SparkEntry {
     "ts_over_time" -> ((s, dir) =>
       Rate.overTime(Rate.seriesOrdered(TsdbSource.events(s, dir).samples), LOOKBACK)
         .where(col("t").between(MINT, MAXT))),
+
+    // PromQL quantile_over_time(0.9, v[1h]): per-sample trailing-window
+    // exact percentile — the over_time family's order-statistic member,
+    // ONE range-frame window over the shared series order (frame size
+    // is bounded by the lookback span, interpolation between stored
+    // doubles, rounded like every cross-engine float).
+    "ts_quantile_over_time" -> ((s, dir) => {
+      val w = Window.partitionBy("series_key").orderBy("t")
+        .rangeBetween(-LOOKBACK, 0)
+      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+        .select(
+          col("series_key"), col("t"), col("sample_id"),
+          count(lit(1)).over(w).as("n_win"),
+          round(expr("percentile(v, 0.9)").over(w), 4).as("q90_win"))
+        .where(col("t").between(MINT, MAXT))
+    }),
+
+    // PromQL many-to-one vector matching — v / on(name) group_left
+    // sum by (name)(v): each present series' share of its name group's
+    // total at every grid instant. The one-side aggregate is
+    // group-count-sized, so the join-back broadcasts (AQE sees the
+    // size); the suite's float convention (sum rounded 2dp) makes the
+    // divisor identical bits on both engines.
+    "ts_group_left" -> ((s, dir) => {
+      // the fill frame has two consumers (group totals + the join-back):
+      // materialize it once, call-scoped — it is grid-sized, and the
+      // alternative re-derives the whole two-scan fill per consumer
+      val f = namedGridFill(s, dir).where(col("r_v").isNotNull).localCheckpoint()
+      val totals = f.groupBy("name", "t")
+        .agg(round(sum("r_v"), 2).as("group_sum"))
+      f.join(totals, Seq("name", "t"))
+        .select(
+          col("name"), col("t"), col("series_key"), col("r_v"),
+          round(col("r_v") / col("group_sum"), 6).as("share"))
+        .orderBy("name", "t", "series_key")
+    }),
 
     // PromQL binary op with on(user) matching: click / purchase ratio
     // evaluated on the common 6h grid — both operands pivot out of ONE
@@ -646,11 +682,11 @@ object SparkEntry {
     // PromQL holt_winters(): double exponential smoothing — the
     // inherently sequential rate-family member, as a native aggregate
     // left fold both engines replay bit-identically.
-    // seriesOrdered: like ts_quantile_bucket, the point-list buffer has
-    // no combine shrink, and the global orderBy's sampling job would
-    // re-run the interpreted smoothing fold.
+    // seriesClustered: like ts_quantile_bucket, the point-list buffer
+    // has no combine shrink, and the global orderBy's sampling job
+    // would re-run the interpreted smoothing fold.
     "ts_holt_winters" -> ((s, dir) =>
-      Rate.holtWinters(Rate.seriesOrdered(TsdbSource.events(s, dir).samples),
+      Rate.holtWinters(Rate.seriesClustered(TsdbSource.events(s, dir).samples),
           DAY, sf = HW_SF, tf = HW_TF)
         .sortWithinPartitions("series_key", "t_bucket")),
 
@@ -662,13 +698,15 @@ object SparkEntry {
 
     // Exact per-bucket value quantiles (p50/p95): interpolation between
     // stored doubles — no float summation, deterministic across engines.
-    // seriesOrdered applies here too even with no window: percentile's
-    // partial buffer is the group's raw values (no combine shrink), so
-    // the exchange carries sample volume either way — the range
-    // pre-pass trades that wash for a sampling job that re-scans only
-    // the parquet, not a re-run of the value-buffering aggregate.
+    // seriesClustered (range clustering, no sort): percentile's partial
+    // buffer is the group's raw values (no combine shrink), so the
+    // exchange carries sample volume either way — the range pre-pass
+    // trades that wash for a sampling job that re-scans only the
+    // parquet, not a re-run of the value-buffering aggregate; and a
+    // hash aggregate never reads an input order, so the sort-free
+    // variant applies.
     "ts_quantile_bucket" -> ((s, dir) =>
-      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+      Rate.seriesClustered(TsdbSource.events(s, dir).samples)
         .groupBy(col("series_key"), gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"))
         .agg(
           round(expr("percentile(v, 0.5)"), 4).as("p50"),
@@ -911,10 +949,19 @@ object SparkEntry {
       val amends = base.where(col("sample_id") % 77 === 0)
         .withColumn("v", col("v") + 1)
         .withColumn("arrival", col("arrival") + 3000000)
-      Appender.validate(base.unionByName(dups).unionByName(amends), MIN_VALID)
+      // the seriesOrdered pattern on the ARRIVAL axis: one range
+      // exchange + one in-partition sort satisfies validate's window
+      // AND makes the final order an in-partition sort of the tiny
+      // aggregate (a global orderBy's sampling job would re-run the
+      // whole union+window+agg)
+      Appender.validate(
+          base.unionByName(dups).unionByName(amends)
+            .repartitionByRange(col("series_key"))
+            .sortWithinPartitions("series_key", "arrival"),
+          MIN_VALID)
         .groupBy("series_key", "status")
         .agg(count(lit(1)).as("n"))
-        .orderBy("series_key", "status")
+        .sortWithinPartitions("series_key", "status")
     }),
 
     // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim, top-k.
@@ -1791,6 +1838,25 @@ object SparkEntry {
          |  FROM a)
          |SELECT name, t, n_series, stdvar, round(sqrt(stdvar), 4) AS stddev
          |FROM b ORDER BY name, t""".stripMargin,
+    "ts_quantile_over_time" ->
+      s"""$samplesCte,
+         |w AS (SELECT series_key, t, sample_id,
+         |  count(*) OVER win AS n_win,
+         |  round(quantile_cont(v, 0.9) OVER win, 4) AS q90_win
+         |  FROM s WINDOW win AS (PARTITION BY series_key ORDER BY t
+         |    RANGE BETWEEN $LOOKBACK PRECEDING AND CURRENT ROW))
+         |SELECT series_key, t, sample_id, n_win, q90_win
+         |FROM w WHERE t BETWEEN $MINT AND $MAXT
+         |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_group_left" ->
+      s"""$namedGridCte,
+         |p AS (SELECT name, t, series_key, r_v FROM f WHERE r_v IS NOT NULL),
+         |gt AS (SELECT name, t, round(sum(r_v), 2) AS group_sum
+         |  FROM p GROUP BY 1, 2)
+         |SELECT p.name, p.t, p.series_key, p.r_v,
+         |  round(p.r_v / gt.group_sum, 6) AS share
+         |FROM p JOIN gt ON p.name = gt.name AND p.t = gt.t
+         |ORDER BY p.name, p.t, p.series_key""".stripMargin,
     "ts_minmax_by" ->
       s"""$namedGridCte,
          |a AS (SELECT name, t, count(r_v) AS n_series,

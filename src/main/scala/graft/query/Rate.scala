@@ -48,6 +48,15 @@ object Rate {
     samples.repartitionByRange(col("series_key"))
       .sortWithinPartitions("series_key", "t", "sample_id")
 
+  /** [[seriesOrdered]] minus the sample-scale sort — for the family's
+    * pure-aggregate members (exact percentile, histogram bucketing, the
+    * point-list folds): range clustering alone satisfies their grouping
+    * and still makes the result order one in-partition sort of the
+    * aggregate's bucket-grain output, while a within-partition total
+    * order would be pure waste (hash aggregates don't read it). */
+  def seriesClustered(samples: DataFrame): DataFrame =
+    samples.repartitionByRange(col("series_key"))
+
   /** Per `(series_key, t_bucket)` counter increase and per-second rate.
     *
     * The lag runs over the series' whole stream (ordered by
