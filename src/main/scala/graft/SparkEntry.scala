@@ -355,6 +355,18 @@ object SparkEntry {
       Seq("series_key"), BUCKET_W, LOOKBACK)
   }
 
+  /** Materialize a much-smaller-than-input result once before its
+    * global output sort: `orderBy`'s range-sampling job re-executes the
+    * child lineage, which for the union-window/grid shapes means
+    * running the whole fill twice. Only for results ≪ input (grid- or
+    * bucket-grain); the checkpoint is call-scoped and result-sized,
+    * with the same executor-loss trade every localCheckpoint in this
+    * repo documents (fail ⇒ resubmit, never recompute silently). The
+    * window-family entries don't need this — `Rate.seriesOrdered`'s
+    * range partitioning makes their output order free. */
+  private def orderedOnce(df: DataFrame, cols: String*): DataFrame =
+    df.localCheckpoint().orderBy(cols.map(col): _*)
+
   /** Shared: the events table as a TsdbSource, selected and projected to
     * the output shape used by the ts_select_* queries. */
   private def tsSelect(s: SparkSession, dir: String, ms: Matcher*): DataFrame =
@@ -654,10 +666,12 @@ object SparkEntry {
       // discarded rows
       val grid = both.select("user_id").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      AsOf.joinWide(grid, both, Seq("user_id"), DAY, Seq("c", "p"))
-        .where(col("c_v").isNotNull && col("p_v").isNotNull)
-        .select(col("user_id"), col("t"), round(col("c_v") / col("p_v"), 4).as("ratio"))
-        .orderBy("user_id", "t")
+      orderedOnce(
+        AsOf.joinWide(grid, both, Seq("user_id"), DAY, Seq("c", "p"))
+          .where(col("c_v").isNotNull && col("p_v").isNotNull)
+          .select(col("user_id"), col("t"),
+            round(col("c_v") / col("p_v"), 4).as("ratio")),
+        "user_id", "t")
     }),
 
     // topk(5, increase(...)): per-bucket leaderboard over the counter
@@ -739,8 +753,9 @@ object SparkEntry {
       val grid = samples.select("series_key").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
       val r = samples.groupBy("series_key", "t").agg(max("v").as("r_v"))
-      AsOf.gridLatest(grid, r, Seq("series_key"), BUCKET_W, LOOKBACK)
-        .orderBy("series_key", "t")
+      orderedOnce(
+        AsOf.gridLatest(grid, r, Seq("series_key"), BUCKET_W, LOOKBACK),
+        "series_key", "t")
     }),
 
     // PromQL irate()/idelta(): instantaneous rate from the last two
@@ -762,12 +777,13 @@ object SparkEntry {
     // join). n_series counts only present (non-stale) series at each
     // instant, like PromQL's vector cardinality.
     "ts_agg_by" -> ((s, dir) =>
-      namedGridFill(s, dir)
-        .groupBy("name", "t")
-        .agg(
-          count(col("r_v")).as("n_series"),
-          round(sum("r_v"), 2).as("sum_v"))
-        .orderBy("name", "t")),
+      orderedOnce(
+        namedGridFill(s, dir)
+          .groupBy("name", "t")
+          .agg(
+            count(col("r_v")).as("n_series"),
+            round(sum("r_v"), 2).as("sum_v")),
+        "name", "t")),
 
     // PromQL stddev/stdvar by (name): spread across series at each grid
     // instant, from rounded power sums (Σv, Σv²) like deriv's closed
@@ -904,9 +920,24 @@ object SparkEntry {
       val l = ev.where(col("event_type") === "click").drop("event_type")
       val r = ev.where(col("event_type") === "purchase")
         .groupBy("user_id", "t").agg(max("v").as("r_v"))
-      AsOf.join(l, r, Seq("user_id"), LOOKBACK)
-        .orderBy("user_id", "t", "sample_id")
+      orderedOnce(AsOf.join(l, r, Seq("user_id"), LOOKBACK),
+        "user_id", "t", "sample_id")
     }),
+
+    // PromQL delta(v[1d]) for gauges: last minus first sample of each
+    // (series, day) — ONE map-side-combinable hash aggregate (struct
+    // min/max carries the boundary values; no window, no sort — the
+    // aggregate shape irate cannot use because it needs the last TWO).
+    "ts_delta_gauge" -> ((s, dir) =>
+      TsdbSource.events(s, dir).samples
+        .groupBy(col("series_key"), gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(
+            max(struct(col("t"), col("sample_id"), col("v"))).getField("v") -
+              min(struct(col("t"), col("sample_id"), col("v"))).getField("v"),
+            2).as("delta"))
+        .orderBy("series_key", "t_bucket")),
 
     // F6/ST4: tumbling block buckets (rangeForTimestamp) + per-block agg.
     "ts_time_bucket" -> ((s, dir) =>
@@ -1838,6 +1869,13 @@ object SparkEntry {
          |  FROM a)
          |SELECT name, t, n_series, stdvar, round(sqrt(stdvar), 4) AS stddev
          |FROM b ORDER BY name, t""".stripMargin,
+    "ts_delta_gauge" ->
+      s"""$samplesCte
+         |SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  count(*) AS n,
+         |  round((max(struct_pack(t := t, s := sample_id, v := v))).v
+         |    - (min(struct_pack(t := t, s := sample_id, v := v))).v, 2) AS delta
+         |FROM s GROUP BY 1, 2 ORDER BY series_key, t_bucket""".stripMargin,
     "ts_quantile_over_time" ->
       s"""$samplesCte,
          |w AS (SELECT series_key, t, sample_id,
