@@ -939,6 +939,15 @@ object SparkEntry {
             2).as("delta"))
         .orderBy("series_key", "t_bucket")),
 
+    // Downsampling rollup (beyond-reference maintenance op, the
+    // Thanos/M3 pattern): per (series, 6h) count/sum/min/max/last in
+    // ONE map-side-combined aggregate; output is itself a samples frame
+    // that writes back into a coarser store (round-tripped in
+    // QuerierSpec).
+    "ts_downsample" -> ((s, dir) =>
+      new graft.query.Querier(TsdbSource.events(s, dir).samples).downsample(BUCKET_W)
+        .orderBy("series_key", "t")),
+
     // F6/ST4: tumbling block buckets (rangeForTimestamp) + per-block agg.
     "ts_time_bucket" -> ((s, dir) =>
       TsdbSource.events(s, dir).samples
@@ -1869,6 +1878,14 @@ object SparkEntry {
          |  FROM a)
          |SELECT name, t, n_series, stdvar, round(sqrt(stdvar), 4) AS stddev
          |FROM b ORDER BY name, t""".stripMargin,
+    "ts_downsample" ->
+      s"""$samplesCte
+         |SELECT series_key, (t // $BUCKET_W) * $BUCKET_W + $BUCKET_W AS t,
+         |  max(sample_id) AS sample_id,
+         |  (max(struct_pack(t := t, s := sample_id, v := v))).v AS v,
+         |  count(*) AS n, round(sum(v), 2) AS sum_v,
+         |  min(v) AS min_v, max(v) AS max_v
+         |FROM s GROUP BY 1, 2 ORDER BY series_key, t""".stripMargin,
     "ts_delta_gauge" ->
       s"""$samplesCte
          |SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,

@@ -71,6 +71,32 @@ final class Querier(val samples: DataFrame) {
   def histogramQuantile(bucketMs: Long, les: Seq[Double], phi: Double): DataFrame =
     Histogram.quantile(samples, bucketMs, les, phi)
 
+  /** Downsampling — the rollup maintenance job a 100 TB metric store
+    * runs beyond the reference's raw-resolution-only storage (the
+    * Thanos/M3 pattern): per `(series, step)` the five standard rollup
+    * aggregates — count, sum, min, max, last — from which every
+    * consumer function stays computable at the coarser resolution
+    * (avg = sum/count, rate from last, bounds from min/max). ONE
+    * map-side-combined hash aggregate; `last` rides a struct-max keyed
+    * `(t, sample_id, v)` so ties are deterministic. The output is
+    * itself a valid samples frame (`t` = step boundary, `v` = last,
+    * `sample_id` = the group's max, still globally unique), so it
+    * writes straight back into a coarser [[graft.storage.BlockStore]]
+    * and is queried by the same machinery — QuerierSpec round-trips
+    * exactly that. */
+  def downsample(stepMs: Long): DataFrame =
+    samples
+      .groupBy(col("series_key"),
+        graft.functions.rangeForTimestamp(col("t"), stepMs).as("t"))
+      .agg(
+        max("sample_id").as("sample_id"),
+        max(struct(col("t").as("__t"), col("sample_id"), col("v")))
+          .getField("v").as("v"),
+        count(lit(1)).as("n"),
+        round(sum("v"), 2).as("sum_v"),
+        min("v").as("min_v"),
+        max("v").as("max_v"))
+
   /** Per-series sample-span stats — min/max time maintenance (reference
     * `head.go:301-320`) and block-stats accumulation (`compact.go:827-831`). */
   def seriesStats(): DataFrame =

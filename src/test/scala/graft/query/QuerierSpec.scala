@@ -9,6 +9,30 @@ class QuerierSpec extends SparkSuite {
 
   lazy val src = TsdbSource.events(spark, sf)
 
+  test("downsample output is a valid samples frame: writes into a coarser store and reads back") {
+    val ds = new Querier(src.samples).downsample(6L * 3600000L)
+    // the five rollups are mutually consistent
+    val bad = ds.where(col("min_v") > col("max_v") ||
+      col("v") < col("min_v") || col("v") > col("max_v") || col("n") < 1).count()
+    assert(bad == 0)
+    // one row per (series, step), t on the step lattice
+    assert(ds.groupBy("series_key", "t").count().where(col("count") > 1).count() == 0)
+    assert(ds.where(col("t") % (6L * 3600000L) =!= 0).count() == 0)
+    // round-trip through a coarser BlockStore: same rows come back
+    val dir = java.nio.file.Files.createTempDirectory("graft-downsample").toString
+    try {
+      val store = new graft.storage.BlockStore(dir, 7L * 86400000L)
+      store.write(ds.select("sample_id", "series_key", "t", "v"))
+      val back = store.readRange(spark, 0L, Long.MaxValue / 2)
+        .select("series_key", "t", "v")
+      assert(back.count() == ds.count())
+      assert(back.exceptAll(ds.select("series_key", "t", "v")).count() == 0)
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+  }
+
   test("samples long format has the canonical schema") {
     val df = src.samples
     assert(df.columns.toSeq == Seq("sample_id", "series_key", "labels", "t", "v"))

@@ -189,4 +189,28 @@ class RateSpec extends SparkSuite {
       ()
     }
   }
+
+  test("seriesOrdered pre-pass: ONE exchange, ONE sample-scale sort, windows ride both") {
+    // the r6 family plan contract: the range pre-pass's exchange+sort
+    // satisfy the whole-series window (no further exchange, no further
+    // sort below it) — the property behind the -25..-49% x10 deltas
+    val plan = Rate.instant(
+      Rate.seriesOrdered(TsdbSource.events(spark, sf).samples), 86400000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly the range exchange:\n${plan.take(3000)}")
+    assert(plan.split(" Sort ").length - 1 == 1,
+      s"expected exactly the pre-pass sort:\n${plan.take(3000)}")
+    // and the window sits above them, not re-sorting
+    assert(plan.indexOf("Window") < plan.indexOf(" Sort "), plan.take(3000))
+  }
+
+  test("seriesClustered pre-pass: pure aggregate runs with no sort at all") {
+    val plan = Rate.seriesClustered(TsdbSource.events(spark, sf).samples)
+      .groupBy("series_key").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan.take(2000))
+    assert(!plan.contains(" Sort "), plan.take(2000))
+  }
 }
