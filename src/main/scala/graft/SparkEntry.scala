@@ -154,6 +154,10 @@ object SparkEntry {
       | CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END || '}'""".stripMargin.replaceAll("\n", "")
 
   // constants for the storage-semantics queries (all in epoch ms)
+  /** Fixed evaluation timestamp for the @-modifier entry (a 6h-lattice
+    * instant mid-range, so both the pin and the grid share the origin). */
+  private val T_AT = T0 + 10 * DAY
+
   private val OVERLAP_LO = T0 + 7 * DAY
   private val OVERLAP_HI = T0 + 11 * DAY - 1
   private val DEL1_LO = T0 + 2 * DAY; private val DEL1_HI = T0 + 5 * DAY
@@ -894,6 +898,140 @@ object SparkEntry {
           concat(lit("t"), regexp_extract(col("user_label"), "^(\\d)", 1)))
         .orderBy("series_key")),
 
+    // PromQL scalar math functions (clamp/clamp_min/clamp_max, abs,
+    // sgn, sqrt, ln, round(v, to)) over the filled instant vector —
+    // pure per-row codegen'd projections of the shared grid fill.
+    // clamp composes from least/greatest; PromQL round's to-nearest-
+    // multiple is floor(v/to + 0.5)*to, written identically in both
+    // engines so the doubles agree bit-for-bit; transcendentals (ln)
+    // follow the suite's rounded-float convention (4dp, the
+    // doc_entropy precedent for cross-libm log parity).
+    "ts_math_funcs" -> ((s, dir) =>
+      orderedOnce(
+        namedGridFill(s, dir)
+          .where(col("r_v").isNotNull)
+          .select(
+            col("series_key"), col("t"), col("r_v"),
+            greatest(least(col("r_v"), lit(400.0)), lit(10.0)).as("clamp_v"),
+            abs(col("r_v")).as("abs_v"),
+            signum(col("r_v")).as("sgn_v"),
+            round(sqrt(abs(col("r_v"))), 4).as("sqrt_v"),
+            round(log(abs(col("r_v")) + 1), 4).as("ln_v"),
+            (floor(col("r_v") / 5 + 0.5) * 5).as("round_v")),
+        "series_key", "t")),
+
+    // PromQL calendar functions (minute/hour/day_of_week/day_of_month/
+    // month/year/days_in_month) over vector(time()) on the evaluation
+    // grid — integer projections of the instant lattice, UTC pinned in
+    // both engines (session timeZone / make_timestamp). PromQL's
+    // day_of_week is 0=Sunday: Spark's dayofweek (1=Sunday) shifts by
+    // one, DuckDB's dayofweek is already the Postgres dow convention.
+    "ts_time_funcs" -> ((s, dir) => {
+      val x = expr("timestamp_seconds(t div 1000)")
+      s.range(MINT, MAXT + 1, BUCKET_W).select(col("id").as("t"))
+        .select(
+          col("t"),
+          minute(x).cast("long").as("minute"),
+          hour(x).cast("long").as("hour"),
+          (dayofweek(x) - 1).cast("long").as("dow"),
+          dayofmonth(x).cast("long").as("dom"),
+          month(x).cast("long").as("month"),
+          year(x).cast("long").as("year"),
+          dayofmonth(last_day(x)).cast("long").as("days_in_month"))
+        .orderBy("t")
+    }),
+
+    // PromQL sort_desc(): the fully ordered instant vector at one
+    // evaluation instant — a single-instant staleness eval (time
+    // filter pushed to the scan, one latest-sample aggregate) then a
+    // rank over the result. The unpartitioned window is instant-
+    // vector-sized (≤ |series| rows) by construction — the sample
+    // scale never reaches it.
+    "ts_sort_desc" -> ((s, dir) => {
+      val at = TsdbSource.events(s, dir).samples
+        .where(col("t") <= lit(MAXT) && col("t") >= lit(MAXT) - LOOKBACK)
+        .groupBy("series_key")
+        .agg(max(struct(col("t"), col("sample_id"), col("v")))
+          .getField("v").as("v"))
+      val w = Window.orderBy(col("v").desc, col("series_key"))
+      at.withColumn("rk", row_number().over(w))
+        .select("rk", "series_key", "v")
+        .orderBy("rk")
+    }),
+
+    // PromQL group() aggregator: which (name, instant) groups have at
+    // least one present (non-stale) series — value is the constant 1,
+    // the group-existence consumer shape.
+    "ts_group_agg" -> ((s, dir) =>
+      orderedOnce(
+        namedGridFill(s, dir)
+          .groupBy("name", "t")
+          .agg(count(col("r_v")).as("__n"))
+          .where(col("__n") > 0)
+          .select(col("name"), col("t"), lit(1L).as("group_v")),
+        "name", "t")),
+
+    // PromQL offset modifier — v offset 1d: the same grid evaluation
+    // with every instant's lookup shifted back a day. The shifted
+    // instants stay on the 6h lattice (1d is a lattice multiple), so
+    // the gridLatest fast path applies unchanged; output is labelled
+    // with the query timestamps, values come from t − 1d.
+    "ts_offset" -> ((s, dir) => {
+      val samples = TsdbSource.events(s, dir).samples
+      val r = samples.groupBy("series_key", "t").agg(max("v").as("r_v"))
+      val grid = samples.select("series_key").distinct()
+        .withColumn("t",
+          explode(sequence(lit(MINT - DAY), lit(MAXT - DAY), lit(BUCKET_W))))
+      orderedOnce(
+        AsOf.gridLatest(grid, r, Seq("series_key"), BUCKET_W, LOOKBACK)
+          .select(col("series_key"), (col("t") + DAY).as("t"),
+            col("r_t"), col("r_v")),
+        "series_key", "t")
+    }),
+
+    // PromQL @ modifier — v @ T: evaluation pinned at one fixed
+    // timestamp, the pinned vector replicated across the grid
+    // instants. One single-instant staleness aggregate (filter pushed
+    // to the scan) + a lattice explode — no as-of machinery needed.
+    "ts_at_modifier" -> ((s, dir) => {
+      val at = TsdbSource.events(s, dir).samples
+        .where(col("t") <= lit(T_AT) && col("t") >= lit(T_AT) - LOOKBACK)
+        .groupBy("series_key")
+        .agg(max(struct(col("t"), col("sample_id"), col("v")))
+          .getField("v").as("v_at"))
+      at.withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
+        .select("series_key", "t", "v_at")
+        .orderBy("series_key", "t")
+    }),
+
+    // PromQL vector set operators — and / or / unless with on(user)
+    // matching: both operands pivot out of ONE fact aggregate and
+    // staleness-align in ONE union-window pass (the ts_binary_op
+    // scaffold); presence tests are then per-row null checks, and a
+    // row where both operands are stale drops (PromQL emits nothing).
+    "ts_vector_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("long").as("user_id"),
+        expr("ts div 1000000").as("t"),
+        col("value").cast("double").as("v"),
+        col("event_type"))
+      val both = ev.where(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "t")
+        .agg(
+          max(when(col("event_type") === "click", col("v"))).as("c"),
+          max(when(col("event_type") === "purchase", col("v"))).as("p"))
+      val grid = both.select("user_id").distinct()
+        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
+      orderedOnce(
+        AsOf.joinWide(grid, both, Seq("user_id"), DAY, Seq("c", "p"))
+          .select(col("user_id"), col("t"),
+            when(col("p_v").isNotNull, col("c_v")).as("and_v"),
+            coalesce(col("c_v"), col("p_v")).as("or_v"),
+            when(col("p_v").isNull, col("c_v")).as("unless_v"))
+          .where(col("or_v").isNotNull),
+        "user_id", "t")
+    }),
+
     // PromQL subquery composition — max_over_time(increase(...)[24h:6h]):
     // the rate family re-aggregated by a range-frame window over its own
     // (bucket-sized, not sample-sized) output.
@@ -1091,7 +1229,7 @@ object SparkEntry {
     // Gopher-style repetition filters: top-word fraction + duplicated
     // bigram fraction per document.
     "doc_repetition" -> ((s, dir) =>
-      TextStats.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+      orderedOnce(TextStats.repetition(Tables.documents(s, dir)), "doc_id")),
 
     // Word-distribution Shannon entropy: the gibberish/boilerplate
     // quality filter — one explode + one doc-keyed shuffle.
@@ -1111,7 +1249,7 @@ object SparkEntry {
     // Corpus-relative keywords: top-3 terms per doc by smoothed TF-IDF
     // (two chained hash aggs + broadcast scalar N + per-doc window).
     "doc_tfidf_topk" -> ((s, dir) =>
-      TextStats.tfidfTopK(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
+      orderedOnce(TextStats.tfidfTopK(Tables.documents(s, dir)), "doc_id", "rank")),
 
     // Language-ID heuristic: n-gram profile scores + argmax.
     "doc_langid" -> ((s, dir) =>
@@ -1128,18 +1266,18 @@ object SparkEntry {
     // Near-dup pairs by true 3-gram Jaccard through an inverted
     // shingle index (no all-pairs join).
     "doc_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir)).orderBy("i", "j")),
+      orderedOnce(Dedup.ngramJaccardPairs(Tables.documents(s, dir)), "i", "j")),
 
     // Duplicated-n-gram fraction per document (cross-corpus boilerplate
     // signal): document frequency over the hashed inverted index joined
     // back once — never all-pairs.
     "doc_dup_ngrams" -> ((s, dir) =>
-      Dedup.dupShingleFraction(Tables.documents(s, dir)).orderBy("doc_id")),
+      orderedOnce(Dedup.dupShingleFraction(Tables.documents(s, dir)), "doc_id")),
 
     // MinHash + LSH banding: sub-quadratic candidate generation, then
     // exact-Jaccard verification of candidates only.
     "doc_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy("i", "j")),
+      orderedOnce(Dedup.minhashLshPairs(Tables.documents(s, dir)), "i", "j")),
 
     // Duplicate clusters: the transitive closure of the minhash pairs
     // (A~B, B~C collapse to one cluster) via alternating
@@ -1160,7 +1298,7 @@ object SparkEntry {
 
     // 32-bit SimHash signatures.
     "doc_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+      orderedOnce(Dedup.simhash(Tables.documents(s, dir)), "doc_id")),
 
     // Train/eval decontamination: train docs sharing >= 5 shingles with
     // the held-out set (every 20th doc), via the cross-corpus inverted
@@ -1954,6 +2092,80 @@ object SparkEntry {
          | CAST(user_id AS VARCHAR) AS user_label,
          | 't' || regexp_extract(CAST(user_id AS VARCHAR), '^(\\d)', 1) AS tier
          |FROM events ORDER BY series_key""".stripMargin,
+    "ts_math_funcs" ->
+      s"""$namedGridCte
+         |SELECT series_key, t, r_v,
+         |  greatest(least(r_v, 400.0), 10.0) AS clamp_v,
+         |  abs(r_v) AS abs_v,
+         |  sign(r_v)::DOUBLE AS sgn_v,
+         |  round(sqrt(abs(r_v)), 4) AS sqrt_v,
+         |  round(ln(abs(r_v) + 1), 4) AS ln_v,
+         |  floor(r_v / 5 + 0.5) * 5 AS round_v
+         |FROM f WHERE r_v IS NOT NULL
+         |ORDER BY series_key, t""".stripMargin,
+    "ts_time_funcs" ->
+      s"""SELECT t,
+         |  minute(x) AS minute, hour(x) AS hour,
+         |  dayofweek(x) AS dow, day(x) AS dom,
+         |  month(x) AS month, year(x) AS year,
+         |  day(last_day(x)) AS days_in_month
+         |FROM (SELECT t, make_timestamp(t * 1000) AS x
+         |  FROM (SELECT unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t))
+         |ORDER BY t""".stripMargin,
+    "ts_sort_desc" ->
+      s"""$samplesCte,
+         |i AS (SELECT series_key,
+         |  (max(struct_pack(t := t, s := sample_id, v := v))).v AS v
+         |  FROM s WHERE t <= $MAXT AND t >= ${MAXT - LOOKBACK} GROUP BY 1)
+         |SELECT row_number() OVER (ORDER BY v DESC, series_key) AS rk,
+         |  series_key, v
+         |FROM i ORDER BY rk""".stripMargin,
+    "ts_group_agg" ->
+      s"""$namedGridCte
+         |SELECT name, t, 1::BIGINT AS group_v
+         |FROM f GROUP BY 1, 2 HAVING count(r_v) > 0
+         |ORDER BY name, t""".stripMargin,
+    "ts_offset" ->
+      s"""$samplesCte,
+         |r AS (SELECT series_key, t AS rt, max(v) AS rv FROM s GROUP BY 1, 2),
+         |g AS (SELECT series_key,
+         |  unnest(generate_series(${MINT - DAY}, ${MAXT - DAY}, $BUCKET_W)) AS t
+         |  FROM (SELECT DISTINCT series_key FROM s))
+         |SELECT g.series_key, g.t + $DAY AS t,
+         |  CASE WHEN rt >= g.t - $LOOKBACK THEN rt END AS r_t,
+         |  CASE WHEN rt >= g.t - $LOOKBACK THEN rv END AS r_v
+         |FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt
+         |ORDER BY 1, 2""".stripMargin,
+    "ts_at_modifier" ->
+      s"""$samplesCte,
+         |a AS (SELECT series_key,
+         |  (max(struct_pack(t := t, s := sample_id, v := v))).v AS v_at
+         |  FROM s WHERE t <= $T_AT AND t >= ${T_AT - LOOKBACK} GROUP BY 1)
+         |SELECT series_key, g.t, v_at
+         |FROM a, (SELECT unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t) g
+         |ORDER BY series_key, g.t""".stripMargin,
+    "ts_vector_ops" ->
+      s"""$samplesCte,
+         |g AS (SELECT user_id, unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t
+         |  FROM (SELECT DISTINCT user_id FROM s
+         |    WHERE event_type IN ('click', 'purchase'))),
+         |ca AS (SELECT user_id, t AS rt, max(v) AS rv FROM s
+         |  WHERE event_type = 'click' GROUP BY 1, 2),
+         |pa AS (SELECT user_id, t AS rt, max(v) AS rv FROM s
+         |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |c AS (SELECT g.user_id, g.t,
+         |  CASE WHEN rt >= g.t - $DAY THEN rv END AS c_v
+         |  FROM g ASOF LEFT JOIN ca ON g.user_id = ca.user_id AND g.t >= rt),
+         |p AS (SELECT g.user_id, g.t,
+         |  CASE WHEN rt >= g.t - $DAY THEN rv END AS p_v
+         |  FROM g ASOF LEFT JOIN pa ON g.user_id = pa.user_id AND g.t >= rt)
+         |SELECT c.user_id, c.t,
+         |  CASE WHEN p_v IS NOT NULL THEN c_v END AS and_v,
+         |  coalesce(c_v, p_v) AS or_v,
+         |  CASE WHEN p_v IS NULL THEN c_v END AS unless_v
+         |FROM c JOIN p ON c.user_id = p.user_id AND c.t = p.t
+         |WHERE coalesce(c_v, p_v) IS NOT NULL
+         |ORDER BY c.user_id, c.t""".stripMargin,
     "ts_subquery" ->
       s"""$samplesCte,
          |l AS (SELECT series_key, t, v,
