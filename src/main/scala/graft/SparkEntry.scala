@@ -887,9 +887,9 @@ object SparkEntry {
         .orderBy("t")
     }),
 
-    // PromQL label_replace()/label_join(): a derived label from a regex
-    // capture over an existing one, per series — pure projection on the
-    // (tiny) distinct-series set.
+    // PromQL label_replace(): a derived label from a regex capture over
+    // an existing one, per series — pure projection on the (tiny)
+    // distinct-series set.
     "ts_label_replace" -> ((s, dir) =>
       TsdbSource.events(s, dir).samples
         .select(col("series_key"), col("labels")("user").as("user_label"))
@@ -897,6 +897,45 @@ object SparkEntry {
         .withColumn("tier",
           concat(lit("t"), regexp_extract(col("user_label"), "^(\\d)", 1)))
         .orderBy("series_key")),
+
+    // PromQL label_join(dst, "-", src...): source label values joined
+    // with a separator into a new label, per series. PromQL reads a
+    // missing source label as the empty string (so the separator still
+    // appears) — coalesce, NOT concat_ws's null-skip.
+    "ts_label_join" -> ((s, dir) =>
+      TsdbSource.events(s, dir).samples
+        .select(col("series_key"),
+          col("labels")("name").as("n"),
+          col("labels")("user").as("u"),
+          col("labels")("vip").as("vip"))
+        .distinct()
+        .select(col("series_key"),
+          concat(col("n"), lit("-"), col("u"), lit("-"),
+            coalesce(col("vip"), lit(""))).as("joined"))
+        .orderBy("series_key")),
+
+    // PromQL absent_over_time(sel[1d]): grid instants whose trailing 1d
+    // range window holds NO sample of the selector. Range > step, so a
+    // sample certifies presence for EVERY lattice instant in
+    // [ceil(t), t + 1d] — a bounded per-sample explode (≤ range/step
+    // instants) + distinct; the grid join stays boundary-count-sized,
+    // no window, no sample-scale shuffle. Closed lower horizon
+    // (t >= g - range) matching the suite's fill convention.
+    "ts_absent_over_time" -> ((s, dir) => {
+      val range = DAY
+      val sel = TsdbSource.events(s, dir)
+        .select(T0, MAXT, Eq("name", "error"), Eq("user", "7"))
+      val lo = greatest(gf.rangeForTimestamp(col("t") - 1, BUCKET_W), lit(MINT))
+      val hi = least(gf.rangeForTimestamp(col("t") + range, BUCKET_W) - BUCKET_W,
+        lit(MAXT))
+      val present = sel
+        .select(explode(when(lo <= hi, sequence(lo, hi, lit(BUCKET_W)))).as("g"))
+        .distinct()
+      val grid = s.range(MINT, MAXT + 1, BUCKET_W).select(col("id").as("t"))
+      grid.join(present, grid("t") === present("g"), "left")
+        .select(col("t"), when(col("g").isNull, 1).otherwise(0).as("absent"))
+        .orderBy("t")
+    }),
 
     // PromQL scalar math functions (clamp/clamp_min/clamp_max, abs,
     // sgn, sqrt, ln, round(v, to)) over the filled instant vector —
@@ -2092,6 +2131,23 @@ object SparkEntry {
          | CAST(user_id AS VARCHAR) AS user_label,
          | 't' || regexp_extract(CAST(user_id AS VARCHAR), '^(\\d)', 1) AS tier
          |FROM events ORDER BY series_key""".stripMargin,
+    "ts_label_join" ->
+      s"""SELECT DISTINCT $seriesKeySql AS series_key,
+         | event_type || '-' || CAST(user_id AS VARCHAR) || '-' ||
+         | CASE WHEN user_id % 10 = 0 THEN '1' ELSE '' END AS joined
+         |FROM events ORDER BY series_key""".stripMargin,
+    "ts_absent_over_time" ->
+      s"""$samplesCte,
+         |sel AS (SELECT t FROM s WHERE event_type = 'error' AND user_id = 7
+         |  AND t BETWEEN $T0 AND $MAXT),
+         |p AS (SELECT DISTINCT g FROM (
+         |  SELECT unnest(generate_series(lo, hi, $BUCKET_W)) AS g FROM (
+         |    SELECT greatest(((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W, $MINT) AS lo,
+         |           least(((t + ${DAY}) // $BUCKET_W) * $BUCKET_W, $MAXT) AS hi
+         |    FROM sel) WHERE lo <= hi))
+         |SELECT g.t, CASE WHEN p.g IS NULL THEN 1 ELSE 0 END AS absent
+         |FROM (SELECT unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t) g
+         |LEFT JOIN p ON g.t = p.g ORDER BY g.t""".stripMargin,
     "ts_math_funcs" ->
       s"""$namedGridCte
          |SELECT series_key, t, r_v,
