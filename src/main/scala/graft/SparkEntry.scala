@@ -1071,6 +1071,74 @@ object SparkEntry {
         "user_id", "t")
     }),
 
+    // PromQL comparison binary ops — v > 100 (filter semantics: the
+    // sample survives with its value) and v > bool 100 / v <= bool 100
+    // (0/1 sample values): per-row codegen'd projections of the shared
+    // grid fill, both semantics carried as columns (filter = nullable,
+    // the ts_vector_ops convention for rows PromQL would drop).
+    "ts_bool_compare" -> ((s, dir) =>
+      orderedOnce(
+        namedGridFill(s, dir)
+          .where(col("r_v").isNotNull)
+          .select(
+            col("series_key"), col("t"), col("r_v"),
+            when(col("r_v") > 100.0, 1.0).otherwise(0.0).as("bool_gt"),
+            when(col("r_v") <= 100.0, 1.0).otherwise(0.0).as("bool_le"),
+            when(col("r_v") > 100.0, col("r_v")).as("filter_gt_v")),
+        "series_key", "t")),
+
+    // PromQL first/last_over_time(v[1h]): trailing-window boundary
+    // samples — the over_time family's positional members, ONE
+    // range-frame window over the shared series order; struct min/max
+    // carries (t, sample_id, v) so ties at equal t break identically
+    // in both engines.
+    "ts_first_last_over_time" -> ((s, dir) => {
+      val w = Window.partitionBy("series_key").orderBy("t")
+        .rangeBetween(-LOOKBACK, 0)
+      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+        .select(
+          col("series_key"), col("t"), col("sample_id"),
+          min(struct(col("t"), col("sample_id"), col("v"))).over(w)
+            .getField("v").as("first_win"),
+          max(struct(col("t"), col("sample_id"), col("v"))).over(w)
+            .getField("v").as("last_win"))
+        .where(col("t").between(MINT, MAXT))
+    }),
+
+    // PromQL scalar() propagation — v / scalar(sum(v)): the one-row
+    // scalar operand replicated across the whole instant vector. The
+    // per-instant totals relation is grid-instant-sized, so the
+    // join-back broadcasts; fill frame materialized once for its two
+    // consumers (the ts_group_left rationale, global instead of
+    // by-name).
+    "ts_scalar_op" -> ((s, dir) => {
+      val f = namedGridFill(s, dir).where(col("r_v").isNotNull).localCheckpoint()
+      val tot = f.groupBy("t").agg(round(sum("r_v"), 2).as("scalar_sum"))
+      f.join(tot, Seq("t"))
+        .select(col("series_key"), col("t"), col("r_v"),
+          round(col("r_v") / col("scalar_sum"), 6).as("frac_of_total"))
+        .orderBy("series_key", "t")
+    }),
+
+    // PromQL trig/angle functions (sin/cos/atan2/deg/rad/pi) over the
+    // filled instant vector — per-row codegen'd math, rounded 4dp like
+    // every cross-libm transcendental in this suite (the ts_math_funcs
+    // ln precedent). tan is deliberately absent: its poles amplify the
+    // 1-ulp libm spread past any fixed rounding.
+    "ts_trig_funcs" -> ((s, dir) =>
+      orderedOnce(
+        namedGridFill(s, dir)
+          .where(col("r_v").isNotNull)
+          .select(
+            col("series_key"), col("t"),
+            round(sin(col("r_v")), 4).as("sin_v"),
+            round(cos(col("r_v")), 4).as("cos_v"),
+            round(atan2(col("r_v"), lit(100.0)), 4).as("atan2_v"),
+            round(degrees(col("r_v")), 4).as("deg_v"),
+            round(radians(col("r_v")), 4).as("rad_v"),
+            lit(math.Pi).as("pi_v")),
+        "series_key", "t")),
+
     // PromQL subquery composition — max_over_time(increase(...)[24h:6h]):
     // the rate family re-aggregated by a range-frame window over its own
     // (bucket-sized, not sample-sized) output.
@@ -2222,6 +2290,44 @@ object SparkEntry {
          |FROM c JOIN p ON c.user_id = p.user_id AND c.t = p.t
          |WHERE coalesce(c_v, p_v) IS NOT NULL
          |ORDER BY c.user_id, c.t""".stripMargin,
+    "ts_bool_compare" ->
+      s"""$namedGridCte
+         |SELECT series_key, t, r_v,
+         |  CASE WHEN r_v > 100 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS bool_gt,
+         |  CASE WHEN r_v <= 100 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS bool_le,
+         |  CASE WHEN r_v > 100 THEN r_v END AS filter_gt_v
+         |FROM f WHERE r_v IS NOT NULL
+         |ORDER BY series_key, t""".stripMargin,
+    "ts_first_last_over_time" ->
+      s"""$samplesCte,
+         |w AS (SELECT series_key, t, sample_id,
+         |  (min(struct_pack(t := t, sample_id := sample_id, v := v)) OVER win).v AS first_win,
+         |  (max(struct_pack(t := t, sample_id := sample_id, v := v)) OVER win).v AS last_win
+         |  FROM s WINDOW win AS (PARTITION BY series_key ORDER BY t
+         |    RANGE BETWEEN $LOOKBACK PRECEDING AND CURRENT ROW))
+         |SELECT series_key, t, sample_id, first_win, last_win
+         |FROM w WHERE t BETWEEN $MINT AND $MAXT
+         |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_scalar_op" ->
+      s"""$namedGridCte,
+         |pr AS (SELECT series_key, t, r_v FROM f WHERE r_v IS NOT NULL),
+         |tot AS (SELECT t, round(sum(r_v), 2) AS scalar_sum
+         |  FROM pr GROUP BY 1)
+         |SELECT pr.series_key, pr.t, pr.r_v,
+         |  round(pr.r_v / tot.scalar_sum, 6) AS frac_of_total
+         |FROM pr JOIN tot ON pr.t = tot.t
+         |ORDER BY pr.series_key, pr.t""".stripMargin,
+    "ts_trig_funcs" ->
+      s"""$namedGridCte
+         |SELECT series_key, t,
+         |  round(sin(r_v), 4) AS sin_v,
+         |  round(cos(r_v), 4) AS cos_v,
+         |  round(atan2(r_v, 100.0), 4) AS atan2_v,
+         |  round(degrees(r_v), 4) AS deg_v,
+         |  round(radians(r_v), 4) AS rad_v,
+         |  pi() AS pi_v
+         |FROM f WHERE r_v IS NOT NULL
+         |ORDER BY series_key, t""".stripMargin,
     "ts_subquery" ->
       s"""$samplesCte,
          |l AS (SELECT series_key, t, v,
