@@ -598,6 +598,16 @@ object SparkEntry {
       Rate.increase(Rate.seriesOrdered(TsdbSource.events(s, dir).samples), DAY)
         .sortWithinPartitions("series_key", "t_bucket")),
 
+    // Prometheus's REAL rate()/increase() — the boundary-extrapolation
+    // algorithm the evaluation engine layers over the raw delta sum
+    // (extrapolate to the window edges up to half the average sample
+    // spacing; counters never extrapolate below zero). Same one-window
+    // one-aggregate plan as ts_counter_rate.
+    "ts_rate_extrapolated" -> ((s, dir) =>
+      Rate.extrapolatedRate(
+          Rate.seriesOrdered(TsdbSource.events(s, dir).samples), DAY)
+        .sortWithinPartitions("series_key", "t_bucket")),
+
     // PromQL histogram_quantile over the le-bucket data-model
     // convention: bucket counts per (series, day), cumulative walk,
     // linear interpolation inside the φ=0.9 bucket.
@@ -1940,6 +1950,37 @@ object SparkEntry {
          |SELECT series_key, t_bucket, increase, n_deltas, n_resets,
          |  round(increase / ${DAY / 1000}.0, 6) AS rate_per_sec
          |FROM g ORDER BY series_key, t_bucket""".stripMargin,
+    "ts_rate_extrapolated" ->
+      s"""$samplesCte,
+         |l AS (SELECT series_key, t, sample_id, v,
+         |  lag(v) OVER win AS prev_v, lag(t) OVER win AS prev_t
+         |  FROM s WINDOW win AS (PARTITION BY series_key ORDER BY t, sample_id)),
+         |i AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket, t, sample_id, v,
+         |  CASE WHEN prev_t IS NULL OR prev_t < ((t // $DAY) * $DAY + $DAY) - $DAY THEN NULL
+         |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc
+         |  FROM l),
+         |a AS (SELECT series_key, t_bucket, round(sum(inc), 2) AS delta_v,
+         |  count(*) AS n,
+         |  (min(struct_pack(t := t, sample_id := sample_id, v := v))).t AS first_t,
+         |  (min(struct_pack(t := t, sample_id := sample_id, v := v))).v AS first_v,
+         |  (max(struct_pack(t := t, sample_id := sample_id, v := v))).t AS last_t
+         |  FROM i GROUP BY 1, 2),
+         |x AS (SELECT *, (last_t - first_t)::DOUBLE AS si,
+         |  (last_t - first_t)::DOUBLE / (n - 1) AS avg_dur,
+         |  (first_t - (t_bucket - $DAY))::DOUBLE AS ds0,
+         |  (t_bucket - last_t)::DOUBLE AS de0
+         |  FROM a WHERE n >= 2 AND last_t > first_t),
+         |y AS (SELECT *, CASE WHEN delta_v > 0 AND first_v >= 0
+         |    AND si * first_v / delta_v < ds0
+         |  THEN si * first_v / delta_v ELSE ds0 END AS ds1 FROM x),
+         |z AS (SELECT *,
+         |  CASE WHEN ds1 >= avg_dur * 1.1::DOUBLE THEN avg_dur / 2 ELSE ds1 END AS ds,
+         |  CASE WHEN de0 >= avg_dur * 1.1::DOUBLE THEN avg_dur / 2 ELSE de0 END AS de
+         |  FROM y)
+         |SELECT series_key, t_bucket, n, delta_v,
+         |  round(delta_v * ((si + ds + de) / si), 4) AS xincrease,
+         |  round(delta_v * ((si + ds + de) / si) / ${DAY / 1000}.0, 6) AS xrate_per_sec
+         |FROM z ORDER BY series_key, t_bucket""".stripMargin,
     "ts_hist_quantile" -> {
       val leCase = HIST_LES.sorted
         .map(b => s"WHEN v <= $b THEN ${b}::DOUBLE")

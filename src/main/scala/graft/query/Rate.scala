@@ -93,6 +93,78 @@ object Rate {
         round(col("increase") / (bucketMs / 1000.0), 6))
   }
 
+  /** Prometheus's *extrapolated* `rate()`/`increase()` — the boundary
+    * correction the real evaluation engine applies on top of the
+    * raw delta sum ([[increase]]): samples rarely land exactly on the
+    * window edges, so the in-window increase is scaled by how far the
+    * first/last samples sit from the boundaries (the documented PromQL
+    * algorithm: extrapolate each side up to half the average sample
+    * spacing, clamp to the window, and for counters never extrapolate
+    * below zero — the `durationToZero` guard).
+    *
+    * Window = `(t_bucket - bucketMs, t_bucket]` per the suite's bucket
+    * convention. `delta_v` uses only in-window deltas (prev sample in
+    * the SAME bucket — the last-minus-first-with-resets identity), so
+    * a bucket needs ≥ 2 samples and a nonzero sampled interval;
+    * degenerate buckets drop, exactly as PromQL returns no point.
+    *
+    * Plan: the family's ONE series window (the [[increase]] lag plus a
+    * lag of `t`) + ONE map-side-combined hash aggregate (sum + struct
+    * min/max carry all boundary stats); the factor math is per-group
+    * closed form. Float determinism: `delta_v` is the suite's rounded
+    * (2dp) sum; everything after is IEEE mul/div/compare written in
+    * the same association order in both engines, so the doubles agree
+    * bit-for-bit before the final rounding. */
+  def extrapolatedRate(samples: DataFrame, bucketMs: Long): DataFrame = {
+    val w = Window.partitionBy("series_key").orderBy("t", "sample_id")
+    val bucket = rangeForTimestamp(col("t"), bucketMs)
+    val inc = samples
+      .withColumn("__prev_v", lag("v", 1).over(w))
+      .withColumn("__prev_t", lag("t", 1).over(w))
+      .select(
+        col("series_key"), bucket.as("t_bucket"), col("t"),
+        col("sample_id"), col("v"),
+        when(col("__prev_t").isNull || col("__prev_t") < bucket - bucketMs,
+          lit(null).cast("double"))
+          .when(col("v") >= col("__prev_v"), col("v") - col("__prev_v"))
+          .otherwise(col("v"))
+          .as("__inc"))
+    val base = inc.groupBy("series_key", "t_bucket")
+      .agg(
+        round(sum("__inc"), 2).as("delta_v"),
+        count(lit(1)).as("n"),
+        min(struct(col("t"), col("sample_id"), col("v"))).as("__f"),
+        max(struct(col("t"), col("sample_id"), col("v"))).as("__l"))
+      .where(col("n") >= 2 && col("__l")("t") > col("__f")("t"))
+      .select(
+        col("series_key"), col("t_bucket"), col("n"), col("delta_v"),
+        col("__f")("t").as("first_t"), col("__f")("v").as("first_v"),
+        col("__l")("t").as("last_t"))
+      .withColumn("si", (col("last_t") - col("first_t")).cast("double"))
+      .withColumn("avg_dur", col("si") / (col("n") - 1))
+      .withColumn("ds0",
+        (col("first_t") - (col("t_bucket") - bucketMs)).cast("double"))
+      .withColumn("de0", (col("t_bucket") - col("last_t")).cast("double"))
+    // counter guard: a positive increase from a non-negative first
+    // sample cannot be extrapolated past the counter's zero crossing
+    val zeroCross = col("si") * col("first_v") / col("delta_v")
+    val clamped = base
+      .withColumn("ds1",
+        when(col("delta_v") > 0 && col("first_v") >= 0 && zeroCross < col("ds0"),
+          zeroCross).otherwise(col("ds0")))
+      .withColumn("ds",
+        when(col("ds1") >= col("avg_dur") * 1.1, col("avg_dur") / 2)
+          .otherwise(col("ds1")))
+      .withColumn("de",
+        when(col("de0") >= col("avg_dur") * 1.1, col("avg_dur") / 2)
+          .otherwise(col("de0")))
+    val raw = col("delta_v") * ((col("si") + col("ds") + col("de")) / col("si"))
+    clamped.select(
+      col("series_key"), col("t_bucket"), col("n"), col("delta_v"),
+      round(raw, 4).as("xincrease"),
+      round(raw / (bucketMs / 1000.0), 6).as("xrate_per_sec"))
+  }
+
   /** Per-bucket `deriv()` — least-squares slope of v over time (the
     * PromQL gauge-trend function), in per-second units.
     *

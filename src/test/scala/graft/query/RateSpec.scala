@@ -34,6 +34,30 @@ class RateSpec extends SparkSuite {
     assert(got(1000L)._2 == 0L)
   }
 
+  test("extrapolatedRate: boundary extrapolation, half-spacing cap, zero-crossing clamp") {
+    val samples = Seq(
+      // a: edges near the window bounds -> extrapolate the full 100ms
+      //    to each edge: factor (800+100+100)/800 = 1.25, 6*1.25 = 7.5
+      (1L, "a", 100L, 10.0), (2L, "a", 500L, 12.0), (3L, "a", 900L, 16.0),
+      // b: tiny first value -> zero-crossing clamp: durationToStart
+      //    becomes si*first_v/delta_v = 300/99, exact result 133.0
+      (4L, "b", 600L, 1.0), (5L, "b", 900L, 100.0),
+      // c: samples far from both edges -> each side capped at half the
+      //    average spacing (50ms): factor (100+50+50)/100 = 2.0
+      (6L, "c", 450L, 500.0), (7L, "c", 550L, 505.0),
+      // d: single sample, e: zero sampled interval -> both drop
+      (8L, "d", 300L, 1.0),
+      (9L, "e", 200L, 1.0), (10L, "e", 200L, 2.0))
+      .toDF("sample_id", "series_key", "t", "v")
+    val got = Rate.extrapolatedRate(samples, bucketMs = 1000L)
+      .select("series_key", "t_bucket", "n", "delta_v", "xincrease", "xrate_per_sec")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(got == Set(
+      ("a", 1000L, 3L, 6.0, 7.5, 7.5),
+      ("b", 1000L, 2L, 99.0, 133.0, 133.0),
+      ("c", 1000L, 2L, 5.0, 10.0, 10.0)))
+  }
+
   test("deriv: least-squares slope per bucket, degenerate buckets null") {
     val samples = Seq(
       // series a: v = 1 + 2*minute -> slope 2/min = 1/30 per sec
