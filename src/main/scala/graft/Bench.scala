@@ -57,7 +57,10 @@ object Bench {
     "doc_dedup_survivors",
     // r6: the seek shape — must sit at the scheduling floor regardless
     // of corpus scale (bucket + partition pruning, BASELINE seek row)
-    "ts_seek")
+    "ts_seek",
+    // r6: the real Prometheus rate() — ts_counter_rate's plan plus the
+    // per-group extrapolation closed form; must track counter_rate
+    "ts_rate_extrapolated")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not
