@@ -638,6 +638,28 @@ object SparkEntry {
         .where(col("t").between(MINT, MAXT))
     }),
 
+    // PromQL stddev/stdvar_over_time(v[1h]): the over_time family's
+    // dispersion members — the ts_stddev_by engine-portable power-sum
+    // closed form (rounded Σv, Σv² then population variance) moved
+    // onto the trailing range-frame window.
+    "ts_stddev_over_time" -> ((s, dir) => {
+      val w = Window.partitionBy("series_key").orderBy("t")
+        .rangeBetween(-LOOKBACK, 0)
+      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+        .select(
+          col("series_key"), col("t"), col("sample_id"),
+          count(lit(1)).over(w).as("n_win"),
+          round(sum("v").over(w), 2).as("__s1"),
+          round(sum(col("v") * col("v")).over(w), 2).as("__s2"))
+        .withColumn("stdvar_win",
+          round(greatest(lit(0.0),
+            col("__s2") / col("n_win")
+              - (col("__s1") / col("n_win")) * (col("__s1") / col("n_win"))), 4))
+        .withColumn("stddev_win", round(sqrt(col("stdvar_win")), 4))
+        .select("series_key", "t", "sample_id", "n_win", "stdvar_win", "stddev_win")
+        .where(col("t").between(MINT, MAXT))
+    }),
+
     // PromQL many-to-one vector matching — v / on(name) group_left
     // sum by (name)(v): each present series' share of its name group's
     // total at every grid instant. The one-side aggregate is
@@ -2348,6 +2370,22 @@ object SparkEntry {
          |    RANGE BETWEEN $LOOKBACK PRECEDING AND CURRENT ROW))
          |SELECT series_key, t, sample_id, first_win, last_win
          |FROM w WHERE t BETWEEN $MINT AND $MAXT
+         |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_stddev_over_time" ->
+      s"""$samplesCte,
+         |w AS (SELECT series_key, t, sample_id,
+         |  count(*) OVER win AS n_win,
+         |  round(sum(v) OVER win, 2) AS s1,
+         |  round(sum(v * v) OVER win, 2) AS s2
+         |  FROM s WINDOW win AS (PARTITION BY series_key ORDER BY t
+         |    RANGE BETWEEN $LOOKBACK PRECEDING AND CURRENT ROW)),
+         |x AS (SELECT series_key, t, sample_id, n_win,
+         |  round(greatest(0.0,
+         |    s2 / n_win - (s1 / n_win) * (s1 / n_win)), 4) AS stdvar_win
+         |  FROM w)
+         |SELECT series_key, t, sample_id, n_win, stdvar_win,
+         |  round(sqrt(stdvar_win), 4) AS stddev_win
+         |FROM x WHERE t BETWEEN $MINT AND $MAXT
          |ORDER BY series_key, t, sample_id""".stripMargin,
     "ts_scalar_op" ->
       s"""$namedGridCte,
