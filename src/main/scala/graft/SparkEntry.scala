@@ -478,6 +478,13 @@ object SparkEntry {
     "ts_label_values" -> ((s, dir) =>
       new graft.query.Querier(TsdbSource.events(s, dir).samples).labelValues("name")),
 
+    // A2 with matchers: label values restricted to a selector — the
+    // label-values-with-matchers endpoint (declared but unimplemented in
+    // the reference querier, querier.go:110-112).
+    "ts_label_values_for" -> ((s, dir) =>
+      new graft.query.Querier(TsdbSource.events(s, dir).samples)
+        .labelValuesFor("user", Eq("name", "click"))),
+
     // A5: per-series min/max time + sample count.
     "ts_series_stats" -> ((s, dir) =>
       new graft.query.Querier(TsdbSource.events(s, dir).samples).seriesStats()),
@@ -1893,6 +1900,9 @@ object SparkEntry {
         |ORDER BY label_name""".stripMargin,
     "ts_label_values" ->
       "SELECT DISTINCT event_type AS label_value FROM events ORDER BY label_value",
+    "ts_label_values_for" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS label_value
+        |FROM events WHERE event_type = 'click' ORDER BY label_value""".stripMargin,
     "ts_series_stats" ->
       s"""SELECT $seriesKeySql AS series_key, min(epoch_ms(ts)) AS min_t,
          | max(epoch_ms(ts)) AS max_t, count(*) AS num_samples

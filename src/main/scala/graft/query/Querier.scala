@@ -45,6 +45,20 @@ final class Querier(val samples: DataFrame) {
       .distinct()
       .orderBy("label_value")
 
+  /** Distinct values of one label among series matched by a selector —
+    * the reference's `LabelValuesFor` (`querier.go:110-112`, declared
+    * but `not implemented` there; this is the Prometheus
+    * label-values-with-matchers endpoint consumers actually call).
+    * One scan: the matcher conjunction compiles to a predicate, so
+    * pushdown-capable sources prune before the distinct. */
+  def labelValuesFor(name: String, matchers: Matcher*): DataFrame =
+    samples
+      .where(Matcher.conjunction(matchers, resolve))
+      .select(col("labels").getItem(name).as("label_value"))
+      .where(col("label_value").isNotNull)
+      .distinct()
+      .orderBy("label_value")
+
   /** Distinct series, as canonical keys, in label-set order — the sorted
     * SeriesSet invariant (reference `querier.go:519-524`). */
   def series(): DataFrame =
