@@ -976,6 +976,27 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // PromQL present_over_time(v[d]): per-series presence on the grid —
+    // 1 at every instant whose trailing range window holds >=1 sample,
+    // NO row otherwise (the PromQL contract; the per-series complement
+    // of ts_absent_over_time's vector-level test). Same windowed-explode
+    // formulation: each sample enumerates the instants it covers, one
+    // distinct — never a grid×samples join.
+    "ts_present_over_time" -> ((s, dir) => {
+      val range = DAY
+      val sel = TsdbSource.events(s, dir)
+        .select(T0, MAXT, Eq("name", "click"))
+      val lo = greatest(gf.rangeForTimestamp(col("t") - 1, BUCKET_W), lit(MINT))
+      val hi = least(gf.rangeForTimestamp(col("t") + range, BUCKET_W) - BUCKET_W,
+        lit(MAXT))
+      orderedOnce(
+        sel.select(col("series_key"),
+            explode(when(lo <= hi, sequence(lo, hi, lit(BUCKET_W)))).as("t"))
+          .distinct()
+          .withColumn("present", lit(1)),
+        "series_key", "t")
+    }),
+
     // PromQL scalar math functions (clamp/clamp_min/clamp_max, abs,
     // sgn, sqrt, ln, round(v, to)) over the filled instant vector —
     // pure per-row codegen'd projections of the shared grid fill.
@@ -1034,6 +1055,22 @@ object SparkEntry {
       val w = Window.orderBy(col("v").desc, col("series_key"))
       at.withColumn("rk", row_number().over(w))
         .select("rk", "series_key", "v")
+        .orderBy("rk")
+    }),
+
+    // PromQL sort_by_label(v, "user"): the instant vector ordered by a
+    // label's STRING value (lexicographic — "10" < "2" — identical byte
+    // order in both engines), series_key tie-break; the label-ordered
+    // dashboard listing, vs ts_sort_desc's value order.
+    "ts_sort_by_label" -> ((s, dir) => {
+      val at = TsdbSource.events(s, dir).samples
+        .where(col("t") <= lit(MAXT) && col("t") >= lit(MAXT) - LOOKBACK)
+        .groupBy(col("series_key"), col("labels").getItem("user").as("lbl"))
+        .agg(max(struct(col("t"), col("sample_id"), col("v")))
+          .getField("v").as("v"))
+      val w = Window.orderBy(col("lbl").asc, col("series_key"))
+      at.withColumn("rk", row_number().over(w))
+        .select("rk", "lbl", "series_key", "v")
         .orderBy("rk")
     }),
 
@@ -2289,6 +2326,18 @@ object SparkEntry {
          |SELECT g.t, CASE WHEN p.g IS NULL THEN 1 ELSE 0 END AS absent
          |FROM (SELECT unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t) g
          |LEFT JOIN p ON g.t = p.g ORDER BY g.t""".stripMargin,
+    "ts_present_over_time" ->
+      s"""$samplesCte,
+         |sel AS (SELECT series_key, t FROM s WHERE event_type = 'click'
+         |  AND t BETWEEN $T0 AND $MAXT),
+         |p AS (SELECT DISTINCT series_key, g AS t FROM (
+         |  SELECT series_key, unnest(generate_series(lo, hi, $BUCKET_W)) AS g FROM (
+         |    SELECT series_key,
+         |           greatest(((t - 1) // $BUCKET_W) * $BUCKET_W + $BUCKET_W, $MINT) AS lo,
+         |           least(((t + ${DAY}) // $BUCKET_W) * $BUCKET_W, $MAXT) AS hi
+         |    FROM sel) WHERE lo <= hi))
+         |SELECT series_key, t, 1 AS present FROM p
+         |ORDER BY series_key, t""".stripMargin,
     "ts_math_funcs" ->
       s"""$namedGridCte
          |SELECT series_key, t, r_v,
@@ -2316,6 +2365,14 @@ object SparkEntry {
          |  FROM s WHERE t <= $MAXT AND t >= ${MAXT - LOOKBACK} GROUP BY 1)
          |SELECT row_number() OVER (ORDER BY v DESC, series_key) AS rk,
          |  series_key, v
+         |FROM i ORDER BY rk""".stripMargin,
+    "ts_sort_by_label" ->
+      s"""$samplesCte,
+         |i AS (SELECT series_key, CAST(user_id AS VARCHAR) AS lbl,
+         |  (max(struct_pack(t := t, s := sample_id, v := v))).v AS v
+         |  FROM s WHERE t <= $MAXT AND t >= ${MAXT - LOOKBACK} GROUP BY 1, 2)
+         |SELECT row_number() OVER (ORDER BY lbl, series_key) AS rk,
+         |  lbl, series_key, v
          |FROM i ORDER BY rk""".stripMargin,
     "ts_group_agg" ->
       s"""$namedGridCte
