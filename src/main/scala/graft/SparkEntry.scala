@@ -2527,7 +2527,7 @@ object SparkEntry {
          |    FROM b WHERE sample_id % 50 = 0
          |  UNION ALL SELECT sample_id, series_key, t, v + 1, arrival + 3000000
          |    FROM b WHERE sample_id % 77 = 0),
-         |m AS (SELECT *, max({'t': t, 'a': arrival, 'v': v}) OVER (
+         |m AS (SELECT *, max({'t': t, 'a': -arrival, 'v': v}) OVER (
          |        PARTITION BY series_key ORDER BY arrival
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM allr),
          |c AS (SELECT series_key,

@@ -64,8 +64,17 @@ object Appender {
     }
 
     // Running (max t, its value) over previously-arrived samples of the
-    // series: a single struct-max window — lexicographic max by
-    // (t, arrival) carries the value of the newest prior sample.
+    // series: a single struct-max window. The reference validates each
+    // append against the last SUCCESSFULLY appended sample
+    // (`head.go:1680-1699` — rejected adds never update the memSeries),
+    // so the comparison value must be the one that was valid at the max
+    // t. Rejected rows can never raise the running max (out_of_order is
+    // t < max, amend is t == max, out_of_bounds t < minValidTime ≤ any
+    // valid t), so max-t over ALL prior arrivals equals max-t over valid
+    // ones — but the VALUE at that t must come from the EARLIEST arrival
+    // there (the first append at a new max t is the valid one; later
+    // same-t arrivals are dups/amends). Lexicographic max by
+    // (t, -arrival) selects exactly that row in the same single window.
     val w = Window
       .partitionBy("series_key")
       .orderBy(col(arrivalCol))
@@ -75,9 +84,14 @@ object Appender {
     val baseT = coalesce(col("__base_t"), lit(Long.MinValue))
 
     withBase
-      .withColumn("__mx", max(struct(col("t"), col(arrivalCol), col("v"))).over(w))
+      .withColumn(
+        "__mx",
+        max(struct(col("t"), (lit(0L) - col(arrivalCol)).as("na"), col("v"))).over(w))
       .withColumn("__prev_max", greatest(mxT, baseT))
-      .withColumn("__last_v", when(mxT >= baseT, col("__mx.v")).otherwise(col("__base_v")))
+      // strict >: when the batch ties the baseline's max t, the stored
+      // valid value is still the baseline's (the tying in-batch row was
+      // either an idempotent dup of it or an amend that was rejected)
+      .withColumn("__last_v", when(mxT > baseT, col("__mx.v")).otherwise(col("__base_v")))
       .withColumn(
         "status",
         when(col("t") < lit(minValidTime), lit("out_of_bounds"))

@@ -172,6 +172,36 @@ class BlockStoreSpec extends SparkSuite {
     assert(got.count() == want.count())
   }
 
+  test("delete interval table: unions, beyond-range clamp, full deletion " +
+    "(TestDeleteSimple db_test.go:242-346)") {
+    import spark.implicits._
+    val cases = Seq(
+      Seq((0L, 3L)) -> Seq(4L, 5L, 6L, 7L, 8L, 9L),
+      Seq((1L, 3L)) -> Seq(0L, 4L, 5L, 6L, 7L, 8L, 9L),
+      Seq((1L, 3L), (4L, 7L)) -> Seq(0L, 8L, 9L),
+      Seq((1L, 3L), (4L, 700L)) -> Seq(0L),
+      Seq((0L, 9L)) -> Seq.empty[Long])
+    for ((ivs, remain) <- cases) {
+      val store = new BlockStore(
+        Files.createTempDirectory("graft-delsimple").toString, 1000L)
+      val rows = (0L until 10L).map(i =>
+        ("s", i, i * 1.5, i, Map("a" -> "b")))
+        .toDF("series_key", "t", "v", "sample_id", "labels")
+      store.write(rows)
+      for ((lo, hi) <- ivs)
+        store.delete(spark, lo, hi, graft.matchers.Eq("a", "b"))
+      val got = store.readRange(spark, 0, 9)
+        .select("t").as[Long].collect().sorted.toSeq
+      assert(got == remain, s"intervals=$ivs")
+      // deletes survive physical compaction identically (db_test.go:318)
+      val plan = store.planCompaction(BlockStore.exponentialRanges(2000L, 3))
+      store.compact(spark, plan)
+      val afterCompact = store.readRange(spark, 0, 9)
+        .select("t").as[Long].collect().sorted.toSeq
+      assert(afterCompact == remain, s"post-compact intervals=$ivs")
+    }
+  }
+
   test("compact merges overlapping blocks, applies deletes physically, swaps atomically") {
     val store = freshStore()
     store.write(samples)
@@ -450,6 +480,46 @@ class AppenderSpec extends SparkSuite {
       batch(("s", 10, 1.0, 1), ("s", 10, 1.0, 2), ("s", 10, 2.0, 3)),
       minValidTime = 0))
     assert(got == Seq("ok", "ok", "amend"))
+  }
+
+  test("a rejected amend never becomes the comparison value: re-appending it " +
+    "is rejected again (head.go:1680-1699 — rejected adds don't update state)") {
+    val got = statuses(Appender.validate(
+      batch(("s", 10, 1.0, 1), ("s", 10, 2.0, 2), ("s", 10, 2.0, 3)),
+      minValidTime = 0))
+    // the valid value at t=10 stays 1.0; both 2.0 appends are amends
+    assert(got == Seq("ok", "amend", "amend"))
+  }
+
+  test("batch tying the baseline's max t compares against the BASELINE value") {
+    val baseline = Seq(("s", 100L, 9.0)).toDF("series_key", "max_t", "last_v")
+    val got = statuses(Appender.validate(
+      batch(("s", 100, 7.0, 1), ("s", 100, 7.0, 2)),
+      minValidTime = 0, baseline = Some(baseline)))
+    // stored valid value at t=100 is the baseline's 9.0 throughout
+    assert(got == Seq("amend", "amend"))
+  }
+
+  test("invalid values are skipped, valid ones in the same txn commit " +
+    "(TestSkippingInvalidValuesInSameTxn db_test.go:399-441)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-txn-skip").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    // txn 1: amend in the same txn — first value wins, second skipped
+    Appender.txn(store, minValidTime = 0)
+      .add(labelled(
+        ("s", 0, 1.0, 1, Map("a" -> "b")),
+        ("s", 0, 2.0, 2, Map("a" -> "b"))))
+      .commit()
+    assert(store.readRange(spark, 0, 10).select("t", "v").as[(Long, Double)]
+      .collect().toSeq.sorted == Seq((0L, 1.0)))
+    // txn 2: out-of-order in the same txn — skipped, the rest commits
+    Appender.txn(store, minValidTime = 0)
+      .add(labelled(
+        ("s", 10, 3.0, 1, Map("a" -> "b")),
+        ("s", 7, 5.0, 2, Map("a" -> "b"))))
+      .commit()
+    assert(store.readRange(spark, 0, 10).select("t", "v").as[(Long, Double)]
+      .collect().toSeq.sorted == Seq((0L, 1.0), (10L, 3.0)))
   }
 
   test("NaN re-append is idempotent (db_test.go:366)") {
