@@ -200,7 +200,9 @@ final class BlockStore(
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .insertInto(tableName)
       val stats = dataObs.get
-      require(stats("n").asInstanceOf[Long] > 0L, "refusing to publish an empty block")
+      // a zero-row write may run zero tasks, leaving the observation unfired
+      require(stats.get("n").exists(_.asInstanceOf[Long] > 0L),
+        "refusing to publish an empty block")
       val numSeries =
         if (hasLabels) {
           val dictObs = Observation(s"graft-block-$id-dict")
@@ -524,7 +526,8 @@ final class BlockStore(
           .write.mode(SaveMode.Overwrite)
           .options(BlockStore.parquetWriteOptions)
           .parquet(tombPath(fid))
-        val n = obs.get("n").asInstanceOf[Long]
+        // zero matched keys → zero write tasks → observation may not fire
+        val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
         Manifest.update(root) { st =>
           val fs = st.tombstoneFiles :+ TombstoneFile(fid, mint, maxt, n)
           st.copy(blocks = recount(st.blocks, st.tombstones, fs),
@@ -629,7 +632,9 @@ final class BlockStore(
           .options(BlockStore.parquetWriteOptions)
           .parquet(s"$dictDir/block_id=$newId")
     }
-    val n = stats("n").asInstanceOf[Long]
+    // an all-tombstoned input writes zero rows and may run zero tasks,
+    // in which case the observation never fires and the map is empty
+    val n = stats.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     // exact series count via one column-pruned scan of the written
     // block's dictionary-encoded series_key column (the merged input
     // dicts may still list series the tombstones just removed entirely,

@@ -199,6 +199,18 @@ class BlockStoreSpec extends SparkSuite {
       val afterCompact = store.readRange(spark, 0, 9)
         .select("t").as[Long].collect().sorted.toSeq
       assert(afterCompact == remain, s"post-compact intervals=$ivs")
+      if (remain.isEmpty) {
+        // TestNoEmptyBlocks (db_test.go:1550): force-compacting the
+        // fully-deleted store publishes NO empty block — and the block
+        // id high-water still advances (ids are never reused)
+        val ids = store.manifest.blocks.map(_.blockId)
+        val before = store.manifest.highWater
+        if (ids.nonEmpty) {
+          assert(store.compact(spark, ids).isEmpty)
+          assert(store.manifest.highWater > before)
+        }
+        assert(store.manifest.blocks.isEmpty)
+      }
     }
   }
 
