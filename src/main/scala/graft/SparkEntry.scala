@@ -1446,6 +1446,12 @@ object SparkEntry {
     "doc_exact_dedup" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("survivor")),
 
+    // C4/RefinedWeb-style segment ("line") dedup: duplicated segments
+    // keep only their first corpus occurrence; docs are reassembled
+    // from survivors.
+    "doc_line_dedup" -> ((s, dir) =>
+      orderedOnce(Dedup.segmentDedup(Tables.documents(s, dir)), "doc_id")),
+
     // Near-dup pairs by true 3-gram Jaccard through an inverted
     // shingle index (no all-pairs join).
     "doc_ngram_jaccard" -> ((s, dir) =>
@@ -2630,6 +2636,17 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS survivor,
         | count(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY survivor""".stripMargin,
+    "doc_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM w),
+        |seg AS (SELECT doc_id, pos // 10 AS seg_idx,
+        |        string_agg(w, ' ' ORDER BY pos) AS segment
+        |        FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn FROM seg)
+        |SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS text_dedup,
+        |  count(*) AS n_kept
+        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_decontaminate" ->
       s"""$SHINGLES_CTE
          |SELECT tr.doc_id AS train_id, te.doc_id AS test_id,

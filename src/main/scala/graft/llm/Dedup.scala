@@ -49,6 +49,49 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min("doc_id").as("survivor"), count(lit(1)).as("group_size"))
 
+  /** Segment-level ("line") deduplication — the C4/RefinedWeb corpus
+    * cleanup step: every duplicated segment is removed except its first
+    * corpus occurrence (ordered by doc_id, then position), and each
+    * document is reassembled from its surviving segments in order.
+    * Documents whose every segment was deduplicated away drop out
+    * entirely (the C4 behavior for boilerplate-only pages).
+    *
+    * Segments are fixed-width word windows of `segWords` (the bench
+    * corpus has no newlines); the algorithm is segmentation-agnostic —
+    * swapping the (doc_id, seg_idx, segment) builder for a newline
+    * split changes nothing downstream.
+    *
+    * Scale shape: one posexplode (corpus token mass), one
+    * (doc, seg)-keyed aggregate to form segments, one segment-keyed
+    * window to rank occurrences, one doc-keyed aggregate to reassemble
+    * — all shuffles linear in corpus mass, never pairwise. The
+    * relational build (generator + aggregates) keeps everything but the
+    * sorted-collect reassembly inside whole-stage codegen; see
+    * [[shingleIndex]] for why the array-lambda route is avoided. */
+  def segmentDedup(
+      df: DataFrame,
+      segWords: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val wordRows = df.select(
+      col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val segs = wordRows
+      .groupBy(col("doc_id"), expr(s"pos div $segWords").as("seg_idx"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("segment"))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy("doc_id", "seg_idx")
+    segs
+      .withColumn("__rn", row_number().over(firstOcc))
+      .where(col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("segment")))),
+            s => s.getField("segment"))).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Word n-gram rows `(doc_id, shingle)` (NOT distinct), built
     * relationally — posexplode words, window-`lead` to form the n-gram —
     * so every operator stays inside whole-stage codegen. The array/
