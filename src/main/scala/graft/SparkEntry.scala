@@ -1452,6 +1452,35 @@ object SparkEntry {
     "doc_line_dedup" -> ((s, dir) =>
       orderedOnce(Dedup.segmentDedup(Tables.documents(s, dir)), "doc_id")),
 
+    // The composed corpus-selection pipeline: quality heuristics,
+    // language ID, exact-dup survivorship and a length bound fused into
+    // ONE keep/drop decision with per-filter reason flags — the "which
+    // documents enter training" query every corpus build runs. The
+    // feature branches are single-pass projections over one scan; the
+    // dup check joins the content-hash aggregate back (AQE broadcasts
+    // the group-sized aggregate when it fits, shuffle-joins at corpus
+    // scale).
+    "doc_filter_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextStats.quality(docs)
+      val lang = TextStats.langId(docs, LANG_PROFILES)
+        .select(col("doc_id"), col("predicted"))
+      val dup = Dedup.exact(docs).select(col("content_hash"), col("survivor"))
+      val dupOk = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .join(dup, "content_hash")
+        .select(col("doc_id"), (col("doc_id") === col("survivor")).as("dup_ok"))
+      q.join(lang, "doc_id").join(dupOk, "doc_id")
+        .select(
+          col("doc_id"),
+          (col("n_words") >= 30).as("len_ok"),
+          (col("quality_score") >= 0.3).as("quality_ok"),
+          (col("predicted") === "p1").as("lang_ok"),
+          col("dup_ok"))
+        .withColumn("keep",
+          col("len_ok") && col("quality_ok") && col("lang_ok") && col("dup_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup pairs by true 3-gram Jaccard through an inverted
     // shingle index (no all-pairs join).
     "doc_ngram_jaccard" -> ((s, dir) =>
@@ -2647,6 +2676,28 @@ object SparkEntry {
         |SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS text_dedup,
         |  count(*) AS n_kept
         |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_filter_pipeline" -> {
+      val scores = LANG_PROFILES.map { case (name, prof) =>
+        s"len(list_filter(ws, x -> x IN (${prof.map(w => s"'$w'").mkString(", ")}))) AS score_$name"
+      }.mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, text, $WORDS_SQL AS ws FROM documents),
+         |f AS (SELECT doc_id, text, len(ws) AS n_words,
+         |  len(list_filter(ws, x -> x IN ('the', 'a', 'of'))) AS n_stop,
+         |  $scores FROM w),
+         |d AS (SELECT md5(text) AS content_hash, min(doc_id) AS survivor
+         |      FROM documents GROUP BY 1),
+         |j AS (SELECT f.*, (f.doc_id = d.survivor) AS dup_ok
+         |      FROM f JOIN d ON md5(f.text) = d.content_hash),
+         |r AS (SELECT doc_id,
+         |  n_words >= 30 AS len_ok,
+         |  round(least(1.0, n_words::DOUBLE / 100)
+         |    * (0.5 + 0.5 * (n_stop::DOUBLE / n_words)), 4) >= 0.3 AS quality_ok,
+         |  (score_p1 >= score_p2 AND score_p1 >= score_p3) AS lang_ok,
+         |  dup_ok FROM j)
+         |SELECT doc_id, len_ok, quality_ok, lang_ok, dup_ok,
+         |  (len_ok AND quality_ok AND lang_ok AND dup_ok) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "doc_decontaminate" ->
       s"""$SHINGLES_CTE
          |SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
