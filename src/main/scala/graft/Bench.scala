@@ -60,7 +60,11 @@ object Bench {
     "ts_seek",
     // r6: the real Prometheus rate() — ts_counter_rate's plan plus the
     // per-group extrapolation closed form; must track counter_rate
-    "ts_rate_extrapolated")
+    "ts_rate_extrapolated",
+    // r6: segment-level dedup (explode + segment-keyed window + doc
+    // reassembly — shuffles linear in corpus mass) and the fused
+    // corpus-selection pipeline (feature branches + dup join-back)
+    "doc_line_dedup", "doc_filter_pipeline")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not
