@@ -63,9 +63,16 @@ object Dedup {
     *
     * Scale shape: one posexplode (corpus token mass), one
     * (doc, seg)-keyed aggregate to form segments, one segment-keyed
-    * window to rank occurrences, one doc-keyed aggregate to reassemble
-    * — all shuffles linear in corpus mass, never pairwise. The
-    * relational build (generator + aggregates) keeps everything but the
+    * MIN-aggregate for the first occurrence, one doc-keyed aggregate to
+    * reassemble — all shuffles linear in corpus mass, never pairwise.
+    * First-occurrence selection is deliberately ONE `min(struct)`
+    * aggregate — the kept set is exactly one row per distinct segment,
+    * so the aggregate's output IS the answer, no join-back or window. A
+    * `row_number` window would put every occurrence of a viral
+    * boilerplate segment in one partition (window skew AQE cannot
+    * split); the aggregate combines map-side, so a hot segment costs
+    * one row per input partition. The relational
+    * build (generator + aggregates) keeps everything but the
     * sorted-collect reassembly inside whole-stage codegen; see
     * [[shingleIndex]] for why the array-lambda route is avoided. */
   def segmentDedup(
@@ -79,11 +86,13 @@ object Dedup {
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("w")))),
           s => s.getField("w"))).as("segment"))
-    val firstOcc = org.apache.spark.sql.expressions.Window
-      .partitionBy("segment").orderBy("doc_id", "seg_idx")
     segs
-      .withColumn("__rn", row_number().over(firstOcc))
-      .where(col("__rn") === 1)
+      .groupBy("segment")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__first"))
+      .select(
+        col("__first.doc_id").as("doc_id"),
+        col("__first.seg_idx").as("seg_idx"),
+        col("segment"))
       .groupBy("doc_id")
       .agg(
         concat_ws(" ",
