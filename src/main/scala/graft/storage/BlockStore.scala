@@ -501,8 +501,23 @@ final class BlockStore(
     * filters nothing and retires with the blocks it spans — same
     * harmless debris as a tombstone whose series was later compacted
     * away. */
-  def delete(spark: SparkSession, mint: Long, maxt: Long, matchers: Matcher*): Unit =
+  def delete(spark: SparkSession, mint0: Long, maxt0: Long, matchers: Matcher*): Unit =
     Manifest.withLock(root) {
+      // Clamp the interval to the store's CURRENT time range — the
+      // reference's `Head.Delete` / `pb.Delete` clampInterval
+      // (head.go:957-958): a delete must never reach beyond data that
+      // exists at delete time, so samples appended LATER inside the
+      // requested-but-unpopulated range survive
+      // (TestDeleteUntilCurMax, head_test.go:530-568). Divergence note:
+      // the reference additionally clamps per SERIES; we clamp per
+      // store (per-series bounds would cost a scan here), so a later
+      // append inside [store min, store max] but beyond its own
+      // series' old max is still deleted — the store-level bound is
+      // what the reference's own test exercises.
+      val bs = manifest.blocks
+      val mint = if (bs.isEmpty) mint0 else math.max(mint0, bs.map(_.mint).min)
+      val maxt = if (bs.isEmpty) maxt0 else math.min(maxt0, bs.map(_.maxt).max - 1)
+      if (bs.isEmpty || mint > maxt) return
       val idx = postingsIndex(spark)
       val keys = graft.query.Postings
         .seriesFor(idx, extraSeriesFor(spark, idx, matchers), matchers)

@@ -172,6 +172,31 @@ class BlockStoreSpec extends SparkSuite {
     assert(got.count() == want.count())
   }
 
+  test("delete clamps to the store's current range: later appends inside the " +
+    "requested range survive (TestDeleteUntilCurMax head_test.go:530-568)") {
+    import spark.implicits._
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-delclamp").toString, 1000L)
+    def rows(ts: Seq[Long]): DataFrame =
+      ts.map(i => ("s", i, i * 1.0, i, Map("a" -> "b")))
+        .toDF("series_key", "t", "v", "sample_id", "labels")
+    store.write(rows(0L until 10L))
+    store.delete(spark, 0, 10000, graft.matchers.Eq("a", "b"))
+    assert(store.readRange(spark, 0, 100000).count() == 0)
+    // the recorded tombstone is clamped to the data that existed
+    assert(store.manifest.tombstones.forall(t => t.mint == 0 && t.maxt == 9))
+    // an append at t=11 — inside the REQUESTED range, beyond the
+    // clamped one — is visible
+    store.write(rows(Seq(11L)))
+    assert(store.readRange(spark, 0, 100000)
+      .select("t").as[Long].collect().toSeq == Seq(11L))
+    // delete on an empty store records nothing
+    val empty = new BlockStore(
+      Files.createTempDirectory("graft-delempty").toString, 1000L)
+    empty.delete(spark, 0, 100, graft.matchers.Eq("a", "b"))
+    assert(empty.manifest.tombstones.isEmpty)
+  }
+
   test("delete interval table: unions, beyond-range clamp, full deletion " +
     "(TestDeleteSimple db_test.go:242-346)") {
     import spark.implicits._
