@@ -606,6 +606,40 @@ final class BlockStore(
     * then an atomic manifest swap that retires the inputs. Tombstone
     * intervals that no longer touch any remaining block are dropped
     * (`CleanTombstones`, `db.go:1234-1261`). */
+  /** Apply pending tombstones physically by rewriting ONLY the blocks
+    * that carry them, each by itself — the reference's
+    * `db.CleanTombstones()` (`db.go:1234-1261`): block boundaries are
+    * preserved (no merging — that's [[planCompaction]]'s job), fully
+    * deleted blocks vanish, untouched blocks are not rewritten, and
+    * the applied intervals leave the manifest. Returns the new block
+    * ids (one per surviving rewritten block). */
+  def cleanTombstones(spark: SparkSession): Seq[Long] = Manifest.withLock(root) {
+    val st0 = manifest
+    val entryTombs = st0.tombstones.toSet
+    val entryFiles = st0.tombstoneFiles.map(_.fileId).toSet
+    val rewritten = st0.blocks
+      .filter(_.numTombstones > 0)
+      .map(_.blockId)
+      .flatMap(id => compact(spark, Seq(id)))
+    // Every interval present at entry has now been physically applied to
+    // every block that carried it (numTombstones is a time-overlap upper
+    // bound, so numTombstones == 0 blocks carry none). compact()'s own
+    // retention check keeps intervals that merely time-overlap the fresh
+    // rewrites, so drop the entry set explicitly — without this, a
+    // multi-block clean never clears the manifest and re-rewrites the
+    // same blocks on the next call.
+    if (entryTombs.nonEmpty || entryFiles.nonEmpty) {
+      val st1 = manifest
+      val tombs = st1.tombstones.filterNot(entryTombs)
+      val files = st1.tombstoneFiles.filterNot(f => entryFiles(f.fileId))
+      Manifest.publish(root, st1.copy(
+        blocks = recount(st1.blocks, tombs, files),
+        tombstones = tombs, tombstoneFiles = files))
+      markSynced()
+    }
+    rewritten
+  }
+
   def compact(spark: SparkSession, ids: Seq[Long]): Option[Long] = Manifest.withLock(root) {
     if (ids.size < 1) return None
     val st = manifest

@@ -239,6 +239,48 @@ class BlockStoreSpec extends SparkSuite {
     }
   }
 
+  test("cleanTombstones rewrites only tombstone-carrying blocks, preserves " +
+    "boundaries, clears the manifest (TestTombstoneClean db_test.go:875-969)") {
+    import spark.implicits._
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-cleantombs").toString, 1000L)
+    def rows(ts: Seq[Long]): DataFrame =
+      ts.map(i => ("s", i, i * 1.0, i, Map("a" -> "b")))
+        .toDF("series_key", "t", "v", "sample_id", "labels")
+    store.write(rows(0L until 10L))     // block 1
+    store.write(rows(100L until 110L))  // block 2
+    store.write(rows(200L until 210L))  // block 3 — never touched
+    // one delete spanning blocks 1 AND 2: the interval must still leave
+    // the manifest after the per-block rewrites (compact()'s own
+    // retention check alone would keep it — it time-overlaps the fresh
+    // rewrites)
+    store.delete(spark, 4, 103, graft.matchers.Eq("a", "b"))
+    assert(store.manifest.blocks.count(_.numTombstones > 0) == 2)
+    val newIds = store.cleanTombstones(spark)
+    assert(newIds.size == 2) // blocks 1, 2 rewritten; block 3 untouched
+    val st = store.manifest
+    assert(st.tombstones.isEmpty && st.tombstoneFiles.isEmpty)
+    assert(st.blocks.forall(_.numTombstones == 0))
+    // boundaries preserved: still three blocks, block 3 kept by id
+    assert(st.blocks.size == 3)
+    assert(st.blocks.map(_.blockId).contains(3L))
+    assert(store.readRange(spark, 0, 1000)
+      .select("t").as[Long].collect().sorted.toSeq ==
+      ((0L to 3L) ++ (104L to 109L) ++ (200L to 209L)))
+    // idempotent: a second clean rewrites nothing
+    assert(store.cleanTombstones(spark).isEmpty)
+    assert(store.manifest.blocks.map(_.blockId).toSet ==
+      st.blocks.map(_.blockId).toSet)
+    // a fully-deleted block vanishes instead of being rewritten empty
+    store.delete(spark, 104, 109, graft.matchers.Eq("a", "b"))
+    store.cleanTombstones(spark)
+    assert(store.manifest.blocks.size == 2)
+    assert(store.manifest.tombstones.isEmpty)
+    assert(store.readRange(spark, 0, 1000)
+      .select("t").as[Long].collect().sorted.toSeq ==
+      ((0L to 3L) ++ (200L to 209L)))
+  }
+
   test("compact merges overlapping blocks, applies deletes physically, swaps atomically") {
     val store = freshStore()
     store.write(samples)
