@@ -120,6 +120,16 @@ class DbE2eSpec extends SparkSuite {
     }
     check(rng, 6, "deletes")
 
+    // stage 3b: cleanTombstones applies the deletes physically without
+    // merging (block boundaries preserved, manifest intervals cleared,
+    // TestTombstoneClean db_test.go:875); answers must be unchanged
+    val nBlocks = store.manifest.blocks.size
+    store.cleanTombstones(spark)
+    assert(store.manifest.blocks.size == nBlocks)
+    assert(store.manifest.tombstones.isEmpty &&
+      store.manifest.tombstoneFiles.isEmpty)
+    check(rng, 6, "cleaned")
+
     // stage 4: compact everything; answers must be unchanged
     store.compact(spark, store.manifest.blocks.map(_.blockId))
     assert(store.manifest.blocks.size == 1)

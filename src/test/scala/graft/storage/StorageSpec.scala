@@ -281,6 +281,41 @@ class BlockStoreSpec extends SparkSuite {
       ((0L to 3L) ++ (200L to 209L)))
   }
 
+  test("a failed cleanTombstones leaves the visible store untouched " +
+    "(TestTombstoneCleanFail db_test.go:975-1013)") {
+    import spark.implicits._
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-cleanfail").toString, 1000L)
+    val rows = (0L until 10L).map(i => ("s", i, i * 1.0, i, Map("a" -> "b")))
+      .toDF("series_key", "t", "v", "sample_id", "labels")
+    store.write(rows)
+    store.delete(spark, 2, 5, graft.matchers.Eq("a", "b"))
+    val before = store.manifest
+    val versionBefore = Manifest.currentVersion(store.root)
+    val preClean = store.readRange(spark, 0, 100)
+      .select("t").as[Long].collect().sorted.toSeq
+    // inject a failure LATE in the rewrite — after the data write, at
+    // the dictionary merge — by planting a garbage parquet in the
+    // block's dict dir; publish must never happen
+    val garbage = java.nio.file.Paths.get(
+      store.dictDir, "block_id=1", "zzz-corrupt.parquet")
+    Files.write(garbage, "not a parquet file".getBytes)
+    intercept[Exception] { store.cleanTombstones(spark) }
+    // the manifest never advanced: same version, same blocks, the
+    // tombstones still pending; the half-written rewrite is invisible
+    assert(Manifest.currentVersion(store.root) == versionBefore)
+    assert(store.manifest.blocks.map(_.blockId) == before.blocks.map(_.blockId))
+    assert(store.manifest.tombstones == before.tombstones)
+    assert(store.readRange(spark, 0, 100)
+      .select("t").as[Long].collect().sorted.toSeq == preClean)
+    // operator repairs the corruption; the retry succeeds cleanly
+    Files.delete(garbage)
+    assert(store.cleanTombstones(spark).size == 1)
+    assert(store.manifest.tombstones.isEmpty)
+    assert(store.readRange(spark, 0, 100)
+      .select("t").as[Long].collect().sorted.toSeq == preClean)
+  }
+
   test("compact merges overlapping blocks, applies deletes physically, swaps atomically") {
     val store = freshStore()
     store.write(samples)
