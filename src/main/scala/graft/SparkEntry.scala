@@ -667,6 +667,37 @@ object SparkEntry {
         .where(col("t").between(MINT, MAXT))
     }),
 
+    // PromQL mad_over_time(v[1h]): median absolute deviation from the
+    // frame median. The deviation |v_i - med_e| depends on the EVAL
+    // row's median, so no single window pass can produce it; the frame
+    // median comes from one range-frame window, then the frame rows are
+    // re-expanded by a BUCKETED range join (frame side exploded to its
+    // two covering lookback-width buckets, equi-join on series+bucket,
+    // exact range refilter) — pair count is O(samples × frame width),
+    // never the per-series n² a plain range self-join would cost — and
+    // one exact interpolated percentile per eval row finishes it.
+    "ts_mad_over_time" -> ((s, dir) => {
+      val w = Window.partitionBy("series_key").orderBy("t")
+        .rangeBetween(-LOOKBACK, 0)
+      val base = Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+      val ev = base.select(
+          col("series_key"), col("t"), col("sample_id"),
+          count(lit(1)).over(w).as("n_win"),
+          expr("percentile(v, 0.5D)").over(w).as("med"))
+        .where(col("t").between(MINT, MAXT))
+        .withColumn("eb", expr(s"t div $LOOKBACK"))
+      val fr = base.select(
+          col("series_key").as("fk"), col("t").as("ft"), col("v").as("fv"))
+        .withColumn("fb", explode(array(
+          expr(s"ft div $LOOKBACK"), expr(s"ft div $LOOKBACK + 1"))))
+      ev.join(fr, col("series_key") === col("fk") && col("eb") === col("fb") &&
+          col("ft") >= col("t") - LOOKBACK && col("ft") <= col("t"))
+        .groupBy("series_key", "t", "sample_id", "n_win", "med")
+        .agg(round(expr("percentile(abs(fv - med), 0.5D)"), 4).as("mad_win"))
+        .select(col("series_key"), col("t"), col("sample_id"), col("n_win"),
+          round(col("med"), 4).as("med_win"), col("mad_win"))
+    }),
+
     // PromQL many-to-one vector matching — v / on(name) group_left
     // sum by (name)(v): each present series' share of its name group's
     // total at every grid instant. The one-side aggregate is
@@ -1056,6 +1087,48 @@ object SparkEntry {
       at.withColumn("rk", row_number().over(w))
         .select("rk", "series_key", "v")
         .orderBy("rk")
+    }),
+
+    // PromQL limitk(5, v): k series per evaluation instant. PromQL's
+    // pick is unspecified; we pin lexicographic label order so the
+    // result is deterministic and cross-engine checkable. Per-instant
+    // window — instant-vector-sized partitions, like ts_sort_desc.
+    "ts_limitk" -> ((s, dir) =>
+      orderedOnce(
+        namedGridFill(s, dir)
+          .where(col("r_v").isNotNull)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("t").orderBy("series_key")))
+          .where(col("rk") <= 5)
+          .select("t", "rk", "series_key", "r_v"),
+        "t", "rk")),
+
+    // PromQL limit_ratio(0.4, v): deterministic per-series hash
+    // sampling at one instant — a series is `in` iff its canonical
+    // XXHash64 (as unsigned) < 0.4·2⁶⁴, the membership-stable rule
+    // (doc_sample_mix's property on the metrics surface). The
+    // complementary ratio (-0.6 in PromQL) is exactly the `out` rows:
+    // emitting the partition tag over ALL series pins the
+    // union-is-everything property cross-engine. Hash threshold is
+    // pure integer logic: floor(0.4·2⁶⁴) < 2⁶³, so "in" ⟺ the signed
+    // id is non-negative and below it.
+    "ts_limit_ratio" -> ((s, dir) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val at = TsdbSource.events(s, dir).samples
+        .where(col("t") <= lit(MAXT) && col("t") >= lit(MAXT) - LOOKBACK)
+        .groupBy("series_key")
+        .agg(
+          max(struct(col("t"), col("sample_id"), col("v")))
+            .getField("v").as("v"),
+          first("labels").as("labels"))
+      at.select(col("series_key"), col("v"),
+          graft.functions.labelsHash(col("labels")).as("series_id"))
+        .withColumn("part",
+          when(col("series_id") >= 0 &&
+            col("series_id") < lit(7378697629483820646L), "in")
+            .otherwise("out"))
+        .select("series_key", "part", "v")
+        .orderBy("series_key")
     }),
 
     // PromQL sort_by_label(v, "user"): the instant vector ordered by a
@@ -2293,6 +2366,18 @@ object SparkEntry {
          |SELECT series_key, t, sample_id, n_win, q90_win
          |FROM w WHERE t BETWEEN $MINT AND $MAXT
          |ORDER BY series_key, t, sample_id""".stripMargin,
+    "ts_mad_over_time" ->
+      s"""$samplesCte,
+         |w AS (SELECT series_key, t, sample_id,
+         |  count(*) OVER win AS n_win,
+         |  quantile_cont(v, 0.5) OVER win AS med,
+         |  mad(v) OVER win AS mad_raw
+         |  FROM s WINDOW win AS (PARTITION BY series_key ORDER BY t
+         |    RANGE BETWEEN $LOOKBACK PRECEDING AND CURRENT ROW))
+         |SELECT series_key, t, sample_id, n_win,
+         |  round(med, 4) AS med_win, round(mad_raw, 4) AS mad_win
+         |FROM w WHERE t BETWEEN $MINT AND $MAXT
+         |ORDER BY series_key, t, sample_id""".stripMargin,
     "ts_group_left" ->
       s"""$namedGridCte,
          |p AS (SELECT name, t, series_key, r_v FROM f WHERE r_v IS NOT NULL),
@@ -2401,6 +2486,27 @@ object SparkEntry {
          |SELECT row_number() OVER (ORDER BY v DESC, series_key) AS rk,
          |  series_key, v
          |FROM i ORDER BY rk""".stripMargin,
+    "ts_limitk" ->
+      s"""$namedGridCte,
+         |p AS (SELECT t, series_key, r_v FROM f WHERE r_v IS NOT NULL),
+         |k AS (SELECT t, series_key, r_v,
+         |  row_number() OVER (PARTITION BY t ORDER BY series_key) AS rk
+         |  FROM p)
+         |SELECT t, rk, series_key, r_v FROM k WHERE rk <= 5
+         |ORDER BY t, rk""".stripMargin,
+    "ts_limit_ratio" ->
+      s"""$samplesCte,
+         |ids AS (SELECT * FROM ($seriesIdOracleSql)),
+         |i AS (SELECT series_key,
+         |  (max(struct_pack(t := t, s := sample_id, v := v))).v AS v
+         |  FROM s WHERE t <= $MAXT AND t >= ${MAXT - LOOKBACK} GROUP BY 1)
+         |SELECT i.series_key,
+         |  CASE WHEN ids.series_id >= 0
+         |    AND ids.series_id < 7378697629483820646 THEN 'in'
+         |    ELSE 'out' END AS part,
+         |  i.v
+         |FROM i JOIN ids ON i.series_key = ids.series_key
+         |ORDER BY i.series_key""".stripMargin,
     "ts_sort_by_label" ->
       s"""$samplesCte,
          |i AS (SELECT series_key, CAST(user_id AS VARCHAR) AS lbl,
