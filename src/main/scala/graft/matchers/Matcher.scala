@@ -75,16 +75,41 @@ object Matcher {
 
   /** Detects `a|b|c` alternations of literals — the reference's regex→set
     * fast path (`querier.go:284-324`) — so `=~"a|b|c"` compiles to an
-    * `IN` list instead of a regex eval per row. */
+    * `IN` list instead of a regex eval per row. Escaped metas (`fo\.o`)
+    * unescape to their literal; any unescaped meta bails. One deliberate
+    * divergence: the reference only fires inside its own `^(?:...)$`
+    * wrapper, while our matchers anchor at compile time ([[Re.anchored]]),
+    * so the bare spelling qualifies too. */
   def setMatches(pattern: String): Option[Seq[String]] = {
+    val meta = ".+*?()|[]{}^$"
     val p =
       if (pattern.startsWith("^(?:") && pattern.endsWith(")$"))
         pattern.substring(4, pattern.length - 2)
       else pattern
-    if (p.isEmpty) return None
-    val parts = p.split("\\|", -1).toSeq
-    val literal = parts.forall(s => s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == ':' || c == ' '))
-    if (literal) Some(parts) else None
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var escaped = false
+    var i = 0
+    while (i < p.length) {
+      val ch = p.charAt(i)
+      if (escaped) {
+        // only regex metas (and backslash itself) may be escaped — an
+        // escaped letter could be a character class (\d, \w): bail
+        if (meta.indexOf(ch.toInt) >= 0 || ch == '\\') cur.append(ch)
+        else return None
+        escaped = false
+      } else if (ch == '\\') escaped = true
+      else if (ch == '|') { if (cur.nonEmpty) out += cur.toString; cur.clear() }
+      else if (meta.indexOf(ch.toInt) >= 0) return None
+      else cur.append(ch) // any non-meta char is literal (incl. unicode)
+      i += 1
+    }
+    if (escaped) return None
+    if (cur.nonEmpty) out += cur.toString
+    // empty alternatives are dropped like the reference; the compiled
+    // predicate re-adds the match-empty branch via matchesValue("")
+    val res = out.result()
+    if (res.isEmpty) None else Some(res)
   }
 
   /** [[setMatches]] restricted to *anchored* patterns (`^(?:a|b|c)$` or

@@ -97,6 +97,34 @@ class MatcherSpec extends AnyFunSuite {
     assert(Matcher.setMatches("").isEmpty)
   }
 
+  test("set-regex escape handling (TestFindSetMatches querier_test.go:1775)") {
+    // simple sets
+    assert(Matcher.setMatches("^(?:foo|bar|baz)$")
+      .contains(Seq("foo", "bar", "baz")))
+    // escaped metas unescape to their literal
+    assert(Matcher.setMatches("^(?:fo\\.o|bar\\?|\\^baz)$")
+      .contains(Seq("fo.o", "bar?", "^baz")))
+    // unescaped metas bail
+    assert(Matcher.setMatches("^(?:fo.o|bar?|^baz)$").isEmpty)
+    // escaped letters could be character classes — bail
+    assert(Matcher.setMatches("a\\db").isEmpty)
+    // escaped backslash is a literal backslash
+    assert(Matcher.setMatches("a\\\\b|c").contains(Seq("a\\b", "c")))
+    // trailing dangling escape bails
+    assert(Matcher.setMatches("abc\\").isEmpty)
+    // empty alternatives are dropped (the reference's builder-skip);
+    // the compiled predicate restores empty-match via matchesValue("")
+    assert(Matcher.setMatches("a||b").contains(Seq("a", "b")))
+    assert(Matcher.setMatches("|").isEmpty)
+    // any non-meta byte is literal: slash, comma, unicode
+    assert(Matcher.setMatches("foo/bar|b,c|ünïcode")
+      .contains(Seq("foo/bar", "b,c", "ünïcode")))
+    // divergence pinned: bare alternation qualifies here (our Re
+    // anchors at compile time; the reference requires its wrapper)
+    assert(Matcher.setMatches("foo|bar|baz")
+      .contains(Seq("foo", "bar", "baz")))
+  }
+
   test("labels-object matching uses empty-string for absent") {
     assert(Eq("q", "").matches(Labels("a" -> "1")))
   }
