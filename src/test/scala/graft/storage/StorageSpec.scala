@@ -281,6 +281,76 @@ class BlockStoreSpec extends SparkSuite {
       ((0L to 3L) ++ (200L to 209L)))
   }
 
+  test("labelNames unions blocks with later writes, sorted distinct " +
+    "(TestDB_LabelNames db_test.go:1655-1753)") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("name1" -> "1", "name3" -> "3", "name2" -> "2"),
+        Seq("name4" -> "4", "name1" -> "1"),
+        Seq("name1", "name2", "name3"),
+        Seq("name1", "name2", "name3", "name4")),
+      (Seq("name2" -> "2", "name1" -> "1", "name2" -> "2"),
+        Seq("name6" -> "6", "name0" -> "0"),
+        Seq("name1", "name2"),
+        Seq("name0", "name1", "name2", "name6")))
+    for ((ls1, ls2, exp1, exp2) <- cases) {
+      val store = new BlockStore(
+        Files.createTempDirectory("graft-labelnames").toString, 1000L)
+      def rows(ls: Seq[(String, String)], t0: Long): DataFrame =
+        ls.zipWithIndex.map { case ((n, v), i) =>
+          (s"""{$n="$v"}""", t0 + i, 0.0, t0 + i, Map(n -> v)) }
+          .toDF("series_key", "t", "v", "sample_id", "labels")
+      store.write(rows(ls1, 0L))
+      assert(store.labelNames(spark).as[String].collect().toSeq == exp1)
+      // compaction preserves the name set
+      store.compact(spark, store.manifest.blocks.map(_.blockId))
+      assert(store.labelNames(spark).as[String].collect().toSeq == exp1)
+      // a later write with new names: the union, still sorted distinct
+      store.write(rows(ls2, 100L))
+      assert(store.labelNames(spark).as[String].collect().toSeq == exp2)
+    }
+  }
+
+  test("uncommitted txn samples survive a head truncation " +
+    "(TestUncommittedSamplesNotLostOnTruncate head_test.go:976-1002)") {
+    import spark.implicits._
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-uncommitted").toString, 1000L)
+    val txn = graft.ingest.Appender.txn(store, minValidTime = 0)
+      .add(Seq(("""{a="1"}""", 2100L, 1.0, 0L, Map("a" -> "1")))
+        .toDF("series_key", "t", "v", "arrival", "labels"))
+    // head truncation between add and commit must not lose the staged
+    // sample (it lives in the txn, not the head)
+    store.truncateHead()
+    assert(txn.commit().nonEmpty)
+    val got = store.readRange(spark, 1500, 2500, graft.matchers.Eq("a", "1"))
+      .select("t").as[Long].collect().toSeq
+    assert(got == Seq(2100L))
+  }
+
+  test("per-block tombstone counters track coalesced deletes " +
+    "(TestCorrectNumTombstones db_test.go:1755-1791)") {
+    import spark.implicits._
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-numtombs").toString, 1000L)
+    def rows(ts: Seq[Long]): DataFrame =
+      ts.map(i => ("s", i, 0.0, i, Map("foo" -> "bar")))
+        .toDF("series_key", "t", "v", "sample_id", "labels")
+    (0L until 3L).foreach(i => store.write(rows((0L until 15L).map(i * 1000L + _))))
+    store.compact(spark, store.manifest.blocks.map(_.blockId))
+    assert(store.manifest.blocks.size == 1)
+    val m = graft.matchers.Eq("foo", "bar")
+    store.delete(spark, 0, 1, m)
+    assert(store.manifest.blocks.head.numTombstones == 1)
+    // {0,1} and {2,3} are adjacent: they merge to ONE tombstone
+    store.delete(spark, 2, 3, m)
+    assert(store.manifest.blocks.head.numTombstones == 1)
+    store.delete(spark, 5, 6, m)
+    assert(store.manifest.blocks.head.numTombstones == 2)
+    store.delete(spark, 9, 11, m)
+    assert(store.manifest.blocks.head.numTombstones == 3)
+  }
+
   test("a failed cleanTombstones leaves the visible store untouched " +
     "(TestTombstoneCleanFail db_test.go:975-1013)") {
     import spark.implicits._
