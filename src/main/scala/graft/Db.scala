@@ -37,8 +37,13 @@ final class Db private (
     retentionMs: Long,
     retentionBytes: Long) {
 
-  /** Open an append transaction (`db.Appender()`, `db.go:89-112`). */
-  def appender(minValidTime: Long = Long.MinValue): Appender.Txn =
+  /** Open an append transaction (`db.Appender()`, `db.go:89-112`).
+    * The default lower bound is the store's head-init semantics
+    * ([[BlockStore.minValidTime]], `db.go:514-519`): samples at
+    * timestamps a live block already covers are rejected as
+    * out-of-bounds. Pass an explicit bound (e.g. `Long.MinValue`) for
+    * deliberate backfill writes into covered ranges. */
+  def appender(minValidTime: Long = store.minValidTime): Appender.Txn =
     Appender.txn(store, minValidTime)
 
   /** Matcher select over a closed time range — the `Querier(mint,

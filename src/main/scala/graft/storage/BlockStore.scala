@@ -79,6 +79,22 @@ final class BlockStore(
   /** Current published state (block list + tombstones). */
   def manifest: ManifestState = Manifest.load(root)
 
+  /** The head's lower append bound for this store — the reference
+    * initializes a reopened head with the mint-ordered last block's
+    * (exclusive) maxt, so a sample at a timestamp the block layer
+    * already covers is rejected as out-of-bounds rather than silently
+    * shadowed (`db.go:514-519`; `TestInitializeHeadTimestamp`
+    * db_test.go:1438 "with blocks: set to the last block maxT";
+    * `TestBlockRanges` db_test.go:2185-2193 "appending a sample with a
+    * timestamp covered by a previous block shouldn't be possible").
+    * `Long.MinValue` on an empty store: no bound until data exists, the
+    * first appended sample initializes the writable range. */
+  def minValidTime: Long = {
+    val bs = manifest.blocks
+    if (bs.isEmpty) Long.MinValue
+    else bs.maxBy(b => (b.mint, b.blockId)).maxt
+  }
+
   /** Catalog name of this store's bucketed data table: stable per
     * store path, safe to register in any session. */
   private[storage] val tableName: String = {

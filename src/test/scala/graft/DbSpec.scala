@@ -56,6 +56,34 @@ class DbSpec extends SparkSuite {
     assert(db2.query(0, 1000).count() == 3)
   }
 
+  test("appender lower bound initializes from the block layer: covered timestamps " +
+    "rejected (TestInitializeHeadTimestamp db_test.go:1438, TestBlockRanges db_test.go:2185)") {
+    val root = Files.createTempDirectory("graft-db-init").toString
+    val db = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))
+
+    // empty store: no bound yet — the first appended sample initializes
+    // the writable range (the reference's clean-open case)
+    assert(db.store.minValidTime == Long.MinValue)
+    db.appender().add(batch(
+      ("a", 100, 1.0, 1, Map("name" -> "cpu")))).commit()
+    // with a block [100, 101): the bound is its exclusive maxt
+    assert(db.store.minValidTime == 101L)
+
+    // "appending a sample with a timestamp covered by a previous block
+    // shouldn't be possible": t=100 is out of bounds, t=101 is not
+    assert(db.appender().add(batch(
+      ("a", 100, 9.0, 2, Map("name" -> "cpu")))).commit().isEmpty)
+    assert(db.appender().add(batch(
+      ("a", 101, 2.0, 3, Map("name" -> "cpu")))).commit().nonEmpty)
+    assert(db.query(0, 1000).count() == 2) // the covered re-append never landed
+
+    // the bound follows the mint-ordered LAST block (db.go:514-516): an
+    // explicit backfill block with an earlier mint does not lower it
+    db.store.write(batch(("b", 50, 5.0, 4, Map("name" -> "mem")))
+      .withColumnRenamed("arrival", "sample_id"))
+    assert(db.store.minValidTime == 102L)
+  }
+
   test("rollback through the facade keeps series, drops samples (db.go:100-112)") {
     val root = Files.createTempDirectory("graft-db-rb").toString
     val db = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))

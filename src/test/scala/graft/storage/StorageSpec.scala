@@ -134,6 +134,35 @@ class BlockStoreSpec extends SparkSuite {
     assert(!ps.contains("Join") && !ps.contains("Window"), ps.take(2000))
   }
 
+  test("query ranges at exact block boundaries select only the overlapping blocks " +
+    "(TestQuerierWithBoundaryChunks db_test.go:1399-1430, TestChunkAtBlockBoundary db_test.go:1343)") {
+    import spark.implicits._
+    val br = 1000L
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-boundary").toString, br)
+    def rows(ts: Long*): DataFrame =
+      ts.map(t => ("s", t, 0.0, t, Map("foo" -> "bar")))
+        .toDF("series_key", "t", "v", "sample_id", "labels")
+    // five adjacent blocks, each exactly one half-open range [i*br, (i+1)*br)
+    // — the reference's appends at i*blockRange after head compaction
+    for (i <- 0L until 5L)
+      store.write(rows(i * br, i * br + 500, (i + 1) * br - 1))
+    // every block's samples stay inside its aligned window — the
+    // TestChunkAtBlockBoundary invariant (no block spans a range border)
+    for (b <- store.manifest.blocks)
+      assert(b.mint % br == 0 && b.maxt == b.mint + br,
+        s"block ${b.blockId} [${b.mint}, ${b.maxt}) crosses a $br-aligned border")
+    // the closed query [br, 2br] must touch exactly two blocks: block 1's
+    // exclusive maxt == br keeps it OUT at the left edge, while block 3's
+    // mint == 2br is IN at the right edge (closed query bounds)
+    val live = store.manifest.blocks.filter(_.overlaps(br, 2 * br)).map(_.blockId)
+    assert(live == Seq(2L, 3L), s"expected 2 blocks in querier, got $live")
+    // and the samples agree: both boundary samples included, br-1 excluded
+    assert(store.readRange(spark, br, 2 * br)
+      .select("t").as[Long].collect().sorted.toSeq ==
+      Seq(br, br + 500, 2 * br - 1, 2 * br))
+  }
+
   test("overlapping writes are auto-deduped at read: later block wins (db.go:1185-1195)") {
     val store = freshStore()
     store.write(samples)
