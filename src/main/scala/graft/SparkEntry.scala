@@ -623,6 +623,16 @@ object SparkEntry {
           DAY, HIST_LES, 0.9)
         .sortWithinPartitions("series_key", "t_bucket")),
 
+    // PromQL histogram_fraction(25, 120, v) over the classic le buckets:
+    // fraction of observations in [25, 120] per (series, day) — lower
+    // bound exactly on a boundary (exact cumulative count), upper bound
+    // interior to (100, 250] (interpolated). ONE conditional hash
+    // aggregate, no window — see Histogram.fraction.
+    "ts_hist_fraction" -> ((s, dir) =>
+      Histogram.fraction(Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+          DAY, HIST_LES, 25.0, 120.0)
+        .sortWithinPartitions("series_key", "t_bucket")),
+
     // PromQL *_over_time range vectors: trailing-1h sliding aggregates
     // per sample via ONE range-frame window (count/min/max/sum/avg).
     "ts_over_time" -> ((s, dir) =>
@@ -2181,6 +2191,25 @@ object SparkEntry {
          |  round(CASE WHEN isinf(le) THEN ${HIST_LES.max}
          |    ELSE prev_le + (le - prev_le) * (total * 0.9 - (cum - n)) / n END, 4) AS q
          |FROM w WHERE cum >= total * 0.9 AND (cum - n) < total * 0.9
+         |ORDER BY series_key, t_bucket""".stripMargin
+    },
+    "ts_hist_fraction" -> {
+      val leCase = HIST_LES.sorted
+        .map(b => s"WHEN v <= $b THEN ${b}::DOUBLE")
+        .mkString("CASE ", " ", " ELSE 'infinity'::DOUBLE END")
+      // bounds 25 (exactly the 25-boundary: ratio 1) and 120 (interior
+      // of (100, 250]: ratio (120-100)/(250-100)); the literal ratios
+      // are Scala-computed doubles embedded identically in both engines
+      val hiFrac = (120.0 - 100.0) / (250.0 - 100.0)
+      s"""$samplesCte,
+         |b AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  $leCase AS le FROM s)
+         |SELECT series_key, t_bucket, count(*) AS total,
+         |  round(((count(*) FILTER (WHERE le < 250.0)
+         |          + count(*) FILTER (WHERE le = 250.0) * $hiFrac)
+         |        - (count(*) FILTER (WHERE le < 25.0)
+         |          + count(*) FILTER (WHERE le = 25.0) * 1.0)) / count(*), 4) AS frac
+         |FROM b GROUP BY 1, 2
          |ORDER BY series_key, t_bucket""".stripMargin
     },
     "ts_over_time" ->

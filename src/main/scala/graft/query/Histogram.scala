@@ -99,4 +99,62 @@ object Histogram {
               (col("le") - col("prev_le")) * (rank - col("prev_cum")) / col("n")),
           4).as("q"))
   }
+
+  /** PromQL `histogram_fraction(lower, upper, v)` over classic `le`
+    * buckets: the estimated fraction of observations in `[lower,
+    * upper]` per `(series_key, t_bucket)`, linearly interpolated inside
+    * the bucket containing each bound (the same uniform-within-bucket
+    * model [[quantile]] uses; Prometheus defines the function for
+    * native histograms — this is its classic-bucket analogue, the
+    * `sum(rate(..._bucket{le="x"}))` ratio dashboards compute by hand).
+    *
+    * Both bounds must lie within `(-inf, les.max]`; the containing
+    * bucket of a *literal* bound is known statically, so the cumulative
+    * count at each bound needs only two conditional counts — below the
+    * bound's bucket, and inside it — making the whole operator ONE
+    * hash aggregate (map-side combined, no window, no second pass):
+    *
+    *   F(x) = |le < target| + |le = target| · (x − prev)/(target − prev)
+    *   fraction = (F(upper) − F(lower)) / total
+    *
+    * All counts are exact longs; each F does one integer·double
+    * multiply with a literal ratio, so the doubles are bit-identical
+    * cross-engine. A bound exactly on a boundary degenerates to the
+    * exact cumulative count (ratio 1). Output: `(series_key, t_bucket,
+    * total, frac)`, frac rounded 4dp. */
+  def fraction(
+      samples: DataFrame,
+      bucketMs: Long,
+      les: Seq[Double],
+      lower: Double,
+      upper: Double): DataFrame = {
+    require(les.nonEmpty && les.forall(b => !b.isInfinite), "finite boundaries only")
+    require(lower <= upper && upper <= les.max,
+      s"bounds must satisfy lower <= upper <= ${les.max}")
+    val sorted = les.sorted
+    // static decomposition of one bound: (bucket boundary containing it,
+    // interpolation ratio inside that bucket)
+    def boundParts(x: Double): (Double, Double) =
+      sorted.find(_ >= x) match {
+        case Some(target) =>
+          val prev = sorted.takeWhile(_ < target).lastOption.getOrElse(0.0)
+          (target, if (x <= prev) 0.0 else (x - prev) / (target - prev))
+        case None => (sorted.head, 0.0) // unreachable: upper <= les.max
+      }
+    val (loLe, loFrac) = boundParts(lower)
+    val (hiLe, hiFrac) = boundParts(upper)
+    def cumAt(targetLe: Double, frac: Double): Column =
+      count(when(col("le") < targetLe, 1)) +
+        count(when(col("le") === targetLe, 1)) * lit(frac)
+    samples
+      .select(
+        col("series_key"),
+        rangeForTimestamp(col("t"), bucketMs).as("t_bucket"),
+        leOf(col("v"), les).as("le"))
+      .groupBy("series_key", "t_bucket")
+      .agg(
+        count(lit(1)).as("total"),
+        round((cumAt(hiLe, hiFrac) - cumAt(loLe, loFrac)) /
+          count(lit(1)), 4).as("frac"))
+  }
 }

@@ -30,6 +30,29 @@ class HistogramSpec extends SparkSuite {
     assert(q(0.95) == 20.0)
   }
 
+  private def frac(lower: Double, upper: Double): Double =
+    Histogram.fraction(samples, bucketMs = 1000L, les = Seq(10.0, 20.0),
+      lower = lower, upper = upper)
+      .select("frac").as[Double].head()
+
+  test("fraction: bounds on exact boundaries use exact cumulative counts") {
+    // [0, 10] holds exactly the 4 samples of the first bucket
+    assert(frac(0.0, 10.0) == 0.4)
+    // [10, 20]: cum(20)=8 minus cum(10)=4
+    assert(frac(10.0, 20.0) == 0.4)
+  }
+
+  test("fraction: interior bounds interpolate within their bucket") {
+    // F(15) = 4 + 4*(15-10)/10 = 6 -> [0,15] = 6/10
+    assert(frac(0.0, 15.0) == 0.6)
+    // [12.5, 17.5]: (4 + 4*0.75) - (4 + 4*0.25) = 2 -> 0.2
+    assert(frac(12.5, 17.5) == 0.2)
+  }
+
+  test("fraction: a lower bound below all data contributes zero mass") {
+    assert(frac(-5.0, 10.0) == 0.4)
+  }
+
   test("groups are independent per (series, t_bucket) and totals are exact") {
     val two = samples.unionByName(
       Seq((100L, "b", 150L, 3.0), (101L, "b", 160L, 50.0))
