@@ -84,6 +84,47 @@ class DbSpec extends SparkSuite {
     assert(db.store.minValidTime == 102L)
   }
 
+  test("a second handle on the same root answers identically and its reads mutate " +
+    "nothing on disk (TestDBReadOnly db_test.go:2258-2343)") {
+    import java.nio.file.{Files => JFiles, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-db-ro").toString
+    val db = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))
+    db.appender().add(batch(
+      ("a", 100, 1.0, 1, Map("name" -> "cpu")),
+      ("b", 200, 2.0, 2, Map("name" -> "mem")))).commit()
+    db.appender().add(batch(
+      ("a", 300, 3.0, 3, Map("name" -> "cpu")))).commit()
+    db.delete(0, 150, Eq("name", "cpu"))
+    val expBlocks = db.blocks
+    val expRows = db.query(0, 100000)
+      .select("series_key", "t", "v").as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    // every file under the store root, with size + mtime — the
+    // reference's DirHash equality after read-only use
+    def dirState(): Set[(String, Long, Long)] = {
+      val s = JFiles.walk(Paths.get(root))
+      try s.iterator().asScala
+        .filter(JFiles.isRegularFile(_))
+        .map(p => (p.toString, JFiles.size(p), JFiles.getLastModifiedTime(p).toMillis))
+        .toSet
+      finally s.close()
+    }
+    val before = dirState()
+
+    // a second handle on the same root: same blocks, same answers
+    val ro = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))
+    assert(ro.blocks == expBlocks, "block meta mismatch")
+    val roRows = ro.query(0, 100000)
+      .select("series_key", "t", "v").as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(roRows == expRows, "series mismatch")
+    assert(ro.labelNames().as[String].collect().toSeq ==
+      db.labelNames().as[String].collect().toSeq)
+    // after all read operations the store's bytes are untouched
+    assert(dirState() == before,
+      "read-only use modified files under the store root")
+  }
+
   test("rollback through the facade keeps series, drops samples (db.go:100-112)") {
     val root = Files.createTempDirectory("graft-db-rb").toString
     val db = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))
