@@ -64,7 +64,11 @@ object Bench {
     // r6: segment-level dedup (explode + segment-keyed window + doc
     // reassembly — shuffles linear in corpus mass) and the fused
     // corpus-selection pipeline (feature branches + dup join-back)
-    "doc_line_dedup", "doc_filter_pipeline")
+    "doc_line_dedup", "doc_filter_pipeline",
+    // r6: histogram_fraction — the windowless single-aggregate histogram
+    // consumer; its gap vs ts_hist_quantile is the price of the
+    // quantile's cumulative window pass
+    "ts_hist_fraction")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not
