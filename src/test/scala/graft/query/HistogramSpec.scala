@@ -53,6 +53,37 @@ class HistogramSpec extends SparkSuite {
     assert(frac(-5.0, 10.0) == 0.4)
   }
 
+  test("fraction: seeded randomized differential vs a per-bucket counting model") {
+    val rnd = new scala.util.Random(42)
+    val les = Seq(5.0, 10.0, 20.0, 50.0)
+    val bucketMs = 1000L
+    val data = (0 until 400).map(i =>
+      (i.toLong, s"s${i % 3}", (i % 5) * 1000L + (i % 7) * 10L, rnd.nextDouble() * 60.0))
+    val df = data.toDF("sample_id", "series_key", "t", "v")
+    def leOfV(v: Double): Double = les.find(v <= _).getOrElse(Double.PositiveInfinity)
+    def model(vs: Seq[Double], lo: Double, hi: Double): Double = {
+      def cumAt(x: Double): Double = {
+        val target = les.find(_ >= x).get
+        val prev = les.takeWhile(_ < target).lastOption.getOrElse(0.0)
+        val frac = if (x <= prev) 0.0 else (x - prev) / (target - prev)
+        val bs = vs.map(leOfV)
+        bs.count(_ < target) + bs.count(_ == target) * frac
+      }
+      BigDecimal((cumAt(hi) - cumAt(lo)) / vs.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((lo, hi) <- Seq((7.5, 30.0), (5.0, 50.0), (0.0, 12.0))) {
+      val got = Histogram.fraction(df, bucketMs, les, lo, hi)
+        .select("series_key", "t_bucket", "frac")
+        .as[(String, Long, Double)].collect()
+        .map { case (k, b, f) => (k, b) -> f }.toMap
+      val want = data
+        .groupBy(r => (r._2, (r._3 / bucketMs + 1) * bucketMs))
+        .view.mapValues(rs => model(rs.map(_._4), lo, hi)).toMap
+      assert(got == want, s"bounds ($lo, $hi)")
+    }
+  }
+
   test("groups are independent per (series, t_bucket) and totals are exact") {
     val two = samples.unionByName(
       Seq((100L, "b", 150L, 3.0), (101L, "b", 160L, 50.0))
