@@ -54,6 +54,41 @@ class PostingsSpec extends SparkSuite {
     assert(viaPostings(Eq("name", "missing-value")).isEmpty)
   }
 
+  test("postings set algebra edge table (TestIntersect/TestMergedPostings/" +
+    "TestWithoutPostings postings_test.go:64,320,738)") {
+    import spark.implicits._
+    // the reference's list postings as a tiny index: one label value =
+    // one postings list. l1: A->{s1,s2,s3}, C->{s4,s5}; l2: B->{s2,s3,s4};
+    // s6 carries only l2 (the label-absent row for the without cases)
+    val idx = Seq(
+      ("s1", "l1", "A"), ("s2", "l1", "A"), ("s3", "l1", "A"),
+      ("s4", "l1", "C"), ("s5", "l1", "C"),
+      ("s2", "l2", "B"), ("s3", "l2", "B"), ("s4", "l2", "B"),
+      ("s6", "l2", "D"))
+      .toDF("series_key", "label_name", "label_value")
+    val none = idx.select("series_key").limit(0)
+    def got(ms: Matcher*): Set[String] =
+      Postings.seriesFor(idx, none, ms).as[String].collect().toSet
+
+    // J1 intersect: {1,2,3} ∩ {2,3,4} -> {2,3}
+    assert(got(Eq("l1", "A"), Eq("l2", "B")) == Set("s2", "s3"))
+    // an empty postings list anywhere in the conjunction absorbs it,
+    // in any order (the reference's 8 orderings)
+    assert(got(Eq("l1", "missing"), Eq("l1", "A"), Eq("l2", "B")).isEmpty)
+    assert(got(Eq("l1", "A"), Eq("l1", "missing"), Eq("l2", "B")).isEmpty)
+    assert(got(Eq("l1", "A"), Eq("l2", "B"), Eq("l1", "missing")).isEmpty)
+    // disjoint lists intersect to empty: a series has one l1 value
+    assert(got(Eq("l1", "A"), Eq("l1", "C")).isEmpty)
+    // J2 merge: A ∪ C -> {1..5}
+    assert(got(Re("l1", "A|C")) == Set("s1", "s2", "s3", "s4", "s5"))
+    // J3 without: all \ A -> value-mismatched ∪ label-absent
+    assert(got(Matcher.neq("l1", "A")) == Set("s4", "s5", "s6"))
+    // removing a superset of the positive side leaves nothing
+    assert(got(Eq("l1", "A"), Matcher.neq("l1", "A")).isEmpty)
+    // removing nothing leaves the positive side intact
+    assert(got(Eq("l1", "A"), Matcher.neq("l1", "missing")) == Set("s1", "s2", "s3"))
+  }
+
   test("fact table is touched once, via a broadcast semi-join") {
     val plan = Postings.select(samples, postings, T0, HI, Eq("name", "click"))
       .queryExecution.executedPlan.toString
