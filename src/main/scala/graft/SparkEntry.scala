@@ -734,9 +734,10 @@ object SparkEntry {
     // union-window pass (AsOf.joinWide), then arithmetic on the matched
     // instants. 1-day staleness: per-user events are sparse.
     "ts_binary_op" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(
+      val evRaw = Tables.events(s, dir)
+      val ev = evRaw.select(
         col("user_id").cast("long").as("user_id"),
-        expr("ts div 1000000").as("t"),
+        Tables.tsMillis(evRaw).as("t"),
         col("value").cast("double").as("v"),
         col("event_type"))
       val both = ev.where(col("event_type").isin("click", "purchase"))
@@ -1208,9 +1209,10 @@ object SparkEntry {
     // scaffold); presence tests are then per-row null checks, and a
     // row where both operands are stale drops (PromQL emits nothing).
     "ts_vector_ops" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(
+      val evRaw = Tables.events(s, dir)
+      val ev = evRaw.select(
         col("user_id").cast("long").as("user_id"),
-        expr("ts div 1000000").as("t"),
+        Tables.tsMillis(evRaw).as("t"),
         col("value").cast("double").as("v"),
         col("event_type"))
       val both = ev.where(col("event_type").isin("click", "purchase"))
@@ -1315,10 +1317,11 @@ object SparkEntry {
     // purchase within 1h — union + running-last window, one shuffle on
     // the key, no range-join explosion (oracle: DuckDB's native ASOF).
     "ts_asof_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(
+      val evRaw = Tables.events(s, dir)
+      val ev = evRaw.select(
         col("event_id").cast("long").as("sample_id"),
         col("user_id").cast("long").as("user_id"),
-        expr("ts div 1000000").as("t"),
+        Tables.tsMillis(evRaw).as("t"),
         col("value").cast("double").as("v"),
         col("event_type"))
       val l = ev.where(col("event_type") === "click").drop("event_type")

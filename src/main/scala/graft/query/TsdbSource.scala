@@ -85,26 +85,47 @@ object TsdbSource {
   /** The `events` table as a time series: one series per
     * (event_type, user), with a sparse `vip` label on every 10th user so
     * the absent-label matcher semantics have real data to bite on.
-    * t = epoch ms (events.ts is ns), v = value.
+    * t = epoch ms, v = value. The physical `ts` encoding varies by
+    * testdata generation (raw INT64 ns vs TIMESTAMP_NTZ µs —
+    * [[Tables.tsMillis]]); the time-range predicate is expressed on the
+    * physical column in its own type so it still reaches the scan.
     */
   def events(spark: SparkSession, sfDir: String): TsdbSource = {
     val df = Tables.events(spark, sfDir)
+    val tsIsLong = df.schema("ts").dataType == org.apache.spark.sql.types.LongType
     TsdbSource(
       raw = df,
-      tCol = expr("ts div 1000000"), // ns -> ms, exact integer division
+      tCol = Tables.tsMillis(df),
       vCol = col("value"),
       labelCols = Seq(
         "name" -> col("event_type"),
         "user" -> col("user_id").cast("string"),
         "vip" -> when(col("user_id") % 10 === 0, lit("1"))),
       sampleId = col("event_id"),
-      // t = ts div 1e6, so [mint, maxt] in ms == [mint*1e6, maxt*1e6+999999]
-      // in raw ns — expressed on the physical ts column for pushdown.
+      // t = floor(ts/1ms), so [mint, maxt] in ms == [mint, maxt+1) on the
+      // physical clock — expressed on the physical ts column for pushdown.
       tRange = Some { (mint, maxt) =>
-        // saturate: an open-ended ms range must not overflow in ns
-        val lo = if (mint <= Long.MinValue / 1000000L) Long.MinValue else mint * 1000000L
-        val hi = if (maxt >= Long.MaxValue / 1000000L) Long.MaxValue else maxt * 1000000L + 999999L
-        col("ts") >= lit(lo) && col("ts") <= lit(hi)
+        if (tsIsLong) {
+          // raw ns: saturate — an open-ended ms range must not overflow
+          val lo = if (mint <= Long.MinValue / 1000000L) Long.MinValue else mint * 1000000L
+          val hi = if (maxt >= Long.MaxValue / 1000000L) Long.MaxValue else maxt * 1000000L + 999999L
+          col("ts") >= lit(lo) && col("ts") <= lit(hi)
+        } else {
+          // TIMESTAMP_NTZ: closed [mint ms, maxt ms] == [mint*1000 µs,
+          // maxt*1000+999 µs] as NTZ literals (UTC session). Outside the
+          // NTZ-representable span (years 1..9999) the bound is vacuous.
+          import java.time.{LocalDateTime, ZoneOffset}
+          val MinMs = -62135596800000L   // 0001-01-01T00:00:00
+          val MaxMs = 253402300799999L   // 9999-12-31T23:59:59.999
+          def ntz(ms: Long, tailMicros: Long): Column =
+            lit(LocalDateTime.ofEpochSecond(
+              Math.floorDiv(ms, 1000L),
+              (Math.floorMod(ms, 1000L) * 1000000L + tailMicros * 1000L).toInt,
+              ZoneOffset.UTC))
+          val lo = if (mint <= MinMs) lit(true) else col("ts") >= ntz(mint, 0L)
+          val hi = if (maxt >= MaxMs) lit(true) else col("ts") <= ntz(maxt, 999L)
+          lo && hi
+        }
       })
   }
 }

@@ -1,11 +1,25 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   * One parquet file per table under `<sfDir>/<name>.parquet`.
   */
 object Tables {
+
+  /** Epoch-ms Column for the events `ts` column, adaptive to the two
+    * on-disk encodings the driver has generated across rounds:
+    * INT64 TIMESTAMP(NANOS) (Spark reads a raw long via the
+    * `nanosAsLong` legacy flag) and TIMESTAMP(MICROS) (Spark reads
+    * TIMESTAMP_NTZ). Sessions pin `spark.sql.session.timeZone=UTC`, so
+    * the NTZ→timestamp cast reinterprets the stored wall clock as UTC —
+    * exactly DuckDB's `epoch_ms(ts)` on the same file. */
+  def tsMillis(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000") // raw ns -> ms, exact
+    case _        => expr("unix_micros(cast(ts as timestamp)) div 1000")
+  }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
