@@ -459,9 +459,19 @@ final class BlockStore(
     // a store whose only activity is a rolled-back txn has series but
     // no blocks: serve the index from the head dictionary alone — the
     // reference's fresh DB after Rollback still answers LabelNames /
-    // matcher resolution from its head series map (`db.go:100-112`)
-    require(ids.nonEmpty || hasHead,
-      s"block store at $root has no published blocks")
+    // matcher resolution from its head series map (`db.go:100-112`).
+    // A store EMPTIED by delete + tombstone clean (manifest published,
+    // zero live blocks) answers with the empty label set, like the
+    // reference's head after a full-range delete drops the series'
+    // labels and symbols (head_test.go:393-396) — only a store with no
+    // manifest at all (wrong path / never written) fails loudly.
+    if (ids.isEmpty && !hasHead) {
+      require(Manifest.currentVersion(root) > 0L,
+        s"block store at $root has no published blocks")
+      import spark.implicits._
+      return Seq.empty[(String, String, String)]
+        .toDF("label_name", "label_value", "series_key")
+    }
     // fail loudly rather than answer from a partial index: a block
     // written from label-less samples (e.g. a streaming sink) has no
     // postings, so label/matcher queries over this store are undefined

@@ -33,6 +33,30 @@ class TombstonesSpec extends SparkSuite {
     assert(coalesced(("a", 1, 5), ("b", 4, 9)) == Set(("a", 1L, 5L), ("b", 4L, 9L)))
   }
 
+  test("interval coalescing: the remaining TestAddingNewIntervals rows " +
+    "(tombstones_test.go:60-128)") {
+    // add to empty / exact duplicate
+    assert(coalesced(("s", 1, 2)) == Set(("s", 1L, 2L)))
+    assert(coalesced(("s", 1, 2), ("s", 1, 2)) == Set(("s", 1L, 2L)))
+    // DOCUMENTED DIVERGENCE: the reference's incremental Intervals.add
+    // only merges intervals the NEW one touches, so it answers
+    // {1,2},{3,7} here — leaving the pre-existing adjacent pair {1,2},
+    // {3,5} unmerged. Our set-level coalescing normalizes those too
+    // ({1,7}). Sample visibility is identical: closed intervals over
+    // integer ms, so adjacency means no gap.
+    assert(coalesced(("s", 1, 2), ("s", 3, 5), ("s", 7, 7), ("s", 6, 7)) ==
+      Set(("s", 1L, 7L)))
+    // new end exactly touching the next island's start merges both
+    assert(coalesced(("s", 1, 10), ("s", 12, 20), ("s", 25, 30), ("s", 21, 25)) ==
+      Set(("s", 1L, 10L), ("s", 12L, 30L)))
+    // new overlapping one island extends it without reaching the next
+    assert(coalesced(("s", 1, 10), ("s", 12, 20), ("s", 25, 30), ("s", 18, 23)) ==
+      Set(("s", 1L, 10L), ("s", 12L, 23L), ("s", 25L, 30L)))
+    // new spanning two islands merges them, third survives
+    assert(coalesced(("s", 1, 10), ("s", 12, 20), ("s", 25, 30), ("s", 9, 23)) ==
+      Set(("s", 1L, 23L), ("s", 25L, 30L)))
+  }
+
   test("applyTo drops samples inside deleted intervals, closed bounds (querier.go:1166-1204)") {
     val samples = (0L to 9L).map(t => (t, "{a=\"b\"}", t, t.toDouble))
       .toDF("sample_id", "series_key", "t", "v")
@@ -63,6 +87,37 @@ class MergeSpec extends SparkSuite {
       .select("series_key", "t", "v").as[(String, Long, Double)]
       .collect().toSet
     assert(got == Set(("s1", 10L, 1.0), ("s1", 20L, 99.0), ("s1", 30L, 5.0), ("s2", 10L, 3.0)))
+  }
+
+  test("horizontal chaining: same-label series interleave samples, others " +
+    "pass through (TestMergedSeriesSet querier_test.go:60-163)") {
+    // set b's samples are strictly after set a's (the chained-blocks shape)
+    def series(rows: (String, Long, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+        .toDF("sample_id", "series_key", "t", "v")
+    def merged(a: DataFrame, b: DataFrame): Map[String, Seq[(Long, Double)]] =
+      a.unionByName(b).select("series_key", "t", "v")
+        .as[(String, Long, Double)].collect().toSeq
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(r => (r._2, r._3)).sorted }
+    // case 1: {a=a} in both sets chains; {b=b} only in b passes through
+    val m1 = merged(
+      series(("{a=\"a\"}", 1L, 1.0)),
+      series(("{a=\"a\"}", 2L, 2.0), ("{b=\"b\"}", 1L, 1.0)))
+    assert(m1 == Map(
+      "{a=\"a\"}" -> Seq((1L, 1.0), (2L, 2.0)),
+      "{b=\"b\"}" -> Seq((1L, 1.0))))
+    // case 2: identity is the FULL label set — handler=prometheus with
+    // different instance values stays three distinct series
+    val h1 = "{handler=\"prometheus\",instance=\"127.0.0.1:9090\"}"
+    val h2 = "{handler=\"prometheus\",instance=\"localhost:9090\"}"
+    val h3 = "{handler=\"query\",instance=\"localhost:9090\"}"
+    val m2 = merged(
+      series((h1, 1L, 1.0), (h2, 1L, 2.0)),
+      series((h1, 2L, 1.0), (h3, 2L, 2.0)))
+    assert(m2 == Map(
+      h1 -> Seq((1L, 1.0), (2L, 1.0)),
+      h2 -> Seq((1L, 2.0)),
+      h3 -> Seq((2L, 2.0))))
   }
 }
 
@@ -199,6 +254,40 @@ class BlockStoreSpec extends SparkSuite {
       !(col("series_key").startsWith("{name=\"click\"") &&
         col("t").between(lo, hi + DAY)))
     assert(got.count() == want.count())
+  }
+
+  test("stacked deletes over one series: the TestHeadDeleteSimple table " +
+    "(head_test.go:362-397)") {
+    import spark.implicits._
+    def rows(ts: Seq[Long]): DataFrame =
+      ts.map(i => ("{a=\"b\"}", i, i * 1.0, i, Map("a" -> "b")))
+        .toDF("series_key", "t", "v", "sample_id", "labels")
+    val cases: Seq[(Seq[(Long, Long)], Seq[Long])] = Seq(
+      Seq(0L -> 3L) -> Seq(4L, 5L, 6L, 7L, 8L, 9L),
+      Seq(1L -> 3L) -> Seq(0L, 4L, 5L, 6L, 7L, 8L, 9L),
+      Seq(1L -> 3L, 4L -> 7L) -> Seq(0L, 8L, 9L),
+      // past-the-end interval clamps to the data that exists
+      Seq(1L -> 3L, 4L -> 700L) -> Seq(0L),
+      Seq(0L -> 9L) -> Seq())
+    for (((dranges, exp), i) <- cases.zipWithIndex) {
+      val store = new BlockStore(
+        Files.createTempDirectory(s"graft-headdel$i").toString, 1000L)
+      store.write(rows(0L to 9L))
+      for ((lo, hi) <- dranges)
+        store.delete(spark, lo, hi, graft.matchers.Eq("a", "b"))
+      val got = store.readRange(spark, 0L, 1000L)
+        .select("t").as[Long].collect().sorted.toSeq
+      assert(got == exp, s"case $i dranges=$dranges")
+      if (exp.isEmpty) {
+        // the "labels and symbols are deleted" half: once the full-range
+        // tombstone is physically applied, the empty block is dropped
+        // (no-empty-blocks invariant) and the series leaves label metadata
+        store.cleanTombstones(spark)
+        assert(store.readRange(spark, 0L, 1000L).count() == 0)
+        assert(store.labelValues(spark, "a").count() == 0)
+        assert(store.manifest.tombstones.isEmpty)
+      }
+    }
   }
 
   test("delete clamps to the store's current range: later appends inside the " +
@@ -526,6 +615,40 @@ class BlockStoreSpec extends SparkSuite {
     val dropped2 = store.applyRetention(maxBytes = newestBytes)
     assert(dropped2.map(_.blockId) == Seq(2L))
     assert(store.manifest.blocks.map(_.blockId) == Seq(3L))
+  }
+
+  test("retention boundaries: the TestTimeRetention / TestSizeRetention " +
+    "tables (db_test.go:1057-1139)") {
+    import spark.implicits._
+    def rows(mint: Long, maxt: Long): DataFrame =
+      (mint to maxt by 100L).map(i => ("s", i, i * 1.0, i, Map("a" -> "b")))
+        .toDF("series_key", "t", "v", "sample_id", "labels")
+    // TestTimeRetention: blocks (500,900) (1000,1500) (1500,2000),
+    // duration = newest.maxt - blocks(1).mint = 1000. Boundary is
+    // STRICT: drop iff newest.maxt - maxt > duration, so block 1
+    // (2000-1500=500) and block 2's left edge survive; only the oldest
+    // (2000-900=1100) goes.
+    val t = new BlockStore(
+      Files.createTempDirectory("graft-timeret").toString, 10000L)
+    t.write(rows(500, 900)); t.write(rows(1000, 1500)); t.write(rows(1500, 2000))
+    val droppedT = t.applyRetention(keepMs = 1000L)
+    // meta maxt is exclusive (data max + 1), differences are unchanged
+    assert(droppedT.map(m => (m.mint, m.maxt)) == Seq((500L, 901L)))
+    assert(t.manifest.blocks.map(_.maxt).sorted == Seq(1501L, 2001L))
+    // exact-boundary: a block whose age EQUALS the duration is kept
+    assert(t.applyRetention(keepMs = 500L).isEmpty)
+    // TestSizeRetention: five equal blocks; budget = total - first block
+    // drops exactly the oldest (drop order is oldest-first)
+    val s = new BlockStore(
+      Files.createTempDirectory("graft-sizeret").toString, 10000L)
+    for (i <- 0 until 5) s.write(rows(100L + i * 100, 200L + i * 100))
+    val metas = s.manifest.blocks
+    val limit = metas.map(_.bytes).sum - metas.minBy(_.mint).bytes
+    val droppedS = s.applyRetention(maxBytes = limit)
+    assert(droppedS.map(_.mint) == Seq(100L))
+    assert(s.manifest.blocks.map(_.bytes).sum <= limit)
+    assert(s.manifest.blocks.map(_.mint).sorted ==
+      Seq(200L, 300L, 400L, 500L))
   }
 
   test("label dictionary is materialized per block and unioned on read") {
