@@ -326,8 +326,12 @@ object SparkEntry {
        |FROM a3 ORDER BY series_key""".stripMargin
   }
 
-  /** DuckDB twin of [[namedGridFill]] — the `f` frame (series_key, name,
-    * t, r_v) every by-label instant-vector oracle aggregates over. */
+  /** DuckDB twin of the by-label fill frame (series_key, name, t, r_v)
+    * every instant-vector oracle aggregates over. The oracle keeps the
+    * explicit grid ASOF form; the Spark side ([[namedGridLatest]])
+    * computes the same frame's non-null rows as one aggregate —
+    * equality of the two formulations is exactly what the entries
+    * check. */
   private lazy val namedGridCte =
     s"""$samplesCte,
        |r AS (SELECT series_key, event_type AS name, t AS rt, max(v) AS rv
@@ -339,25 +343,46 @@ object SparkEntry {
        |  CASE WHEN rt >= g.t - $LOOKBACK THEN rv END AS r_v
        |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt)""".stripMargin
 
-  /** Shared scaffold of the by-label grid aggregations (`ts_agg_by`,
-    * `ts_stddev_by`): the per-(series, name, instant) fill frame from
-    * [[AsOf.gridLatest]]. `name` is functionally dependent on
-    * `series_key`, so carrying it through the aggregate keys changes
-    * nothing — and the grid derives from the aggregate's KEY set (its
-    * branch column-prunes to a keys-only aggregate whose shuffle
-    * carries keys, not values). Two fact scans by design, like
-    * `ts_grid_eval`: materializing the samples-scale fill aggregate
-    * would cost more than the second pruned scan. */
-  private def namedGridFill(s: SparkSession, dir: String): DataFrame = {
-    val sl = TsdbSource.events(s, dir).samples
+  /** Shared scaffold of the by-label instant-vector aggregations
+    * (`ts_agg_by`, `ts_stddev_by`, ...): the NON-NULL rows of the
+    * per-(series, name, instant) fill frame, computed without the
+    * series×instants grid. Staleness < step means a fill row exists iff
+    * its series has a sample in `(g - LOOKBACK, g]`, so the
+    * latest-sample aggregate IS the frame — ONE map-side-combined
+    * shuffle straight off the pruned scan: no per-(series, t) pre-agg
+    * (`max(struct(t, v))` picks the max v at the latest t, exactly the
+    * two-level max), no distinct-keys pass, no join. MINT/MAXT/BUCKET_W
+    * are origin-0 lattice multiples, so clamping g to [MINT, MAXT] is
+    * exactly grid membership. `name` is functionally dependent on
+    * `series_key`; carrying it through the keys changes nothing.
+    * Consumers that must emit empty (name, instant) groups re-attach
+    * [[namedLattice]] AFTER aggregating — lattice-sized, never
+    * series×instants-sized. */
+  private def namedGridLatest(s: SparkSession, dir: String): DataFrame = {
+    // only samples in [MINT - LOOKBACK, MAXT] can land in a window —
+    // select() pushes that range to the physical scan (P10)
+    val sl = TsdbSource.events(s, dir).select(MINT - LOOKBACK, MAXT)
       .select(col("series_key"), col("labels")("name").as("name"),
         col("t"), col("v"))
-    val r = sl.groupBy("series_key", "name", "t").agg(max("v").as("r_v"))
-    val grid = r.select("series_key", "name").distinct()
-      .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-    AsOf.gridLatest(grid, r.select("series_key", "t", "r_v"),
-      Seq("series_key"), BUCKET_W, LOOKBACK)
+    val g = (floor((col("t") - 1) / BUCKET_W) * BUCKET_W + BUCKET_W).cast("long")
+    sl.withColumn("__g", g)
+      .where(col("t") >= col("__g") - LOOKBACK &&
+        col("__g") >= MINT && col("__g") <= MAXT)
+      .groupBy("series_key", "name", "__g")
+      .agg(max(struct(col("t").as("t"), col("v").as("v"))).as("__m"))
+      .select(col("series_key"), col("name"), col("__g").as("t"),
+        col("__m.t").as("r_t"), col("__m.v").as("r_v"))
   }
+
+  /** Every (name, instant) group the by-label aggregations can emit —
+    * including the all-stale ones [[namedGridLatest]] has no rows for.
+    * Name values come from a 1-column pruned scan whose partial
+    * aggregate collapses to the handful of distinct names per task; the
+    * explode is lattice-sized. */
+  private def namedLattice(s: SparkSession, dir: String): DataFrame =
+    TsdbSource.events(s, dir).samples
+      .select(col("labels")("name").as("name")).distinct()
+      .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
 
   /** Materialize a much-smaller-than-input result once before its
     * global output sort: `orderBy`'s range-sampling job re-executes the
@@ -718,7 +743,7 @@ object SparkEntry {
       // the fill frame has two consumers (group totals + the join-back):
       // materialize it once, call-scoped — it is grid-sized, and the
       // alternative re-derives the whole two-scan fill per consumer
-      val f = namedGridFill(s, dir).where(col("r_v").isNotNull).localCheckpoint()
+      val f = namedGridLatest(s, dir).localCheckpoint()
       val totals = f.groupBy("name", "t")
         .agg(round(sum("r_v"), 2).as("group_sum"))
       f.join(totals, Seq("name", "t"))
@@ -863,11 +888,15 @@ object SparkEntry {
     // instant, like PromQL's vector cardinality.
     "ts_agg_by" -> ((s, dir) =>
       orderedOnce(
-        namedGridFill(s, dir)
-          .groupBy("name", "t")
-          .agg(
-            count(col("r_v")).as("n_series"),
-            round(sum("r_v"), 2).as("sum_v")),
+        namedLattice(s, dir).join(
+          namedGridLatest(s, dir)
+            .groupBy("name", "t")
+            .agg(
+              count(col("r_v")).as("__n"),
+              round(sum("r_v"), 2).as("sum_v")),
+          Seq("name", "t"), "left")
+          .select(col("name"), col("t"),
+            coalesce(col("__n"), lit(0L)).as("n_series"), col("sum_v")),
         "name", "t")),
 
     // PromQL stddev/stdvar by (name): spread across series at each grid
@@ -876,8 +905,7 @@ object SparkEntry {
     // doubles is identical (IEEE), so the sketchy float variance
     // accumulators (engine-private) never run.
     "ts_stddev_by" -> ((s, dir) =>
-      namedGridFill(s, dir)
-        .where(col("r_v").isNotNull)
+      namedGridLatest(s, dir)
         .groupBy("name", "t")
         .agg(
           count(lit(1)).as("n_series"),
@@ -897,14 +925,17 @@ object SparkEntry {
     // PromQL's count(): present (non-stale) series only; avg follows
     // the suite's float convention (sum rounded 2dp, then divided).
     "ts_minmax_by" -> ((s, dir) =>
-      namedGridFill(s, dir)
-        .groupBy("name", "t")
-        .agg(
-          count(col("r_v")).as("n_series"),
-          min("r_v").as("min_v"),
-          max("r_v").as("max_v"),
-          round(sum("r_v"), 2).as("s1"))
-        .withColumn("avg_v", round(col("s1") / col("n_series"), 4))
+      namedLattice(s, dir).join(
+        namedGridLatest(s, dir)
+          .groupBy("name", "t")
+          .agg(
+            count(col("r_v")).as("__n"),
+            min("r_v").as("min_v"),
+            max("r_v").as("max_v"),
+            round(sum("r_v"), 2).as("s1")),
+        Seq("name", "t"), "left")
+        .withColumn("n_series", coalesce(col("__n"), lit(0L)))
+        .withColumn("avg_v", round(col("s1") / col("__n"), 4))
         .select("name", "t", "n_series", "min_v", "max_v", "avg_v")
         .orderBy("name", "t")),
 
@@ -914,8 +945,7 @@ object SparkEntry {
     // both engines; interpolation between stored doubles, no float
     // summation).
     "ts_quantile_by" -> ((s, dir) =>
-      namedGridFill(s, dir)
-        .where(col("r_v").isNotNull)
+      namedGridLatest(s, dir)
         .groupBy("name", "t")
         .agg(
           count(lit(1)).as("n_series"),
@@ -928,8 +958,7 @@ object SparkEntry {
     // consumer shape). Values group raw (no arithmetic), so the float
     // group key is bit-stable across engines.
     "ts_count_values" -> ((s, dir) =>
-      namedGridFill(s, dir)
-        .where(col("r_v").isNotNull)
+      namedGridLatest(s, dir)
         .groupBy("name", "t", "r_v")
         .agg(count(lit(1)).as("n_series"))
         .orderBy("name", "t", "r_v")),
@@ -940,8 +969,7 @@ object SparkEntry {
     "ts_bottomk" -> ((s, dir) => {
       val w = Window.partitionBy("name", "t")
         .orderBy(col("r_v").asc, col("series_key"))
-      namedGridFill(s, dir)
-        .where(col("r_v").isNotNull)
+      namedGridLatest(s, dir)
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select("name", "t", "rk", "series_key", "r_v")
@@ -1049,8 +1077,7 @@ object SparkEntry {
     // doc_entropy precedent for cross-libm log parity).
     "ts_math_funcs" -> ((s, dir) =>
       orderedOnce(
-        namedGridFill(s, dir)
-          .where(col("r_v").isNotNull)
+        namedGridLatest(s, dir)
           .select(
             col("series_key"), col("t"), col("r_v"),
             greatest(least(col("r_v"), lit(400.0)), lit(10.0)).as("clamp_v"),
@@ -1106,8 +1133,7 @@ object SparkEntry {
     // window — instant-vector-sized partitions, like ts_sort_desc.
     "ts_limitk" -> ((s, dir) =>
       orderedOnce(
-        namedGridFill(s, dir)
-          .where(col("r_v").isNotNull)
+        namedGridLatest(s, dir)
           .withColumn("rk", row_number().over(
             Window.partitionBy("t").orderBy("series_key")))
           .where(col("rk") <= 5)
@@ -1163,9 +1189,9 @@ object SparkEntry {
     // the group-existence consumer shape.
     "ts_group_agg" -> ((s, dir) =>
       orderedOnce(
-        namedGridFill(s, dir)
+        namedGridLatest(s, dir)
           .groupBy("name", "t")
-          .agg(count(col("r_v")).as("__n"))
+          .agg(count(lit(1)).as("__n"))
           .where(col("__n") > 0)
           .select(col("name"), col("t"), lit(1L).as("group_v")),
         "name", "t")),
@@ -1239,8 +1265,7 @@ object SparkEntry {
     // the ts_vector_ops convention for rows PromQL would drop).
     "ts_bool_compare" -> ((s, dir) =>
       orderedOnce(
-        namedGridFill(s, dir)
-          .where(col("r_v").isNotNull)
+        namedGridLatest(s, dir)
           .select(
             col("series_key"), col("t"), col("r_v"),
             when(col("r_v") > 100.0, 1.0).otherwise(0.0).as("bool_gt"),
@@ -1273,7 +1298,7 @@ object SparkEntry {
     // consumers (the ts_group_left rationale, global instead of
     // by-name).
     "ts_scalar_op" -> ((s, dir) => {
-      val f = namedGridFill(s, dir).where(col("r_v").isNotNull).localCheckpoint()
+      val f = namedGridLatest(s, dir).localCheckpoint()
       val tot = f.groupBy("t").agg(round(sum("r_v"), 2).as("scalar_sum"))
       f.join(tot, Seq("t"))
         .select(col("series_key"), col("t"), col("r_v"),
@@ -1288,8 +1313,7 @@ object SparkEntry {
     // 1-ulp libm spread past any fixed rounding.
     "ts_trig_funcs" -> ((s, dir) =>
       orderedOnce(
-        namedGridFill(s, dir)
-          .where(col("r_v").isNotNull)
+        namedGridLatest(s, dir)
           .select(
             col("series_key"), col("t"),
             round(sin(col("r_v")), 4).as("sin_v"),
