@@ -859,12 +859,18 @@ object SparkEntry {
     // (map-side combined) + grid join — no sample-scale union-window
     // sort ([[AsOf.join]] remains the general-lookback path).
     "ts_grid_eval" -> ((s, dir) => {
-      val samples = TsdbSource.events(s, dir).samples
-      val grid = samples.select("series_key").distinct()
+      val src = TsdbSource.events(s, dir)
+      val grid = src.samples.select("series_key").distinct()
         .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
-      val r = samples.groupBy("series_key", "t").agg(max("v").as("r_v"))
+      // no per-(series, t) pre-aggregate: gridLatest's max(struct(t, v))
+      // picks the max v at the latest in-window t — the two-level max —
+      // and only samples in [MINT - LOOKBACK, MAXT] can land in a
+      // window, so the range reaches the scan (the namedGridLatest
+      // argument; the grid join stays because the RESULT is grid-sized)
+      val right = src.select(MINT - LOOKBACK, MAXT)
+        .select(col("series_key"), col("t"), col("v").as("r_v"))
       orderedOnce(
-        AsOf.gridLatest(grid, r, Seq("series_key"), BUCKET_W, LOOKBACK),
+        AsOf.gridLatest(grid, right, Seq("series_key"), BUCKET_W, LOOKBACK),
         "series_key", "t")
     }),
 
@@ -1202,13 +1208,16 @@ object SparkEntry {
     // the gridLatest fast path applies unchanged; output is labelled
     // with the query timestamps, values come from t − 1d.
     "ts_offset" -> ((s, dir) => {
-      val samples = TsdbSource.events(s, dir).samples
-      val r = samples.groupBy("series_key", "t").agg(max("v").as("r_v"))
-      val grid = samples.select("series_key").distinct()
+      val src = TsdbSource.events(s, dir)
+      val grid = src.samples.select("series_key").distinct()
         .withColumn("t",
           explode(sequence(lit(MINT - DAY), lit(MAXT - DAY), lit(BUCKET_W))))
+      // un-pre-aggregated right side + shifted pruned range, as in
+      // ts_grid_eval
+      val right = src.select(MINT - DAY - LOOKBACK, MAXT - DAY)
+        .select(col("series_key"), col("t"), col("v").as("r_v"))
       orderedOnce(
-        AsOf.gridLatest(grid, r, Seq("series_key"), BUCKET_W, LOOKBACK)
+        AsOf.gridLatest(grid, right, Seq("series_key"), BUCKET_W, LOOKBACK)
           .select(col("series_key"), (col("t") + DAY).as("t"),
             col("r_t"), col("r_v")),
         "series_key", "t")
