@@ -28,6 +28,26 @@ class RelationalSpec extends SparkSuite {
     assert(plan("q_anti_join").contains("LeftAnti"), plan("q_anti_join").take(1200))
   }
 
+  test("by-label family rides namedGridLatest: pruned scan, no grid join, " +
+    "two hash exchanges") {
+    // ts_count_values is a pure consumer (no lattice re-attach): the
+    // whole plan must be scan -> latest aggregate -> (name, t, v)
+    // aggregate -> output sort. A Join or a third hash exchange means
+    // the series×instants grid crept back in.
+    val p = plan("ts_count_values")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2, p.take(3000))
+    // the [MINT - LOOKBACK, MAXT] range reaches the scan in the ts
+    // column's own type (NTZ literals here; raw longs on nanos data)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      p.take(3000))
+    // the zero-row consumers re-attach the lattice as a BROADCAST join
+    // after aggregating — never a shuffled join
+    val agg = plan("ts_minmax_by")
+    assert(agg.contains("BroadcastHashJoin"), agg.take(3000))
+    assert(!agg.contains("SortMergeJoin"), agg.take(3000))
+  }
+
   test("every oracle key has a query and vice versa") {
     // Deliberately rows-only: ts_quantile_sketch's GK sketch is
     // engine-private (error bound covered by RateSpec's rank-window

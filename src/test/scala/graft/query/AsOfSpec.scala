@@ -90,6 +90,33 @@ class AsOfSpec extends SparkSuite {
     }
   }
 
+  test("gridLatest on raw rows ≡ on the per-(key, t) max pre-aggregate " +
+    "(the fused two-level max)") {
+    import org.apache.spark.sql.functions._
+    val step = 100L
+    val lookback = 40L
+    // duplicate-t rows are the discriminator: max(struct(t, v)) must
+    // pick the max v AT the latest t — not any other row's v
+    val raw = Seq(
+      (1L, 180L, 7.0), (1L, 180L, 2.0),  // same t, different v: 7 wins
+      (1L, 170L, 99.0),                  // earlier t, larger v: loses
+      (2L, 280L, 1.0), (2L, 280L, 1.0),  // exact duplicate rows
+      (2L, 300L, 5.0), (2L, 300L, 4.0))  // at the instant itself
+      .toDF("key", "t", "r_v")
+    val pre = raw.groupBy("key", "t").agg(max("r_v").as("r_v"))
+    val grid = Seq(1L, 2L).toDF("key")
+      .withColumn("t", explode(sequence(lit(step), lit(3 * step), lit(step))))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "t", "r_t", "r_v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    val onRaw = norm(AsOf.gridLatest(grid, raw, Seq("key"), step, lookback))
+    val onPre = norm(AsOf.gridLatest(grid, pre, Seq("key"), step, lookback))
+    assert(onRaw == onPre)
+    val m = onRaw.map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    assert(m((1L, 200L)) == ((Some(180L), Some(7.0))))
+    assert(m((2L, 300L)) == ((Some(300L), Some(5.0))))
+  }
+
   test("gridLatest ≡ union-window ≡ driver model over 50 seeded random fixtures") {
     import org.apache.spark.sql.functions._
     val step = 100L
