@@ -653,8 +653,14 @@ object SparkEntry {
     // bound exactly on a boundary (exact cumulative count), upper bound
     // interior to (100, 250] (interpolated). ONE conditional hash
     // aggregate, no window — see Histogram.fraction.
+    // No seriesClustered pre-pass here, unlike ts_hist_quantile: the
+    // fraction aggregate's group grain is (series, day) with plain
+    // conditional counts, so the map-side partial collapses sample
+    // volume BEFORE the shuffle — a raw-row range exchange would route
+    // every sample for nothing (quantile's per-le grain is ~row-scale,
+    // which is why IT pre-clusters).
     "ts_hist_fraction" -> ((s, dir) =>
-      Histogram.fraction(Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+      Histogram.fraction(TsdbSource.events(s, dir).samples,
           DAY, HIST_LES, 25.0, 120.0)
         .sortWithinPartitions("series_key", "t_bucket")),
 
