@@ -347,41 +347,39 @@ object SparkEntry {
     * (`ts_agg_by`, `ts_stddev_by`, ...): the NON-NULL rows of the
     * per-(series, name, instant) fill frame, computed without the
     * series×instants grid. Staleness < step means a fill row exists iff
-    * its series has a sample in `(g - LOOKBACK, g]`, so the
-    * latest-sample aggregate IS the frame — ONE map-side-combined
-    * shuffle straight off the pruned scan: no per-(series, t) pre-agg
-    * (`max(struct(t, v))` picks the max v at the latest t, exactly the
-    * two-level max), no distinct-keys pass, no join. MINT/MAXT/BUCKET_W
-    * are origin-0 lattice multiples, so clamping g to [MINT, MAXT] is
-    * exactly grid membership. `name` is functionally dependent on
-    * `series_key`; carrying it through the keys changes nothing.
+    * its series has a sample in the closed window `[g - LOOKBACK, g]`,
+    * so [[AsOf.latestPerInstant]] (gridLatest's aggregate half — ONE
+    * map-side-combined shuffle, duplicates resolved to max v at the
+    * latest t) IS the frame: no per-(series, t) pre-agg, no
+    * distinct-keys pass, no join. MINT/MAXT/BUCKET_W are origin-0
+    * lattice multiples, so clamping the instant to [MINT, MAXT] is
+    * exactly grid membership; the scan is range-pruned to the only
+    * samples that can land in a window (P10). `name` resolves to its
+    * source column at plan time (codegen) and rides the aggregate keys
+    * (functionally dependent on `series_key`). Null-valued samples are
+    * dropped like the grid formulation's `r_v IS NOT NULL` consumers —
+    * a NULL latest value otherwise inflates count(*)-style aggregates.
     * Consumers that must emit empty (name, instant) groups re-attach
     * [[namedLattice]] AFTER aggregating — lattice-sized, never
     * series×instants-sized. */
   private def namedGridLatest(s: SparkSession, dir: String): DataFrame = {
-    // only samples in [MINT - LOOKBACK, MAXT] can land in a window —
-    // select() pushes that range to the physical scan (P10)
-    val sl = TsdbSource.events(s, dir).select(MINT - LOOKBACK, MAXT)
-      .select(col("series_key"), col("labels")("name").as("name"),
-        col("t"), col("v"))
-    val g = (floor((col("t") - 1) / BUCKET_W) * BUCKET_W + BUCKET_W).cast("long")
-    sl.withColumn("__g", g)
-      .where(col("t") >= col("__g") - LOOKBACK &&
-        col("__g") >= MINT && col("__g") <= MAXT)
-      .groupBy("series_key", "name", "__g")
-      .agg(max(struct(col("t").as("t"), col("v").as("v"))).as("__m"))
-      .select(col("series_key"), col("name"), col("__g").as("t"),
-        col("__m.t").as("r_t"), col("__m.v").as("r_v"))
+    val sl = TsdbSource.events(s, dir)
+      .selectWithLabels(MINT - LOOKBACK, MAXT, Seq("name"))
+      .select(col("series_key"), col("name"), col("t"),
+        col("v").as("r_v"))
+    AsOf.latestPerInstant(sl, Seq("series_key", "name"), BUCKET_W, LOOKBACK)
+      .where(col("t") >= MINT && col("t") <= MAXT && col("r_v").isNotNull)
   }
 
   /** Every (name, instant) group the by-label aggregations can emit —
     * including the all-stale ones [[namedGridLatest]] has no rows for.
-    * Name values come from a 1-column pruned scan whose partial
-    * aggregate collapses to the handful of distinct names per task; the
-    * explode is lattice-sized. */
+    * Name values resolve to the source column (codegen, 1-column scan);
+    * the partial aggregate collapses to the handful of distinct names
+    * per task and the explode is lattice-sized. */
   private def namedLattice(s: SparkSession, dir: String): DataFrame =
-    TsdbSource.events(s, dir).samples
-      .select(col("labels")("name").as("name")).distinct()
+    TsdbSource.events(s, dir)
+      .selectWithLabels(Long.MinValue, Long.MaxValue, Seq("name"))
+      .select(col("name")).distinct()
       .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
 
   /** Materialize a much-smaller-than-input result once before its

@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   *
   * Requirement: `right` must be unique per `(keys, t)` (pre-aggregate
   * otherwise) — with duplicates, "the" same-instant row is undefined.
+  * EXCEPTION: [[gridLatest]] (and [[latestPerInstant]]) contractually
+  * resolve duplicates to the max value at the latest in-window t (its
+  * `max(struct(t, v))` IS the two-level max), so callers may feed raw
+  * sample rows — `ts_grid_eval`/`ts_offset` and the by-label family
+  * rely on this, pinned by AsOfSpec's duplicate-t fixture.
   */
 object AsOf {
 
@@ -114,8 +119,13 @@ object AsOf {
     * with one combine-shrunk aggregate plus a grid-sized join.
     *
     * Exact [[join]] semantics: inclusive horizon (`rt >= g - lookback`),
-    * same-instant rows visible (`rt = g` maps to `g`), latest `rt` wins
-    * (`right` unique per (keys, t), as every as-of variant requires).
+    * same-instant rows visible (`rt = g` maps to `g`), latest `rt` wins.
+    * Unlike the other as-of variants, `right` need NOT be unique per
+    * (keys, t): duplicates contractually resolve to the max value at
+    * the latest t (`max(struct(t, v))` is a two-level max) — identical
+    * to feeding the per-(keys, t) max(v) pre-aggregate, without its
+    * shuffle. Callers (`ts_grid_eval`, `ts_offset`, the by-label
+    * family) pass raw sample rows relying on exactly this.
     * The strict `lookback < step` bound matters: at `lookback = step` a
     * boundary-exact sample satisfies TWO instants and the general path
     * must be used.
@@ -135,19 +145,36 @@ object AsOf {
       stepMs: Long,
       lookbackMs: Long,
       name: String = "r",
+      originMs: Long = 0L): DataFrame =
+    grid.join(
+      latestPerInstant(right, keys, stepMs, lookbackMs, name, originMs),
+      keys :+ "t", "left")
+
+  /** The latest-sample half of [[gridLatest]], exposed for callers whose
+    * aggregate never needs the grid's null rows (the by-label family):
+    * one map-side-combined aggregate mapping each right row to its ceil
+    * instant on the `originMs + k·step` lattice, keeping the closed
+    * window `[g - lookback, g]`, resolving duplicates to the max value
+    * at the latest t. Output: `keys :+ t :+ <name>_t :+ <name>_v` —
+    * gridLatest's non-null rows exactly. */
+  def latestPerInstant(
+      right: DataFrame,
+      keys: Seq[String],
+      stepMs: Long,
+      lookbackMs: Long,
+      name: String = "r",
       originMs: Long = 0L): DataFrame = {
     require(lookbackMs < stepMs,
-      s"gridLatest needs lookback < step ($lookbackMs >= $stepMs): use join()")
+      s"latestPerInstant needs lookback < step ($lookbackMs >= $stepMs): use join()")
     val g = (floor((col("t") - 1 - originMs) / stepMs) * stepMs + stepMs + originMs)
       .cast("long")
-    val latest = right
+    right
       .withColumn("__g", g)
       .where(col("t") >= col("__g") - lookbackMs)
       .groupBy(keys.map(col) :+ col("__g"): _*)
       .agg(max(struct(col("t").as("t"), col("r_v").as("v"))).as("__m"))
       .select(keys.map(col) ++ Seq(col("__g").as("t"),
         col("__m.t").as(s"${name}_t"), col("__m.v").as(s"${name}_v")): _*)
-    grid.join(latest, keys :+ "t", "left")
   }
 
   /** The shared mechanics every as-of variant delegates to: one window

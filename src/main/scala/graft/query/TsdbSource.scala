@@ -59,15 +59,16 @@ final case class TsdbSource(
     concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
   }
 
+  private def sampleCols: Seq[Column] = Seq(
+    sampleId.cast("long").as("sample_id"),
+    seriesKeyCol.as("series_key"),
+    labelsMap.as("labels"),
+    tCol.cast("long").as("t"),
+    vCol.cast("double").as("v"))
+
   /** The long/narrow canonical projection:
     * `(sample_id, series_key, labels, t, v)`. */
-  def samples: DataFrame =
-    raw.select(
-      sampleId.cast("long").as("sample_id"),
-      seriesKeyCol.as("series_key"),
-      labelsMap.as("labels"),
-      tCol.cast("long").as("t"),
-      vCol.cast("double").as("v"))
+  def samples: DataFrame = raw.select(sampleCols: _*)
 
   /** `Querier.Select(matchers, mint, maxt)` (reference `querier.go:214-230`):
     * compile matchers + closed time range against the *source* columns so
@@ -77,6 +78,23 @@ final case class TsdbSource(
     val time = tRange.getOrElse((lo: Long, hi: Long) => tCol >= lit(lo) && tCol <= lit(hi))
     val pred = Matcher.conjunction(matchers, resolve) && time(mint, maxt)
     copy(raw = raw.where(pred)).samples
+  }
+
+  /** [[select]] plus statically-resolved label value columns appended
+    * under their label names. Reading a label back out of the `labels`
+    * map (`col("labels")(name)`) routes through map_filter's interpreted
+    * lambda per row; resolving the source column at plan time stays in
+    * whole-stage codegen — the seriesKeyCol rationale, applied to
+    * consumers that aggregate BY a label. */
+  def selectWithLabels(
+      mint: Long,
+      maxt: Long,
+      labelNames: Seq[String],
+      matchers: Matcher*): DataFrame = {
+    val time = tRange.getOrElse((lo: Long, hi: Long) => tCol >= lit(lo) && tCol <= lit(hi))
+    val pred = Matcher.conjunction(matchers, resolve) && time(mint, maxt)
+    raw.where(pred).select(
+      sampleCols ++ labelNames.map(n => resolve(n).cast("string").as(n)): _*)
   }
 }
 

@@ -13,12 +13,15 @@ object Tables {
     * on-disk encodings the driver has generated across rounds:
     * INT64 TIMESTAMP(NANOS) (Spark reads a raw long via the
     * `nanosAsLong` legacy flag) and TIMESTAMP(MICROS) (Spark reads
-    * TIMESTAMP_NTZ). Sessions pin `spark.sql.session.timeZone=UTC`, so
-    * the NTZ→timestamp cast reinterprets the stored wall clock as UTC —
-    * exactly DuckDB's `epoch_ms(ts)` on the same file. */
+    * TIMESTAMP_NTZ). The NTZ branch diffs against the NTZ epoch —
+    * session-timezone-INDEPENDENT, unlike a cast through TIMESTAMP —
+    * interpreting the stored wall clock as UTC exactly like DuckDB's
+    * `epoch_ms(ts)` on the same file, whatever session the caller
+    * supplies. */
   def tsMillis(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType => expr("ts div 1000000") // raw ns -> ms, exact
-    case _        => expr("unix_micros(cast(ts as timestamp)) div 1000")
+    case _ => expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 1000")
   }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
