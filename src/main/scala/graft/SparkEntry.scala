@@ -1010,8 +1010,9 @@ object SparkEntry {
     // an existing one, per series — pure projection on the (tiny)
     // distinct-series set.
     "ts_label_replace" -> ((s, dir) =>
-      TsdbSource.events(s, dir).samples
-        .select(col("series_key"), col("labels")("user").as("user_label"))
+      TsdbSource.events(s, dir)
+        .selectWithLabels(Long.MinValue, Long.MaxValue, Seq("user"))
+        .select(col("series_key"), col("user").as("user_label"))
         .distinct()
         .withColumn("tier",
           concat(lit("t"), regexp_extract(col("user_label"), "^(\\d)", 1)))
@@ -1022,11 +1023,10 @@ object SparkEntry {
     // missing source label as the empty string (so the separator still
     // appears) — coalesce, NOT concat_ws's null-skip.
     "ts_label_join" -> ((s, dir) =>
-      TsdbSource.events(s, dir).samples
+      TsdbSource.events(s, dir)
+        .selectWithLabels(Long.MinValue, Long.MaxValue, Seq("name", "user", "vip"))
         .select(col("series_key"),
-          col("labels")("name").as("n"),
-          col("labels")("user").as("u"),
-          col("labels")("vip").as("vip"))
+          col("name").as("n"), col("user").as("u"), col("vip"))
         .distinct()
         .select(col("series_key"),
           concat(col("n"), lit("-"), col("u"), lit("-"),
