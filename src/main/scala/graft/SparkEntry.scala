@@ -611,7 +611,9 @@ object SparkEntry {
     // range-sampling job, the family's dominant cost at x10)
     "ts_lookback_delta" -> ((s, dir) => {
       val w = Window.partitionBy("series_key").orderBy("t", "sample_id")
-      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+      // scan pruned to [MINT - LOOKBACK, MAXT]: an older predecessor is
+      // masked by the lookback horizon anyway (output-identical, P10)
+      Rate.seriesOrdered(TsdbSource.events(s, dir).select(MINT - LOOKBACK, MAXT))
         .withColumn("prev_t", lag("t", 1).over(w))
         .withColumn("prev_v", lag("v", 1).over(w))
         .where(col("t").between(MINT, MAXT))
@@ -665,7 +667,10 @@ object SparkEntry {
     // PromQL *_over_time range vectors: trailing-1h sliding aggregates
     // per sample via ONE range-frame window (count/min/max/sum/avg).
     "ts_over_time" -> ((s, dir) =>
-      Rate.overTime(Rate.seriesOrdered(TsdbSource.events(s, dir).samples), LOOKBACK)
+      // scan pruned to the only rows a surviving trailing window can
+      // read ([MINT - LOOKBACK, MAXT] — the whole family's P10 prune)
+      Rate.overTime(Rate.seriesOrdered(
+          TsdbSource.events(s, dir).select(MINT - LOOKBACK, MAXT)), LOOKBACK)
         .where(col("t").between(MINT, MAXT))),
 
     // PromQL quantile_over_time(0.9, v[1h]): per-sample trailing-window
@@ -676,7 +681,7 @@ object SparkEntry {
     "ts_quantile_over_time" -> ((s, dir) => {
       val w = Window.partitionBy("series_key").orderBy("t")
         .rangeBetween(-LOOKBACK, 0)
-      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+      Rate.seriesOrdered(TsdbSource.events(s, dir).select(MINT - LOOKBACK, MAXT))
         .select(
           col("series_key"), col("t"), col("sample_id"),
           count(lit(1)).over(w).as("n_win"),
@@ -691,7 +696,7 @@ object SparkEntry {
     "ts_stddev_over_time" -> ((s, dir) => {
       val w = Window.partitionBy("series_key").orderBy("t")
         .rangeBetween(-LOOKBACK, 0)
-      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+      Rate.seriesOrdered(TsdbSource.events(s, dir).select(MINT - LOOKBACK, MAXT))
         .select(
           col("series_key"), col("t"), col("sample_id"),
           count(lit(1)).over(w).as("n_win"),
@@ -718,7 +723,8 @@ object SparkEntry {
     "ts_mad_over_time" -> ((s, dir) => {
       val w = Window.partitionBy("series_key").orderBy("t")
         .rangeBetween(-LOOKBACK, 0)
-      val base = Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+      val base = Rate.seriesOrdered(
+        TsdbSource.events(s, dir).select(MINT - LOOKBACK, MAXT))
       val ev = base.select(
           col("series_key"), col("t"), col("sample_id"),
           count(lit(1)).over(w).as("n_win"),
@@ -1294,7 +1300,7 @@ object SparkEntry {
     "ts_first_last_over_time" -> ((s, dir) => {
       val w = Window.partitionBy("series_key").orderBy("t")
         .rangeBetween(-LOOKBACK, 0)
-      Rate.seriesOrdered(TsdbSource.events(s, dir).samples)
+      Rate.seriesOrdered(TsdbSource.events(s, dir).select(MINT - LOOKBACK, MAXT))
         .select(
           col("series_key"), col("t"), col("sample_id"),
           min(struct(col("t"), col("sample_id"), col("v"))).over(w)
