@@ -394,6 +394,19 @@ object SparkEntry {
   private def orderedOnce(df: DataFrame, cols: String*): DataFrame =
     df.localCheckpoint().orderBy(cols.map(col): _*)
 
+  /** Total output order for SAMPLE-SCALE results priced as ONE
+    * exchange: range-partition the scan-side frame on the result key
+    * BEFORE the order-preserving operators above it (broadcast joins
+    * and filters keep the streamed side's partitioning and ordering),
+    * so the exchange's range-sampling job re-executes only the pushdown
+    * scan — a final `orderBy` would run the whole join/agg lineage a
+    * second time just to pick partition bounds. An in-partition sort at
+    * the sink then makes partition order the global order — the same
+    * one-exchange contract `Rate.seriesOrdered` gives the window
+    * family, applied to the select/delete read shapes. */
+  private def sampleRanged(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("sample_id"))
+
   /** Shared: the events table as a TsdbSource, selected and projected to
     * the output shape used by the ts_select_* queries. */
   private def tsSelect(s: SparkSession, dir: String, ms: Matcher*): DataFrame =
@@ -527,12 +540,16 @@ object SparkEntry {
     // (querier.go:326-396) as joins.
     "ts_select_postings" -> ((s, dir) => {
       val samples = TsdbSource.events(s, dir).samples
+      // probe side pre-ranged on the result key ([[sampleRanged]]): the
+      // time clamp still pushes through the exchange to the scan, the
+      // broadcast semi-join preserves the partitioning, and the index
+      // derivation no longer runs twice for an output sort
       graft.query.Postings.select(
-          samples, graft.query.Postings.fromSamples(samples),
+          sampleRanged(samples), graft.query.Postings.fromSamples(samples),
           MINT, MAXT,
           Eq("name", "click"), Re("user", "1.*"), Matcher.neq("vip", "1"))
         .select(col("sample_id"), col("series_key"), col("t"), col("v"))
-        .orderBy("sample_id")
+        .sortWithinPartitions("sample_id")
     }),
 
     // A6 (reference Series.Labels(), querier.go:50-57): a store read
@@ -570,9 +587,17 @@ object SparkEntry {
         .where(col("t").between(OVERLAP_LO, OVERLAP_HI))
         .withColumn("v", col("v") + 100)
         .withColumn("block_seq", lit(2))
-      Merge.dedupLatest(a.unionByName(b))
+      // range exchange on the GROUP keys before the dedup aggregate:
+      // RangePartitioning(series_key, t) satisfies the aggregate's
+      // clustered-distribution requirement (equal keys share a
+      // partition), so the agg plans no exchange of its own and the
+      // in-partition sort below is the result's total order — the
+      // final `orderBy` this replaces re-executed union+agg in its
+      // sampling job (x10 3.15 → measured below)
+      Merge.dedupLatest(
+          a.unionByName(b).repartitionByRange(col("series_key"), col("t")))
         .select("sample_id", "series_key", "t", "v")
-        .orderBy("series_key", "t", "sample_id")
+        .sortWithinPartitions("series_key", "t", "sample_id")
     }),
 
     // P11/P12 + J4: interval deletes via tombstones, applied as a
@@ -589,9 +614,13 @@ object SparkEntry {
           .withColumn("mint", lit(lo)).withColumn("maxt", lit(hi))
       val tombs = resolve(DEL1_LO, DEL1_HI, Eq("name", "click"))
         .unionByName(resolve(DEL2_LO, DEL2_HI, Eq("user", "7")))
-      Tombstones.applyTo(src.samples, Tombstones.coalesceIntervals(tombs))
+      // [[sampleRanged]] under the broadcast anti-join: the surviving
+      // volume ≈ the exchanged volume (deletes are a small fraction),
+      // and the two-matcher resolution lineage stops running twice
+      Tombstones.applyTo(sampleRanged(src.samples),
+          Tombstones.coalesceIntervals(tombs))
         .select("sample_id", "series_key", "t", "v")
-        .orderBy("sample_id")
+        .sortWithinPartitions("sample_id")
     }),
 
     // U7: interval-set coalescing (overlapping/adjacent deletion ranges
