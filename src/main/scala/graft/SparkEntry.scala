@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.ingest.Appender
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
 import graft.query.{AsOf, Histogram, LabelDictionary, Rate, TsdbSource}
 import graft.sources.Tables
@@ -1587,6 +1587,21 @@ object SparkEntry {
       TextStats.weightedSample(Tables.documents(s, dir), MIX_RATES, 0.25)
         .orderBy("doc_id")),
 
+    // Sequence packing: shard-local greedy concat-and-chunk — which
+    // fixed-length training window does each document land in. The
+    // only sequential state is a per-shard running token sum (one
+    // window pass over shard partitions, no global order dependency).
+    "doc_seq_pack" -> ((s, dir) =>
+      Packing.packConcat(Tables.documents(s, dir), seqLen = 512, shards = 8)
+        .orderBy("doc_id")),
+
+    // Overlapping context-window chunking (embedding/RAG shape):
+    // 64-token windows at stride 48; the md5 over each chunk's joined
+    // words makes the oracle verify the boundaries, not just counts.
+    "doc_chunk_windows" -> ((s, dir) =>
+      Packing.chunkWindows(Tables.documents(s, dir), window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Corpus-relative keywords: top-3 terms per doc by smoothed TF-IDF
     // (two chained hash aggs + broadcast scalar N + per-doc window).
     "doc_tfidf_topk" -> ((s, dir) =>
@@ -1813,6 +1828,22 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfAssign(emb, emb.where(col("vec_id") < 8))
         .orderBy("vec_id")
+    }),
+
+    // Cluster-balanced diversity sampling (data-selection shape): cap a
+    // deterministic per-cluster quota over the IVF cells — keeps the
+    // sample's coverage of embedding space flat instead of
+    // density-proportional. Rank within cell by a multiplicative-hash
+    // order (corpus-order- and density-independent), keep 16 per cell.
+    "emb_cluster_sample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val w = Window.partitionBy("centroid_id")
+        .orderBy(pmod(col("vec_id") * 48271L, lit(1000003L)), col("vec_id"))
+      Similarity.ivfAssign(emb, emb.where(col("vec_id") < 8))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 16)
+        .select("centroid_id", "vec_id", "rk")
+        .orderBy("centroid_id", "rk")
     }),
 
     // Full IVF search: probe the 2 nearest centroid lists per query,
@@ -2783,6 +2814,35 @@ object SparkEntry {
          |  FROM m)
          |SELECT series_key, status, count(*) AS n FROM c
          |GROUP BY 1, 2 ORDER BY series_key, status""".stripMargin,
+    "doc_seq_pack" ->
+      s"""WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  len($WORDS_SQL)::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  0)::BIGINT AS cum_before FROM tok)
+         |SELECT shard, doc_id, n_tokens,
+         |  floor(cum_before / 512)::BIGINT AS bin_first,
+         |  floor((cum_before + n_tokens - 1) / 512)::BIGINT AS bin_last,
+         |  cum_before % 512 AS start_in_bin,
+         |  floor((cum_before + n_tokens - 1) / 512)::BIGINT
+         |    - floor(cum_before / 512)::BIGINT + 1 AS n_bins
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "doc_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $WORDS_SQL AS ws,
+         |  len($WORDS_SQL)::INT AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, ws, n_tokens,
+         |  unnest(generate_series(0,
+         |    ((greatest(n_tokens - 64, 0) + 47) // 48)::INT)) AS chunk_idx
+         |  FROM t)
+         |SELECT doc_id, n_tokens, chunk_idx,
+         |  (chunk_idx * 48)::BIGINT AS start_tok,
+         |  least(chunk_idx * 48 + 64, n_tokens)::BIGINT AS end_tok,
+         |  md5(array_to_string(ws[chunk_idx * 48 + 1 :
+         |    chunk_idx * 48 + least(64, n_tokens - chunk_idx * 48)], ' '))
+         |    AS chunk_md5,
+         |  (least(chunk_idx * 48 + 64, n_tokens) - chunk_idx * 48)::BIGINT
+         |    AS chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "doc_tokens" ->
       s"""SELECT doc_id, length(text) AS n_chars,
          | len($WORDS_SQL) AS n_ws_tokens,
@@ -3093,6 +3153,20 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "emb_cluster_sample" ->
+      s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |s AS (SELECT e.vec_id, centroid_id,
+         |  ${cosineSql("e.embedding", "c_emb")} AS sim
+         |  FROM embeddings e, ce),
+         |a AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
+         |  WHERE rn = 1)
+         |SELECT centroid_id, vec_id, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY centroid_id
+         |    ORDER BY (vec_id * 48271) % 1000003, vec_id) AS rk FROM a)
+         |WHERE rk <= 16 ORDER BY centroid_id, rk""".stripMargin,
     // the oracle re-derives the header fields from the text content; the
     // Spark side must agree by PARSING the bytes it encoded (offset or
     // endianness bugs in either direction break the hash match)
