@@ -135,4 +135,78 @@ class DbSpec extends SparkSuite {
     assert(db.labelValues("name").as[String].collect().toSeq == Seq("cpu", "mem"))
     assert(db.query(0, 1000).count() == 1)
   }
+
+  test("reported block bytes == actual disk size; deletes grow the store, " +
+    "compaction shrinks it (TestBlockSize block_test.go:156)") {
+    def du(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!Files.exists(p)) 0L
+      else {
+        val s = Files.walk(p)
+        try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val root = Files.createTempDirectory("graft-db-size").toString
+    val db = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))
+    def rows(t0: Long) = for (s <- 'a' to 'j'; i <- 0 until 10)
+      yield (s.toString, t0 + i * 10L, i * 1.0, t0 + i, Map("name" -> s.toString))
+    // two overlapping commits (the lifecycle the reference's createBlock
+    // + Delete + Compact sequence exercises): an overlap run compaction
+    // will fold, applying the tombstones as it rewrites
+    db.appender(minValidTime = 0).add(batch(rows(0): _*)).commit()
+    db.appender(minValidTime = 0).add(batch(rows(5): _*)).commit()
+
+    // reported size is the actual on-disk size, not an estimate
+    val before = db.blocks
+    assert(before.size == 2)
+    before.foreach(m => assert(m.bytes == du(s"$root/data/block_id=${m.blockId}")))
+
+    // a delete grows what's on disk — the reference grows the block's
+    // tombstone file; our tombstones are inline manifest T records (or
+    // spilled side tables), so the growth lands in the published
+    // manifest version, not the immutable block dir
+    val metaBytesBefore = du(s"$root/meta")
+    db.delete(0, 49, graft.matchers.Re("name", ".*"))
+    assert(du(s"$root/meta") > metaBytesBefore)
+
+    // compaction folds the overlap and drops the tombstoned rows: the
+    // replacement block is smaller than its predecessors combined AND
+    // its reported bytes still match the disk exactly
+    val dataBefore = du(s"$root/data")
+    assert(db.maintain() >= 1)
+    val Seq(after) = db.blocks
+    assert(!before.map(_.blockId).contains(after.blockId))
+    assert(after.bytes == du(s"$root/data/block_id=${after.blockId}"))
+    assert(after.bytes < before.map(_.bytes).sum,
+      s"${after.bytes} !< ${before.map(_.bytes).sum}")
+    assert(du(s"$root/data") < dataBefore) // dead predecessor dirs reaped
+    assert(db.query(0, 10000).count() == 100)
+  }
+
+  test("snapshot with PENDING deletes answers the tombstone-filtered view " +
+    "(TestDB_SnapshotWithDelete db_test.go:548)") {
+    val root = Files.createTempDirectory("graft-db-snapdel").toString
+    val db = Db.open(spark, root, Db.Options(blockRangeMs = 10000L))
+    val vals = (0L to 9L).map(t => t -> (t * 1.25 + 0.5)).toMap
+    db.appender(minValidTime = 0).add(batch(
+      vals.toSeq.map { case (t, v) => ("ab", t, v, t, Map("a" -> "b")) }: _*)).commit()
+
+    // the reference's case: Intervals{{1,3},{4,7}} -> remaining {0, 8, 9}.
+    // No maintain() between delete and snapshot: the tombstones are still
+    // unapplied interval records, and the snapshot must CARRY them (the
+    // reference hard-links tombstone files into the snapshot dir; we
+    // publish the manifest state, whose inline T records travel with it).
+    db.delete(1, 3, Eq("a", "b"))
+    db.delete(4, 7, Eq("a", "b"))
+    val snap = Files.createTempDirectory("graft-db-snapdel2").toString
+    db.snapshot(snap)
+
+    val db2 = Db.open(spark, snap, Db.Options(blockRangeMs = 10000L))
+    val got = db2.query(0, 10, Eq("a", "b"))
+      .select("t", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(0L, 8L, 9L).map(t => t -> vals(t)))
+    // and the source db answers identically (snapshot changed nothing)
+    assert(db.query(0, 10).count() == 3)
+  }
 }

@@ -90,6 +90,29 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compaction.splitByRange(neg, 30).map(_.map(_.blockId)) == Seq(Seq(1L, 2L)))
   }
 
+  test("splitByRange: the full TestSplitByRange case table (compact_test.go:36)") {
+    def split(tr: Long, ranges: (Long, Long)*): Seq[Seq[(Long, Long)]] =
+      Compaction.splitByRange(
+        ranges.zipWithIndex.map { case ((lo, hi), i) => m(i.toLong, lo, hi) }.toSeq, tr)
+        .map(_.map(b => (b.mint, b.maxt)))
+    assert(split(60, (0L, 10L)) == Seq(Seq((0L, 10L))))
+    assert(split(60, (0L, 60L)) == Seq(Seq((0L, 60L)))) // exact fit stays
+    assert(split(60, (0L, 10L), (9L, 15L), (30L, 60L)) ==
+      Seq(Seq((0L, 10L), (9L, 15L), (30L, 60L))))
+    assert(split(60, (70L, 90L), (125L, 130L), (130L, 180L), (1000L, 1001L)) ==
+      Seq(Seq((70L, 90L)), Seq((125L, 130L), (130L, 180L)), Seq((1000L, 1001L))))
+    // mis-aligned or too-large blocks are ignored
+    assert(split(60, (50L, 70L), (70L, 80L)) == Seq(Seq((70L, 80L))))
+    assert(split(72, (0L, 144L), (144L, 216L), (216L, 288L)) ==
+      Seq(Seq((144L, 216L)), Seq((216L, 288L))))
+    // awkward negative-number edges
+    assert(split(60, (-10L, -5L)) == Seq(Seq((-10L, -5L))))
+    assert(split(60, (-60L, -50L), (-10L, -5L)) ==
+      Seq(Seq((-60L, -50L), (-10L, -5L))))
+    assert(split(60, (-60L, -50L), (-10L, -5L), (0L, 15L)) ==
+      Seq(Seq((-60L, -50L), (-10L, -5L)), Seq((0L, 15L))))
+  }
+
   test("overlappingGroups finds all maximal overlap groups (db_test.go:1250)") {
     val metas = Seq(
       m(1, 0, 10), m(2, 9, 15), m(3, 14, 20), // one chained group
