@@ -804,19 +804,19 @@ object SparkEntry {
         Tables.tsMillis(evRaw).as("t"),
         col("value").cast("double").as("v"),
         col("event_type"))
-      val both = ev.where(col("event_type").isin("click", "purchase"))
-        .groupBy("user_id", "t")
-        .agg(
-          max(when(col("event_type") === "click", col("v"))).as("c"),
-          max(when(col("event_type") === "purchase", col("v"))).as("p"))
-      // grid keys come from the operand aggregate, not a second fact
-      // scan: a user surviving the final not-null filter needs fills on
-      // BOTH operands, so users outside `both` can only produce
-      // discarded rows
-      val grid = both.select("user_id").distinct()
-        .withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
+      // both operands pivot to per-row conditional columns and feed
+      // gridFillWide RAW: its candidate-explode aggregate subsumes the
+      // old per-(user, t) operand aggregate (max-struct at equal t =
+      // max v), so the whole binary op pays ONE combine-shrunk shuffle
+      // — no union window over samples, no grid materialization (the
+      // final not-null-both filter discards empty grid cells anyway).
+      val ops = ev.where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("t"),
+          when(col("event_type") === "click", col("v")).as("c"),
+          when(col("event_type") === "purchase", col("v")).as("p"))
       orderedOnce(
-        AsOf.joinWide(grid, both, Seq("user_id"), DAY, Seq("c", "p"))
+        AsOf.gridFillWide(ops,
+            Seq("user_id"), MINT, MAXT, BUCKET_W, DAY, Seq("c", "p"))
           .where(col("c_v").isNotNull && col("p_v").isNotNull)
           .select(col("user_id"), col("t"),
             round(col("c_v") / col("p_v"), 4).as("ratio")),
@@ -1399,8 +1399,11 @@ object SparkEntry {
       val l = ev.where(col("event_type") === "click").drop("event_type")
       val r = ev.where(col("event_type") === "purchase")
         .groupBy("user_id", "t").agg(max("v").as("r_v"))
-      orderedOnce(AsOf.join(l, r, Seq("user_id"), LOOKBACK),
-        "user_id", "t", "sample_id")
+      // ranged: one range exchange on user_id IS the output order (the
+      // sample-scale result made orderedOnce's checkpoint + global sort
+      // the dominant cost); the tie-break re-sort is in-partition only
+      AsOf.join(l, r, Seq("user_id"), LOOKBACK, ranged = true)
+        .sortWithinPartitions("user_id", "t", "sample_id")
     }),
 
     // PromQL delta(v[1d]) for gauges: last minus first sample of each

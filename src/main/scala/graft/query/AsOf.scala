@@ -41,13 +41,21 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Left rows + `(r_t, r_v)` from the latest in-window right match,
-    * null when none. `right` needs columns `keys :+ t :+ r_v`. */
+    * null when none. `right` needs columns `keys :+ t :+ r_v`.
+    *
+    * `ranged = true` applies the `Rate.seriesOrdered` pricing to the
+    * union: ONE range exchange on the keys + the window's in-partition
+    * sort, instead of a hash exchange now and a global orderBy (whose
+    * range-sampling job re-runs the window stage) later — the fill's
+    * output order becomes `keys :+ t` across partition ranges, so
+    * sample-scale consumers finish with `sortWithinPartitions`. */
   def join(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
-      lookbackMs: Long): DataFrame =
-    joinMany(left, Seq("r" -> right), keys, lookbackMs)
+      lookbackMs: Long,
+      ranged: Boolean = false): DataFrame =
+    joinMany(left, Seq("r" -> right), keys, lookbackMs, ranged)
 
   /** One right relation carrying SEVERAL value columns, each filled
     * independently: a row where `valueCols(i)` is null does NOT clobber
@@ -91,17 +99,24 @@ object AsOf {
       left: DataFrame,
       rights: Seq[(String, DataFrame)],
       keys: Seq[String],
-      lookbackMs: Long): DataFrame = {
+      lookbackMs: Long,
+      ranged: Boolean = false): DataFrame = {
     require(rights.nonEmpty && rights.map(_._1).distinct.size == rights.size,
       "right sides need distinct names")
     val n = rights.size
-    val unioned = rights.zipWithIndex.foldLeft(left.withColumn("__side", lit(n))) {
+    val unioned0 = rights.zipWithIndex.foldLeft(left.withColumn("__side", lit(n))) {
       case (acc, ((_, r), i)) =>
         acc.unionByName(
           r.select(keys.map(col) :+ col("t") :+ col("r_v").as(s"__rv_$i"): _*)
             .withColumn("__side", lit(i)),
           allowMissingColumns = true)
     }
+    // see [[join]]: range partitioning on the keys satisfies the fill
+    // window's clustering AND makes partition order the result order
+    val unioned =
+      if (!ranged) unioned0
+      else unioned0.repartitionByRange(keys.map(col): _*)
+        .sortWithinPartitions((keys :+ "t" :+ "__side").map(col): _*)
     fillAsOf(unioned, keys, lookbackMs, leftSide = n,
       fills = rights.zipWithIndex.map { case ((name, _), i) =>
         (name, col("__side") === i, col(s"__rv_$i"))
@@ -149,6 +164,62 @@ object AsOf {
     grid.join(
       latestPerInstant(right, keys, stepMs, lookbackMs, name, originMs),
       keys :+ "t", "left")
+
+  /** Sparse grid fill for `lookback ≥ step` — the regime
+    * [[gridLatest]]'s single-instant mapping can't cover (a sample may
+    * satisfy several instants). Candidate-explode formulation: each
+    * sample can serve at most `⌈lookback/step⌉ + 1` lattice instants,
+    * so explode it to exactly those, apply the inclusive horizon, and
+    * take ONE map-side-combined latest-non-null aggregate per
+    * `(keys, instant, value column)`. No lattice materialization, no
+    * window sort, no join — a single exchange whose input is already
+    * combine-shrunk to per-(key, instant) structs.
+    *
+    * vs [[joinWide]] on a dense grid: the union window shuffles AND
+    * sorts `|keys|·|instants| + |samples|` rows; this moves
+    * `≤ (k+1)·|samples|` pre-combine rows and never materializes empty
+    * grid cells — the right trade whenever series are sparse relative
+    * to the instant lattice, and never worse by more than the small
+    * constant k at 100 TB densities.
+    *
+    * Output is the NON-EMPTY fill frame only: `keys`, `t` on the
+    * `[mint, maxt]` step lattice (instants with at least one in-horizon
+    * row), `<c>_t`/`<c>_v` per value column (null when that column has
+    * no in-horizon non-null row at the instant). Consumers that need
+    * the all-null grid cells re-attach a lattice afterwards — the same
+    * contract [[latestPerInstant]] gives the by-label family. Fill
+    * semantics otherwise match [[joinWide]]: inclusive horizon,
+    * same-instant visibility, per-column independence, duplicates
+    * resolved to the max value at the latest t. */
+  def gridFillWide(
+      right: DataFrame,
+      keys: Seq[String],
+      mintMs: Long,
+      maxtMs: Long,
+      stepMs: Long,
+      lookbackMs: Long,
+      valueCols: Seq[String]): DataFrame = {
+    require(stepMs > 0 && lookbackMs >= stepMs,
+      s"gridFillWide is the lookback >= step regime ($lookbackMs < $stepMs): use gridLatest")
+    val k = ((lookbackMs + stepMs - 1) / stepMs).toInt
+    val g0 = (floor((col("t") - 1 - mintMs) / stepMs) * stepMs + stepMs + mintMs)
+      .cast("long")
+    val aggs = valueCols.map(c =>
+      max(when(col(c).isNotNull, struct(col("t").as("t"), col(c).as("v"))))
+        .as(s"__m_$c"))
+    val candidates = right
+      .withColumn("__g", explode(sequence(g0, g0 + k.toLong * stepMs, lit(stepMs))))
+      .where(col("__g").between(mintMs, maxtMs) &&
+        col("t") >= col("__g") - lookbackMs)
+    valueCols.foldLeft(
+      candidates
+        .groupBy(keys.map(col) :+ col("__g"): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumnRenamed("__g", "t")) { case (acc, c) =>
+      acc.withColumn(s"${c}_t", col(s"__m_$c.t"))
+        .withColumn(s"${c}_v", col(s"__m_$c.v"))
+    }.drop(valueCols.map(c => s"__m_$c"): _*)
+  }
 
   /** The latest-sample half of [[gridLatest]], exposed for callers whose
     * aggregate never needs the grid's null rows (the by-label family):
