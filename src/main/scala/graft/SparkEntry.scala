@@ -673,7 +673,11 @@ object SparkEntry {
     // convention: bucket counts per (series, day), cumulative walk,
     // linear interpolation inside the φ=0.9 bucket.
     "ts_hist_quantile" -> ((s, dir) =>
-      Histogram.quantile(Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+      // no seriesClustered pre-pass (see ts_hist_fraction): the literal
+      // boundary decomposition makes this ONE map-side-combined hash
+      // aggregate at (series, day) grain — a raw-row range exchange
+      // would route every sample for nothing
+      Histogram.quantile(TsdbSource.events(s, dir).samples,
           DAY, HIST_LES, 0.9)
         .sortWithinPartitions("series_key", "t_bucket")),
 

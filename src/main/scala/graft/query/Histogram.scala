@@ -50,54 +50,53 @@ object Histogram {
       when(v <= b, lit(b)).otherwise(els)
     }
 
-  /** The configured boundary immediately below `le` (0 below the first,
-    * the highest finite boundary below +Inf). Statically derived from
-    * the literal boundary list — NOT `lag(le)` over the observed rows,
-    * which would skip empty buckets and widen the interpolation interval
-    * (Prometheus always interpolates against the adjacent configured
-    * boundary, because cumulative bucket series exist even when empty). */
-  private def prevLeOf(le: Column, les: Seq[Double]): Column = {
-    val sorted = les.sorted
-    val prev = sorted.zip(0.0 +: sorted.init)
-    prev.foldRight(lit(sorted.last): Column) { case ((b, p), els) =>
-      when(le === b, lit(p)).otherwise(els) // the +Inf bucket falls through to sorted.last
-    }
-  }
-
   /** φ-quantile per `(series_key, t_bucket)` from le-bucketed counts.
-    * Output: `(series_key, t_bucket, total, q)`. */
+    * Output: `(series_key, t_bucket, total, q)`.
+    *
+    * The boundary list is a LITERAL, so the cumulative bucket counts
+    * decompose statically: one conditional sum `Σ 1[v ≤ leᵢ]` per
+    * boundary inside ONE hash aggregate at `(series, window)` grain —
+    * map-side combined, no per-le rows, no cumulative window, nothing
+    * after the aggregate above `(series, window)` grain (the same
+    * decomposition [[fraction]] uses). The φ-rank walk is then a
+    * codegen'd coalesce-of-whens over the cumulative columns: the first
+    * boundary whose cumulative count reaches `φ·total` interpolates
+    * from the adjacent CONFIGURED boundary below it (0 below the
+    * first; empty buckets cannot widen the interval because every
+    * boundary has its own cumulative column whether or not it received
+    * samples), and a rank landing past every finite boundary — the
+    * +Inf bucket — returns the highest finite boundary. The first
+    * boundary reaching the rank always has `prev_cum < rank ≤ cum`, so
+    * the interpolation divisor is ≥ 1 by construction. */
   def quantile(
       samples: DataFrame,
       bucketMs: Long,
       les: Seq[Double],
       phi: Double): DataFrame = {
     require(les.nonEmpty && les.forall(b => !b.isInfinite), "finite boundaries only")
-    val maxFinite = les.max
-    val counts = samples
+    val sorted = les.sorted
+    val maxFinite = sorted.last
+    val cums = sorted.zipWithIndex.map { case (b, i) =>
+      sum(when(col("v") <= b, 1L).otherwise(0L)).as(s"__c_$i")
+    }
+    val rank = col("total") * phi
+    val walk = sorted.zipWithIndex.map { case (b, i) =>
+      val cum = col(s"__c_$i")
+      val prevCum = if (i == 0) lit(0L) else col(s"__c_${i - 1}")
+      val prevLe = if (i == 0) 0.0 else sorted(i - 1)
+      when(cum >= rank,
+        lit(prevLe) + lit(b - prevLe) * (rank - prevCum) / (cum - prevCum))
+    }
+    samples
       .select(
         col("series_key"),
         rangeForTimestamp(col("t"), bucketMs).as("t_bucket"),
-        leOf(col("v"), les).as("le"))
-      .groupBy("series_key", "t_bucket", "le")
-      .agg(count(lit(1)).as("n"))
-    val wCum = Window.partitionBy("series_key", "t_bucket").orderBy("le")
-    val wAll = Window.partitionBy("series_key", "t_bucket")
-    val rank = col("total") * phi
-    counts
-      .withColumn("cum", sum("n").over(wCum))
-      // empty buckets have no row, so lag(cum) == cum - n always holds
-      .withColumn("prev_cum", col("cum") - col("n"))
-      .withColumn("prev_le", prevLeOf(col("le"), les))
-      .withColumn("total", sum("n").over(wAll))
-      // the unique first bucket whose cumulative count reaches the rank
-      .where(col("cum") >= rank && col("prev_cum") < rank)
+        col("v"))
+      .groupBy("series_key", "t_bucket")
+      .agg(cums.head, (cums.tail :+ count(lit(1)).as("total")): _*)
       .select(
         col("series_key"), col("t_bucket"), col("total"),
-        round(
-          when(col("le") === Double.PositiveInfinity, lit(maxFinite))
-            .otherwise(col("prev_le") +
-              (col("le") - col("prev_le")) * (rank - col("prev_cum")) / col("n")),
-          4).as("q"))
+        round(coalesce(walk :+ (lit(maxFinite): Column): _*), 4).as("q"))
   }
 
   /** PromQL `histogram_fraction(lower, upper, v)` over classic `le`
