@@ -118,14 +118,23 @@ object TextStats {
       k: Int = 3,
       textCol: String = "text"): DataFrame = {
     val tok = df.select(col("doc_id"), explode(words(col(textCol))).as("term"))
-    // tf is consumed twice (df aggregate + score join): materialize it
-    // once, call-scoped, like [[Dedup.dupShingleFraction]]'s distinct
-    // relation — otherwise both branches re-run tokenize + aggregate
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // ONE token-scale exchange on doc_id alone: partitioning by doc_id
+    // clusters every (doc, term) pair of a doc, so the tf aggregate
+    // plans no exchange of its own AND the per-doc top-k window below
+    // reuses the same partitioning — the (doc,term)-hash + by-term +
+    // by-doc exchange chain this replaces moved term-scale rows three
+    // times. tf is consumed twice (df aggregate + score join):
+    // materialize it once, call-scoped (localCheckpoint preserves the
+    // doc_id partitioning for the window).
+    val tf = tok.repartition(col("doc_id"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    // document frequency is vocabulary-sized — broadcast it back rather
+    // than re-shuffling tf by term (at corpora whose vocabulary outgrows
+    // the driver, drop the hint and let AQE pick from runtime sizes)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = broadcast(df.agg(count(lit(1)).as("__n")))
-    val scored = tf.join(dfreq, "term").crossJoin(n)
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(n)
       .withColumn("score",
         round(col("tf") * (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + 1), 4))
     val w = org.apache.spark.sql.expressions.Window
@@ -152,8 +161,17 @@ object TextStats {
     * nothing reshuffles; no per-doc state exceeds the doc's own token
     * count. */
   def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // token exchanges on doc_id ONLY: doc_id partitioning satisfies
+    // every downstream shape — the (doc, w) aggregate, its per-doc
+    // rollup, the bigram window's partitionBy, the bigram aggregate,
+    // and the final per-doc join (both sides arrive doc-partitioned, so
+    // the join plans no exchange either). Each consumer re-derives the
+    // cheap codegen'd tokenize rather than checkpointing a token-scale
+    // frame (measured: materializing exploded tokens costs more than
+    // the second scan).
     val tok = df.select(
-      col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+        col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .repartition(col("doc_id"))
     val wordAgg = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"), max("c").as("top_c"),
