@@ -66,9 +66,13 @@ object Bench {
     // corpus-selection pipeline (feature branches + dup join-back)
     "doc_line_dedup", "doc_filter_pipeline",
     // r6: histogram_fraction — the windowless single-aggregate histogram
-    // consumer; its gap vs ts_hist_quantile is the price of the
-    // quantile's cumulative window pass
-    "ts_hist_fraction")
+    // consumer (ts_hist_quantile now shares the same decomposition)
+    "ts_hist_fraction",
+    // r6 late: sequence packing (per-shard running-sum window) and
+    // context-window chunking (explode + per-chunk digest) — the
+    // tokenizer-adjacent training-pipeline pair; must scale linearly
+    // in corpus mass
+    "doc_seq_pack", "doc_chunk_windows")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

@@ -163,4 +163,71 @@ class AsOfSpec extends SparkSuite {
       .select("sample_id", "r_t").as[(Long, Option[Long])].collect()
     assert(got.toSeq == Seq((1L, None)))
   }
+
+  test("ranged as-of join answers exactly like the default pricing") {
+    val rnd = new scala.util.Random(20260814L)
+    val l = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, 1.0))
+      .toDF("sample_id", "user_id", "t", "v")
+    val r = (0 until 100).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, rnd.nextInt(9).toDouble))
+      .distinctBy(x => (x._1, x._2)).toDF("user_id", "t", "r_v")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("sample_id", "r_t", "r_v")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(norm(AsOf.join(l, r, Seq("user_id"), 120L, ranged = true)) ==
+      norm(AsOf.join(l, r, Seq("user_id"), 120L)))
+  }
+
+  test("gridFillWide: inclusive horizon, per-column independence, " +
+    "all-null instants absent") {
+    // step 100, lookback 200 (k = 2): the t=100 sample serves
+    // g ∈ {100, 200, 300} — 300 by the INCLUSIVE horizon edge
+    val r = Seq(
+      (1L, 100L, Some(5.0), None: Option[Double]),
+      (1L, 250L, None: Option[Double], Some(7.0)))
+      .toDF("key", "t", "c", "p")
+    val got = AsOf.gridFillWide(r, Seq("key"), 100L, 500L, 100L, 200L,
+        Seq("c", "p"))
+      .select("key", "t", "c_t", "c_v", "p_t", "p_v")
+      .as[(Long, Long, Option[Long], Option[Double], Option[Long], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 100L, Some(100L), Some(5.0), None, None),
+      (1L, 200L, Some(100L), Some(5.0), None, None),
+      (1L, 300L, Some(100L), Some(5.0), Some(250L), Some(7.0)),
+      (1L, 400L, None, None, Some(250L), Some(7.0))))
+    // g=500: the t=250 candidate fails 250 >= 500-200 -> no row at all
+  }
+
+  test("gridFillWide ≡ joinWide's non-empty fill rows over seeded fixtures " +
+    "(lookback ≥ step)") {
+    import org.apache.spark.sql.functions._
+    val step = 100L
+    val lookback = 250L // k = 3, non-integral multiple of step
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (for {
+      fid <- 0 until 30
+      _ <- 0 until rnd.nextInt(30)
+    } yield (fid.toLong, rnd.nextInt(3).toLong, rnd.nextInt(601).toLong,
+      if (rnd.nextBoolean()) Some(rnd.nextInt(100).toDouble) else None,
+      if (rnd.nextBoolean()) Some(rnd.nextInt(100).toDouble) else None))
+      .distinctBy(x => (x._1, x._2, x._3)) // joinWide needs unique (keys, t)
+    val r = rows.toDF("fid", "key", "t", "c", "p")
+    val (mint, maxt) = (step, 6 * step)
+    val grid = (0 until 30).map(_.toLong).toDF("fid")
+      .crossJoin(Seq(0L, 1L, 2L).toDF("key"))
+      .withColumn("t", explode(sequence(lit(mint), lit(maxt), lit(step))))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("fid", "key", "t", "c_t", "c_v", "p_t", "p_v")
+      .as[(Long, Long, Long, Option[Long], Option[Double], Option[Long], Option[Double])]
+      .collect().toSet
+    val wide = norm(AsOf.joinWide(grid, r, Seq("fid", "key"), lookback, Seq("c", "p")))
+    val sparse = norm(AsOf.gridFillWide(r, Seq("fid", "key"),
+      mint, maxt, step, lookback, Seq("c", "p")))
+    // every emitted instant carries exactly joinWide's fills there...
+    assert(sparse.subsetOf(wide))
+    // ...and every joinWide row with at least one fill is emitted
+    assert(wide.filter(x => x._4.nonEmpty || x._6.nonEmpty).subsetOf(sparse))
+  }
 }
