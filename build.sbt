@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // size the single-JVM heap for local[32]: 32 concurrent tasks share
+  // it (shuffle buffers, broadcasts, call-scoped localCheckpoints), and
+  // at 8g the 121-query bench pass degraded ~20% run-wide from GC
+  // pressure (measured 100.2 -> 90.1 s total at 48g, median per-query
+  // in-run delta +20% -> +1%); the host has 125g
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
