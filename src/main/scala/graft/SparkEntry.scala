@@ -1900,6 +1900,30 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("component").as("cluster_id"))
         .orderBy("vec_id")),
 
+    // SemDeDup: embedding-space dedup — IVF cells bound the pairwise
+    // cosine work; inside each cell a vector with a τ-close (>= 0.4)
+    // lower-id neighbor is dropped. One row per vector with the verdict.
+    "emb_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, emb.where(col("vec_id") < 8), threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
+    // Corpus-wide k-NN graph (graph-dedup / label-propagation input):
+    // top-3 neighbors per vector within shared hyperplane buckets —
+    // symmetric bucket self-join, Σ_b n_b² pairs, nothing broadcasts
+    // (single table so the oracle stays one SQL).
+    "emb_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 3,
+          dim = EMB_DIM, bits = RAND_LSH_BITS, tables = 1, seed = RAND_LSH_SEED)
+        .orderBy("q_id", "rank")),
+
+    // Perplexity-style quality scoring under the corpus's own smoothed
+    // unigram LM (the CCNet filter shape with the external KenLM swapped
+    // for a derived model): high ppl flags junk vocabulary.
+    "doc_unigram_logprob" -> ((s, dir) =>
+      orderedOnce(TextStats.unigramLogProb(Tables.documents(s, dir)), "doc_id")),
+
     // J5/U1: series churn — full-outer alignment of two adjacent block
     // windows on series_key (mergedSeriesSet semantics: series present
     // in one window, the other, or both).
@@ -3137,6 +3161,44 @@ object SparkEntry {
          |  SELECT s.dst AS node, c.comp FROM cc c JOIN sym s ON s.src = c.node)
          |SELECT node AS vec_id, min(comp) AS cluster_id FROM cc
          |GROUP BY node ORDER BY vec_id""".stripMargin,
+    "emb_semantic_dedup" ->
+      s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |s AS (SELECT e.vec_id, centroid_id, e.embedding,
+         |  ${cosineSql("e.embedding", "c_emb")} AS sim
+         |  FROM embeddings e, ce),
+         |asg AS (SELECT vec_id, centroid_id, embedding FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
+         |  WHERE rn = 1),
+         |dr AS (SELECT DISTINCT r.vec_id FROM asg l JOIN asg r
+         |  ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+         |  WHERE ${cosineSql("l.embedding", "r.embedding")} >= 0.4)
+         |SELECT a.vec_id, a.centroid_id, (d.vec_id IS NULL) AS keep
+         |FROM asg a LEFT JOIN dr d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+    "emb_knn_graph" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${planeBucketSql("embedding")} AS bucket FROM embeddings),
+         |s AS (SELECT l.vec_id AS q_id, r.vec_id AS neighbor_id,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id)
+         |SELECT q_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "doc_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS_SQL) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(cf)::BIGINT AS t, count(*) AS v FROM cf),
+         |p AS (SELECT term, (cf + 1)::DOUBLE / (t + v) AS p
+         |  FROM cf CROSS JOIN tot),
+         |d AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |  round(-sum(tf * ln(p)) / sum(tf)::DOUBLE, 4) + 0.0 AS nll
+         |  FROM tf JOIN p USING (term) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, nll, round(exp(nll), 4) + 0.0 AS ppl
+         |FROM d ORDER BY doc_id""".stripMargin,
     "ts_series_churn" ->
       s"""$samplesCte,
          |a AS (SELECT series_key, count(*) AS n_a FROM s

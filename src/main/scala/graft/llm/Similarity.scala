@@ -249,6 +249,74 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication: cluster the corpus with the IVF coarse quantizer,
+    * then inside each cluster mark every vector that has a τ-close
+    * (cosine ≥ threshold) predecessor in vec_id order as a duplicate —
+    * the deterministic survivor rule (the paper keeps one arbitrary
+    * representative per ε-group; id order makes the choice reproducible
+    * across runs and engines, like [[graft.llm.Dedup.dedupSurvivors]]).
+    *
+    * Output: one row per corpus vector — `(vec_id, centroid_id, keep)`.
+    *
+    * Scale: pairwise work is Σ_c n_c², never n² — k (the centroid
+    * count) is the knob that bounds cluster size (SemDeDup's own
+    * prescription: k ≈ n / target-cluster-size), the per-cluster join
+    * is an equi-join on `centroid_id` (AQE-skew-splittable), and the
+    * dropped set joins back by vec_id. Assignment is the zero-shuffle
+    * inlined argmax ([[ivfAssign]]). */
+  def semanticDedup(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignInlined(corpus, collectCentroids(centroids))
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("nrm"))
+    val lhs = assigned.select(col("centroid_id"), col("vec_id").as("i"),
+      col("embedding").as("e_i"), col("nrm").as("n_i"))
+    val rhs = assigned.select(col("centroid_id"), col("vec_id").as("j"),
+      col("embedding").as("e_j"), col("nrm").as("n_j"))
+    val dropped = lhs.join(rhs, Seq("centroid_id"))
+      .where(col("i") < col("j"))
+      .where(round(cosinePre(col("e_i"), col("e_j"), col("n_i"), col("n_j")), 4)
+        >= threshold)
+      .select(col("j").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
+
+  /** k-NN graph over the WHOLE corpus — every vector's top-k cosine
+    * neighbors restricted to shared random-hyperplane buckets: the
+    * input graph for graph-based dedup clustering, label propagation,
+    * and diversity analysis (and the batch analogue of an NN-Descent
+    * seed pass). Unlike [[hyperplaneLshTopK]] the query side IS the
+    * corpus, so nothing broadcasts: the candidate generator is a
+    * symmetric self-equi-join on `(table, bucket)` — Σ_b n_b² pairs,
+    * with `bits` sizing buckets and `tables` buying recall — and the
+    * per-vector top-k is one window over candidate pairs. */
+  def knnGraph(
+      corpus: DataFrame,
+      k: Int,
+      dim: Int,
+      bits: Int = 16,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val b = explodeBuckets(corpus, dim, bits, tables, seed)
+      .withColumn("nrm", norm(col("embedding")))
+    val lhs = b.select(col("__tbl"), col("__bucket"), col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val rhs = b.select(col("__tbl"), col("__bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = lhs.join(rhs, Seq("__tbl", "__bucket"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .dropDuplicates("q_id", "neighbor_id") // collide once across tables
+      .select(col("q_id"), col("neighbor_id"),
+        round(cosinePre(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm")), 4).as("sim"))
+    ranked(scored, k)
+  }
+
   /** Symmetric per-vector scalar quantization to int8: scale =
     * max(|x|)/127, codes = round(x/scale) — the storage-reduction step
     * every large embedding corpus takes (4 bytes -> 1 byte per dim)

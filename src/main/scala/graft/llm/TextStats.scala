@@ -194,6 +194,44 @@ object TextStats {
           .as("dup_bigram_ratio"))
   }
 
+  /** Per-document negative log-likelihood under the corpus's own
+    * add-one-smoothed unigram LM — the CCNet/Wikipedia-LM
+    * perplexity-filter shape with the external KenLM swapped for the
+    * corpus unigram model (the SQL-expressible stand-in: the operator
+    * shape — score every document under a shared language model and
+    * filter on the tail — is identical; a real deployment loads learned
+    * n-gram tables instead of deriving them).
+    *
+    * `p(term) = (cf + 1) / (T + V)` over corpus term counts; per doc,
+    * `nll = -Σ tf·ln p / n_tokens`, `ppl = e^nll`. Low-probability
+    * vocabulary (typos, junk, boilerplate markup) drives `ppl` up —
+    * sort descending and cut the tail.
+    *
+    * Plan shape: ONE token-scale exchange on doc_id (the [[tfidfTopK]]
+    * pricing — the (doc, term) aggregate, the model join-back, and the
+    * final per-doc aggregate all reuse it); the model itself is
+    * vocabulary-sized and broadcasts. Determinism: the ln-sum is
+    * rounded (4dp) after the exact-integer division like every
+    * cross-engine float fold in this suite; `ppl` exponentiates the
+    * *rounded* nll so both engines exponentiate identical bits. */
+  def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tf = df.select(col("doc_id"), explode(words(col(textCol))).as("term"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // consumed twice: corpus counts + the score join
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val totals = broadcast(cf.agg(sum("cf").as("__t"), count(lit(1)).as("__v")))
+    val model = cf.crossJoin(totals)
+      .select(col("term"),
+        ((col("cf") + 1).cast("double") / (col("__t") + col("__v")).cast("double")).as("p"))
+    tf.join(broadcast(model), "term")
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        round(-sum(col("tf") * log(col("p"))) / sum("tf"), 4).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 4))
+  }
+
   /** Per-source corpus rollup — the per-domain accounting view a
     * training-data pipeline keeps (docs, exact-dup rate via distinct
     * content hash, size, language spread). One hash aggregate keyed by

@@ -444,6 +444,53 @@ class SimilaritySpec extends SparkSuite {
     // pairs are emitted once even when they collide in both tables
     assert(got.map(r => (r.getLong(0), r.getLong(1))).distinct.length == got.length)
   }
+
+  test("semanticDedup: τ-close same-cluster vectors drop, cross-cluster twins both survive") {
+    def v(dims: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(4)(0f); dims.foreach { case (i, x) => a(i) = x }; a.toSeq
+    }
+    // two orthogonal centroids; 1 and 2 are identical (cluster 0),
+    // 3 sits in cluster 1, 4 is its near-orthogonal cluster-mate
+    val corpus = Seq(
+      (1L, v(0 -> 1f)), (2L, v(0 -> 1f)),
+      (3L, v(1 -> 1f)), (4L, v(1 -> 0.1f, 2 -> 1f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, v(0 -> 1f)), (1L, v(1 -> 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(corpus, centroids, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0L, true)) // lowest id survives
+    assert(got(2L) == (0L, false)) // its τ-close successor drops
+    assert(got(3L) == (1L, true))
+    assert(got(4L) == (1L, true)) // same cluster but cos ≈ 0.1 < τ
+    // the SAME vectors with one centroid still keep 3 and 4: cluster
+    // membership alone never drops anything — similarity does
+    val one = Similarity.semanticDedup(
+        corpus, centroids.where($"vec_id" === 0), threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(one(3L) && one(4L) && !one(2L))
+  }
+
+  test("knnGraph: planted twin ranks first at sim 1, k bounds neighbors, graph covers bucket-mates only") {
+    val dup = emb.where($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val g = Similarity.knnGraph(emb.unionByName(dup), k = 3,
+      dim = 64, bits = 6, tables = 2, seed = 7L)
+    val rows = g.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.values.forall(_.length <= 3))
+    // ranks are dense 1..n within every query vertex
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getAs[Int]("rank")).toSet == (1 to rs.length).toSet))
+    // the twin pair collides in every table: both directions rank 1, sim 1
+    val q0 = byQ(0L).find(_.getAs[Int]("rank") == 1).get
+    assert(q0.getAs[Long]("neighbor_id") == 9999L && q0.getAs[Double]("sim") == 1.0)
+    val q9 = byQ(9999L).find(_.getAs[Int]("rank") == 1).get
+    assert(q9.getAs[Long]("neighbor_id") == 0L && q9.getAs[Double]("sim") == 1.0)
+    // every q_id appears at most once per neighbor (cross-table dedup)
+    assert(rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .distinct.length == rows.length)
+  }
 }
 
 class TextStatsSpec extends SparkSuite {
@@ -551,6 +598,21 @@ class TextStatsSpec extends SparkSuite {
     val dfs = TextStats.tfidfTopK(df, k = 2)
       .where($"term" === "common").select("df").as[Long].collect()
     assert(dfs.forall(_ == 3L))
+  }
+
+  test("unigramLogProb: hand-computed smoothed LM, common vocab scores lower ppl") {
+    // cf: a=2, b=2, c=1; T=5, V=3 → p(a)=p(b)=3/8, p(c)=2/8
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextStats.unigramLogProb(df)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L && got(2L)._2 == 2L)
+    val nll1 = -math.log(3.0 / 8) // all three tokens at p=3/8
+    val nll2 = -(math.log(3.0 / 8) + math.log(2.0 / 8)) / 2
+    assert(math.abs(got(1L)._3 - nll1) < 1e-4)
+    assert(math.abs(got(2L)._3 - nll2) < 1e-4)
+    // the rarer vocabulary of doc 2 shows up as higher perplexity
+    assert(got(2L)._4 > got(1L)._4)
+    assert(math.abs(got(1L)._4 - math.exp(got(1L)._3)) < 1e-3)
   }
 
   test("multimodal decode parses the binary container per row") {
