@@ -243,6 +243,122 @@ object Bench {
     }
   }
 
+  /** ANN at corpus scale — the measurement the 2k-row embeddings table
+    * cannot give (its x10 rows are scheduling-floor constants): 1M
+    * synthetic 64-d vectors in a 64-center mixture (deterministic
+    * column math, no RNG state), the served-index lifecycle timed
+    * end to end — coarse-quantizer fit on a 5% sample, one-pass
+    * assign+write of the inverted-list layout, then the persisted
+    * partition-pruned probe (nprobe=4 of 64 lists ⇒ ~6% of the corpus
+    * scanned per query batch) against the brute-force exact scan of
+    * all 1M. Recall@10 against the exact answer is computed and
+    * REQUIRED ≥ 0.8 (mixture data concentrates true neighbors in the
+    * query's own cell), so a wrong-answer run cannot report a time. */
+  private def annBench(spark: SparkSession): Seq[(String, Double, String)] = {
+    import graft.llm.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-").toString
+    try {
+      val dim = 64; val centers = 64; val n = 1000000L
+      // center c, dimension d: a fixed pseudo-random direction; vector =
+      // its center + 0.35 amplitude id-seeded jitter, unit-free cosine
+      def centerTerm(c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+        sin(c * 37.0 + d * 101.0 + c * d * 3.0)
+      val cid = col("id") % centers
+      val emb = transform(sequence(lit(0), lit(dim - 1)),
+        dd => (centerTerm(cid, dd) +
+          lit(0.35) * sin(col("id") * 7919.0 + dd * 104729.0)).cast("float"))
+      spark.range(n).select(col("id").as("vec_id"), emb.as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$tmp/corpus")
+      val corpus = spark.read.parquet(s"$tmp/corpus")
+      val initDf = spark.range(centers).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          dd => centerTerm(col("id"), dd).cast("float")).as("embedding"))
+
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var centroids: org.apache.spark.sql.DataFrame = null
+      val fitSec = timed {
+        centroids = Similarity.kmeansFit(
+          corpus.where(pmod(col("vec_id"), lit(20)) === 0), k = centers,
+          iters = 1, init = Some(initDf)).localCheckpoint()
+      }
+      val buildSec = timed { Similarity.ivfWrite(corpus, centroids, s"$tmp/ivf") }
+      val queries = corpus.where(col("vec_id") < 16).localCheckpoint()
+      def probeOnce(): Double = timed {
+        runPlan(Similarity.ivfTopKPersisted(s"$tmp/ivf", queries, k = 10, nprobe = 4))
+      }
+      val probeSec = { val a = probeOnce(); math.min(a, probeOnce()) }
+      var exact: Array[(Long, Long)] = null
+      val bfSec = timed {
+        exact = Similarity.cosineTopK(corpus, queries, k = 10)
+          .select("q_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      val approx = Similarity.ivfTopKPersisted(s"$tmp/ivf", queries, k = 10, nprobe = 4)
+        .select("q_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = exact.count(approx.contains).toDouble / exact.length
+      require(recall >= 0.8, s"IVF recall@10 $recall below the mixture-data floor")
+      Seq(
+        ("fit_sec", fitSec, "ok"), ("build_sec", buildSec, "ok"),
+        ("probe_sec", probeSec, "ok"), ("bf_sec", bfSec, "ok"),
+        ("recall_at_10", recall, "ok"))
+    } catch {
+      case e: Throwable =>
+        Seq(("ann_1m", 0.0,
+          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"))
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  /** The window-family consumer at 20M samples (50k series × 400) —
+    * the at-scale complement to the x10 rows: their multi-×-DuckDB
+    * band is a fixed scheduling/exchange floor, so the honest scale
+    * claim is per-sample throughput staying flat as the corpus grows
+    * ~3× past x10. Measures the family's two plan shapes — the
+    * lag-window `increase()` and the range-frame `*_over_time` — off
+    * one generated parquet corpus, best-of-2, Msamples/s derived from
+    * the increase row. */
+  private def rateBench(spark: SparkSession): Seq[(String, Double, String)] = {
+    import graft.query.Rate
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rate-").toString
+    try {
+      val series = 50000L; val perSeries = 400L
+      val idx = expr("id div 50000")
+      spark.range(series * perSeries).select(
+          concat(lit("s"), (col("id") % series).cast("string")).as("series_key"),
+          col("id").as("sample_id"),
+          (lit(1704067200000L) + idx * 30000L + pmod(col("id") * 2654435761L, lit(997L)))
+            .as("t"),
+          (pmod(col("id") * 48271L, lit(100000L)).cast("double") / 100.0).as("v"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$tmp/samples")
+      val samples = spark.read.parquet(s"$tmp/samples")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def best(f: => Unit): Double = { val a = timed(f); math.min(a, timed(f)) }
+      val incSec = best {
+        runPlan(Rate.increase(Rate.seriesOrdered(samples), 3600000L))
+      }
+      val otSec = best { runPlan(Rate.overTime(Rate.seriesOrdered(samples), 600000L)) }
+      Seq(
+        ("increase_sec", incSec, "ok"),
+        ("over_time_sec", otSec, "ok"),
+        ("msamples_per_sec", series * perSeries / incSec / 1e6, "ok"))
+    } catch {
+      case e: Throwable =>
+        Seq(("rate_20m", 0.0,
+          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"))
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   private def jsonMap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -454,7 +570,16 @@ object Bench {
     val matcherResults = if (doMatchers) matcherBench(spark) else Nil
     val matcherTotal = matcherResults.map(_._2).sum
 
-    val errors = (results ++ x10Results ++ matcherResults).count(_._3 != "ok") +
+    // At-scale rows (1M-vector ANN lifecycle, 20M-sample rate family).
+    // Skipped during SPARK_GRAFT_ONLY iteration unless forced with
+    // SPARK_GRAFT_SCALE=1; disable in full runs with SPARK_GRAFT_SCALE=0.
+    val doScale = sys.env.getOrElse("SPARK_GRAFT_SCALE",
+      if (only.isEmpty) "1" else "0") != "0"
+    val annResults = if (doScale) annBench(spark) else Nil
+    val rateResults = if (doScale) rateBench(spark) else Nil
+
+    val errors = (results ++ x10Results ++ matcherResults ++ annResults ++
+      rateResults).count(_._3 != "ok") +
       (if (storeStatus == "ok") 0 else 1) +
       (if (labelSetStatus == "ok") 0 else 1)
 
@@ -470,6 +595,10 @@ object Bench {
       s""""status_x10":${jsonMap(x10Results.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""matchers_5m":${jsonMap(matcherResults.map { case (k, v, _) => k -> v.toString })},""" +
       s""""matchers_5m_status":${jsonMap(matcherResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""ann_1m":${jsonMap(annResults.map { case (k, v, _) => k -> v.toString })},""" +
+      s""""ann_1m_status":${jsonMap(annResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""rate_20m":${jsonMap(rateResults.map { case (k, v, _) => k -> v.toString })},""" +
+      s""""rate_20m_status":${jsonMap(rateResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""x10_prep_sec":$x10PrepSec,"errors":$errors,""" +
       s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,""" +
       s""""bytes_per_sample":$bytesPerSample,""" +
@@ -485,7 +614,8 @@ object Bench {
     // not-ok (the detail file always has everything).
     val badSt = results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     val badSt10 = x10Results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
-    val badStM = matcherResults.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
+    val badStM = (matcherResults ++ annResults ++ rateResults)
+      .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     def headline(withQueries: Boolean): String = {
       val perQuery =
         if (!withQueries) ""
@@ -496,6 +626,8 @@ object Bench {
         (if (badSt10.nonEmpty) s""""status_x10":${jsonMap(badSt10)},""" else "") +
         (if (badStM.nonEmpty) s""""matchers_5m_status":${jsonMap(badStM)},""" else "") +
         s""""matchers_5m_total_sec":${ms(matcherTotal)},""" +
+        s""""ann_1m":${jsonMap(annResults.map { case (k, v, _) => k -> ms(v) })},""" +
+        s""""rate_20m":${jsonMap(rateResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +
         s""""write_rows_per_sec":${ms(writeRps)},"compact_sec":${ms(compactSec)},""" +
         s""""bytes_per_sample":${ms(bytesPerSample)},""" +

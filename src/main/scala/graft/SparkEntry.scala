@@ -1134,6 +1134,13 @@ object SparkEntry {
             signum(col("r_v")).as("sgn_v"),
             round(sqrt(abs(col("r_v"))), 4).as("sqrt_v"),
             round(log(abs(col("r_v")) + 1), 4).as("ln_v"),
+            // ln-ratio form on BOTH engines (native log2/log10 could
+            // differ in the last ulp; identical trees cannot)
+            round(log(abs(col("r_v")) + 1) / log(lit(2.0)), 4).as("log2_v"),
+            round(log(abs(col("r_v")) + 1) / log(lit(10.0)), 4).as("log10_v"),
+            round(exp(col("r_v") / 100), 4).as("exp_v"),
+            ceil(col("r_v")).cast("double").as("ceil_v"),
+            floor(col("r_v")).cast("double").as("floor_v"),
             (floor(col("r_v") / 5 + 0.5) * 5).as("round_v")),
         "series_key", "t")),
 
@@ -1371,6 +1378,22 @@ object SparkEntry {
             round(sin(col("r_v")), 4).as("sin_v"),
             round(cos(col("r_v")), 4).as("cos_v"),
             round(atan2(col("r_v"), lit(100.0)), 4).as("atan2_v"),
+            // the inverse family on domain-safe arguments: sin/cos keep
+            // |x| <= 1, so asin/acos/tan never leave their domain
+            round(tan(sin(col("r_v"))), 4).as("tan_v"),
+            round(asin(sin(col("r_v"))), 4).as("asin_v"),
+            round(acos(cos(col("r_v"))), 4).as("acos_v"),
+            round(atan(col("r_v")), 4).as("atan_v"),
+            // hyperbolics as their exp/ln compositions on BOTH engines
+            // (DuckDB has no native sinh/cosh; identical trees keep the
+            // doubles bit-equal before rounding); x = r_v/100 bounds the
+            // exponent
+            round((exp(col("r_v") / 100) - exp(-col("r_v") / 100)) / 2, 4).as("sinh_v"),
+            round((exp(col("r_v") / 100) + exp(-col("r_v") / 100)) / 2, 4).as("cosh_v"),
+            round((exp(col("r_v") / 100) - exp(-col("r_v") / 100)) /
+              (exp(col("r_v") / 100) + exp(-col("r_v") / 100)), 4).as("tanh_v"),
+            round(log(col("r_v") / 100 +
+              sqrt(col("r_v") / 100 * (col("r_v") / 100) + 1)), 4).as("asinh_v"),
             round(degrees(col("r_v")), 4).as("deg_v"),
             round(radians(col("r_v")), 4).as("rad_v"),
             lit(math.Pi).as("pi_v")),
@@ -2632,6 +2655,11 @@ object SparkEntry {
          |  sign(r_v)::DOUBLE AS sgn_v,
          |  round(sqrt(abs(r_v)), 4) AS sqrt_v,
          |  round(ln(abs(r_v) + 1), 4) AS ln_v,
+         |  round(ln(abs(r_v) + 1) / ln(2.0), 4) AS log2_v,
+         |  round(ln(abs(r_v) + 1) / ln(10.0), 4) AS log10_v,
+         |  round(exp(r_v / 100), 4) AS exp_v,
+         |  ceil(r_v) AS ceil_v,
+         |  floor(r_v) AS floor_v,
          |  floor(r_v / 5 + 0.5) * 5 AS round_v
          |FROM f WHERE r_v IS NOT NULL
          |ORDER BY series_key, t""".stripMargin,
@@ -2776,6 +2804,15 @@ object SparkEntry {
          |  round(sin(r_v), 4) AS sin_v,
          |  round(cos(r_v), 4) AS cos_v,
          |  round(atan2(r_v, 100.0), 4) AS atan2_v,
+         |  round(tan(sin(r_v)), 4) AS tan_v,
+         |  round(asin(sin(r_v)), 4) AS asin_v,
+         |  round(acos(cos(r_v)), 4) AS acos_v,
+         |  round(atan(r_v), 4) AS atan_v,
+         |  round((exp(r_v / 100) - exp(-r_v / 100)) / 2, 4) AS sinh_v,
+         |  round((exp(r_v / 100) + exp(-r_v / 100)) / 2, 4) AS cosh_v,
+         |  round((exp(r_v / 100) - exp(-r_v / 100)) /
+         |    (exp(r_v / 100) + exp(-r_v / 100)), 4) AS tanh_v,
+         |  round(ln(r_v / 100 + sqrt(r_v / 100 * (r_v / 100) + 1)), 4) AS asinh_v,
          |  round(degrees(r_v), 4) AS deg_v,
          |  round(radians(r_v), 4) AS rad_v,
          |  pi() AS pi_v

@@ -636,7 +636,14 @@ object Similarity {
     * a partition-pruned scan of its `nprobe` list dirs; nothing is ever
     * reassigned at query time. At 100 TB this is the difference between
     * a search touching `nprobe/k_centroids` of the corpus and a search
-    * recomputing an O(n·C) assignment per query batch. */
+    * recomputing an O(n·C) assignment per query batch.
+    *
+    * The pre-write exchange on `centroid_id` clusters each inverted
+    * list into its own task: without it every input task writes a
+    * sliver into every list dir — tasks × lists files (1000 executors
+    * × 10k lists = 10M slivers), the classic partitioned-write
+    * explosion. One shuffle of the corpus buys files-per-list ≈ 1
+    * (AQE re-splits lists that outgrow a task). */
   def ivfWrite(corpus: DataFrame, centroids: DataFrame, root: String): Unit = {
     centroids.select(col("vec_id"), col("embedding"))
       .coalesce(1) // k×dim — driver-sized by construction
@@ -644,6 +651,7 @@ object Similarity {
     assignInlined(corpus, collectCentroids(centroids))
       .drop("sim")
       .withColumn("c_nrm", norm(col("embedding")))
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$root/corpus")
   }
 
