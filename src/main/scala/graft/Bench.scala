@@ -72,7 +72,10 @@ object Bench {
     // context-window chunking (explode + per-chunk digest) — the
     // tokenizer-adjacent training-pipeline pair; must scale linearly
     // in corpus mass
-    "doc_seq_pack", "doc_chunk_windows")
+    "doc_seq_pack", "doc_chunk_windows",
+    // r6 late: the corpus-LM perplexity score (token-scale, one doc
+    // exchange) and the corpus-wide kNN graph (bucket self-join)
+    "doc_unigram_logprob", "emb_knn_graph")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

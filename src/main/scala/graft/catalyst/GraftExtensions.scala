@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.labelsHashDescription)
+    ext.injectFunction(GraftExtensions.arrayDotDescription)
+    ext.injectFunction(GraftExtensions.arrayL2SqDescription)
     ext.injectOptimizerRule(_ => RegexSetRewrite)
   }
 }
@@ -33,10 +35,25 @@ object GraftExtensions {
   val labelsHashDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("labels_hash"), labelsHashInfo, labelsHashBuilder)
 
+  private def binaryDescription(name: String, cls: Class[_], mk: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), {
+      case Seq(l, r) => mk(l, r)
+      case args => throw new IllegalArgumentException(
+        s"$name expects 2 arguments, got ${args.length}")
+    })
+
+  val arrayDotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    binaryDescription("array_dot", classOf[ArrayDot], ArrayDot.apply)
+  val arrayL2SqDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    binaryDescription("array_l2sq", classOf[ArrayL2Sq], ArrayL2Sq.apply)
+
   /** Idempotent runtime registration on a live session. */
   def install(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .registerFunction(FunctionIdentifier("labels_hash"), labelsHashInfo, labelsHashBuilder)
+    Seq(labelsHashDescription, arrayDotDescription, arrayL2SqDescription)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
     if (!spark.experimental.extraOptimizations.contains(RegexSetRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RegexSetRewrite

@@ -1,0 +1,117 @@
+package graft.catalyst
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Static kernels for the vector expressions — plain object (Java
+  * static methods) so generated code calls them without reflection.
+  *
+  * Null/length semantics mirror the `zip_with` + `aggregate` fold they
+  * replace EXACTLY: a length mismatch (zip_with pads with nulls) or a
+  * null element poisons the whole sum to SQL NULL; summation is
+  * left-to-right by ascending index starting from +0.0 (an exact
+  * identity under IEEE addition), and each float widens to double the
+  * same way the fold's cast does — so results are bit-identical and
+  * every oracle hash is unaffected.
+  */
+object VectorKernels {
+  /** Σ a_i·b_i, or null per the poisoning rule above. Boxed return so
+    * null is representable; the hot loop inside is primitive. */
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Σ (a_i−b_i)², same semantics as [[dot]]. */
+  def l2sq(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Shared scaffold for the two binary vector expressions: float/double
+  * array children in any mix, double result, custom null handling (the
+  * kernel decides null, not just child nullability).
+  *
+  * A native codegen'd `Expression` rather than the higher-order
+  * `zip_with`+`aggregate` composition because the latter evaluates
+  * INTERPRETED with per-element boxing — measured as THE per-pair
+  * constant of every ANN candidate join (the corpus-scale kNN graph,
+  * near-dup pairs, centroid assignment). The kernel loop is a single
+  * static call from generated code: no lambda dispatch, no boxing, no
+  * intermediate array.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> columns, got " +
+        s"${other._1.catalogString} and ${other._2.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def kernel: String // static method name on VectorKernels
+  protected final def leftFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected final def rightFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (kernel == "dot")
+      VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat, rightFloat)
+    else
+      VectorKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecRes")
+      s"""
+         |java.lang.Double $r = graft.catalyst.VectorKernels.$kernel(
+         |  $a, $b, $leftFloat, $rightFloat);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+/** `array_dot(a, b)` — double-precision dot product. */
+case class ArrayDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "array_dot"
+  override protected def kernel: String = "dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+}
+
+/** `array_l2sq(a, b)` — double-precision squared L2 distance. */
+case class ArrayL2Sq(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "array_l2sq"
+  override protected def kernel: String = "l2sq"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayL2Sq =
+    copy(left = l, right = r)
+}

@@ -12,6 +12,49 @@ class CatalystSpec extends SparkSuite {
 
   private lazy val installed = { GraftExtensions.install(spark); true }
 
+  test("ArrayDot/ArrayL2Sq: bit-parity with the zip_with fold, null poisoning, length mismatch") {
+    assert(installed)
+    import graft.llm.Similarity
+    val df = Seq(
+      (1L, Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.75f)),
+      (2L, Seq(0f, 0f, 0f), Seq(1f, 2f, 3f))).toDF("id", "a", "b")
+    // the interpreted fold this expression replaced — must agree BITWISE
+    def foldDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(
+      Similarity.dot($"a", $"b").as("d"), foldDot($"a", $"b").as("df_"),
+      Similarity.l2Sq($"a", $"b").as("l"),
+      aggregate(zip_with($"a", $"b", (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x).as("lf_")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // SQL registration (array_dot / array_l2sq) resolves via install()
+    val viaSql = df.selectExpr("array_dot(a, b) AS d").collect().map(_.getDouble(0))
+    assert(java.lang.Double.doubleToLongBits(viaSql(0)) ==
+      java.lang.Double.doubleToLongBits(rows(0).getDouble(0)))
+    // length mismatch and null elements both poison to NULL (zip_with pads)
+    val edge = Seq(
+      (Seq(1f, 2f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 2f), Seq.empty[Float])).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+    val withNull = spark.sql(
+      "SELECT array_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS d").collect()
+    assert(withNull.head.isNullAt(0))
+    // empty × empty = 0.0, the fold's seed
+    val empty = spark.sql(
+      "SELECT array_dot(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS d")
+      .collect()
+    assert(empty.head.getDouble(0) == 0.0)
+  }
+
   test("LabelsHash matches the pure-model hash byte for byte") {
     assert(installed)
     val rows = Seq(
