@@ -89,6 +89,70 @@ class PostingsSpec extends SparkSuite {
     assert(got(Eq("l1", "A"), Matcher.neq("l1", "missing")) == Set("s1", "s2", "s3"))
   }
 
+  test("reference postings vectors (TestMultiIntersect/TestMultiMerge/" +
+    "TestRemovedPostings/TestIntersectWithMerge postings_test.go:182,310,486,721)") {
+    import spark.implicits._
+    // each reference list-postings becomes one label's postings list in
+    // a synthetic index; Intersect = matcher conjunction, Merge = the
+    // value-OR regex, Removed = matches-empty negation. Results compare
+    // as SETS — iterator order is the reference's concern, ours is the
+    // bucketed layout's (O3-O6).
+    def idx(lists: (String, String, Seq[Int])*) =
+      lists.flatMap { case (name, value, ids) =>
+        ids.map(i => (s"s$i", name, value)) }
+        .toDF("series_key", "label_name", "label_value")
+    def got(p: org.apache.spark.sql.DataFrame, ms: Matcher*): Set[Int] =
+      Postings.seriesFor(p, p.select("series_key").limit(0), ms)
+        .as[String].collect().map(_.drop(1).toInt).toSet
+
+    // TestMultiIntersect case 1
+    val i1 = idx(
+      ("l1", "1", Seq(1, 2, 3, 4, 5, 6, 1000, 1001)),
+      ("l2", "1", Seq(2, 4, 5, 6, 7, 8, 999, 1001)),
+      ("l3", "1", Seq(1, 2, 5, 6, 7, 8, 1001, 1200)))
+    assert(got(i1, Eq("l1", "1"), Eq("l2", "1"), Eq("l3", "1"))
+      == Set(2, 5, 6, 1001))
+    // TestMultiIntersect case 2 — the prometheus#2616 regression vector
+    val i2 = idx(
+      ("l1", "1", Seq(1, 2)), ("l2", "1", Seq(1, 2)),
+      ("l3", "1", Seq(1, 2)), ("l4", "1", Seq(2)))
+    assert(got(i2, Eq("l1", "1"), Eq("l2", "1"), Eq("l3", "1"), Eq("l4", "1"))
+      == Set(2))
+
+    // TestMultiMerge — three lists under one label, value-OR
+    val m = idx(
+      ("g", "1", Seq(1, 2, 3, 4, 5, 6, 1000, 1001)),
+      ("g", "2", Seq(2, 4, 5, 6, 7, 8, 999, 1001)),
+      ("g", "3", Seq(1, 2, 5, 6, 7, 8, 1001, 1200)))
+    assert(got(m, Re("g", "1|2|3"))
+      == Set(1, 2, 3, 4, 5, 6, 7, 8, 999, 1000, 1001, 1200))
+
+    // TestRemovedPostings — the full case table; membership labels:
+    // "a"=positive list, "d"=drop list
+    val removedCases = Seq(
+      (Seq.empty[Int], Seq.empty[Int], Set.empty[Int]),
+      (Seq(1, 2, 3, 4), Seq.empty[Int], Set(1, 2, 3, 4)),
+      (Seq.empty[Int], Seq(1, 2, 3, 4), Set.empty[Int]),
+      (Seq(1, 2, 3, 4, 5), Seq(6, 7, 8, 9, 10), Set(1, 2, 3, 4, 5)),
+      (Seq(1, 2, 3, 4, 5), Seq(4, 5, 6, 7, 8), Set(1, 2, 3)),
+      (Seq(1, 2, 3, 4, 9, 10), Seq(1, 4, 5, 6, 7, 8, 10, 11), Set(2, 3, 9)),
+      (Seq(1, 2, 3, 4, 9, 10), Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+        Set.empty[Int]))
+    removedCases.foreach { case (a, b, want) =>
+      val p = idx(("a", "1", a), ("d", "1", b))
+      assert(got(p, Eq("a", "1"), Matcher.neq("d", "1")) == want,
+        s"removed($a, $b)")
+    }
+
+    // TestIntersectWithMerge — the other #2616 vector:
+    // [21..25,30] ∩ merge([10,20,30], [15,26,30]) = {30}
+    val im = idx(
+      ("a", "1", Seq(21, 22, 23, 24, 25, 30)),
+      ("g", "1", Seq(10, 20, 30)),
+      ("g", "2", Seq(15, 26, 30)))
+    assert(got(im, Eq("a", "1"), Re("g", "1|2")) == Set(30))
+  }
+
   test("fact table is touched once, via a broadcast semi-join") {
     val plan = Postings.select(samples, postings, T0, HI, Eq("name", "click"))
       .queryExecution.executedPlan.toString
