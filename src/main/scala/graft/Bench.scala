@@ -305,9 +305,22 @@ object Bench {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = exact.count(approx.contains).toDouble / exact.length
       require(recall >= 0.8, s"IVF recall@10 $recall below the mixture-data floor")
+      // the composed index at the same scale: PQ codes over the corpus
+      // (m=8 × 16 codes, codebook sampled from the first 16 vectors)
+      // and the IVF+PQ ADC probe — the corpus-in-RAM serving shape
+      val cb = Similarity.pqTrain(corpus, dim = dim, m = 8, ksub = 16,
+        iters = 0, init = corpus.where(col("vec_id") < 16))
+      val pqEncodeSec = timed {
+        runPlan(Similarity.pqEncode(corpus, cb).select("vec_id", "codes"))
+      }
+      def ivfpqOnce(): Double = timed {
+        runPlan(Similarity.ivfPqTopK(corpus, centroids, cb, queries, k = 10, nprobe = 4))
+      }
+      val ivfpqSec = { val a = ivfpqOnce(); math.min(a, ivfpqOnce()) }
       Seq(
         ("fit_sec", fitSec, "ok"), ("build_sec", buildSec, "ok"),
         ("probe_sec", probeSec, "ok"), ("bf_sec", bfSec, "ok"),
+        ("pq_encode_sec", pqEncodeSec, "ok"), ("ivfpq_sec", ivfpqSec, "ok"),
         ("recall_at_10", recall, "ok"))
     } catch {
       case e: Throwable =>

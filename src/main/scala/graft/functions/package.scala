@@ -47,6 +47,11 @@ package object functions {
   def rangeForTimestamp(t: Column, widthMs: Long): Column =
     (floor(t / widthMs) * widthMs + widthMs).cast("long")
 
+  /** Scalar twin of [[rangeForTimestamp]] for typed/stateful operators
+    * (floorDiv handles negative timestamps like SQL floor). */
+  def rangeForTimestampMs(t: Long, widthMs: Long): Long =
+    Math.floorDiv(t, widthMs) * widthMs + widthMs
+
   /** Clamp a closed interval to an enclosing range (reference
     * `clampInterval`, `block.go:648-656`). */
   def clampLo(x: Column, lo: Long): Column = greatest(x, lit(lo))

@@ -180,6 +180,72 @@ object StreamingIngest {
       .parquet(store.dataDir)
   }
 
+  final case class RateState(
+      lastT: Long, lastV: Double,
+      bucket: Long, inc: Double, nDeltas: Long, nResets: Long)
+  final case class BucketIncrease(
+      series_key: String, t_bucket: Long,
+      increase: Option[Double], n_deltas: Long, n_resets: Long)
+
+  /** Streaming counter `increase` — the W1 rate-family consumer AS a
+    * stream, not a rollup of one: per-series sequential state
+    * (last sample + the open bucket's accumulators) in ONE
+    * `flatMapGroupsWithState`; a bucket row is emitted the moment a
+    * sample lands in a LATER bucket (the bucket "closes"), so emitted
+    * rows are final — exactly a native streaming engine's bucket-close
+    * semantics, and bit-compatible with the batch
+    * [[graft.query.Rate.increase]] on the same samples (same
+    * reset-replaces-delta rule, same cross-bucket first delta, same
+    * 2dp rounding at emission; the one divergence is by construction:
+    * the still-open last bucket of each series has not closed and is
+    * not emitted until a later sample or the state timeout flushes it).
+    *
+    * State is O(#series) like [[validated]]; out-of-order samples
+    * within a micro-batch are ordered by `t` before folding (the batch
+    * iterator is unordered), across batches ordering is the ingest
+    * contract ([[validated]] upstream rejects regressions). */
+  def streamingIncrease(
+      samples: Dataset[Sample],
+      bucketMs: Long): Dataset[BucketIncrease] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.series_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[Sample], state: GroupState[RateState]) => {
+          var st = state.getOption.getOrElse(
+            RateState(Long.MinValue, Double.NaN, Long.MinValue, 0.0, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BucketIncrease]
+          it.toSeq.sortBy(s => (s.t, s.arrival)).foreach { s =>
+            val b = graft.functions.rangeForTimestampMs(s.t, bucketMs)
+            if (st.bucket != Long.MinValue && b != st.bucket) {
+              // bucket closes: emit its final row
+              // exact Spark round(_, 2) semantics (BigDecimal HALF_UP);
+              // a delta-less bucket is None, like the batch SUM of an
+              // empty increment set — so rows compare bit-equal to
+              // Rate.increase
+              out += BucketIncrease(key, st.bucket,
+                if (st.nDeltas == 0L) None
+                else Some(java.math.BigDecimal.valueOf(st.inc)
+                  .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()),
+                st.nDeltas, st.nResets)
+              st = st.copy(bucket = b, inc = 0.0, nDeltas = 0L, nResets = 0L)
+            } else if (st.bucket == Long.MinValue) {
+              st = st.copy(bucket = b)
+            }
+            if (st.lastT != Long.MinValue) {
+              val reset = s.v < st.lastV
+              st = st.copy(
+                inc = st.inc + (if (reset) s.v else s.v - st.lastV),
+                nDeltas = st.nDeltas + 1,
+                nResets = st.nResets + (if (reset) 1L else 0L))
+            }
+            st = st.copy(lastT = s.t, lastV = s.v)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Windowed observability aggregation with a watermark — the
     * `rate()`-style rollup consumers build on the stream (ST3). */
   def windowedCounts(

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSuite
 import graft.storage.BlockStore
-import StreamingIngest.{Sample, Validated}
+import StreamingIngest.{BucketIncrease, Sample, Validated}
 
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
@@ -138,6 +138,52 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     assert(got.count() == 3)
     assert(got.select("series_key").distinct().count() == 2)
+  }
+
+  test("streaming increase: closed buckets match batch Rate.increase, resets included (W1)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val B = 100L // bucket width
+    // two series over three buckets; s1 carries a counter reset (5 -> 2)
+    val rows = Seq(
+      Sample("s1", 10, 1.0, 1), Sample("s1", 60, 5.0, 2),
+      Sample("s1", 120, 2.0, 3), // reset: post-reset value IS the increase
+      Sample("s1", 180, 4.0, 4),
+      Sample("s1", 220, 6.0, 5), // opens bucket 3 -> closes bucket 2
+      Sample("s2", 40, 10.0, 6), Sample("s2", 150, 30.0, 7),
+      Sample("s2", 260, 31.0, 8)) // opens s2's bucket 3 -> closes bucket 2
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.streamingIncrease(in.toDS(), bucketMs = B)
+      .writeStream.format("memory").queryName("sinc")
+      .outputMode(OutputMode.Append).start()
+    // two micro-batches: state (last sample + open bucket) must carry over
+    in.addData(rows.take(4): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    val got = spark.table("sinc").as[BucketIncrease].collect()
+      .map(b => (b.series_key, b.t_bucket) -> ((b.increase, b.n_deltas, b.n_resets)))
+      .toMap
+    q.stop()
+
+    // batch twin on the same samples, restricted to the CLOSED buckets
+    // (the last open bucket per series is the documented divergence)
+    val batch = graft.query.Rate.increase(
+        rows.toDF("series_key", "t", "v", "arrival", "labels")
+          .withColumnRenamed("arrival", "sample_id"),
+        bucketMs = B)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getLong(3), r.getLong(4))))
+      .toMap
+    val open = Set(("s1", 300L), ("s2", 300L)) // still-open buckets
+    assert(got.keySet == batch.keySet.diff(open))
+    got.foreach { case (k, v) => assert(batch(k) == v, s"$k: $v vs ${batch(k)}") }
+    // the reset bucket: post-reset value (2.0) + the next delta (2.0)
+    assert(got(("s1", 200L)) == ((Some(4.0), 2L, 1L)))
+    // a bucket whose only sample has no in-stream predecessor delta
+    assert(got(("s2", 100L)) == ((None, 0L, 0L)))
   }
 
   test("windowed rollup with watermark emits closed windows (ST3)") {
