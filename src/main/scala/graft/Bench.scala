@@ -74,8 +74,9 @@ object Bench {
     // in corpus mass
     "doc_seq_pack", "doc_chunk_windows",
     // r6 late: the corpus-LM perplexity score (token-scale, one doc
-    // exchange) and the corpus-wide kNN graph (bucket self-join)
-    "doc_unigram_logprob", "emb_knn_graph")
+    // exchange), the corpus-wide kNN graph (bucket self-join), and the
+    // recording-rule group (one shared fill pass, N rule aggregates)
+    "doc_unigram_logprob", "emb_knn_graph", "ts_rule_group")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

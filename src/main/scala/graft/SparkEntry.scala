@@ -1923,6 +1923,37 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("component").as("cluster_id"))
         .orderBy("vec_id")),
 
+    // Rule-group evaluation — the recording-rules shape every Prometheus
+    // deployment runs each interval: N rules evaluated TOGETHER over one
+    // shared fill pass instead of N independent scans. The fill frame
+    // (latest sample per (series, instant), labels riding along) is
+    // computed once and checkpointed; each rule is one aggregate over
+    // it (sum by name / sum by vip with PromQL's absent-label="" /
+    // global sum); outputs union in long format. At 100 TB this is the
+    // difference between rules × full-scan and ONE scan + rules ×
+    // frame-sized aggregates.
+    "ts_rule_group" -> ((s, dir) => {
+      val frame = {
+        val sl = TsdbSource.events(s, dir)
+          .selectWithLabels(MINT - LOOKBACK, MAXT, Seq("name", "vip"))
+          .select(col("series_key"), col("name"),
+            coalesce(col("vip"), lit("")).as("vip"),
+            col("t"), col("v").as("r_v"))
+        AsOf.latestPerInstant(sl, Seq("series_key", "name", "vip"), BUCKET_W, LOOKBACK)
+          .where(col("t") >= MINT && col("t") <= MAXT && col("r_v").isNotNull)
+          .localCheckpoint() // shared by the three rule aggregates
+      }
+      def rule(name: String, grp: org.apache.spark.sql.Column, keys: Seq[String]) =
+        frame.groupBy((keys.map(col) :+ col("t")): _*)
+          .agg(round(sum("r_v"), 2).as("value"))
+          .select(lit(name).as("rule"), grp.as("grp"), col("t"), col("value"))
+      orderedOnce(
+        rule("name:sum", col("name"), Seq("name"))
+          .unionByName(rule("vip:sum", col("vip"), Seq("vip")))
+          .unionByName(rule("all:sum", lit(""), Seq.empty)),
+        "rule", "grp", "t")
+    }),
+
     // SemDeDup: embedding-space dedup — IVF cells bound the pairwise
     // cosine work; inside each cell a vector with a τ-close (>= 0.4)
     // lower-id neighbor is dropped. One row per vector with the verdict.
@@ -3198,6 +3229,27 @@ object SparkEntry {
          |  SELECT s.dst AS node, c.comp FROM cc c JOIN sym s ON s.src = c.node)
          |SELECT node AS vec_id, min(comp) AS cluster_id FROM cc
          |GROUP BY node ORDER BY vec_id""".stripMargin,
+    "ts_rule_group" ->
+      s"""$samplesCte,
+         |r AS (SELECT series_key, event_type AS name,
+         |  CASE WHEN user_id % 10 = 0 THEN '1' ELSE '' END AS vip,
+         |  t AS rt, max(v) AS rv FROM s GROUP BY 1, 2, 3, 4),
+         |g AS (SELECT series_key, name, vip,
+         |  unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t
+         |  FROM (SELECT DISTINCT series_key, name, vip FROM r)),
+         |f AS (SELECT g.name, g.vip, g.t,
+         |  CASE WHEN rt >= g.t - $LOOKBACK THEN rv END AS r_v
+         |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt),
+         |u AS (
+         |  SELECT 'name:sum' AS rule, name AS grp, t, round(sum(r_v), 2) AS value
+         |    FROM f WHERE r_v IS NOT NULL GROUP BY 2, 3
+         |  UNION ALL
+         |  SELECT 'vip:sum' AS rule, vip AS grp, t, round(sum(r_v), 2) AS value
+         |    FROM f WHERE r_v IS NOT NULL GROUP BY 2, 3
+         |  UNION ALL
+         |  SELECT 'all:sum' AS rule, '' AS grp, t, round(sum(r_v), 2) AS value
+         |    FROM f WHERE r_v IS NOT NULL GROUP BY 3)
+         |SELECT rule, grp, t, value FROM u ORDER BY rule, grp, t""".stripMargin,
     "emb_semantic_dedup" ->
       s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 8),
