@@ -1954,6 +1954,36 @@ object SparkEntry {
         "rule", "grp", "t")
     }),
 
+    // Alert-rule evaluation with a `for` duration — the OTHER half of
+    // the rules engine ([[ts_rule_group]] is recording rules): an alert
+    // fires at instant t iff the condition held at EVERY lattice
+    // instant of the trailing `for` window (2 steps here). The sparse
+    // fill frame needs no densification: a trailing RANGE frame over t
+    // counts condition-true instants — a stale instant is simply absent
+    // and breaks the count, exactly PromQL's pending-reset. One window
+    // over the frame, firing rows only.
+    "ts_alert_for" -> ((s, dir) => {
+      val FOR_STEPS = 2
+      val THRESH = 10.0
+      // day-grain evaluation lattice, 12h staleness — this corpus's
+      // scrape density (≈2 samples/day/series) at the ratio a real
+      // deployment has between its eval interval and lookback
+      val sl = TsdbSource.events(s, dir)
+        .select(MINT - 12 * 3600000L, MAXT)
+        .select(col("series_key"), col("t"), col("v").as("r_v"))
+      val frame = AsOf.latestPerInstant(sl, Seq("series_key"), DAY, 12 * 3600000L)
+        .where(col("t") >= MINT && col("t") <= MAXT && col("r_v").isNotNull)
+      val w = Window.partitionBy("series_key").orderBy("t")
+        .rangeBetween(-FOR_STEPS.toLong * DAY, 0)
+      orderedOnce(
+        frame
+          .withColumn("__ok",
+            sum(when(col("r_v") > THRESH, 1).otherwise(0)).over(w))
+          .where(col("__ok") === FOR_STEPS + 1 && col("r_v") > THRESH)
+          .select(col("series_key"), col("t"), col("r_v").as("value")),
+        "series_key", "t")
+    }),
+
     // SemDeDup: embedding-space dedup — IVF cells bound the pairwise
     // cosine work; inside each cell a vector with a τ-close (>= 0.4)
     // lower-id neighbor is dropped. One row per vector with the verdict.
@@ -3229,6 +3259,22 @@ object SparkEntry {
          |  SELECT s.dst AS node, c.comp FROM cc c JOIN sym s ON s.src = c.node)
          |SELECT node AS vec_id, min(comp) AS cluster_id FROM cc
          |GROUP BY node ORDER BY vec_id""".stripMargin,
+    "ts_alert_for" ->
+      s"""$samplesCte,
+         |r AS (SELECT series_key, t AS rt, max(v) AS rv FROM s GROUP BY 1, 2),
+         |g AS (SELECT series_key,
+         |  unnest(generate_series($MINT, $MAXT, $DAY)) AS t
+         |  FROM (SELECT DISTINCT series_key FROM r)),
+         |f AS (SELECT g.series_key, g.t,
+         |  CASE WHEN rt >= g.t - ${12 * 3600000L} THEN rv END AS r_v
+         |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt),
+         |a AS (SELECT series_key, t, r_v,
+         |  sum(CASE WHEN r_v > 10.0 THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY series_key ORDER BY t
+         |    RANGE BETWEEN ${2 * DAY} PRECEDING AND CURRENT ROW) AS ok
+         |  FROM f)
+         |SELECT series_key, t, r_v AS value FROM a
+         |WHERE ok = 3 AND r_v > 10.0 ORDER BY series_key, t""".stripMargin,
     "ts_rule_group" ->
       s"""$samplesCte,
          |r AS (SELECT series_key, event_type AS name,
