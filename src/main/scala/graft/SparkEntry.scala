@@ -1984,6 +1984,18 @@ object SparkEntry {
         "series_key", "t")
     }),
 
+    // Search directly over the int8 codes ([[emb_quantize]]'s claim made
+    // operational): per-vector scales cancel in cosine, so exact top-k
+    // over the 1-byte codes is within quantization error of full-float —
+    // and the scored relation carries 1/4 the bytes. Same ArrayDot
+    // kernel, integer getter.
+    "emb_quantized_search" -> ((s, dir) => {
+      val q = Similarity.quantized(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("codes").as("embedding"))
+      Similarity.cosineTopK(q, q.where(col("vec_id") < 5), k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // SemDeDup: embedding-space dedup — IVF cells bound the pairwise
     // cosine work; inside each cell a vector with a τ-close (>= 0.4)
     // lower-id neighbor is dropped. One row per vector with the verdict.
@@ -3296,6 +3308,21 @@ object SparkEntry {
          |  SELECT 'all:sum' AS rule, '' AS grp, t, round(sum(r_v), 2) AS value
          |    FROM f WHERE r_v IS NOT NULL GROUP BY 3)
          |SELECT rule, grp, t, value FROM u ORDER BY rule, grp, t""".stripMargin,
+    "emb_quantized_search" ->
+      s"""WITH cq AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CASE
+         |    WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 0
+         |    ELSE CAST(round(CAST(x AS DOUBLE) /
+         |      (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)) AS INT)
+         |    END) AS c FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, c AS q_c FROM cq WHERE vec_id < 5),
+         |s AS (SELECT q_id, cq.vec_id AS neighbor_id,
+         |  ${cosineSql("q.q_c", "cq.c")} AS sim
+         |  FROM cq, q WHERE cq.vec_id != q.q_id)
+         |SELECT q_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "emb_semantic_dedup" ->
       s"""WITH ce AS (SELECT vec_id AS centroid_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 8),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Static kernels for the vector expressions — plain object (Java
   * static methods) so generated code calls them without reflection.
@@ -18,34 +18,42 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * every oracle hash is unaffected.
   */
 object VectorKernels {
+  /** Element type codes: 0 = float, 1 = double, 2 = int, 3 = long —
+    * each widens to double exactly like the fold's cast (int/long are
+    * exact within 2⁵³; the corpora's int8 codes are far inside). */
+  final val FLOAT = 0; final val DOUBLE = 1; final val INT = 2; final val LONG = 3
+
+  @inline private def get(a: ArrayData, i: Int, t: Int): Double = t match {
+    case FLOAT => a.getFloat(i).toDouble
+    case DOUBLE => a.getDouble(i)
+    case INT => a.getInt(i).toDouble
+    case _ => a.getLong(i).toDouble
+  }
+
   /** Σ a_i·b_i, or null per the poisoning rule above. Boxed return so
     * null is representable; the hot loop inside is primitive. */
-  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+  def dot(a: ArrayData, b: ArrayData, aT: Int, bT: Int): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += get(a, i, aT) * get(b, i, bT)
       i += 1
     }
     java.lang.Double.valueOf(acc)
   }
 
   /** Σ (a_i−b_i)², same semantics as [[dot]]. */
-  def l2sq(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+  def l2sq(a: ArrayData, b: ArrayData, aT: Int, bT: Int): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
-      val d = x - y
+      val d = get(a, i, aT) - get(b, i, bT)
       acc += d * d
       i += 1
     }
@@ -66,34 +74,38 @@ object VectorKernels {
   * intermediate array.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float|double> columns, got " +
-        s"${other._1.catalogString} and ${other._2.catalogString}")
+  private def elemCode(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => VectorKernels.FLOAT
+    case ArrayType(DoubleType, _) => VectorKernels.DOUBLE
+    case ArrayType(IntegerType, _) => VectorKernels.INT
+    case ArrayType(LongType, _) => VectorKernels.LONG
+    case _ => -1
   }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemCode(left.dataType) >= 0 && elemCode(right.dataType) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double|int|bigint> columns, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   protected def kernel: String // static method name on VectorKernels
-  protected final def leftFloat: Boolean =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  protected final def rightFloat: Boolean =
-    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val leftT = elemCode(left.dataType)
+  private lazy val rightT = elemCode(right.dataType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     if (kernel == "dot")
-      VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat, rightFloat)
+      VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftT, rightT)
     else
-      VectorKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat, rightFloat)
+      VectorKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftT, rightT)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("vecRes")
       s"""
          |java.lang.Double $r = graft.catalyst.VectorKernels.$kernel(
-         |  $a, $b, $leftFloat, $rightFloat);
+         |  $a, $b, $leftT, $rightT);
          |if ($r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
