@@ -132,12 +132,16 @@ object Similarity {
           col("__tbl"), col("__bucket"),
           col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           norm(col("embedding")).as("q_nrm")))
-    val scored = c.join(q, Seq("__tbl", "__bucket"))
+    // score before the cross-table dedup (sim is table-independent) so
+    // the dedup exchange moves 24-byte rows, not embedding vectors;
+    // single-table configurations skip it
+    val scored0 = c.join(q, Seq("__tbl", "__bucket"))
       .where(col("vec_id") =!= col("q_id"))
-      .dropDuplicates("q_id", "vec_id") // collide once across tables
       .select(
         col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("c_nrm")), 4).as("sim"))
+    val scored =
+      if (tables == 1) scored0 else scored0.dropDuplicates("q_id", "neighbor_id")
     ranked(scored, k)
   }
 
@@ -157,12 +161,15 @@ object Similarity {
       col("embedding").as("e_i"), col("nrm").as("n_i"))
     val rhs = b.select(col("__tbl"), col("__bucket"), col("vec_id").as("j"),
       col("embedding").as("e_j"), col("nrm").as("n_j"))
-    lhs.join(rhs, Seq("__tbl", "__bucket"))
+    // threshold + slim BEFORE the cross-table dedup: the exchange sees
+    // only the (i, j, sim) rows that already cleared the similarity
+    // bar — at near-dup thresholds a tiny fraction of candidates
+    val pairs = lhs.join(rhs, Seq("__tbl", "__bucket"))
       .where(col("i") < col("j"))
-      .dropDuplicates("i", "j")
       .select(col("i"), col("j"),
         round(cosinePre(col("e_i"), col("e_j"), col("n_i"), col("n_j")), 4).as("sim"))
       .where(col("sim") >= threshold)
+    if (tables == 1) pairs else pairs.dropDuplicates("i", "j")
   }
 
   /** Approximate top-k: only candidates in the query's sign bucket are
@@ -319,11 +326,17 @@ object Similarity {
       col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val rhs = b.select(col("__tbl"), col("__bucket"), col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
-    val scored = lhs.join(rhs, Seq("__tbl", "__bucket"))
+    // score BEFORE the cross-table dedup so its shuffle carries
+    // (q, n, sim) — 24 bytes — instead of two embedding vectors per
+    // pair; a pair's sim is table-independent, so keeping any one
+    // duplicate is exact. tables == 1 cannot produce duplicates and
+    // skips the exchange entirely.
+    val scored0 = lhs.join(rhs, Seq("__tbl", "__bucket"))
       .where(col("q_id") =!= col("neighbor_id"))
-      .dropDuplicates("q_id", "neighbor_id") // collide once across tables
       .select(col("q_id"), col("neighbor_id"),
         round(cosinePre(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm")), 4).as("sim"))
+    val scored =
+      if (tables == 1) scored0 else scored0.dropDuplicates("q_id", "neighbor_id")
     ranked(scored, k)
   }
 
