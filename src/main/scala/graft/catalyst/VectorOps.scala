@@ -45,6 +45,48 @@ object VectorKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Product-quantization encode: for each of the `cb.length`
+    * contiguous subspaces, the argmin-squared-L2 codebook entry —
+    * distances rounded (4dp, HALF_UP — Spark's `round`) BEFORE the
+    * argmin and ties resolved to the lowest code, exactly the
+    * `array_min(array(struct(round(l2sq…), code)…))` expression tree
+    * this fuses (same subtraction/summation order, so the selected
+    * codes are bit-identical). One primitive loop per row instead of
+    * m × ksub Catalyst struct/array nodes. Null element or a vector
+    * shorter than m × subdim poisons the whole row to NULL. */
+  def pqEncode(a: ArrayData, cb: Array[Array[Array[Double]]], aT: Int): ArrayData = {
+    val m = cb.length
+    val subdim = cb(0)(0).length
+    if (a.numElements() < m * subdim) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subdim
+      val entries = cb(s)
+      var best = Double.MaxValue
+      var bestCode = 0
+      var c = 0
+      while (c < entries.length) {
+        val ce = entries(c)
+        var acc = 0.0
+        var d = 0
+        while (d < subdim) {
+          if (a.isNullAt(base + d)) return null
+          val x = get(a, base + d, aT) - ce(d)
+          acc += x * x
+          d += 1
+        }
+        val r = java.math.BigDecimal.valueOf(acc)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (r < best) { best = r; bestCode = c }
+        c += 1
+      }
+      codes(s) = bestCode
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
   /** Σ (a_i−b_i)², same semantics as [[dot]]. */
   def l2sq(a: ArrayData, b: ArrayData, aT: Int, bT: Int): java.lang.Double = {
     val n = a.numElements()
@@ -110,6 +152,50 @@ abstract class VectorBinaryExpression extends BinaryExpression {
          |else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
+}
+
+/** PQ encode as ONE fused expression: `codes = pq_encode(embedding)`
+  * over an inlined codebook — see [[VectorKernels.pqEncode]] for the
+  * exact parity contract with the struct/array_min formulation it
+  * replaces. The codebook rides into generated code as a reference
+  * object (driver-sized index metadata by construction). */
+case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def elemCode(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => VectorKernels.FLOAT
+    case ArrayType(DoubleType, _) => VectorKernels.DOUBLE
+    case _ => -1
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemCode(child.dataType) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float|double>, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
+  private lazy val childT = elemCode(child.dataType)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.pqEncode(a.asInstanceOf[ArrayData], cb, childT)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("pqRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.catalyst.VectorKernels.pqEncode($a, $cbRef, $childT);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
 }
 
 /** `array_dot(a, b)` — double-precision dot product. */

@@ -502,27 +502,19 @@ object Similarity {
   }
 
   /** PQ encoding over an inlined codebook: appends `codes`
-    * (array<int>, one per subspace — argmin squared-L2 entry, ties to
-    * the lowest code) to every corpus row with ZERO shuffles — the same
-    * inlined-argmin shape as [[ivfAssign]], m times. Each subspace
-    * slice binds to a column first so it computes once per row, not
-    * once per codebook entry. */
-  def pqEncode(corpus: DataFrame, codebook: Seq[Seq[Seq[Float]]]): DataFrame = {
-    val m = codebook.size
-    val subdim = codebook.head.head.size
-    val sliced = (0 until m).foldLeft(corpus)((df, s) =>
-      df.withColumn(s"__sub_$s", slice(col("embedding"), s * subdim + 1, subdim)))
-    val codes = array((0 until m).map { s =>
-      array_min(array(codebook(s).zipWithIndex.map { case (ce, code) =>
-        struct(
-          round(l2Sq(col(s"__sub_$s"), typedLit(ce)), 4).as("d"),
-          lit(code).as("code"))
-      }: _*)).getField("code")
-    }: _*)
-    sliced
-      .withColumn("codes", codes)
-      .drop((0 until m).map(s => s"__sub_$s"): _*)
-  }
+    * (array<int>, one per subspace — argmin squared-L2 entry, distances
+    * rounded 4dp before the argmin, ties to the lowest code) to every
+    * corpus row with ZERO shuffles. Fused into ONE native expression
+    * ([[graft.catalyst.PqEncode]] — a primitive m × ksub × subdim loop
+    * per row) replacing the previous m × ksub Catalyst
+    * struct/array_min tree, with the selected codes pinned
+    * bit-identical to that tree's (same subtraction/summation order,
+    * same rounding, same tie rule — the oracle entries re-verified). */
+  def pqEncode(corpus: DataFrame, codebook: Seq[Seq[Seq[Float]]]): DataFrame =
+    corpus.withColumn("codes",
+      org.apache.spark.sql.graft.bridge.columnFn {
+        case Seq(c) => graft.catalyst.PqEncode(c, codebook)
+      }(col("embedding")))
 
   /** The per-query ADC lookup table over `q_emb`: `lut[sub][code]` =
     * squared L2 (rounded 4dp) between the query's subspace slice and
