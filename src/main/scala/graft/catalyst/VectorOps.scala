@@ -76,15 +76,72 @@ object VectorKernels {
           acc += x * x
           d += 1
         }
-        val r = java.math.BigDecimal.valueOf(acc)
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (r < best) { best = r; bestCode = c }
+        // Spark's Round passes NaN/Inf through (BigDecimal would throw)
+        val r =
+          if (java.lang.Double.isNaN(acc) || java.lang.Double.isInfinite(acc)) acc
+          else java.math.BigDecimal.valueOf(acc)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (java.lang.Double.compare(r, best) < 0) { best = r; bestCode = c }
         c += 1
       }
       codes(s) = bestCode
       s += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  /** IVF coarse assignment: the max-cosine centroid (sims rounded 4dp
+    * HALF_UP before the argmax, ties to the LOWEST centroid id) —
+    * fusing the `array_max(array(struct(round(dot/(nrm·cnrm)), −id,
+    * id)…))` tree bit-for-bit: same dot summation order, the row norm
+    * is the same Σx² fold, comparisons use Spark's double order
+    * (−0.0 ≡ 0.0, NaN greatest). Returns `(centroid_id, sim)`; null
+    * element poisons the row, and a centroid/vector length mismatch
+    * (impossible on real corpora — the old tree produced a null-sim
+    * struct there) poisons it loudly too. */
+  def nearestCentroid(
+      a: ArrayData,
+      ids: Array[Long],
+      ces: Array[Array[Double]],
+      cNrms: Array[Double],
+      aT: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var i = 0
+    var ss = 0.0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = get(a, i, aT)
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    var best = Double.NegativeInfinity
+    var bestId = -1L
+    var c = 0
+    while (c < ids.length) {
+      val ce = ces(c)
+      if (ce.length != n) return null
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        acc += get(a, d, aT) * ce(d)
+        d += 1
+      }
+      val q = acc / (nrm * cNrms(c))
+      // Spark's Round passes NaN/Inf through (BigDecimal would throw)
+      var r =
+        if (java.lang.Double.isNaN(q) || java.lang.Double.isInfinite(q)) q
+        else java.math.BigDecimal.valueOf(q)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r == 0.0) r = 0.0 // normalize -0.0 like Spark's ordering
+      // strictly-greater + ascending ids == max sim, tie lowest id;
+      // Double.compare puts NaN greatest, matching struct ordering
+      if (bestId < 0 || java.lang.Double.compare(r, best) > 0) {
+        best = r; bestId = ids(c)
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestId, best)
   }
 
   /** Σ (a_i−b_i)², same semantics as [[dot]]. */
@@ -195,6 +252,59 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Float]]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** IVF coarse assignment as ONE fused expression:
+  * `nearest_centroid(embedding)` over an inlined centroid set — see
+  * [[VectorKernels.nearestCentroid]] for the exact parity contract
+  * with the `array_max(array(struct(…)))` tree it replaces. Output:
+  * `struct<centroid_id: bigint, sim: double>`. */
+case class NearestCentroid(child: Expression, centroids: Seq[(Long, Seq[Float])])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def elemCode(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => VectorKernels.FLOAT
+    case ArrayType(DoubleType, _) => VectorKernels.DOUBLE
+    case _ => -1
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemCode(child.dataType) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float|double>, got ${child.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("centroid_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sim", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val ids: Array[Long] = centroids.map(_._1).toArray
+  @transient private lazy val ces: Array[Array[Double]] =
+    centroids.map(_._2.map(_.toDouble).toArray).toArray
+  // the same left-fold as the norm()/driver-side cNrm computations
+  @transient private lazy val cNrms: Array[Double] =
+    ces.map(ce => math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x)))
+  private lazy val childT = elemCode(child.dataType)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCentroid(a.asInstanceOf[ArrayData], ids, ces, cNrms, childT)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ncIds", ids, "long[]")
+    val cesRef = ctx.addReferenceObj("ncCes", ces, "double[][]")
+    val nrmRef = ctx.addReferenceObj("ncNrms", cNrms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("ncRes")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.catalyst.VectorKernels.nearestCentroid($a, $idsRef, $cesRef, $nrmRef, $childT);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }
 

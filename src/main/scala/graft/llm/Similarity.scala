@@ -222,25 +222,21 @@ object Similarity {
       .toSeq
 
   /** Per-row nearest-centroid over inlined centroid literals: appends
-    * `(centroid_id, sim)` to every corpus row with zero shuffles. The
-    * corpus norm is bound to a column first so it computes once per row,
-    * not once per centroid. */
+    * `(centroid_id, sim)` to every corpus row with zero shuffles —
+    * fused into ONE native expression ([[graft.catalyst.NearestCentroid]],
+    * a primitive k × dim loop per row) replacing the previous k-struct
+    * `array_max` tree, assignment pinned bit-identical (same dot/norm
+    * folds, 4dp rounding before the argmax, lowest-id ties). */
   private def assignInlined(corpus: DataFrame, cs: Seq[(Long, Seq[Float])]): DataFrame = {
     require(cs.nonEmpty, "assignInlined needs at least one centroid")
-    val candidates = cs.map { case (cid, ce) =>
-      // same left-fold as norm(): bit-identical to the column form
-      val cNrm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-      struct(
-        round(dot(col("embedding"), typedLit(ce)) / (col("__v_nrm") * lit(cNrm)), 4).as("sim"),
-        lit(-cid).as("neg_id"), // struct order: max sim, then lowest id
-        lit(cid).as("centroid_id"))
-    }
     corpus
-      .withColumn("__v_nrm", norm(col("embedding")))
-      .withColumn("__best", array_max(array(candidates: _*)))
+      .withColumn("__best",
+        org.apache.spark.sql.graft.bridge.columnFn {
+          case Seq(c) => graft.catalyst.NearestCentroid(c, cs)
+        }(col("embedding")))
       .withColumn("centroid_id", col("__best.centroid_id"))
       .withColumn("sim", col("__best.sim"))
-      .drop("__v_nrm", "__best")
+      .drop("__best")
   }
 
   /** Embedding-cosine near-duplicate pairs: `(i, j, sim)` with i < j and
