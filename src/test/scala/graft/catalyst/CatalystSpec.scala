@@ -55,6 +55,64 @@ class CatalystSpec extends SparkSuite {
     assert(empty.head.getDouble(0) == 0.0)
   }
 
+  test("PqEncode/NearestCentroid: bit-parity with the struct/array_min|max trees they fused") {
+    assert(installed)
+    import graft.llm.Similarity
+    // deterministic pseudo-random corpus with planted TIE rows (vector
+    // equidistant to two codebook entries / two centroids — the
+    // lowest-code/lowest-id rule must decide)
+    val dim = 8
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, (0 until dim).map(d => (math.sin(i * 31 + d * 7) * 3).toFloat))
+    } :+ (900L, Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)) // ties sub 0 vs sub 1 shapes
+    val df = vecs.toDF("vec_id", "embedding")
+
+    val cb: Seq[Seq[Seq[Float]]] = Seq(
+      Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(1f, 0f, 0f, 0f)), // dup entry -> tie
+      Seq(Seq(0f, 0f, 0f, 1f), Seq(1f, 0f, 0f, 0f)))
+    // the pre-fusion formulation, reconstructed verbatim
+    val subdim = 4
+    def oldCodes = {
+      val sliced = (0 until 2).foldLeft(df)((d, s) =>
+        d.withColumn(s"__sub_$s", slice($"embedding", s * subdim + 1, subdim)))
+      sliced.select($"vec_id", array((0 until 2).map { s =>
+        array_min(array(cb(s).zipWithIndex.map { case (ce, code) =>
+          struct(
+            round(Similarity.l2Sq(col(s"__sub_$s"), typedLit(ce)), 4).as("d"),
+            lit(code).as("code"))
+        }: _*)).getField("code")
+      }: _*).as("codes"))
+    }
+    val got = Similarity.pqEncode(df, cb).select("vec_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val want = oldCodes.as[(Long, Seq[Int])].collect().toMap
+    assert(got == want)
+    assert(got(900L) == Seq(0, 1)) // tie in sub 0 resolves to the LOWEST code
+
+    val cs: Seq[(Long, Seq[Float])] = Seq(
+      (3L, (0 until dim).map(d => math.cos(d * 13).toFloat)),
+      (5L, (0 until dim).map(d => math.sin(d * 17).toFloat)),
+      (9L, (0 until dim).map(d => math.cos(d * 13).toFloat))) // dup of 3 -> tie
+    def oldAssign = {
+      val cands = cs.map { case (cid, ce) =>
+        val cNrm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        struct(
+          round(Similarity.dot($"embedding", typedLit(ce)) / ($"__v_nrm" * lit(cNrm)), 4).as("sim"),
+          lit(-cid).as("neg_id"), lit(cid).as("centroid_id"))
+      }
+      df.withColumn("__v_nrm", Similarity.norm($"embedding"))
+        .withColumn("__best", array_max(array(cands: _*)))
+        .select($"vec_id", $"__best.centroid_id", $"__best.sim")
+    }
+    val gotA = Similarity.ivfAssign(df, cs.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val wantA = oldAssign.as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotA == wantA)
+    // every duplicate-centroid tie resolved to id 3, never 9
+    assert(gotA.values.forall(_._1 != 9L))
+  }
+
   test("LabelsHash matches the pure-model hash byte for byte") {
     assert(installed)
     val rows = Seq(
