@@ -376,6 +376,76 @@ object Bench {
     }
   }
 
+  /** The document-dedup pipeline at 100k docs — the at-scale complement
+    * to the 5k-doc x10 rows, with a CONSTRUCTION-CHECKED answer: 10k
+    * templates × 10 variants (60 words, ~1 point mutation per variant,
+    * within-template Jaccard ≈ 0.9, cross-template ≈ 0), so the
+    * end-to-end minhash → LSH → verify → connected-components →
+    * survivors count must land on ≈ the template count — a wrong-answer
+    * run cannot report a time. Also times exact dedup (all 100k
+    * distinct ⇒ 100k groups) over the same corpus. */
+  private def dedupBench(spark: SparkSession): Seq[(String, Double, String)] = {
+    import graft.llm.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup100k-").toString
+    try {
+      val templates = 10000L; val variants = 10L; val nWords = 60
+      val t = expr("id div 10")
+      val wordCols = (0 until nWords).map { j =>
+        // template id folded into every word: templates are pairwise
+        // distinct by construction (a pure modular mix made t and
+        // t+5000 collide)
+        val base = concat(lit("t"), t.cast("string"), lit("w"),
+          pmod(t * 31L + j * 7L, lit(5000L)).cast("string"))
+        // variant 0 is the pure template; others mutate ~1 of 60 words
+        when(col("id") % variants =!= 0 &&
+          pmod(lit(j) * 2654435761L + col("id") * 97L, lit(40L)) === 0,
+          concat(lit("m"), col("id").cast("string"), lit("x"))).otherwise(base)
+      }
+      spark.range(templates * variants)
+        .select(col("id").as("doc_id"), concat_ws(" ", wordCols: _*).as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+      val docs = spark.read.parquet(s"$tmp/docs")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var nExact = 0L
+      val exactSec = timed { nExact = Dedup.exact(docs).count() }
+      require(nExact == templates * variants,
+        s"exact dedup found $nExact groups, want all-distinct ${templates * variants}")
+      var pairs: org.apache.spark.sql.DataFrame = null
+      var nPairs = 0L
+      val pairsSec = timed {
+        pairs = Dedup.minhashLshPairs(docs).localCheckpoint()
+        nPairs = pairs.count()
+      }
+      var survivors = 0L
+      val ccSec = timed {
+        survivors = Dedup.dedupSurvivors(docs, pairs.select("i", "j")).count()
+      }
+      // floor: no over-merge is POSSIBLE (cross-template Jaccard ≈ 0 —
+      // the exact-Jaccard verify rejects any stray band collision), so
+      // survivors ≥ templates exactly; ceiling: ≥ 93% of the planted
+      // duplicates collapse (at within-template J ≈ 0.8–0.9 the 4×4
+      // banding misses a correlated few percent — misses share the
+      // signature, so they are NOT pairwise-independent)
+      require(survivors >= templates && survivors <= templates + 6000,
+        s"dedup kept $survivors of ${templates * variants}, want ≈ $templates")
+      Seq(
+        ("exact_sec", exactSec, "ok"),
+        ("minhash_pairs_sec", pairsSec, "ok"),
+        ("cc_survivors_sec", ccSec, "ok"),
+        ("n_pairs", nPairs.toDouble, "ok"),
+        ("n_survivors", survivors.toDouble, "ok"))
+    } catch {
+      case e: Throwable =>
+        Seq(("dedup_100k", 0.0,
+          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"))
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   private def jsonMap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -594,9 +664,10 @@ object Bench {
       if (only.isEmpty) "1" else "0") != "0"
     val annResults = if (doScale) annBench(spark) else Nil
     val rateResults = if (doScale) rateBench(spark) else Nil
+    val dedupResults = if (doScale) dedupBench(spark) else Nil
 
     val errors = (results ++ x10Results ++ matcherResults ++ annResults ++
-      rateResults).count(_._3 != "ok") +
+      rateResults ++ dedupResults).count(_._3 != "ok") +
       (if (storeStatus == "ok") 0 else 1) +
       (if (labelSetStatus == "ok") 0 else 1)
 
@@ -616,6 +687,8 @@ object Bench {
       s""""ann_1m_status":${jsonMap(annResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""rate_20m":${jsonMap(rateResults.map { case (k, v, _) => k -> v.toString })},""" +
       s""""rate_20m_status":${jsonMap(rateResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""dedup_100k":${jsonMap(dedupResults.map { case (k, v, _) => k -> v.toString })},""" +
+      s""""dedup_100k_status":${jsonMap(dedupResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""x10_prep_sec":$x10PrepSec,"errors":$errors,""" +
       s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,""" +
       s""""bytes_per_sample":$bytesPerSample,""" +
@@ -631,7 +704,7 @@ object Bench {
     // not-ok (the detail file always has everything).
     val badSt = results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     val badSt10 = x10Results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
-    val badStM = (matcherResults ++ annResults ++ rateResults)
+    val badStM = (matcherResults ++ annResults ++ rateResults ++ dedupResults)
       .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     def headline(withQueries: Boolean): String = {
       val perQuery =
@@ -645,6 +718,7 @@ object Bench {
         s""""matchers_5m_total_sec":${ms(matcherTotal)},""" +
         s""""ann_1m":${jsonMap(annResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""rate_20m":${jsonMap(rateResults.map { case (k, v, _) => k -> ms(v) })},""" +
+        s""""dedup_100k":${jsonMap(dedupResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +
         s""""write_rows_per_sec":${ms(writeRps)},"compact_sec":${ms(compactSec)},""" +
         s""""bytes_per_sample":${ms(bytesPerSample)},""" +
