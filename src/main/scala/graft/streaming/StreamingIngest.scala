@@ -212,38 +212,55 @@ object StreamingIngest {
       .groupByKey(_.series_key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, it: Iterator[Sample], state: GroupState[RateState]) => {
-          var st = state.getOption.getOrElse(
+          val st0 = state.getOption.getOrElse(
             RateState(Long.MinValue, Double.NaN, Long.MinValue, 0.0, 0L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[BucketIncrease]
-          it.toSeq.sortBy(s => (s.t, s.arrival)).foreach { s =>
-            val b = graft.functions.rangeForTimestampMs(s.t, bucketMs)
-            if (st.bucket != Long.MinValue && b != st.bucket) {
-              // bucket closes: emit its final row
-              // exact Spark round(_, 2) semantics (BigDecimal HALF_UP);
-              // a delta-less bucket is None, like the batch SUM of an
-              // empty increment set — so rows compare bit-equal to
-              // Rate.increase
-              out += BucketIncrease(key, st.bucket,
-                if (st.nDeltas == 0L) None
-                else Some(java.math.BigDecimal.valueOf(st.inc)
-                  .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()),
-                st.nDeltas, st.nResets)
-              st = st.copy(bucket = b, inc = 0.0, nDeltas = 0L, nResets = 0L)
-            } else if (st.bucket == Long.MinValue) {
-              st = st.copy(bucket = b)
-            }
-            if (st.lastT != Long.MinValue) {
-              val reset = s.v < st.lastV
-              st = st.copy(
-                inc = st.inc + (if (reset) s.v else s.v - st.lastV),
-                nDeltas = st.nDeltas + 1,
-                nResets = st.nResets + (if (reset) 1L else 0L))
-            }
-            st = st.copy(lastT = s.t, lastV = s.v)
-          }
-          state.update(st)
+          val (out, st1) = foldIncrease(
+            key, it.toSeq.sortBy(s => (s.t, s.arrival)).map(s => (s.t, s.v)),
+            st0, bucketMs)
+          state.update(st1)
           out.iterator
         })
+  }
+
+  /** The pure per-series fold [[streamingIncrease]] runs per
+    * micro-batch: closed-bucket rows out, carry-over state back.
+    * Extracted so the batch-equivalence property (any split of a
+    * series' ordered samples into batches folds to the same closed
+    * buckets as [[graft.query.Rate.increase]]) is testable without an
+    * engine in the loop (StreamingRateProperty). */
+  private[streaming] def foldIncrease(
+      key: String,
+      ordered: Seq[(Long, Double)],
+      st0: RateState,
+      bucketMs: Long): (Seq[BucketIncrease], RateState) = {
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer.empty[BucketIncrease]
+    ordered.foreach { case (t, v) =>
+      val b = graft.functions.rangeForTimestampMs(t, bucketMs)
+      if (st.bucket != Long.MinValue && b != st.bucket) {
+        // bucket closes: emit its final row — exact Spark round(_, 2)
+        // semantics (BigDecimal HALF_UP); a delta-less bucket is None,
+        // like the batch SUM of an empty increment set — so rows
+        // compare bit-equal to Rate.increase
+        out += BucketIncrease(key, st.bucket,
+          if (st.nDeltas == 0L) None
+          else Some(java.math.BigDecimal.valueOf(st.inc)
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()),
+          st.nDeltas, st.nResets)
+        st = st.copy(bucket = b, inc = 0.0, nDeltas = 0L, nResets = 0L)
+      } else if (st.bucket == Long.MinValue) {
+        st = st.copy(bucket = b)
+      }
+      if (st.lastT != Long.MinValue) {
+        val reset = v < st.lastV
+        st = st.copy(
+          inc = st.inc + (if (reset) v else v - st.lastV),
+          nDeltas = st.nDeltas + 1,
+          nResets = st.nResets + (if (reset) 1L else 0L))
+      }
+      st = st.copy(lastT = t, lastV = v)
+    }
+    (out.toSeq, st)
   }
 
   /** Windowed observability aggregation with a watermark — the

@@ -449,3 +449,87 @@ class StreamingSpec extends SparkSuite {
       (40L, Some(1.5), false))) // t=15 stale: dropped
   }
 }
+
+/** Engine-free ScalaCheck differential: the per-series streaming fold
+  * ([[StreamingIngest.foldIncrease]]), applied over ANY split of a
+  * series' ordered samples into micro-batches, emits exactly the batch
+  * [[graft.query.Rate.increase]] semantics for every CLOSED bucket, and
+  * the carry-over state holds the open bucket's accumulators — so
+  * bucket-close emission is split-invariant (the WAL-replay property at
+  * the rate-consumer level). */
+class StreamingRateProperty extends org.scalatest.funsuite.AnyFunSuite {
+  import org.scalacheck.{Gen, Prop}
+  import StreamingIngest.{foldIncrease, RateState}
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val W = 100L
+
+  // strictly increasing timestamps (the validated-ingest contract),
+  // counter-ish values with planted resets
+  private val genSamples: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(0, 60)
+    gaps <- Gen.listOfN(n, Gen.choose(1L, 130L))
+    vs <- Gen.listOfN(n, Gen.choose(0, 1000).map(_ / 4.0))
+  } yield gaps.scanLeft(5L)(_ + _).tail.zip(vs)
+
+  /** The batch model: Rate.increase's per-bucket sums in pure Scala. */
+  private def model(samples: List[(Long, Double)])
+      : Map[Long, (Option[Double], Long, Long)] = {
+    val withPrev = samples.zip(None :: samples.map(Some(_)))
+    withPrev.groupBy { case ((t, _), _) =>
+      Math.floorDiv(t, W) * W + W
+    }.map { case (b, rows) =>
+      val deltas = rows.collect { case ((_, v), Some((_, pv))) =>
+        (if (v < pv) v else v - pv, v < pv)
+      }
+      val inc =
+        if (deltas.isEmpty) None
+        else Some(java.math.BigDecimal.valueOf(deltas.map(_._1).sum)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+      b -> ((inc, deltas.size.toLong, deltas.count(_._2).toLong))
+    }
+  }
+
+  test("fold over any batch split == batch increase on closed buckets; state carries the open one") {
+    val genCase = for {
+      samples <- genSamples
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(samples.size, 1)))
+    } yield (samples, cuts.sorted)
+    check(Prop.forAll(genCase) { case (samples, cuts) =>
+      val batches = (0 :: cuts).zip(cuts :+ samples.size)
+        .map { case (a, b) => samples.slice(a, b) }
+      var st = RateState(Long.MinValue, Double.NaN, Long.MinValue, 0.0, 0L, 0L)
+      val emitted = batches.flatMap { batch =>
+        val (out, st1) = foldIncrease("s", batch, st, W)
+        st = st1
+        out
+      }
+      val m = model(samples)
+      val closed = emitted.map(b =>
+        b.t_bucket -> ((b.increase, b.n_deltas, b.n_resets))).toMap
+      val openBucket = st.bucket
+      // every emitted bucket matches the batch model exactly
+      val emittedOk = closed.forall { case (b, v) => m.get(b).contains(v) }
+      // emitted ∪ {open} covers every model bucket, no duplicates
+      val coverOk =
+        if (samples.isEmpty) emitted.isEmpty && openBucket == Long.MinValue
+        else closed.keySet == m.keySet - openBucket &&
+          emitted.size == closed.size
+      // the carried state holds the open bucket's accumulators
+      val stateOk = samples.isEmpty || {
+        val (inc, nd, nr) = m(openBucket)
+        val sInc =
+          if (st.nDeltas == 0L) None
+          else Some(java.math.BigDecimal.valueOf(st.inc)
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+        sInc == inc && st.nDeltas == nd && st.nResets == nr
+      }
+      emittedOk && coverOk && stateOk
+    })
+  }
+}
