@@ -76,7 +76,11 @@ object Bench {
     // r6 late: the corpus-LM perplexity score (token-scale, one doc
     // exchange), the corpus-wide kNN graph (bucket self-join), and the
     // recording-rule group (one shared fill pass, N rule aggregates)
-    "doc_unigram_logprob", "emb_knn_graph", "ts_rule_group")
+    "doc_unigram_logprob", "emb_knn_graph", "ts_rule_group",
+    // r6 late: the persisted composed index — the ADC probe with no
+    // float vector on the scan must hold the floor next to
+    // emb_ivf_persisted at any corpus scale
+    "emb_ivfpq_persisted")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

@@ -249,6 +249,25 @@ object SparkEntry {
     p.toString
   }
 
+  /** The persisted IVF+PQ index for `emb_ivfpq_persisted` — built once
+    * per sf dir like [[ivfLayout]]; codebook = the sampled (iters=0,
+    * SQL-expressible) form the PQ entries share. */
+  private def ivfPqLayout(s: SparkSession, dir: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch",
+      "ivfpq-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = p.resolve("_GRAFT_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      scala.reflect.io.Directory(p.toFile).deleteRecursively()
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, dim = EMB_DIM, m = PQ_M, ksub = PQ_KSUB,
+        iters = 0, init = emb.where(col("vec_id") < PQ_KSUB))
+      Similarity.ivfPqWrite(emb, emb.where(col("vec_id") < 8), cb, p.toString)
+      java.nio.file.Files.createFile(marker)
+    }
+    p.toString
+  }
+
   /** One-time setup per query a bench harness should run UNTIMED before
     * timing the query itself (scratch-store/index builds). [[queries]]
     * entries stay self-contained — they run their own setup when it
@@ -258,7 +277,8 @@ object SparkEntry {
     "ts_bucketed_dedup" -> ((s, dir) => { bucketedDedupStore(s, dir); () }),
     "ts_select_labelled" -> ((s, dir) => { labelledStore(s, dir); () }),
     "ts_seek" -> ((s, dir) => { labelledStore(s, dir); () }),
-    "emb_ivf_persisted" -> ((s, dir) => { ivfLayout(s, dir); () }))
+    "emb_ivf_persisted" -> ((s, dir) => { ivfLayout(s, dir); () }),
+    "emb_ivfpq_persisted" -> ((s, dir) => { ivfPqLayout(s, dir); () }))
 
   /** DuckDB CTE shared by the storage-semantics oracles: the events table
     * in the canonical long format. */
@@ -1984,6 +2004,43 @@ object SparkEntry {
         "series_key", "t")
     }),
 
+    // IVF+PQ through the PERSISTED codes layout — the served composed
+    // index: one assign+encode pass at build; a probe reads only its
+    // nprobe list dirs of m-byte codes, no float vector on the scan.
+    // Same oracle as emb_ivfpq_search — the layout must not change the
+    // answer.
+    "emb_ivfpq_persisted" -> ((s, dir) =>
+      Similarity.ivfPqTopKPersisted(ivfPqLayout(s, dir),
+          Tables.embeddings(s, dir).where(col("vec_id") < 5), k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")),
+
+    // kNN-density scoring (outlier/novelty signal for data selection):
+    // mean cosine to the top-3 bucket-mate neighbors from the kNN
+    // graph; vectors with NO bucket-mates surface with null density —
+    // the rarest points in embedding space, exactly the ones an
+    // outlier pass wants flagged.
+    "emb_knn_density" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      orderedOnce(
+        emb.select(col("vec_id")).join(
+          Similarity.knnGraph(emb, k = 3,
+              dim = EMB_DIM, bits = RAND_LSH_BITS, tables = 1, seed = RAND_LSH_SEED)
+            .groupBy(col("q_id").as("vec_id"))
+            // suite convention: divide the ROUNDED sum by the exact
+            // count so both engines divide identical bits — and do NOT
+            // re-round the quotient (k = 3 manufactures exact decimal
+            // halves where Spark's string-based round and DuckDB's
+            // numeric round disagree; identical dividends already
+            // divide bit-identically)
+            .agg(count(lit(1)).as("n_neighbors"),
+              (round(sum("sim"), 4) / count(lit(1))).as("density")),
+          Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+            col("density")),
+        "vec_id")
+    }),
+
     // Search directly over the int8 codes ([[emb_quantize]]'s claim made
     // operational): per-vector scales cancel in cosine, so exact top-k
     // over the 1-byte codes is within quantization error of full-float —
@@ -2234,6 +2291,26 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The IVF+PQ ADC search oracle — shared by the ad-hoc
+    * (`emb_ivfpq_search`) and persisted (`emb_ivfpq_persisted`) paths. */
+  private lazy val ivfPqSearchSql: String =
+    s"""WITH $ivfProbeCtes,
+       |$pqCteBody,
+       |p AS (SELECT pr.q_id, b.vec_id AS neighbor_id, a.sub, a.d
+       |  FROM pq_best b
+       |  JOIN asg ON asg.vec_id = b.vec_id
+       |  JOIN pr ON asg.centroid_id = pr.centroid_id
+       |  JOIN pq_d a ON a.sub = b.sub AND a.code = b.code
+       |    AND a.vec_id = pr.q_id
+       |  WHERE b.vec_id != pr.q_id),
+       |sc AS (SELECT q_id, neighbor_id,
+       |  round(list_reduce(list(d ORDER BY sub), (x, y) -> x + y), 4) AS adist
+       |  FROM p GROUP BY q_id, neighbor_id)
+       |SELECT q_id, rank, neighbor_id, adist FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank FROM sc)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_select_eq" -> tsSelectSql("event_type = 'click'"),
     "ts_select_regex" -> tsSelectSql("regexp_full_match(event_type, 'c.*|sig.*')"),
@@ -3226,23 +3303,10 @@ object SparkEntry {
     "emb_kmeans_fit" -> kmeansFitSql,
     "emb_ivf_search" -> ivfSearchSql,
     "emb_ivf_persisted" -> ivfSearchSql,
-    "emb_ivfpq_search" ->
-      s"""WITH $ivfProbeCtes,
-         |$pqCteBody,
-         |p AS (SELECT pr.q_id, b.vec_id AS neighbor_id, a.sub, a.d
-         |  FROM pq_best b
-         |  JOIN asg ON asg.vec_id = b.vec_id
-         |  JOIN pr ON asg.centroid_id = pr.centroid_id
-         |  JOIN pq_d a ON a.sub = b.sub AND a.code = b.code
-         |    AND a.vec_id = pr.q_id
-         |  WHERE b.vec_id != pr.q_id),
-         |sc AS (SELECT q_id, neighbor_id,
-         |  round(list_reduce(list(d ORDER BY sub), (x, y) -> x + y), 4) AS adist
-         |  FROM p GROUP BY q_id, neighbor_id)
-         |SELECT q_id, rank, neighbor_id, adist FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank FROM sc)
-         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "emb_ivfpq_search" -> ivfPqSearchSql,
+    // the persisted-layout twin answers IDENTICALLY: same codes, same
+    // LUT, same tie rule — the on-disk shape must not change the answer
+    "emb_ivfpq_persisted" -> ivfPqSearchSql,
     "emb_rand_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${planeBucketSql("embedding")} AS bucket FROM embeddings),
@@ -3339,6 +3403,21 @@ object SparkEntry {
          |SELECT a.vec_id, a.centroid_id, (d.vec_id IS NULL) AS keep
          |FROM asg a LEFT JOIN dr d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "emb_knn_density" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${planeBucketSql("embedding")} AS bucket FROM embeddings),
+         |s AS (SELECT l.vec_id AS q_id, r.vec_id AS neighbor_id,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id),
+         |t AS (SELECT q_id, sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |  WHERE rank <= 3),
+         |d AS (SELECT q_id AS vec_id, count(*) AS n_neighbors,
+         |  round(sum(sim), 4) / count(*) AS density FROM t GROUP BY 1)
+         |SELECT e.vec_id, coalesce(n_neighbors, 0) AS n_neighbors, density
+         |FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     "emb_knn_graph" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${planeBucketSql("embedding")} AS bucket FROM embeddings),

@@ -667,6 +667,70 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$root/corpus")
   }
 
+  /** Materialize the composed IVF+PQ index: one assignment + encode
+    * pass, corpus persisted as m-byte codes `partitionBy(centroid_id)`
+    * (the FAISS-IVFPQ on-disk shape: inverted lists of codes, raw
+    * vectors not stored), centroids + codebook alongside. A probe then
+    * reads ONLY its `nprobe` list dirs and touches no float vector —
+    * at 100 TB the scan is `nprobe/k` of a corpus already compressed
+    * `4·dim/m`-fold. Same pre-write exchange as [[ivfWrite]]
+    * (files-per-list ≈ 1). */
+  def ivfPqWrite(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      codebook: Seq[Seq[Seq[Float]]],
+      root: String): Unit = {
+    centroids.select(col("vec_id"), col("embedding"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    codebook.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (ce, code) => (s, code, ce) } }
+      .toDF("sub", "code", "entry")
+      .coalesce(1) // m × ksub × subdim floats — index metadata
+      .write.mode("overwrite").parquet(s"$root/codebook")
+    pqEncode(assignInlined(corpus, collectCentroids(centroids)), codebook)
+      .select(col("vec_id"), col("centroid_id"), col("codes"))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$root/codes")
+  }
+
+  /** ADC search over a persisted [[ivfPqWrite]] layout: probe lists
+    * resolved driver-side and pushed as a static partition filter
+    * (only the probed `centroid_id=` dirs are read), per-query LUT
+    * built once from the persisted codebook, scoring = m array lookups
+    * per candidate — byte-identical answers to the ad-hoc
+    * [[ivfPqTopK]] (same codes, same LUT, same tie rule). */
+  def ivfPqTopKPersisted(
+      root: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val codebook: Seq[Seq[Seq[Float]]] = spark.read.parquet(s"$root/codebook")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    val probes = ivfProbes(centroids, queries, nprobe)
+    val probeIds: Seq[Any] = probes.select("centroid_id").distinct()
+      .collect().toSeq.map(_.get(0))
+    val qlut = probes.select("q_id", "q_emb").distinct()
+      .withColumn("__lut", pqLut(codebook))
+      .select("q_id", "__lut")
+    val q = broadcast(probes.select("q_id", "centroid_id").join(qlut, "q_id"))
+    val listed = spark.read.parquet(s"$root/codes")
+      .where(col("centroid_id").isin(probeIds: _*))
+    pqRanked(
+      listed.join(q, Seq("centroid_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(pqAdist(codebook.size), 4).as("adist")),
+      k)
+  }
+
   /** IVF search over a persisted [[ivfWrite]] layout. The probe lists
     * are resolved driver-side (≤ the centroid count — index metadata by
     * definition) and pushed as a static partition filter, so the scan
