@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.ingest.Appender
 import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
-import graft.query.{AsOf, Histogram, LabelDictionary, Rate, TsdbSource}
+import graft.query.{AsOf, Histogram, LabelDictionary, Rate, Rules, TsdbSource}
 import graft.sources.Tables
 import graft.storage.{BlockStore, Merge, Tombstones}
 import graft.{functions => gf}
@@ -1957,20 +1957,16 @@ object SparkEntry {
         val sl = TsdbSource.events(s, dir)
           .selectWithLabels(MINT - LOOKBACK, MAXT, Seq("name", "vip"))
           .select(col("series_key"), col("name"),
-            coalesce(col("vip"), lit("")).as("vip"),
+            coalesce(col("vip"), lit("")).as("vip"), // absent label = ""
             col("t"), col("v").as("r_v"))
         AsOf.latestPerInstant(sl, Seq("series_key", "name", "vip"), BUCKET_W, LOOKBACK)
           .where(col("t") >= MINT && col("t") <= MAXT && col("r_v").isNotNull)
-          .localCheckpoint() // shared by the three rule aggregates
       }
-      def rule(name: String, grp: org.apache.spark.sql.Column, keys: Seq[String]) =
-        frame.groupBy((keys.map(col) :+ col("t")): _*)
-          .agg(round(sum("r_v"), 2).as("value"))
-          .select(lit(name).as("rule"), grp.as("grp"), col("t"), col("value"))
       orderedOnce(
-        rule("name:sum", col("name"), Seq("name"))
-          .unionByName(rule("vip:sum", col("vip"), Seq("vip")))
-          .unionByName(rule("all:sum", lit(""), Seq.empty)),
+        Rules.recordingRules(frame, Seq(
+          Rules.Rule("name:sum", Seq("name")),
+          Rules.Rule("vip:sum", Seq("vip")),
+          Rules.Rule("all:sum", Seq.empty))),
         "rule", "grp", "t")
     }),
 
@@ -1993,14 +1989,8 @@ object SparkEntry {
         .select(col("series_key"), col("t"), col("v").as("r_v"))
       val frame = AsOf.latestPerInstant(sl, Seq("series_key"), DAY, 12 * 3600000L)
         .where(col("t") >= MINT && col("t") <= MAXT && col("r_v").isNotNull)
-      val w = Window.partitionBy("series_key").orderBy("t")
-        .rangeBetween(-FOR_STEPS.toLong * DAY, 0)
       orderedOnce(
-        frame
-          .withColumn("__ok",
-            sum(when(col("r_v") > THRESH, 1).otherwise(0)).over(w))
-          .where(col("__ok") === FOR_STEPS + 1 && col("r_v") > THRESH)
-          .select(col("series_key"), col("t"), col("r_v").as("value")),
+        Rules.alertFiring(frame, col("r_v") > THRESH, FOR_STEPS, DAY),
         "series_key", "t")
     }),
 

@@ -229,6 +229,41 @@ class SimilaritySpec extends SparkSuite {
     assert(pers == adhoc)
   }
 
+  test("persisted IVF+PQ layout: code-only pruned scan, identical ADC answers") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val centroids = emb.where($"vec_id" < 8)
+    val cb = Similarity.pqTrain(emb, dim = 64, m = 4, ksub = 8,
+      iters = 0, init = emb.where($"vec_id" < 8))
+    Similarity.ivfPqWrite(emb, centroids, cb, root)
+    val queries = emb.where($"vec_id" < 3)
+    val got = Similarity.ivfPqTopKPersisted(root, queries, k = 3, nprobe = 2)
+    val phys = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("codes")) => s
+    }
+    assert(scans.nonEmpty, phys.toString.take(2000))
+    scans.foreach { s =>
+      // probed lists only…
+      val static = s.partitionFilters.filterNot(
+        _.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]).isDefined)
+      assert(static.nonEmpty, s.toString.take(1500))
+      assert(s.relation.location.listFiles(static, Nil).size <= 6,
+        "ADC probe scan did not prune the centroid lists")
+      // …and NO float vector on the scan: codes + ids only
+      assert(!s.schema.fieldNames.contains("embedding"), s.schema.catalogString)
+    }
+    // the on-disk shape must not change the answer vs the ad-hoc path
+    val adhoc = Similarity.ivfPqTopK(emb, centroids, cb, queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val pers = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pers == adhoc)
+  }
+
   test("cosineNearDupPairs finds planted duplicates, i < j, above threshold") {
     val dup = emb.where($"vec_id" === 0)
       .select(lit(9999L).as("vec_id"), $"embedding", $"label")
