@@ -1994,6 +1994,21 @@ object SparkEntry {
         "series_key", "t")
     }),
 
+    // The full alert lifecycle (PromQL's ALERTS series): every ACTIVE
+    // (series, instant) with its pending/firing state — pending while
+    // the for-window isn't yet fully satisfied. Same frame and window
+    // as ts_alert_for; the state is the only addition.
+    "ts_alert_state" -> ((s, dir) => {
+      val sl = TsdbSource.events(s, dir)
+        .select(MINT - 12 * 3600000L, MAXT)
+        .select(col("series_key"), col("t"), col("v").as("r_v"))
+      val frame = AsOf.latestPerInstant(sl, Seq("series_key"), DAY, 12 * 3600000L)
+        .where(col("t") >= MINT && col("t") <= MAXT && col("r_v").isNotNull)
+      orderedOnce(
+        Rules.alertState(frame, col("r_v") > 10.0, forSteps = 2, stepMs = DAY),
+        "series_key", "t")
+    }),
+
     // IVF+PQ through the PERSISTED codes layout — the served composed
     // index: one assign+encode pass at build; a probe reads only its
     // nprobe list dirs of m-byte codes, no float vector on the scan.
@@ -3341,6 +3356,23 @@ object SparkEntry {
          |  FROM f)
          |SELECT series_key, t, r_v AS value FROM a
          |WHERE ok = 3 AND r_v > 10.0 ORDER BY series_key, t""".stripMargin,
+    "ts_alert_state" ->
+      s"""$samplesCte,
+         |r AS (SELECT series_key, t AS rt, max(v) AS rv FROM s GROUP BY 1, 2),
+         |g AS (SELECT series_key,
+         |  unnest(generate_series($MINT, $MAXT, $DAY)) AS t
+         |  FROM (SELECT DISTINCT series_key FROM r)),
+         |f AS (SELECT g.series_key, g.t,
+         |  CASE WHEN rt >= g.t - ${12 * 3600000L} THEN rv END AS r_v
+         |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt),
+         |a AS (SELECT series_key, t, r_v,
+         |  sum(CASE WHEN r_v > 10.0 THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY series_key ORDER BY t
+         |    RANGE BETWEEN ${2 * DAY} PRECEDING AND CURRENT ROW) AS ok
+         |  FROM f)
+         |SELECT series_key, t, r_v AS value,
+         |  CASE WHEN ok = 3 THEN 'firing' ELSE 'pending' END AS state
+         |FROM a WHERE r_v > 10.0 ORDER BY series_key, t""".stripMargin,
     "ts_rule_group" ->
       s"""$samplesCte,
          |r AS (SELECT series_key, event_type AS name,

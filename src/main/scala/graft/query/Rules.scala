@@ -63,12 +63,28 @@ object Rules {
       frame: DataFrame,
       cond: Column,
       forSteps: Int,
+      stepMs: Long): DataFrame =
+    alertState(frame, cond, forSteps, stepMs)
+      .where(col("state") === "firing")
+      .drop("state")
+
+  /** The full alert lifecycle per active `(series_key, t)`: `pending`
+    * while the condition holds but the trailing `for` window isn't yet
+    * fully satisfied, `firing` once it is — PromQL's ALERTS/alertstate
+    * convention. One window over the sparse frame; inactive instants
+    * (condition false or stale) emit nothing. */
+  def alertState(
+      frame: DataFrame,
+      cond: Column,
+      forSteps: Int,
       stepMs: Long): DataFrame = {
     val w = Window.partitionBy("series_key").orderBy("t")
       .rangeBetween(-forSteps.toLong * stepMs, 0)
     frame
       .withColumn("__ok", sum(when(cond, 1).otherwise(0)).over(w))
-      .where(col("__ok") === forSteps + 1 && cond)
-      .select(col("series_key"), col("t"), col("r_v").as("value"))
+      .where(cond)
+      .select(col("series_key"), col("t"), col("r_v").as("value"),
+        when(col("__ok") === forSteps + 1, lit("firing"))
+          .otherwise(lit("pending")).as("state"))
   }
 }
