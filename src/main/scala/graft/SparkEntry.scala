@@ -2082,6 +2082,21 @@ object SparkEntry {
     "doc_unigram_logprob" -> ((s, dir) =>
       orderedOnce(TextStats.unigramLogProb(Tables.documents(s, dir)), "doc_id")),
 
+    // The bigram extension with stupid backoff (Brants et al. 2007),
+    // CROSS-corpus like real CCNet filtering: the LM trains on 95% of
+    // the corpus and scores the held-out 5% — unseen bigrams back off
+    // to 0.4·p_unigram, unseen terms smooth to cf=0. Word-order
+    // structure enters the score; a self-trained LM could never back
+    // off.
+    "doc_bigram_logprob" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      orderedOnce(
+        TextStats.bigramLogProb(
+          docs.where(col("doc_id") % 20 === 0),
+          docs.where(col("doc_id") % 20 =!= 0)),
+        "doc_id")
+    }),
+
     // J5/U1: series churn — full-outer alignment of two adjacent block
     // windows on series_key (mergedSeriesSet semantics: series present
     // in one window, the other, or both).
@@ -3450,6 +3465,33 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "doc_bigram_logprob" ->
+      s"""WITH ws AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |tok AS (SELECT doc_id,
+         |  unnest(generate_series(1, len(ws))) AS pos,
+         |  unnest(ws) AS term FROM ws),
+         |big AS (SELECT doc_id, pos, term,
+         |  lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+         |trn AS (SELECT * FROM big WHERE doc_id % 20 != 0),
+         |tst AS (SELECT * FROM big WHERE doc_id % 20 = 0),
+         |cf AS (SELECT term, count(*) AS cf FROM trn GROUP BY 1),
+         |tot AS (SELECT sum(cf)::BIGINT AS t, count(*) AS v FROM cf),
+         |cf2 AS (SELECT prev, term, count(*) AS cf2 FROM trn
+         |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |sc AS (SELECT b.doc_id,
+         |  CASE WHEN b.prev IS NULL THEN (coalesce(u.cf, 0) + 1)::DOUBLE / (t + v)
+         |       WHEN c2.cf2 IS NOT NULL THEN c2.cf2::DOUBLE / up.cf
+         |       ELSE 0.4 * ((coalesce(u.cf, 0) + 1)::DOUBLE / (t + v)) END AS s
+         |  FROM tst b
+         |  CROSS JOIN tot
+         |  LEFT JOIN cf u ON u.term = b.term
+         |  LEFT JOIN cf up ON up.term = b.prev
+         |  LEFT JOIN cf2 c2 ON c2.prev = b.prev AND c2.term = b.term),
+         |d AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  round(-sum(ln(s)) / count(*), 4) + 0.0 AS nll
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_tokens, nll, round(exp(nll), 4) + 0.0 AS ppl
+         |FROM d ORDER BY doc_id""".stripMargin,
     "doc_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS_SQL) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -232,6 +232,63 @@ object TextStats {
       .withColumn("ppl", round(exp(col("nll")), 4))
   }
 
+  /** [[unigramLogProb]]'s bigram extension, CROSS-corpus — the real
+    * CCNet shape: the LM trains on `train`, scores `score` (an LM
+    * self-trained on the scored corpus can never back off — every
+    * in-doc bigram is in its own model). Stupid backoff (Brants et
+    * al. 2007, the web-scale convention: no normalization, a missing
+    * bigram backs off to α·p_unigram with α = 0.4), add-one unigram
+    * smoothing extends naturally to OOV terms (cf = 0):
+    *
+    *   s(w₀)        = p_uni(w₀) = (cf+1)/(T+V)
+    *   s(wᵢ|wᵢ₋₁)   = cf₂(wᵢ₋₁,wᵢ)/cf(wᵢ₋₁)   when the bigram was seen
+    *                  0.4 · p_uni(wᵢ)          otherwise
+    *
+    * (cf(prev) counts ALL train occurrences of prev, including
+    * doc-final ones — the unnormalized stupid-backoff convention,
+    * identical on both engines.)
+    *
+    * Plan shape: ONE token-scale exchange per corpus on doc_id
+    * (window-lag bigram builder; the score side's final per-doc
+    * aggregate reuses its own); the unigram and bigram tables
+    * broadcast back (vocabulary/bigram-vocabulary sized — at corpora
+    * where the bigram table outgrows the driver, drop the hint and AQE
+    * picks from runtime sizes). */
+  def bigramLogProb(
+      score: DataFrame,
+      train: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    def bigrams(df: DataFrame) =
+      df.select(col("doc_id"), posexplode(words(col(textCol))).as(Seq("pos", "term")))
+        .repartition(col("doc_id"))
+        .withColumn("prev", lag("term", 1).over(w))
+    val trainBig = bigrams(train).localCheckpoint() // consumed twice: cf + cf2
+    val cf = trainBig.groupBy("term").agg(count(lit(1)).as("cf"))
+    val tot = broadcast(cf.agg(sum("cf").as("__t"), count(lit(1)).as("__v")))
+    val cf2 = trainBig.where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("cf2"))
+    val prevCf = cf.select(col("term").as("prev"), col("cf").as("cf_prev"))
+    bigrams(score)
+      .join(broadcast(cf), Seq("term"), "left") // OOV terms keep cf null
+      .join(broadcast(prevCf), Seq("prev"), "left")
+      .join(broadcast(cf2), Seq("prev", "term"), "left")
+      .crossJoin(tot)
+      .withColumn("__pu",
+        (coalesce(col("cf"), lit(0L)) + 1).cast("double") /
+          (col("__t") + col("__v")).cast("double"))
+      .withColumn("__s",
+        when(col("prev").isNull, col("__pu"))
+          .when(col("cf2").isNotNull,
+            col("cf2").cast("double") / col("cf_prev").cast("double"))
+          .otherwise(lit(0.4) * col("__pu")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-sum(log(col("__s"))) / count(lit(1)), 4).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 4))
+  }
+
   /** Per-source corpus rollup — the per-domain accounting view a
     * training-data pipeline keeps (docs, exact-dup rate via distinct
     * content hash, size, language spread). One hash aggregate keyed by

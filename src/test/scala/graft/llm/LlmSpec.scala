@@ -650,6 +650,41 @@ class TextStatsSpec extends SparkSuite {
     assert(math.abs(got(1L)._4 - math.exp(got(1L)._3)) < 1e-3)
   }
 
+  test("bigramLogProb: independent cross-corpus model agrees; backoff and OOV branches fire") {
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+    // score docs: (b,a) is an unseen bigram of seen terms -> backoff;
+    // "z" is out-of-vocabulary -> add-one cf=0 smoothing
+    val score = Seq((10L, "a b"), (11L, "b a"), (12L, "a z"))
+    // independent reimplementation of the documented formula
+    val toks = train.flatMap(_._2.split("\\s+"))
+    val cf = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val T = toks.size.toLong; val V = cf.size.toLong
+    def pu(w: String) = (cf.getOrElse(w, 0L) + 1).toDouble / (T + V)
+    val cf2 = train.flatMap { case (_, t) =>
+      val ws = t.split("\\s+"); ws.zip(ws.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def nll(text: String): Double = {
+      val ws = text.split("\\s+")
+      val scores = pu(ws.head) +: ws.zip(ws.drop(1)).map { case (p, c) =>
+        cf2.get((p, c)) match {
+          case Some(n) => n.toDouble / cf(p)
+          case None => 0.4 * pu(c)
+        }
+      }
+      val s = -scores.map(math.log).sum / ws.length
+      math.round(s * 10000).toDouble / 10000
+    }
+    val got = TextStats.bigramLogProb(
+        score.toDF("doc_id", "text"), train.toDF("doc_id", "text"))
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r._3).toMap
+    score.foreach { case (id, t) =>
+      assert(math.abs(got(id) - nll(t)) < 1e-9, s"doc $id: ${got(id)} vs ${nll(t)}")
+    }
+    // the three branches produce strictly ordered likelihoods here:
+    // seen bigram < backoff of seen terms < OOV continuation
+    assert(got(10L) < got(11L) && got(11L) < got(12L))
+  }
+
   test("multimodal decode parses the binary container per row") {
     val meta = Multimodal.decodeMeta(spark, Tables.documents(spark, sf)).collect()
     assert(meta.length == 500)
