@@ -79,8 +79,9 @@ object Bench {
     "doc_unigram_logprob", "emb_knn_graph", "ts_rule_group",
     // r6 late: the persisted composed index — the ADC probe with no
     // float vector on the scan must hold the floor next to
-    // emb_ivf_persisted at any corpus scale
-    "emb_ivfpq_persisted")
+    // emb_ivf_persisted at any corpus scale — and the cross-corpus
+    // bigram-LM scorer (two token exchanges + broadcast model)
+    "emb_ivfpq_persisted", "doc_bigram_logprob")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not
