@@ -113,6 +113,28 @@ class CatalystSpec extends SparkSuite {
     assert(gotA.values.forall(_._1 != 9L))
   }
 
+  test("fused expressions: null elements and short vectors poison the row to NULL") {
+    assert(installed)
+    import graft.llm.Similarity
+    val cb: Seq[Seq[Seq[Float]]] = Seq(Seq(Seq(1f, 0f), Seq(0f, 1f)))
+    val cs: Seq[(Long, Seq[Float])] = Seq((0L, Seq(1f, 0f, 0f, 0f)))
+    // a null element and a too-short vector — both poison
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT))),
+        |  (2L, array(CAST(1 AS FLOAT))),
+        |  (3L, array(CAST(1 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT)))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val enc = Similarity.pqEncode(df, cb).select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(enc(1L) && enc(2L) && !enc(3L))
+    val asg = Similarity.ivfAssign(df, cs.toDF("vec_id", "embedding"))
+    // assignment output drops nothing but carries null verdicts
+    val rows = asg.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.isNullAt(asg.columns.indexOf("centroid_id"))).toMap
+    assert(rows(1L) && rows(2L) && !rows(3L))
+  }
+
   test("LabelsHash matches the pure-model hash byte for byte") {
     assert(installed)
     val rows = Seq(
