@@ -155,6 +155,14 @@ object Bench {
     * noise. The min of two full passes reports steady state; an error
     * in either pass surfaces (the ok pass's time is kept when exactly
     * one failed). */
+  /** Shared by the at-scale sections: one timed pass / min-of-two. */
+  private def timedSec(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  private def best2(f: => Unit): Double = {
+    val a = timedSec(f); math.min(a, timedSec(f))
+  }
+
   private def bestOf(
       pass1: Seq[(String, Double, String)],
       pass2: Seq[(String, Double, String)]): Seq[(String, Double, String)] =
@@ -285,23 +293,20 @@ object Bench {
         transform(sequence(lit(0), lit(dim - 1)),
           dd => centerTerm(col("id"), dd).cast("float")).as("embedding"))
 
-      def timed(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       var centroids: org.apache.spark.sql.DataFrame = null
-      val fitSec = timed {
+      val fitSec = timedSec {
         centroids = Similarity.kmeansFit(
-          corpus.where(pmod(col("vec_id"), lit(20)) === 0), k = centers,
+          corpus.where(pmod(col("vec_id"), lit(19)) === 0), k = centers,
           iters = 1, init = Some(initDf)).localCheckpoint()
       }
-      val buildSec = timed { Similarity.ivfWrite(corpus, centroids, s"$tmp/ivf") }
+      val buildSec = timedSec { Similarity.ivfWrite(corpus, centroids, s"$tmp/ivf") }
       val queries = corpus.where(col("vec_id") < 16).localCheckpoint()
-      def probeOnce(): Double = timed {
+      def probeOnce(): Double = timedSec {
         runPlan(Similarity.ivfTopKPersisted(s"$tmp/ivf", queries, k = 10, nprobe = 4))
       }
       val probeSec = { val a = probeOnce(); math.min(a, probeOnce()) }
       var exact: Array[(Long, Long)] = null
-      val bfSec = timed {
+      val bfSec = timedSec {
         exact = Similarity.cosineTopK(corpus, queries, k = 10)
           .select("q_id", "neighbor_id")
           .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -316,10 +321,10 @@ object Bench {
       // and the IVF+PQ ADC probe — the corpus-in-RAM serving shape
       val cb = Similarity.pqTrain(corpus, dim = dim, m = 8, ksub = 16,
         iters = 0, init = corpus.where(col("vec_id") < 16))
-      val pqEncodeSec = timed {
+      val pqEncodeSec = timedSec {
         runPlan(Similarity.pqEncode(corpus, cb).select("vec_id", "codes"))
       }
-      def ivfpqOnce(): Double = timed {
+      def ivfpqOnce(): Double = timedSec {
         runPlan(Similarity.ivfPqTopK(corpus, centroids, cb, queries, k = 10, nprobe = 4))
       }
       val ivfpqSec = { val a = ivfpqOnce(); math.min(a, ivfpqOnce()) }
@@ -360,14 +365,10 @@ object Bench {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$tmp/samples")
       val samples = spark.read.parquet(s"$tmp/samples")
-      def timed(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      def best(f: => Unit): Double = { val a = timed(f); math.min(a, timed(f)) }
-      val incSec = best {
+      val incSec = best2 {
         runPlan(Rate.increase(Rate.seriesOrdered(samples), 3600000L))
       }
-      val otSec = best { runPlan(Rate.overTime(Rate.seriesOrdered(samples), 600000L)) }
+      val otSec = best2 { runPlan(Rate.overTime(Rate.seriesOrdered(samples), 600000L)) }
       Seq(
         ("increase_sec", incSec, "ok"),
         ("over_time_sec", otSec, "ok"),
@@ -411,21 +412,18 @@ object Bench {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$tmp/docs")
       val docs = spark.read.parquet(s"$tmp/docs")
-      def timed(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       var nExact = 0L
-      val exactSec = timed { nExact = Dedup.exact(docs).count() }
+      val exactSec = timedSec { nExact = Dedup.exact(docs).count() }
       require(nExact == templates * variants,
         s"exact dedup found $nExact groups, want all-distinct ${templates * variants}")
       var pairs: org.apache.spark.sql.DataFrame = null
       var nPairs = 0L
-      val pairsSec = timed {
+      val pairsSec = timedSec {
         pairs = Dedup.minhashLshPairs(docs).localCheckpoint()
         nPairs = pairs.count()
       }
       var survivors = 0L
-      val ccSec = timed {
+      val ccSec = timedSec {
         survivors = Dedup.dedupSurvivors(docs, pairs.select("i", "j")).count()
       }
       // floor: no over-merge is POSSIBLE (cross-template Jaccard ≈ 0 —
@@ -709,7 +707,11 @@ object Bench {
     // not-ok (the detail file always has everything).
     val badSt = results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     val badSt10 = x10Results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
-    val badStM = (matcherResults ++ annResults ++ rateResults ++ dedupResults)
+    val badStM = matcherResults
+      .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
+    // at-scale section failures get their own headline key — folding
+    // them under matchers_5m_status misattributed them
+    val badStScale = (annResults ++ rateResults ++ dedupResults)
       .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     def headline(withQueries: Boolean): String = {
       val perQuery =
@@ -720,6 +722,7 @@ object Bench {
         (if (badSt.nonEmpty) s""""status":${jsonMap(badSt)},""" else "") +
         (if (badSt10.nonEmpty) s""""status_x10":${jsonMap(badSt10)},""" else "") +
         (if (badStM.nonEmpty) s""""matchers_5m_status":${jsonMap(badStM)},""" else "") +
+        (if (badStScale.nonEmpty) s""""scale_status":${jsonMap(badStScale)},""" else "") +
         s""""matchers_5m_total_sec":${ms(matcherTotal)},""" +
         s""""ann_1m":${jsonMap(annResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""rate_20m":${jsonMap(rateResults.map { case (k, v, _) => k -> ms(v) })},""" +

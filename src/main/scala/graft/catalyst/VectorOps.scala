@@ -278,9 +278,15 @@ case class NearestCentroid(child: Expression, centroids: Seq[(Long, Seq[Float])]
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_centroid"
 
-  @transient private lazy val ids: Array[Long] = centroids.map(_._1).toArray
+  // sorted by id HERE, not by caller contract: the kernel's
+  // first-seen-wins tie rule equals "lowest id" only over an ascending
+  // scan, and the bit-parity claim vs the array_max tree (max sim,
+  // then max -id) must hold for ANY construction order
+  @transient private lazy val sortedCs: Seq[(Long, Seq[Float])] =
+    centroids.sortBy(_._1)
+  @transient private lazy val ids: Array[Long] = sortedCs.map(_._1).toArray
   @transient private lazy val ces: Array[Array[Double]] =
-    centroids.map(_._2.map(_.toDouble).toArray).toArray
+    sortedCs.map(_._2.map(_.toDouble).toArray).toArray
   // the same left-fold as the norm()/driver-side cNrm computations
   @transient private lazy val cNrms: Array[Double] =
     ces.map(ce => math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x)))

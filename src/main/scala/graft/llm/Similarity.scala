@@ -530,6 +530,29 @@ object Similarity {
         element_at(element_at(col("__lut"), s + 1), element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
 
+  /** The shared ADC tail of the ad-hoc and persisted IVF+PQ paths:
+    * LUT per query (built once, broadcast with the probe rows), codes
+    * joined on the probed list id, m lookups per candidate, ranked —
+    * ONE implementation so the "persisted twin answers IDENTICALLY"
+    * oracle contract cannot desynchronize. `listed` carries
+    * `(vec_id, centroid_id, codes)`. */
+  private def adcScore(
+      listed: DataFrame,
+      probes: DataFrame,
+      codebook: Seq[Seq[Seq[Float]]],
+      k: Int): DataFrame = {
+    val qlut = probes.select("q_id", "q_emb").distinct()
+      .withColumn("__lut", pqLut(codebook))
+      .select("q_id", "__lut")
+    val q = broadcast(probes.select("q_id", "centroid_id").join(qlut, "q_id"))
+    pqRanked(
+      listed.join(q, Seq("centroid_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(pqAdist(codebook.size), 4).as("adist")),
+      k)
+  }
+
   private def pqRanked(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adist").asc, col("neighbor_id"))
@@ -580,20 +603,7 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     val encoded = pqEncode(assignInlined(corpus, collectCentroids(centroids)), codebook)
       .select("vec_id", "centroid_id", "codes")
-    // the LUT is built once per QUERY and joined to its nprobe probe
-    // rows — not recomputed per probe row
-    val probes = ivfProbes(centroids, queries, nprobe)
-    val qlut = probes.select("q_id", "q_emb").distinct()
-      .withColumn("__lut", pqLut(codebook))
-      .select("q_id", "__lut")
-    val q = broadcast(
-      probes.select("q_id", "centroid_id").join(qlut, "q_id"))
-    pqRanked(
-      encoded.join(q, Seq("centroid_id"))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(pqAdist(codebook.size), 4).as("adist")),
-      k)
+    adcScore(encoded, ivfProbes(centroids, queries, nprobe), codebook, k)
   }
 
   /** The `nprobe` nearest centroid lists per query:
@@ -717,18 +727,9 @@ object Similarity {
     val probes = ivfProbes(centroids, queries, nprobe)
     val probeIds: Seq[Any] = probes.select("centroid_id").distinct()
       .collect().toSeq.map(_.get(0))
-    val qlut = probes.select("q_id", "q_emb").distinct()
-      .withColumn("__lut", pqLut(codebook))
-      .select("q_id", "__lut")
-    val q = broadcast(probes.select("q_id", "centroid_id").join(qlut, "q_id"))
     val listed = spark.read.parquet(s"$root/codes")
       .where(col("centroid_id").isin(probeIds: _*))
-    pqRanked(
-      listed.join(q, Seq("centroid_id"))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(pqAdist(codebook.size), 4).as("adist")),
-      k)
+    adcScore(listed, probes, codebook, k)
   }
 
   /** IVF search over a persisted [[ivfWrite]] layout. The probe lists

@@ -198,7 +198,12 @@ object StreamingIngest {
     * reset-replaces-delta rule, same cross-bucket first delta, same
     * 2dp rounding at emission; the one divergence is by construction:
     * the still-open last bucket of each series has not closed and is
-    * not emitted until a later sample or the state timeout flushes it).
+    * not emitted until a later sample closes it — or, with
+    * `flushTtlMs > 0`, until the series has been idle on the arrival
+    * axis for that long, at which point the open bucket flushes as
+    * final and the state drops — the same event-time-timeout mechanics
+    * as [[validated]]'s TTL, so an idle/decommissioned series cannot
+    * strand its last bucket forever).
     *
     * State is O(#series) like [[validated]]; out-of-order samples
     * within a micro-batch are ordered by `t` before folding (the batch
@@ -206,20 +211,52 @@ object StreamingIngest {
     * contract ([[validated]] upstream rejects regressions). */
   def streamingIncrease(
       samples: Dataset[Sample],
-      bucketMs: Long): Dataset[BucketIncrease] = {
+      bucketMs: Long,
+      flushTtlMs: Long = 0L): Dataset[BucketIncrease] = {
     import samples.sparkSession.implicits._
-    samples
-      .groupByKey(_.series_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: String, it: Iterator[Sample], state: GroupState[RateState]) => {
-          val st0 = state.getOption.getOrElse(
-            RateState(Long.MinValue, Double.NaN, Long.MinValue, 0.0, 0L, 0L))
-          val (out, st1) = foldIncrease(
-            key, it.toSeq.sortBy(s => (s.t, s.arrival)).map(s => (s.t, s.v)),
-            st0, bucketMs)
-          state.update(st1)
-          out.iterator
-        })
+    def initial = RateState(Long.MinValue, Double.NaN, Long.MinValue, 0.0, 0L, 0L)
+    def flush(key: String, st: RateState): Iterator[BucketIncrease] =
+      if (st.bucket == Long.MinValue) Iterator.empty
+      else Iterator(BucketIncrease(key, st.bucket,
+        if (st.nDeltas == 0L) None
+        else Some(java.math.BigDecimal.valueOf(st.inc)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()),
+        st.nDeltas, st.nResets))
+    if (flushTtlMs <= 0L)
+      samples
+        .groupByKey(_.series_key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (key: String, it: Iterator[Sample], state: GroupState[RateState]) => {
+            val (out, st1) = foldIncrease(
+              key, it.toSeq.sortBy(s => (s.t, s.arrival)).map(s => (s.t, s.v)),
+              state.getOption.getOrElse(initial), bucketMs)
+            state.update(st1)
+            out.iterator
+          })
+    else
+      samples
+        .withColumn("arrival_ts", timestamp_millis(col("arrival")))
+        .withWatermark("arrival_ts", s"$flushTtlMs milliseconds")
+        .as[SampleTs]
+        .groupByKey(_.series_key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (key: String, it: Iterator[SampleTs], state: GroupState[RateState]) =>
+            if (state.hasTimedOut) {
+              // idle series: flush the open bucket as final, drop state
+              val out = flush(key, state.get)
+              state.remove()
+              out
+            } else {
+              val batch = it.map(_.sample).toSeq
+              val (out, st1) = foldIncrease(
+                key, batch.sortBy(s => (s.t, s.arrival)).map(s => (s.t, s.v)),
+                state.getOption.getOrElse(initial), bucketMs)
+              state.update(st1)
+              val maxArr = batch.iterator.map(_.arrival).max
+              state.setTimeoutTimestamp(
+                math.max(maxArr + flushTtlMs, state.getCurrentWatermarkMs() + 1))
+              out.iterator
+            })
   }
 
   /** The pure per-series fold [[streamingIncrease]] runs per

