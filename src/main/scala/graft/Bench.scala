@@ -449,6 +449,54 @@ object Bench {
     }
   }
 
+  /** The streaming write path end to end — the ST-surface lifecycle
+    * row the batch `write_rows_per_sec` twins don't cover: 10k series
+    * × 50 scrapes land as parquet, stream through the
+    * file source → per-series `flatMapGroupsWithState` validation →
+    * per-micro-batch durable block writes (checkpointed), AvailableNow.
+    * The sample count in the store is asserted, so a lossy run cannot
+    * report a rate. */
+  private def streamBench(spark: SparkSession): Seq[(String, Double, String)] = {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-").toString
+    try {
+      val series = 10000L; val scrapes = 50L
+      spark.range(series * scrapes).select(
+          concat(lit("s"), (col("id") % series).cast("string")).as("series_key"),
+          (expr("id div 10000") * 30000L + 1704067200000L).as("t"),
+          (col("id") % 1000L).cast("double").as("v"),
+          // arrival starts ABOVE the initial watermark (epoch 0): the
+          // TTL'd validation path drops rows at/below it as late
+          (col("id") + 1000000L).as("arrival"),
+          map(lit("series"), (col("id") % series).cast("string")).as("labels"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val store = new graft.storage.BlockStore(
+        s"$tmp/store", 6 * 3600000L, seriesBuckets = 4)
+      val in = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/in").schema)
+        .parquet(s"$tmp/in")
+        .as[StreamingIngest.Sample]
+      val t0 = System.nanoTime()
+      val q = StreamingIngest.ingest(in, store, s"$tmp/ckpt", minValidTime = 0L)
+      q.awaitTermination() // AvailableNow terminates when drained
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = store.manifest.blocks.map(_.numSamples).sum
+      require(n == series * scrapes,
+        s"streaming ingest persisted $n of ${series * scrapes} samples")
+      Seq(
+        ("ingest_sec", sec, "ok"),
+        ("rows_per_sec", series * scrapes / sec, "ok"))
+    } catch {
+      case e: Throwable =>
+        Seq(("stream_ingest", 0.0,
+          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"))
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   private def jsonMap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -668,9 +716,10 @@ object Bench {
     val annResults = if (doScale) annBench(spark) else Nil
     val rateResults = if (doScale) rateBench(spark) else Nil
     val dedupResults = if (doScale) dedupBench(spark) else Nil
+    val streamResults = if (doScale) streamBench(spark) else Nil
 
     val errors = (results ++ x10Results ++ matcherResults ++ annResults ++
-      rateResults ++ dedupResults).count(_._3 != "ok") +
+      rateResults ++ dedupResults ++ streamResults).count(_._3 != "ok") +
       (if (storeStatus == "ok") 0 else 1) +
       (if (labelSetStatus == "ok") 0 else 1)
 
@@ -692,6 +741,8 @@ object Bench {
       s""""rate_20m_status":${jsonMap(rateResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""dedup_100k":${jsonMap(dedupResults.map { case (k, v, _) => k -> v.toString })},""" +
       s""""dedup_100k_status":${jsonMap(dedupResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""stream_ingest":${jsonMap(streamResults.map { case (k, v, _) => k -> v.toString })},""" +
+      s""""stream_ingest_status":${jsonMap(streamResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""x10_prep_sec":$x10PrepSec,"errors":$errors,""" +
       s""""write_rows_per_sec":$writeRps,"compact_sec":$compactSec,""" +
       s""""bytes_per_sample":$bytesPerSample,""" +
@@ -711,7 +762,7 @@ object Bench {
       .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     // at-scale section failures get their own headline key — folding
     // them under matchers_5m_status misattributed them
-    val badStScale = (annResults ++ rateResults ++ dedupResults)
+    val badStScale = (annResults ++ rateResults ++ dedupResults ++ streamResults)
       .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     def headline(withQueries: Boolean): String = {
       val perQuery =
@@ -727,6 +778,7 @@ object Bench {
         s""""ann_1m":${jsonMap(annResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""rate_20m":${jsonMap(rateResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""dedup_100k":${jsonMap(dedupResults.map { case (k, v, _) => k -> ms(v) })},""" +
+        s""""stream_ingest":${jsonMap(streamResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +
         s""""write_rows_per_sec":${ms(writeRps)},"compact_sec":${ms(compactSec)},""" +
         s""""bytes_per_sample":${ms(bytesPerSample)},""" +
