@@ -226,8 +226,15 @@ final class BlockStore(
             .select(col("series_key"), col("labels"))
             .dropDuplicates("series_key")
             .observe(dictObs, count(lit(1)).as("n_series"))
+            // strip empty-valued labels before indexing (the reference's
+            // append-time invariant, head.go:832-833): series identity
+            // already drops them (functions.seriesKey), so a surviving
+            // (name, "") posting would make labelNames/labelValues claim
+            // a label the identity says is absent — and would wrongly
+            // resolve `label=""` (means ABSENT) as a positive posting
             .select(col("series_key"),
-              explode(col("labels")).as(Seq("label_name", "label_value")))
+              explode(map_filter(col("labels"), (_, v) => v.isNotNull && v =!= ""))
+                .as(Seq("label_name", "label_value")))
             .write.mode(SaveMode.Overwrite)
             .options(BlockStore.parquetWriteOptions)
             .parquet(s"$dictDir/block_id=$id")

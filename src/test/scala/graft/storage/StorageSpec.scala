@@ -792,6 +792,75 @@ class BlockStoreSpec extends SparkSuite {
     assert(snap.readRange(spark, T0, T0 + 40 * DAY).count() ==
       store.readRange(spark, T0, T0 + 40 * DAY).count())
   }
+
+  test("a corrupted block data file fails reads loudly, never silently drops rows " +
+    "(TestCorruptedChunk block_test.go:87-135)") {
+    import spark.implicits._
+    val store = freshStore()
+    val rows = Seq(
+      ("{a=\"1\"}", Map("a" -> "1"), 1L, 100L, 1.0),
+      ("{a=\"2\"}", Map("a" -> "2"), 2L, 200L, 2.0))
+      .toDF("series_key", "labels", "sample_id", "t", "v")
+    store.write(rows)
+    assert(store.readRange(spark, 0, 1000).count() == 2)
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    val files = parquetFiles(new java.io.File(store.dataDir))
+    assert(files.nonEmpty)
+    // zero the footer magic of one published data file — the analogue of
+    // the reference's truncated / zeroed chunk segment table
+    val raf = new java.io.RandomAccessFile(files.head, "rw")
+    try { raf.seek(raf.length() - 4); raf.write(Array[Byte](0, 0, 0, 0)) }
+    finally raf.close()
+    // ignoreCorruptFiles defaults false: the read must throw, not return
+    // a subset (the reference returns "invalid magic number" from open)
+    val e = intercept[Exception] { store.readRange(spark, 0, 1000).count() }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n").toLowerCase
+    assert(chain.contains("parquet") || chain.contains("footer"), chain.take(500))
+    // the failure is read-side only: the manifest still lists the block
+    assert(store.manifest.blocks.map(_.numSamples).sum == 2L)
+  }
+
+  test("deletes that touch no samples succeed as no-ops " +
+    "(TestHeadDeleteSeriesWithoutSamples head_test.go:325-360)") {
+    import spark.implicits._
+    val store = freshStore()
+    val rows = Seq(
+      ("{a=\"2\"}", Map("a" -> "2"), 50L, 80L, 1.0),
+      ("{a=\"2\"}", Map("a" -> "2"), 51L, 90L, 1.0))
+      .toDF("series_key", "labels", "sample_id", "t", "v")
+    store.write(rows)
+    // a matcher matching no series at all
+    store.delete(spark, 0, 100, graft.matchers.Eq("a", "1"))
+    // a live series, but the requested range clamps to before its samples
+    // (store range is [80, 90]; [0, 50] inverts after the clamp)
+    store.delete(spark, 0, 50, graft.matchers.Eq("a", "2"))
+    assert(store.readRange(spark, 0, 100).count() == 2)
+    assert(store.manifest.tombstones.isEmpty && store.manifest.tombstoneFiles.isEmpty)
+  }
+
+  test("an empty-valued label is ignored for series identity AND the label index " +
+    "(TestAppendEmptyLabelsIgnored db_test.go:219-241, head.go:832-833)") {
+    import spark.implicits._
+    val in = Seq(
+      (Map("a" -> "b"), 123L, 0.0, 1L),
+      (Map("a" -> "b", "c" -> ""), 124L, 0.0, 2L))
+      .toDF("labels", "t", "v", "sample_id")
+      .select(graft.functions.seriesKey(col("labels")).as("series_key"),
+        col("labels"), col("sample_id"), col("t"), col("v"))
+    val store = freshStore()
+    store.write(in)
+    // same series: the reference returns the same ref for both appends
+    val Seq(meta) = store.manifest.blocks
+    assert(meta.numSeries == 1L)
+    assert(store.readRange(spark, 0, 1000).select("series_key").distinct()
+      .as[String].collect().toSeq == Seq("{a=\"b\"}"))
+    // and the postings index never learns the stripped label
+    assert(store.labelNames(spark).as[String].collect().toSeq == Seq("a"))
+  }
 }
 
 class AppenderSpec extends SparkSuite {
