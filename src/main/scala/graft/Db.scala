@@ -58,6 +58,13 @@ final class Db private (
   def query(mint: Long, maxt: Long, withLabels: Boolean, matchers: Matcher*): DataFrame =
     store.readRange(spark, mint, maxt, withLabels, matchers: _*)
 
+  /** Point lookup of one series by its FULL label set over a closed
+    * range — the dashboard-panel seek shape (`querier_test.go:
+    * 1555-1644`): canonical key computed driver-side, literal-equality
+    * scan, no index touch ([[BlockStore.seek]]). */
+  def seek(labels: Map[String, String], mint: Long, maxt: Long): DataFrame =
+    store.seek(spark, labels, mint, maxt)
+
   def labelNames(): DataFrame = store.labelNames(spark)
   def labelValues(name: String): DataFrame = store.labelValues(spark, name)
 

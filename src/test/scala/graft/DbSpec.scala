@@ -22,9 +22,12 @@ class DbSpec extends SparkSuite {
     db.appender(minValidTime = 0).add(batch(
       ("a", 100, 1.0, 1, Map("name" -> "cpu", "host" -> "h1")),
       ("b", 200, 2.0, 2, Map("name" -> "mem", "host" -> "h2")))).commit()
+    // the h3 series uses its CANONICAL key (what seriesKey() derives)
+    // so the by-labels point lookup below can address it
+    val cKey = model.Labels("name" -> "cpu", "host" -> "h3").canonical
     db.appender(minValidTime = 0).add(batch(
       ("a", 500, 3.0, 3, Map("name" -> "cpu", "host" -> "h1")),
-      ("c", 150, 4.0, 4, Map("name" -> "cpu", "host" -> "h3")))).commit()
+      (cKey, 150, 4.0, 4, Map("name" -> "cpu", "host" -> "h3")))).commit()
     assert(db.blocks.size == 2) // [100,201) and [150,501): an overlap run
 
     // matcher query resolves in the index; absent-label rule holds
@@ -36,6 +39,9 @@ class DbSpec extends SparkSuite {
       Map("name" -> "cpu", "host" -> "h3"))
     assert(db.labelNames().as[String].collect().toSeq == Seq("host", "name"))
     assert(db.labelValues("host").as[String].collect().toSeq == Seq("h1", "h2", "h3"))
+    // point lookup by FULL label set: the one series, no index touch
+    assert(db.seek(Map("name" -> "cpu", "host" -> "h3"), 0, 1000)
+      .select("t").as[Long].collect().toSeq == Seq(150L))
 
     // delete one series' window, then maintenance folds the overlap run
     // and physically drops the tombstoned rows
