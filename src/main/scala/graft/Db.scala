@@ -20,7 +20,8 @@ import graft.streaming.StreamingIngest
   * | `db.Delete(mint,maxt,ms…)` | [[delete]]                            |
   * | `db.Blocks()`              | [[blocks]]                            |
   * | `db.Snapshot(dir)`         | [[snapshot]]                          |
-  * | `CleanTombstones`+compactor| [[maintain]] (one explicit pass)      |
+  * | `db.CleanTombstones()`     | [[cleanTombstones]]                   |
+  * | background compactor tick  | [[maintain]] (one explicit pass)      |
   * | `db.Close()`               | nothing to close — state is on disk   |
   *
   * One deliberate divergence: the reference runs compaction on an
@@ -71,6 +72,12 @@ final class Db private (
   /** Record deletion intervals for matching series (`db.go:1203-1232`). */
   def delete(mint: Long, maxt: Long, matchers: Matcher*): Unit =
     store.delete(spark, mint, maxt, matchers: _*)
+
+  /** Apply pending tombstones physically NOW, without waiting for the
+    * compaction plan's >5% trigger — the reference's explicit
+    * `db.CleanTombstones()` (`db.go:1234-1261`). Returns the rewritten
+    * block ids. [[maintain]] subsumes this for scheduled maintenance. */
+  def cleanTombstones(): Seq[Long] = store.cleanTombstones(spark)
 
   /** Live block metas, mint-ordered (`db.Blocks()`). */
   def blocks: Seq[BlockMeta] = store.manifest.blocks.sortBy(_.mint)

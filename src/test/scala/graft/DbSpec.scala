@@ -214,5 +214,12 @@ class DbSpec extends SparkSuite {
     assert(got == Seq(0L, 8L, 9L).map(t => t -> vals(t)))
     // and the source db answers identically (snapshot changed nothing)
     assert(db.query(0, 10).count() == 3)
+
+    // explicit CleanTombstones (db.go:1234-1261): the pending intervals
+    // are applied physically right now, not at the next maintain() tick
+    assert(db.cleanTombstones().nonEmpty)
+    assert(db.store.manifest.tombstones.isEmpty)
+    assert(db.blocks.map(_.numSamples).sum == 3L)
+    assert(db.query(0, 10).count() == 3)
   }
 }
