@@ -31,6 +31,16 @@ object Bench {
     case c => c.toString
   }
 
+  /** Failure status for a row. An externally killed run (the driver or a
+    * session teardown SIGTERMs the JVM; Spark's shutdown hook stops the
+    * context while sections are mid-flight) must not read as a code
+    * failure in the record — those rows are labeled `interrupted` (they
+    * still count as errors: the record is incomplete either way). */
+  private def statusOf(spark: SparkSession, e: Throwable, take: Int = 120): String = {
+    val kind = if (spark.sparkContext.isStopped) "interrupted" else "error"
+    s"$kind: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(take))}"
+  }
+
   /** Headline queries re-measured at 10× scale. The index paths
     * (postings select, dictionary regex, ad-hoc IVF) are in here on
     * purpose: their architecture claims its advantage AT scale, so
@@ -144,7 +154,7 @@ object Bench {
         catch { case e: Throwable =>
           // truncate BEFORE escaping: cutting afterwards could split an
           // escape pair and corrupt the JSON line
-          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}"
+          statusOf(spark, e, 160)
         }
       (name, (System.nanoTime() - t0) / 1e9, status)
     }
@@ -250,7 +260,7 @@ object Bench {
             require(n == want, s"matched $n series, want $want")
             "ok"
           } catch { case e: Throwable =>
-            s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"
+            statusOf(spark, e)
           }
         (name, (System.nanoTime() - t0) / 1e9, status)
       }
@@ -336,7 +346,7 @@ object Bench {
     } catch {
       case e: Throwable =>
         Seq(("ann_1m", 0.0,
-          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"))
+          statusOf(spark, e)))
     } finally {
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
@@ -376,7 +386,7 @@ object Bench {
     } catch {
       case e: Throwable =>
         Seq(("rate_20m", 0.0,
-          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"))
+          statusOf(spark, e)))
     } finally {
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
@@ -443,7 +453,7 @@ object Bench {
     } catch {
       case e: Throwable =>
         Seq(("dedup_100k", 0.0,
-          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"))
+          statusOf(spark, e)))
     } finally {
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
@@ -491,7 +501,7 @@ object Bench {
     } catch {
       case e: Throwable =>
         Seq(("stream_ingest", 0.0,
-          s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"))
+          statusOf(spark, e)))
     } finally {
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
@@ -576,7 +586,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             (Seq(("__x10_prep", 0.0,
-              s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}")), 0.0)
+              statusOf(spark, e, 160))), 0.0)
         } finally {
           if (x10Dir.isEmpty)
             scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
@@ -634,7 +644,7 @@ object Bench {
         (math.max(w1, w2), math.min(c1, c2), b1)
       } catch {
         case e: Throwable =>
-          storeStatus = s"error: ${e.getClass.getSimpleName}"
+          storeStatus = statusOf(spark, e, 0).stripSuffix(": ")
           (0.0, 0.0, 0.0)
       }
     }
@@ -696,7 +706,7 @@ object Bench {
         math.max(labelSetPass(), labelSetPass())
       } catch {
         case e: Throwable =>
-          labelSetStatus = s"error: ${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(120))}"
+          labelSetStatus = statusOf(spark, e)
           0.0
       }
     }
