@@ -475,6 +475,42 @@ class StreamingSpec extends SparkSuite {
       (30L, Some(2.0), true), // 9 -> 2: reset, post-reset value counts
       (40L, Some(1.5), false))) // t=15 stale: dropped
   }
+
+  test("snapshot mid-stream carries every ingested sample; the live store keeps " +
+    "moving, the snapshot is frozen (TestDB_Snapshot_ChunksOutsideOfCompactedRange db_test.go:495)") {
+    // The reference must special-case head chunks beyond the compacted
+    // range (snapshot(withHead) truncates and includes them). Here every
+    // micro-batch publishes a durable block before its offsets commit,
+    // so there is no in-memory head a snapshot could miss — the only
+    // state outside the manifest is the per-series validation high-water
+    // mark, which lives in the streaming CHECKPOINT, not the snapshot.
+    val src = Files.createTempDirectory("graft-snapstream-src").toString
+    val root = Files.createTempDirectory("graft-snapstream-blocks").toString
+    val ckpt = Files.createTempDirectory("graft-snapstream-ckpt").toString
+    val store = new BlockStore(root, blockRangeMs = 1000L)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src).as[Sample]
+      val q = StreamingIngest.ingest(stream, store, ckpt, minValidTime = 0)
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(Sample("a", 100, 1.0, 1), Sample("a", 1500, 2.0, 2))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+
+    val snap = Files.createTempDirectory("graft-snapstream-snap").toString
+    store.snapshot(snap)
+    val snapStore = new BlockStore(snap, blockRangeMs = 1000L)
+    assert(snapStore.read(spark).select("t").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 1500L))
+
+    // the live store continues past the snapshot point; the snapshot
+    // answers from its frozen manifest (and its own copied files)
+    Seq(Sample("a", 2000, 3.0, 3)).toDF().write.mode("append").parquet(src)
+    runOnce()
+    assert(store.read(spark).count() == 3)
+    assert(snapStore.read(spark).count() == 2)
+  }
 }
 
 /** Engine-free ScalaCheck differential: the per-series streaming fold
