@@ -1141,9 +1141,13 @@ object SparkEntry {
     // pure per-row codegen'd projections of the shared grid fill.
     // clamp composes from least/greatest; PromQL round's to-nearest-
     // multiple is floor(v/to + 0.5)*to, written identically in both
-    // engines so the doubles agree bit-for-bit; transcendentals (ln)
-    // follow the suite's rounded-float convention (4dp, the
-    // doc_entropy precedent for cross-libm log parity).
+    // engines so the doubles agree bit-for-bit; transcendentals (ln,
+    // exp — and ts_trig_funcs' hyperbolics) follow the suite's
+    // rounded-float convention (4dp, the doc_entropy precedent).
+    // Caveat: exp/ln are not bit-specified across libms, so a value
+    // landing within 1 ulp of a .00005 rounding boundary could flip
+    // the 4dp hash on a platform whose libm rounds the other way;
+    // accepted cross-libm risk, same as doc_entropy's documented one.
     "ts_math_funcs" -> ((s, dir) =>
       orderedOnce(
         namedGridLatest(s, dir)
@@ -1161,7 +1165,9 @@ object SparkEntry {
             round(exp(col("r_v") / 100), 4).as("exp_v"),
             ceil(col("r_v")).cast("double").as("ceil_v"),
             floor(col("r_v")).cast("double").as("floor_v"),
-            (floor(col("r_v") / 5 + 0.5) * 5).as("round_v")),
+            // cast: Spark's floor yields LONG, DuckDB's DOUBLE — the
+            // values are bit-identical but the dtype fails the hash gate
+            (floor(col("r_v") / 5 + 0.5) * 5).cast("double").as("round_v")),
         "series_key", "t")),
 
     // PromQL calendar functions (minute/hour/day_of_week/day_of_month/
