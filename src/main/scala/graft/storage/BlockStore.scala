@@ -619,13 +619,20 @@ final class BlockStore(
     * breaking exact-mint ties deterministically (the reference's
     * unstable sort leaves them unspecified). Pinned by the ported
     * `TestVerticalCompaction` table (`db_test.go:1793`, case 4: a
-    * later-created backfill block with an earlier mint loses). A
-    * literal CASE chain over the manifest's few blocks — no join. */
-  private def blockRecency(blocks: Seq[BlockMeta]): Column =
-    blocks.sortBy(b => (b.mint, b.blockId)).map(_.blockId).zipWithIndex
-      .foldLeft(lit(-1)) { case (els, (id, rank)) =>
-        when(col("block_id") === id, lit(rank)).otherwise(els)
-      }
+    * later-created backfill block with an earlier mint loses). ONE
+    * map literal probed per row — a CASE chain here would codegen an
+    * O(#blocks)-deep expression tree and stop scaling past a few
+    * hundred blocks of manifest; the literal map is a single constant
+    * whatever the retention window holds, so a store whose compaction
+    * lags by thousands of blocks still plans and codegens. Unknown
+    * block ids (impossible from our own scan) rank -1, matching the
+    * CASE chain's old else-branch. */
+  private[storage] def blockRecency(blocks: Seq[BlockMeta]): Column = {
+    val rank = blocks.sortBy(b => (b.mint, b.blockId)).map(_.blockId)
+      .zipWithIndex.map { case (id, r) => id -> r }.toMap
+    org.apache.spark.sql.functions
+      .coalesce(element_at(typedLit(rank), col("block_id")), lit(-1))
+  }
 
   /** Compaction plan over the current manifest (reference `Plan`,
     * `compact.go:190-254`): block ids to merge next, or empty. */

@@ -547,6 +547,41 @@ class BlockStoreSpec extends SparkSuite {
     assert(got.count() == samples.count())
   }
 
+  test("blockRecency plans and dedups over a ~2,000-block manifest") {
+    // A store whose compaction lags by thousands of blocks (long
+    // retention, slow maintenance) still has to rank the manifest: the
+    // rank must be ONE map-literal probe per row, not an O(#blocks)-deep
+    // CASE tree that stops planning/codegenning past a few hundred
+    // entries. Synthetic metas exercise the real recency expression
+    // without writing 2,000 parquet blocks.
+    import spark.implicits._
+    val store = freshStore()
+    val n = 2000
+    val metas = (1 to n).map { i =>
+      // interleave mints so rank != block_id order: even ids get early
+      // mints, odd ids late — rank by (mint, blockId) per db.go:386-388
+      BlockMeta(i.toLong, mint = (if (i % 2 == 0) i else n + i).toLong,
+        maxt = (2L * n) + i, numSamples = 1, numSeries = 1,
+        numTombstones = 0, bytes = 1)
+    }
+    val expectedRank = metas.sortBy(b => (b.mint, b.blockId))
+      .map(_.blockId).zipWithIndex.toMap
+    // every block contributes the same (series_key, t) — the winner must
+    // be the block with the greatest (mint, blockId), i.e. max rank
+    val winner = expectedRank.maxBy(_._2)._1
+    val dupes = (1 to n).toSeq.map(i => (i.toLong, "s1", 100L, i.toDouble, i.toLong))
+      .toDF("sample_id", "series_key", "t", "v", "block_id")
+    val deduped = Merge.dedupLatest(dupes, store.blockRecency(metas), col("sample_id"))
+    val Array(row) = deduped.select("block_id", "v").collect()
+    assert(row.getLong(0) == winner)
+    // rank expression itself: spot-check a handful against the closed form
+    val ranks = dupes.select(col("block_id"),
+        store.blockRecency(metas).as("rank"))
+      .as[(Long, Int)].collect().toMap
+    for (id <- Seq(1L, 2L, 999L, 1000L, 1999L, 2000L))
+      assert(ranks(id) == expectedRank(id), s"block $id")
+  }
+
   test("blocks published by another driver become visible without a new session") {
     val store = freshStore()
     store.write(samples.where(col("t") < T0 + 10 * DAY))
