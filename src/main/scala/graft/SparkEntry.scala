@@ -904,16 +904,33 @@ object SparkEntry {
     // The sketch path for the same question: Greenwald-Khanna
     // approx_percentile holds O(accuracy) state per group instead of
     // the group's values — the shape exact percentile cannot keep at
-    // 100 TB group sizes. No cross-engine oracle (sketch internals are
-    // engine-private): driver records the rows-only check; LlmSpec-style
-    // error-bound assertion lives in RateSpec instead.
-    "ts_quantile_sketch" -> ((s, dir) =>
-      TsdbSource.events(s, dir).samples
-        .groupBy(col("series_key"), gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"))
+    // 100 TB group sizes. The sketch VALUE is engine-private, so the
+    // oracle gates the GK CONTRACT instead: the returned element's rank
+    // interval [count(v<x)+1, count(v≤x)] must come within ε·n
+    // (ε = 1/accuracy, floor 1 rank) of the target rank ⌈0.95·n⌉ —
+    // checked in-engine by joining the sketch back to the raw values,
+    // emitted as a boolean the DuckDB twin pins to TRUE. A sketch that
+    // broke its bound flips the column and fails the hash gate.
+    // (RateSpec keeps the direct rank-window assertion too.)
+    "ts_quantile_sketch" -> ((s, dir) => {
+      val keyed = TsdbSource.events(s, dir).samples
+        .select(col("series_key"),
+          gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"), col("v"))
+      val sk = keyed.groupBy("series_key", "t_bucket")
+        .agg(expr("approx_percentile(v, 0.95, 1000)").as("p95_approx"))
+      val tol = greatest(col("n") / 1000.0, lit(1.0))
+      val target = ceil(col("n") * 0.95)
+      keyed.join(sk, Seq("series_key", "t_bucket"))
+        .groupBy("series_key", "t_bucket")
         .agg(
-          expr("approx_percentile(v, 0.95, 1000)").as("p95_approx"),
-          count(lit(1)).as("n"))
-        .orderBy("series_key", "t_bucket")),
+          count(lit(1)).as("n"),
+          sum(when(col("v") <= col("p95_approx"), 1L).otherwise(0L)).as("rank_le"),
+          sum(when(col("v") < col("p95_approx"), 1L).otherwise(0L)).as("rank_lt"))
+        .select(col("series_key"), col("t_bucket"), col("n"),
+          (col("rank_le") >= target - tol && col("rank_lt") + 1 <= target + tol)
+            .as("within_bound"))
+        .orderBy("series_key", "t_bucket")
+    }),
 
     // PromQL instant-vector evaluation on a regular grid: every series
     // sampled at 6h steps, value = latest sample within the 1h
@@ -2639,6 +2656,16 @@ object SparkEntry {
          |  round(quantile_cont(v, 0.5), 4) AS p50,
          |  round(quantile_cont(v, 0.95), 4) AS p95,
          |  count(*) AS n
+         |FROM s GROUP BY 1, 2 ORDER BY series_key, t_bucket""".stripMargin,
+    // GK contract oracle: the Spark side emits within_bound =
+    // "approx_percentile's rank interval meets the ε·n window"; a
+    // correct sketch makes it TRUE for every group, which is exactly
+    // what the twin asserts — engine-independent, unlike the sketch's
+    // returned element.
+    "ts_quantile_sketch" ->
+      s"""$samplesCte
+         |SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+         |  count(*) AS n, TRUE AS within_bound
          |FROM s GROUP BY 1, 2 ORDER BY series_key, t_bucket""".stripMargin,
     "ts_grid_eval" ->
       s"""$samplesCte,

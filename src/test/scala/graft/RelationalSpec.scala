@@ -49,11 +49,11 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("every oracle key has a query and vice versa") {
-    // Deliberately rows-only: ts_quantile_sketch's GK sketch is
-    // engine-private (error bound covered by RateSpec's rank-window
-    // test). ts_series_id left this set in r6 — its oracle implements
-    // XXHash64 as DuckDB integer SQL.
-    val rowsOnly = Set("ts_quantile_sketch")
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly)
+    // r7: the rows-only set is empty. ts_series_id left it in r6 (its
+    // oracle implements XXHash64 as DuckDB integer SQL);
+    // ts_quantile_sketch left in r7 (its oracle pins the GK rank-error
+    // CONTRACT — a within_bound boolean the twin fixes to TRUE —
+    // rather than the engine-private sketch value).
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 }
