@@ -135,8 +135,10 @@ object VectorKernels {
           .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
       if (r == 0.0) r = 0.0 // normalize -0.0 like Spark's ordering
       // strictly-greater + ascending ids == max sim, tie lowest id;
-      // Double.compare puts NaN greatest, matching struct ordering
-      if (bestId < 0 || java.lang.Double.compare(r, best) > 0) {
+      // Double.compare puts NaN greatest, matching struct ordering.
+      // First-iteration flag is the INDEX, not the sign of bestId —
+      // caller-supplied centroid ids may legitimately be negative.
+      if (c == 0 || java.lang.Double.compare(r, best) > 0) {
         best = r; bestId = ids(c)
       }
       c += 1
@@ -230,6 +232,11 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Float]]])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
+  // plan strings print the codebook's SHAPE, not its m·ksub·subdim
+  // floats — a large index would otherwise serialize into every
+  // explain/toString of the plan
+  override def stringArgs: Iterator[Any] = Iterator(child,
+    s"codebook[m=${codebook.length}, ksub=${codebook.headOption.fold(0)(_.length)}]")
 
   @transient private lazy val cb: Array[Array[Array[Double]]] =
     codebook.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
@@ -277,6 +284,9 @@ case class NearestCentroid(child: Expression, centroids: Seq[(Long, Seq[Float])]
     org.apache.spark.sql.types.StructField("sim", DoubleType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_centroid"
+  // like PqEncode: explain prints the centroid COUNT, not k·dim floats
+  override def stringArgs: Iterator[Any] = Iterator(child,
+    s"centroids[k=${centroids.length}]")
 
   // sorted by id HERE, not by caller contract: the kernel's
   // first-seen-wins tie rule equals "lowest id" only over an ascending

@@ -182,7 +182,12 @@ object StreamingIngest {
 
   final case class RateState(
       lastT: Long, lastV: Double,
-      bucket: Long, inc: Double, nDeltas: Long, nResets: Long)
+      bucket: Long, inc: Double, nDeltas: Long, nResets: Long,
+      /** The last bucket a TTL flush already emitted as final (MinValue:
+        * none). A series resuming with samples still in this bucket
+        * folds them (the lastT/lastV chain stays intact) but its close
+        * emits nothing — emitted rows stay final. */
+      flushedBucket: Long = Long.MinValue)
   final case class BucketIncrease(
       series_key: String, t_bucket: Long,
       increase: Option[Double], n_deltas: Long, n_resets: Long)
@@ -201,9 +206,15 @@ object StreamingIngest {
     * not emitted until a later sample closes it — or, with
     * `flushTtlMs > 0`, until the series has been idle on the arrival
     * axis for that long, at which point the open bucket flushes as
-    * final and the state drops — the same event-time-timeout mechanics
-    * as [[validated]]'s TTL, so an idle/decommissioned series cannot
-    * strand its last bucket forever).
+    * final and the state shrinks to a high-water tombstone (the
+    * flushed bucket id) kept for ONE more idle TTL — so a series that
+    * resumes with samples still in the flushed bucket folds them into
+    * the delta chain but never re-emits that bucket; only after a
+    * second full idle TTL with nothing new does the state drop
+    * entirely — the same event-time-timeout mechanics as
+    * [[validated]]'s TTL, so an idle/decommissioned series cannot
+    * strand its last bucket forever, and cannot double-publish it
+    * either).
     *
     * State is O(#series) like [[validated]]; out-of-order samples
     * within a micro-batch are ordered by `t` before folding (the batch
@@ -215,8 +226,10 @@ object StreamingIngest {
       flushTtlMs: Long = 0L): Dataset[BucketIncrease] = {
     import samples.sparkSession.implicits._
     def initial = RateState(Long.MinValue, Double.NaN, Long.MinValue, 0.0, 0L, 0L)
+    // a bucket the TTL already published is never re-emitted, even if
+    // the series resumed into it and went idle again
     def flush(key: String, st: RateState): Iterator[BucketIncrease] =
-      if (st.bucket == Long.MinValue) Iterator.empty
+      if (st.bucket == Long.MinValue || st.bucket == st.flushedBucket) Iterator.empty
       else Iterator(BucketIncrease(key, st.bucket,
         if (st.nDeltas == 0L) None
         else Some(java.math.BigDecimal.valueOf(st.inc)
@@ -242,10 +255,27 @@ object StreamingIngest {
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
           (key: String, it: Iterator[SampleTs], state: GroupState[RateState]) =>
             if (state.hasTimedOut) {
-              // idle series: flush the open bucket as final, drop state
-              val out = flush(key, state.get)
-              state.remove()
-              out
+              val st = state.get
+              if (st.bucket == Long.MinValue) {
+                // second idle TTL with nothing new since the flush: the
+                // dedup tombstone has served its window — drop for real
+                state.remove()
+                Iterator.empty
+              } else {
+                // idle series: flush the open bucket as final, then keep
+                // a high-water tombstone (not remove()) for one more TTL
+                // so a series resuming with samples still in the flushed
+                // bucket cannot re-emit it. Residual (documented): a
+                // resume after BOTH TTLs whose event time still lands in
+                // the flushed bucket would duplicate — bounded by the
+                // ingest contract's per-series t monotonicity.
+                val out = flush(key, st)
+                state.update(st.copy(bucket = Long.MinValue, inc = 0.0,
+                  nDeltas = 0L, nResets = 0L,
+                  flushedBucket = math.max(st.bucket, st.flushedBucket)))
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + flushTtlMs)
+                out
+              }
             } else {
               val batch = it.map(_.sample).toSeq
               val (out, st1) = foldIncrease(
@@ -278,12 +308,15 @@ object StreamingIngest {
         // bucket closes: emit its final row — exact Spark round(_, 2)
         // semantics (BigDecimal HALF_UP); a delta-less bucket is None,
         // like the batch SUM of an empty increment set — so rows
-        // compare bit-equal to Rate.increase
-        out += BucketIncrease(key, st.bucket,
-          if (st.nDeltas == 0L) None
-          else Some(java.math.BigDecimal.valueOf(st.inc)
-            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()),
-          st.nDeltas, st.nResets)
+        // compare bit-equal to Rate.increase. A bucket the TTL flush
+        // already published closes SILENTLY (emitted rows are final;
+        // its late deltas are dropped by that contract).
+        if (st.bucket != st.flushedBucket)
+          out += BucketIncrease(key, st.bucket,
+            if (st.nDeltas == 0L) None
+            else Some(java.math.BigDecimal.valueOf(st.inc)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()),
+            st.nDeltas, st.nResets)
         st = st.copy(bucket = b, inc = 0.0, nDeltas = 0L, nResets = 0L)
       } else if (st.bucket == Long.MinValue) {
         st = st.copy(bucket = b)

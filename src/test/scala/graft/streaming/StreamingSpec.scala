@@ -213,6 +213,40 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table("sincttl").count() >= 1)
   }
 
+  test("flush TTL: a series resuming into its flushed bucket never re-emits it") {
+    // The TTL flush publishes the open bucket as FINAL. A series that
+    // resumes with t still inside that bucket (monotone t, per the
+    // ingest contract) must fold the late samples into the delta chain
+    // but close the bucket silently — one row per (series, bucket),
+    // ever. The pre-r7 state.remove() re-opened the bucket and emitted
+    // a second 'final' row on close.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamingIngest.streamingIncrease(in.toDS(), bucketMs = 100L, flushTtlMs = 1000L)
+      .writeStream.format("memory").queryName("sincttl2")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Sample("s", 10, 1.0, 1000), Sample("s", 60, 4.0, 1001))
+    q.processAllAvailable()
+    in.addData(Sample("x", 10, 1.0, 50000)) // advance watermark past TTL
+    q.processAllAvailable()
+    in.addData(Sample("x", 20, 1.0, 50001)) // fire s's timeout: bucket 100 flushes
+    q.processAllAvailable()
+    // s resumes: t=80 still lands in flushed bucket 100; t=150 closes it
+    // (silently); t=250 closes bucket 200 as a normal final row
+    in.addData(Sample("s", 80, 9.0, 60000), Sample("s", 150, 11.0, 60001),
+      Sample("s", 250, 12.0, 60002))
+    q.processAllAvailable()
+    val got = spark.table("sincttl2").as[BucketIncrease].collect()
+      .filter(_.series_key == "s")
+    q.stop()
+    // exactly one row per bucket: the TTL flush of 100, the close of 200
+    assert(got.map(_.t_bucket).sorted.toSeq == Seq(100L, 200L), got.mkString(", "))
+    assert(got.find(_.t_bucket == 100L).get.increase.contains(3.0))
+    // bucket 200's chain rides the carried lastV=9.0: (11-9) + (12-11 lands
+    // in bucket 300, still open) -> increase 2.0 with 1 delta
+    assert(got.find(_.t_bucket == 200L).get.increase.contains(2.0))
+  }
+
   test("windowed rollup with watermark emits closed windows (ST3)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
