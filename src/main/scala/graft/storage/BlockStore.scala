@@ -223,8 +223,15 @@ final class BlockStore(
         if (hasLabels) {
           val dictObs = Observation(s"graft-block-$id-dict")
           cached
-            .select(col("series_key"), col("labels"))
-            .dropDuplicates("series_key")
+            .select(col("series_key"), col("labels"), col("t").cast("long"))
+            // per-series time bounds ride the dict job (reference
+            // series.minTime()/maxTime(), head.go:972): the same
+            // series_key hash aggregate dropDuplicates ran, one extra
+            // min/max — these feed the per-series delete clamp with no
+            // extra scan at delete time
+            .groupBy(col("series_key"))
+            .agg(first(col("labels")).as("labels"),
+              min(col("t")).as("s_mint"), max(col("t")).as("s_maxt"))
             .observe(dictObs, count(lit(1)).as("n_series"))
             // strip empty-valued labels before indexing (the reference's
             // append-time invariant, head.go:832-833): series identity
@@ -232,7 +239,7 @@ final class BlockStore(
             // (name, "") posting would make labelNames/labelValues claim
             // a label the identity says is absent — and would wrongly
             // resolve `label=""` (means ABSENT) as a positive posting
-            .select(col("series_key"),
+            .select(col("series_key"), col("s_mint"), col("s_maxt"),
               explode(map_filter(col("labels"), (_, v) => v.isNotNull && v =!= ""))
                 .as(Seq("label_name", "label_value")))
             .write.mode(SaveMode.Overwrite)
@@ -536,17 +543,18 @@ final class BlockStore(
     * away. */
   def delete(spark: SparkSession, mint0: Long, maxt0: Long, matchers: Matcher*): Unit =
     Manifest.withLock(root) {
-      // Clamp the interval to the store's CURRENT time range — the
-      // reference's `Head.Delete` / `pb.Delete` clampInterval
-      // (head.go:957-958): a delete must never reach beyond data that
-      // exists at delete time, so samples appended LATER inside the
-      // requested-but-unpopulated range survive
-      // (TestDeleteUntilCurMax, head_test.go:530-568). Divergence note:
-      // the reference additionally clamps per SERIES; we clamp per
-      // store (per-series bounds would cost a scan here), so a later
-      // append inside [store min, store max] but beyond its own
-      // series' old max is still deleted — the store-level bound is
-      // what the reference's own test exercises.
+      // Clamp the interval to the store's CURRENT time range first — the
+      // reference's `Head.Delete` clampInterval (head.go:957-958): a
+      // delete must never reach beyond data that exists at delete time,
+      // so samples appended LATER inside the requested-but-unpopulated
+      // range survive (TestDeleteUntilCurMax, head_test.go:530-568) —
+      // then per SERIES (head.go:972-977): each matched series clamps
+      // to its own [s_mint, s_maxt] recorded in the block dictionaries
+      // at write time, so a later append beyond a series' old max also
+      // survives even when it lands inside the store-wide range. A
+      // series the bounds can't cover (pre-bounds dict, or the "{}"
+      // extra-series record the index can't see) keeps the store-level
+      // clamp — the pre-r7 behavior, wider but never past the request.
       val bs = manifest.blocks
       val mint = if (bs.isEmpty) mint0 else math.max(mint0, bs.map(_.mint).min)
       val maxt = if (bs.isEmpty) maxt0 else math.min(maxt0, bs.map(_.maxt).max - 1)
@@ -554,13 +562,27 @@ final class BlockStore(
       val idx = postingsIndex(spark)
       val keys = graft.query.Postings
         .seriesFor(idx, extraSeriesFor(spark, idx, matchers), matchers)
+      val clamped = seriesBounds(spark) match {
+        case Some(b) => keys.join(b, Seq("series_key"), "left")
+          .select(col("series_key"),
+            greatest(lit(mint), org.apache.spark.sql.functions
+              .coalesce(col("s_mint"), lit(mint))).as("mint"),
+            least(lit(maxt), org.apache.spark.sql.functions
+              .coalesce(col("s_maxt"), lit(maxt))).as("maxt"))
+          // a matched series wholly outside the request records nothing
+          // (the reference's `continue` on an empty clamp)
+          .where(col("mint") <= col("maxt"))
+        case None => keys.select(col("series_key"),
+          lit(mint).as("mint"), lit(maxt).as("maxt"))
+      }
       // probe at most threshold+1 keys: a narrow delete inlines T
       // records; a wide one NEVER materializes its series set on the
       // driver — it spills to a parquet side table referenced by one
       // manifest F record (count via observe, no extra job)
-      val probe = keys.limit(tombstoneSpillThreshold + 1).collect().map(_.getString(0))
+      val probe = clamped.limit(tombstoneSpillThreshold + 1).collect()
       if (probe.length <= tombstoneSpillThreshold) {
-        val added = probe.map(k => TombstoneInterval(k, mint, maxt)).toSeq
+        val added = probe.map(r =>
+          TombstoneInterval(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
         Manifest.update(root) { st =>
           val all = coalesce(st.tombstones ++ added)
           st.copy(blocks = recount(st.blocks, all, st.tombstoneFiles), tombstones = all)
@@ -568,22 +590,46 @@ final class BlockStore(
       } else {
         val fid = manifest.nextBlockId
         val obs = Observation(s"graft-tomb-$fid")
-        keys
-          .observe(obs, count(lit(1)).as("n"))
-          .withColumn("mint", lit(mint)).withColumn("maxt", lit(maxt))
+        clamped
+          // the file's manifest record carries the COVERING interval of
+          // its per-series rows (recount/retention reason over it)
+          .observe(obs, count(lit(1)).as("n"),
+            min(col("mint")).as("lo"), max(col("maxt")).as("hi"))
           .write.mode(SaveMode.Overwrite)
           .options(BlockStore.parquetWriteOptions)
           .parquet(tombPath(fid))
         // zero matched keys → zero write tasks → observation may not fire
-        val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val stats = obs.get
+        val n = stats.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val lo = stats.get("lo").map(_.asInstanceOf[Long]).getOrElse(mint)
+        val hi = stats.get("hi").map(_.asInstanceOf[Long]).getOrElse(maxt)
         Manifest.update(root) { st =>
-          val fs = st.tombstoneFiles :+ TombstoneFile(fid, mint, maxt, n)
+          val fs = st.tombstoneFiles :+ TombstoneFile(fid, lo, hi, n)
           st.copy(blocks = recount(st.blocks, st.tombstones, fs),
             tombstoneFiles = fs, highWater = math.max(st.highWater, fid))
         }
       }
       markSynced()
     }
+
+  /** Per-series time bounds recorded in the block dictionaries at write
+    * time (reference `series.minTime()/maxTime()`, head.go:972): the
+    * union over live blocks, min/max-merged per series. None when no
+    * live dict carries the bounds columns (a pre-bounds store) —
+    * [[delete]] then falls back to the store-level clamp. */
+  private def seriesBounds(spark: SparkSession): Option[DataFrame] = {
+    val ids = manifest.blocks.map(_.blockId)
+      .filter(id => Files.isDirectory(Paths.get(s"$dictDir/block_id=$id")))
+    if (ids.isEmpty) return None
+    val df = spark.read.option("basePath", dictDir)
+      .parquet(ids.map(id => s"$dictDir/block_id=$id"): _*)
+    if (!df.columns.contains("s_mint")) return None
+    // rows from a pre-bounds block surface as nulls; min/max ignore
+    // them, and a series present ONLY in such blocks yields null bounds
+    // that the caller's coalesce turns back into the store-level clamp
+    Some(df.groupBy("series_key")
+      .agg(min("s_mint").as("s_mint"), max("s_maxt").as("s_maxt")))
+  }
 
   /** Per-block tombstone counters feeding the planner's >5% trigger
     * (`compact.go:211-220`). Spilled side tables count via their
@@ -713,13 +759,23 @@ final class BlockStore(
     val stats = obs.get
     if (Files.isDirectory(Paths.get(dictDir))) {
       val dictIds = ids.filter(id => Files.isDirectory(Paths.get(s"$dictDir/block_id=$id")))
-      if (dictIds.nonEmpty)
-        spark.read.option("basePath", dictDir)
+      if (dictIds.nonEmpty) {
+        val merged0 = spark.read.option("basePath", dictDir)
           .parquet(dictIds.map(id => s"$dictDir/block_id=$id"): _*)
-          .select("label_name", "label_value", "series_key").distinct()
-          .write.mode(SaveMode.Overwrite)
+        // carry per-series bounds through the merge (min/max over the
+        // inputs — conservative-wide if tombstones just narrowed the
+        // data, which only weakens the delete clamp toward the
+        // requested interval, never past it); dicts from a pre-bounds
+        // store keep the old 3-column shape
+        val merged =
+          if (merged0.columns.contains("s_mint"))
+            merged0.groupBy("series_key", "label_name", "label_value")
+              .agg(min("s_mint").as("s_mint"), max("s_maxt").as("s_maxt"))
+          else merged0.select("label_name", "label_value", "series_key").distinct()
+        merged.write.mode(SaveMode.Overwrite)
           .options(BlockStore.parquetWriteOptions)
           .parquet(s"$dictDir/block_id=$newId")
+      }
     }
     // an all-tombstoned input writes zero rows and may run zero tasks,
     // in which case the observation never fires and the map is empty

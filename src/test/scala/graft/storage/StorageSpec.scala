@@ -247,7 +247,11 @@ class BlockStoreSpec extends SparkSuite {
     store.delete(spark, hi + 1, hi + DAY, graft.matchers.Eq("name", "click"))
     val st = store.manifest
     assert(st.tombstones.nonEmpty)
-    assert(st.tombstones.forall(t => t.mint == lo && t.maxt == hi + DAY))
+    // r7: intervals clamp per series (head.go:972-977) — contained in
+    // the request, and the adjacent deletes still coalesce to ONE
+    // interval per series
+    assert(st.tombstones.forall(t => t.mint >= lo && t.maxt <= hi + DAY))
+    assert(st.tombstones.groupBy(_.seriesKey).values.forall(_.size == 1))
     assert(st.blocks.head.numTombstones == st.tombstones.size)
     val got = store.readRange(spark, T0, T0 + 40 * DAY)
     val want = samples.where(
@@ -313,6 +317,35 @@ class BlockStoreSpec extends SparkSuite {
       Files.createTempDirectory("graft-delempty").toString, 1000L)
     empty.delete(spark, 0, 100, graft.matchers.Eq("a", "b"))
     assert(empty.manifest.tombstones.isEmpty)
+  }
+
+  test("delete clamps per SERIES: an append beyond one series' old max " +
+    "survives even inside the store-wide range (head.go:972-977)") {
+    // Reference semantics: Head.Delete clamps each matched series to its
+    // own [minTime, maxTime], not just the store's. Pre-r7 this was a
+    // documented divergence (store-level only); the bounds now ride the
+    // block dictionaries.
+    import spark.implicits._
+    val store = new BlockStore(
+      Files.createTempDirectory("graft-delseries").toString, 1000L)
+    def rows(key: String, ts: Seq[Long]): DataFrame =
+      ts.map(i => (key, i, i * 1.0, i, Map("job" -> "x", "inst" -> key)))
+        .toDF("series_key", "t", "v", "sample_id", "labels")
+    store.write(rows("a", 0L until 10L).unionByName(rows("b", 0L until 5L)))
+    store.delete(spark, 0, 10000, graft.matchers.Eq("job", "x"))
+    // each series' tombstone is clamped to ITS extent
+    val tombs = store.manifest.tombstones.map(t => t.seriesKey -> (t.mint, t.maxt)).toMap
+    assert(tombs("a") == ((0L, 9L)), tombs)
+    assert(tombs("b") == ((0L, 4L)), tombs)
+    // b resumes at t=6: inside the store-wide [0,9] (the pre-r7 clamp
+    // would delete it) but beyond b's own old max — must survive
+    store.write(rows("b", Seq(6L)))
+    assert(store.readRange(spark, 0, 100000)
+      .select("series_key", "t").as[(String, Long)].collect().toSeq == Seq(("b", 6L)))
+    // ...and survives the physical rewrite too
+    store.cleanTombstones(spark)
+    assert(store.readRange(spark, 0, 100000)
+      .select("series_key", "t").as[(String, Long)].collect().toSeq == Seq(("b", 6L)))
   }
 
   test("delete interval table: unions, beyond-range clamp, full deletion " +
@@ -768,12 +801,20 @@ class BlockStoreSpec extends SparkSuite {
     val hi = T0 + 5 * DAY
     // matches every series (>> threshold 3): must spill, never inline.
     // Re(".*") matches "" too, so the phantom label-less series "{}"
-    // gets one (harmless, filters-nothing) interval as well: +1.
+    // gets one (harmless, filters-nothing) interval as well: +1. r7's
+    // per-series clamp drops matched series whose own [s_mint, s_maxt]
+    // misses the request entirely (the reference's `continue`), so the
+    // spilled count is the INTERSECTING series, not all of them.
     store.delete(spark, lo, hi, graft.matchers.Re("name", ".*"))
     val st = store.manifest
     assert(st.tombstones.isEmpty)
-    assert(st.tombstoneFiles.map(f => (f.mint, f.maxt, f.count)) == Seq((lo, hi, nSeries + 1)))
-    assert(st.blocks.head.numTombstones == nSeries + 1)
+    val intersecting = samples.groupBy("series_key")
+      .agg(min("t").as("lo_t"), max("t").as("hi_t"))
+      .where(col("hi_t") >= lo && col("lo_t") <= hi).count()
+    assert(intersecting > 3 && intersecting < nSeries) // clamp really bit
+    assert(st.tombstoneFiles.map(f => (f.mint, f.maxt, f.count)) ==
+      Seq((lo, hi, intersecting + 1)))
+    assert(st.blocks.head.numTombstones == intersecting + 1)
     // reads apply the spilled intervals exactly like inline ones
     val got = store.readRange(spark, T0, T0 + 40 * DAY)
     assert(got.count() == samples.where(!col("t").between(lo, hi)).count())
