@@ -280,6 +280,90 @@ object SparkEntry {
     "emb_ivf_persisted" -> ((s, dir) => { ivfLayout(s, dir); () }),
     "emb_ivfpq_persisted" -> ((s, dir) => { ivfPqLayout(s, dir); () }))
 
+  /** The coalesced two-delete tombstone interval set `ts_tombstone_delete`
+    * applies — matcher resolution over the index, metadata-sized. */
+  private def tombstoneSet(s: SparkSession, dir: String): DataFrame = {
+    val src = TsdbSource.events(s, dir)
+    def resolve(lo: Long, hi: Long, ms: Matcher*) =
+      src.select(lo, hi, ms: _*)
+        .select(col("series_key")).distinct()
+        .withColumn("mint", lit(lo)).withColumn("maxt", lit(hi))
+    Tombstones.coalesceIntervals(
+      resolve(DEL1_LO, DEL1_HI, Eq("name", "click"))
+        .unionByName(resolve(DEL2_LO, DEL2_HI, Eq("user", "7"))))
+  }
+
+  /** The post-maintenance store behind `ts_compacted_read`'s split bench
+    * phases: overlap write ×2 + matcher delete + planner compaction,
+    * idempotent like [[bucketedDedupStore]] (one compacted block, id 4:
+    * two writes + one spilled-or-inline delete consume ids 1-3). */
+  private def compactedStore(s: SparkSession, dir: String): BlockStore = {
+    val store = reusableStore("compactbench", dir, 7 * DAY)
+    if (store.manifest.blocks.size == 1 && store.manifest.blocks.head.blockId > 2L) store
+    else {
+      store.destroy(s)
+      val fresh = reusableStore("compactbench", dir, 7 * DAY)
+      val base = TsdbSource.events(s, dir).samples
+      fresh.write(base)
+      fresh.write(
+        base.where(col("t").between(OVERLAP_LO, OVERLAP_HI))
+          .withColumn("v", col("v") + 100))
+      fresh.delete(s, DEL1_LO, DEL1_HI, Eq("name", "click"))
+      fresh.compact(s, fresh.planCompaction(BlockStore.exponentialRanges(7 * DAY, 3)))
+      fresh
+    }
+  }
+
+  /** Lifecycle-bundled entries split into (reset, setup, query) for the
+    * bench record: after reset() + setup(), query() computes the same
+    * rows as `queries(name)` — so a bench can time the store build and
+    * the read separately, and cross-engine ratios compare the READ
+    * against an oracle that never pays the build. [[queries]] entries
+    * stay self-contained (the correctness gate still runs the bundled
+    * form). */
+  final case class BenchPhase(
+      reset: (SparkSession, String) => Unit,
+      setupPhase: (SparkSession, String) => Unit,
+      query: (SparkSession, String) => DataFrame)
+
+  def benchPhases: Map[String, BenchPhase] = Map(
+    "ts_overlap_read" -> BenchPhase(
+      (s, dir) => reusableStore("bucketdedup", dir, 7 * DAY).destroy(s),
+      (s, dir) => { bucketedDedupStore(s, dir); () },
+      (s, dir) => bucketedDedupStore(s, dir)
+        .readRange(s, T0, T0 + 40 * DAY)
+        .select("sample_id", "series_key", "t", "v")
+        .orderBy("series_key", "t", "sample_id")),
+    "ts_compacted_read" -> BenchPhase(
+      (s, dir) => reusableStore("compactbench", dir, 7 * DAY).destroy(s),
+      (s, dir) => { compactedStore(s, dir); () },
+      (s, dir) => compactedStore(s, dir)
+        .readRange(s, T0, T0 + 40 * DAY)
+        .select("sample_id", "series_key", "t", "v")
+        .orderBy("series_key", "t", "sample_id")),
+    "ts_tombstone_delete" -> BenchPhase(
+      (_, dir) => {
+        scala.reflect.io.Directory(tombScratch(dir).toFile).deleteRecursively(); ()
+      },
+      // setup = the matcher-resolution + coalescing METADATA job,
+      // materialized — what BlockStore.delete publishes to the manifest
+      // at delete time, long before any read runs
+      (s, dir) => {
+        java.nio.file.Files.createDirectories(tombScratch(dir).getParent)
+        tombstoneSet(s, dir).coalesce(1).write.mode("overwrite")
+          .parquet(tombScratch(dir).toString)
+      },
+      (s, dir) => Tombstones.applyTo(
+          sampleRanged(TsdbSource.events(s, dir).samples),
+          s.read.parquet(tombScratch(dir).toString))
+        .select("sample_id", "series_key", "t", "v")
+        .sortWithinPartitions("sample_id")))
+
+  private def tombScratch(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch",
+      "tombs-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+
   /** DuckDB CTE shared by the storage-semantics oracles: the events table
     * in the canonical long format. */
   private val samplesCte =
@@ -627,18 +711,11 @@ object SparkEntry {
     // the window would get only a no-op interval, so restricting
     // resolution to the window is result-identical and scan-minimal.
     "ts_tombstone_delete" -> ((s, dir) => {
-      val src = TsdbSource.events(s, dir)
-      def resolve(lo: Long, hi: Long, ms: Matcher*) =
-        src.select(lo, hi, ms: _*)
-          .select(col("series_key")).distinct()
-          .withColumn("mint", lit(lo)).withColumn("maxt", lit(hi))
-      val tombs = resolve(DEL1_LO, DEL1_HI, Eq("name", "click"))
-        .unionByName(resolve(DEL2_LO, DEL2_HI, Eq("user", "7")))
       // [[sampleRanged]] under the broadcast anti-join: the surviving
       // volume ≈ the exchanged volume (deletes are a small fraction),
       // and the two-matcher resolution lineage stops running twice
-      Tombstones.applyTo(sampleRanged(src.samples),
-          Tombstones.coalesceIntervals(tombs))
+      Tombstones.applyTo(sampleRanged(TsdbSource.events(s, dir).samples),
+          tombstoneSet(s, dir))
         .select("sample_id", "series_key", "t", "v")
         .sortWithinPartitions("sample_id")
     }),
