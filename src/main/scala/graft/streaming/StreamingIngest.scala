@@ -162,6 +162,70 @@ object StreamingIngest {
       .start()
   }
 
+  /** Salvage a corrupt streaming checkpoint — the reference's
+    * `wal.Repair` (`wal/wal.go:702-757`) as an EXPLICIT operator action:
+    * scan the offsets log in batch order, and from the first entry that
+    * no longer parses, truncate it and everything after it (offsets +
+    * commits + their checksum sidecars), so a restart resumes from the
+    * last intact batch and re-reads the dropped range from the
+    * (replayable) source. Exactly `wal.Repair`'s contract: records
+    * before the corruption are kept, the torn tail is discarded, and
+    * the re-read is absorbed downstream — here by the store's overlap
+    * dedup, which makes re-ingested blocks read exactly-once.
+    *
+    * Refuse-by-default stands: a restart over a corrupt checkpoint
+    * still fails loudly (StreamingSpec pins it); ONLY this call — the
+    * operator flag — truncates. Returns the truncated batch ids (empty
+    * when the log is intact: calling salvage on a healthy checkpoint is
+    * a no-op, it never drops uncommitted-but-parseable progress). */
+  def salvage(checkpointDir: String): Seq[Long] = {
+    val offsetsDir = new java.io.File(s"$checkpointDir/offsets")
+    val entries = Option(offsetsDir.listFiles()).getOrElse(Array())
+      .filter(f => f.getName.nonEmpty && f.getName.forall(_.isDigit))
+      .sortBy(_.getName.toLong)
+    def parses(f: java.io.File): Boolean = {
+      val lines = try {
+        java.nio.file.Files.readAllLines(f.toPath).toArray(Array.empty[String])
+      } catch { case _: Exception => return false }
+      // HDFSMetadataLog format: a version tag line, then JSON records
+      // (OffsetSeq metadata + one offset per source)
+      lines.nonEmpty && lines.head.matches("v\\d+") && lines.tail.forall { l =>
+        l.isEmpty || (try {
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(l); true
+        } catch { case _: Exception => false })
+      }
+    }
+    val firstBad = entries.find(f => !parses(f)).map(_.getName.toLong)
+    firstBad match {
+      case None => Nil
+      case Some(bad) =>
+        val drop = entries.map(_.getName.toLong).filter(_ >= bad).toSeq
+        for (id <- drop; sub <- Seq("offsets", "commits")) {
+          val f = new java.io.File(s"$checkpointDir/$sub/$id")
+          f.delete()
+          new java.io.File(f.getParent, "." + id + ".crc").delete()
+        }
+        // state the truncated batches produced must go with them: batch N
+        // writes state version N+1, and a full reset must leave the state
+        // dir EMPTY (the engine refuses a non-empty location on batch 0).
+        // Covers the default HDFS-backed layout (<op>/<part>/<version>
+        // .delta/.snapshot + checksum sidecars).
+        val stateDir = new java.io.File(s"$checkpointDir/state")
+        if (bad == 0L)
+          scala.reflect.io.Directory(stateDir).deleteRecursively()
+        else if (stateDir.isDirectory) {
+          def walk(f: java.io.File): Unit =
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array()).foreach(walk)
+            else {
+              val v = f.getName.stripPrefix(".").takeWhile(_.isDigit)
+              if (v.nonEmpty && v.toLong > bad) { f.delete(); () }
+            }
+          walk(stateDir)
+        }
+        drop
+    }
+  }
+
   /** Live tailer (S8, reference `wal/live_reader.go:70-180`): a
     * streaming view of everything the store persists, for replication /
     * downstream consumers. The file stream source picks up each new

@@ -375,6 +375,21 @@ class StreamingSpec extends SparkSuite {
     // ...and the store publish no new state
     assert(graft.storage.Manifest.currentVersion(store.root) == versionBefore)
     assert(store.read(spark).count() == 2)
+
+    // the operator flag: salvage truncates from the corrupt entry (the
+    // wal.Repair analogue) and the restart recovers — the truncated
+    // range re-reads from the source, re-ingested blocks duplicate the
+    // originals at the file level, and overlap dedup makes the
+    // PUBLISHED view exactly-once: zero lost, zero duplicated samples
+    val truncated = StreamingIngest.salvage(ckpt)
+    assert(truncated.nonEmpty)
+    // salvage on the now-clean checkpoint is a no-op
+    assert(StreamingIngest.salvage(ckpt).isEmpty)
+    runOnce()
+    val got = store.readRange(spark, 0, 10000)
+      .select("series_key", "t", "v").as[(String, Long, Double)]
+      .collect().toSeq.sorted
+    assert(got == Seq(("a", 100L, 1.0), ("a", 1500L, 2.0), ("a", 2500L, 3.0)))
   }
 
   test("end-to-end ingest: stream -> validated -> block partitions on disk") {
