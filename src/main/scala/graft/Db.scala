@@ -127,11 +127,19 @@ object Db {
       retentionBytes: Long = 0L,
       seriesBuckets: Int = 8)
 
-  def open(spark: SparkSession, root: String, opts: Options = Options()): Db =
+  def open(spark: SparkSession, root: String, opts: Options = Options()): Db = {
+    // An EXISTING store's block range is physical layout, not an opener
+    // preference: t_bucket partition values are multiples of the
+    // creation-time range, and pruning with any other value silently
+    // drops rows. The range recorded at first write wins (the reference
+    // likewise reads block ranges back from meta.json, not Options);
+    // opts.blockRangeMs applies to stores that don't have one yet.
+    val rangeMs = BlockStore.recordedRange(root).getOrElse(opts.blockRangeMs)
     new Db(
-      new BlockStore(root, opts.blockRangeMs, opts.seriesBuckets),
+      new BlockStore(root, rangeMs, opts.seriesBuckets),
       spark,
-      Compaction.exponentialRanges(opts.blockRangeMs, opts.compactionSteps),
+      Compaction.exponentialRanges(rangeMs, opts.compactionSteps),
       opts.retentionMs,
       opts.retentionBytes)
+  }
 }

@@ -79,6 +79,24 @@ final class BlockStore(
   /** Current published state (block list + tombstones). */
   def manifest: ManifestState = Manifest.load(root)
 
+  /** Record the store's block range on first write (meta/BLOCK_RANGE)
+    * and refuse a writer opened with a DIFFERENT range: `t_bucket`
+    * partition values are multiples of the creation-time range, so a
+    * mismatched range mis-prunes reads (silently dropping rows) and
+    * writes misaligned buckets. Read-only tools use
+    * [[BlockStore.recordedRange]] to open any store correctly without
+    * knowing its configuration. */
+  private def persistRange(): Unit = {
+    BlockStore.recordedRange(root) match {
+      case Some(r) => require(r == blockRangeMs,
+        s"store at $root was created with blockRangeMs=$r, opened with $blockRangeMs")
+      case None =>
+        Files.createDirectories(Paths.get(root, "meta"))
+        Files.writeString(Paths.get(root, "meta", "BLOCK_RANGE"), blockRangeMs.toString)
+        ()
+    }
+  }
+
   /** The head's lower append bound for this store — the reference
     * initializes a reopened head with the mint-ordered last block's
     * (exclusive) maxt, so a sample at a timestamp the block layer
@@ -179,6 +197,7 @@ final class BlockStore(
     * is bounded. */
   def write(samples: DataFrame): Long = Manifest.withLock(root) {
     val spark = samples.sparkSession
+    persistRange()
     val st = manifest
     val id = st.nextBlockId
     val hasLabels = samples.columns.contains("labels")
@@ -505,6 +524,19 @@ final class BlockStore(
         .parquet(ids.map(id => s"$dictDir/block_id=$id"): _*)
         .select("label_name", "label_value", "series_key"))
     (blocksIdx ++ head).reduce(_ unionByName _).distinct()
+  }
+
+  /** One block's postings dictionary, raw — `(series_key, label_name,
+    * label_value)` plus the per-series `(s_mint, s_maxt)` bounds when
+    * the block was written with them (r7+). The `tsdb analyze` CLI's
+    * input (reference reads the same per-block index,
+    * `cmd/tsdb/main.go:464-616`). */
+  def blockIndex(spark: SparkSession, blockId: Long): DataFrame = {
+    require(manifest.blocks.exists(_.blockId == blockId),
+      s"block $blockId is not live in the store at $root")
+    require(Files.isDirectory(Paths.get(s"$dictDir/block_id=$blockId")),
+      s"block $blockId has no label index (written without labels)")
+    spark.read.parquet(s"$dictDir/block_id=$blockId")
   }
 
   /** The `(name, value)` dictionary view of [[postingsIndex]] — what
@@ -960,11 +992,30 @@ final class BlockStore(
     }
     if (Files.isDirectory(Paths.get(headDictDir)))
       copyTree(Paths.get(headDictDir), Paths.get(destRoot, "dict", "head"))
+    // the range marker rides along so the snapshot opens correctly
+    val rangeFile = Paths.get(root, "meta", "BLOCK_RANGE")
+    if (Files.exists(rangeFile)) {
+      Files.createDirectories(Paths.get(destRoot, "meta"))
+      Files.copy(rangeFile, Paths.get(destRoot, "meta", "BLOCK_RANGE"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     Manifest.publish(destRoot, st)
   }
 }
 
 object BlockStore {
+  /** The block range the store recorded at first write
+    * (meta/BLOCK_RANGE) — how read-only tools ([[graft.Main]], a
+    * querying session) open an existing store without knowing its
+    * creation-time configuration. None for a store that predates the
+    * marker (or was never written): callers fall back to their own
+    * default, the pre-r7 behavior. */
+  def recordedRange(root: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(root, "meta", "BLOCK_RANGE")
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try(java.nio.file.Files.readString(p).trim.toLong).toOption
+  }
+
   /** Parquet options for every file the store writes. The reference
     * packs chunks with Gorilla delta-of-delta timestamps + XOR values
     * (`chunkenc/xor.go:51-106`); the parquet equivalents are the v2
