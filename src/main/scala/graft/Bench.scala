@@ -360,13 +360,33 @@ object Bench {
     * lag-window `increase()` and the range-frame `*_over_time` — off
     * one generated parquet corpus, best-of-2, Msamples/s derived from
     * the increase row. */
-  private def rateBench(spark: SparkSession): Seq[(String, Double, String)] = {
+  /** One window-family scale point: `series × perSeries` synthetic
+    * 30s-scrape samples through the canonical increase / over_time /
+    * irate / exact-quantile plans. Two points a DECADE apart (rate_20m,
+    * rate_200m) pin the amortization claim with a TREND, not one
+    * number: per-sample cost must be flat-or-falling as series count
+    * grows 10× — the plans are per-series windows + hash aggregates, so
+    * more series = more parallelism, never more per-sample work. */
+  private def rateSection(
+      spark: SparkSession,
+      series: Long,
+      perSeries: Long,
+      name: String): Seq[(String, Double, String)] = {
     import graft.query.Rate
     val tmp = java.nio.file.Files.createTempDirectory("graft-rate-").toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      val series = 50000L; val perSeries = 400L
-      val idx = expr("id div 50000")
-      spark.range(series * perSeries).select(
+      val n = series * perSeries
+      // spill-aware partition sizing (the 100 TB rule applied at 200M):
+      // the window family routes full sample volume through ONE range
+      // exchange, so cap ~2M rows (≈200 MB sort working set) per task —
+      // at 32 fixed partitions the 200M sort spills and per-sample cost
+      // RISES with scale, which is exactly the regression this section
+      // exists to catch
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(32L, n / 2000000L).toString)
+      val idx = expr(s"id div $series")
+      spark.range(n).select(
           concat(lit("s"), (col("id") % series).cast("string")).as("series_key"),
           col("id").as("sample_id"),
           (lit(1704067200000L) + idx * 30000L + pmod(col("id") * 2654435761L, lit(997L)))
@@ -379,18 +399,36 @@ object Bench {
         runPlan(Rate.increase(Rate.seriesOrdered(samples), 3600000L))
       }
       val otSec = best2 { runPlan(Rate.overTime(Rate.seriesOrdered(samples), 600000L)) }
+      val irSec = best2 { runPlan(Rate.instant(Rate.seriesOrdered(samples), 3600000L)) }
+      val qSec = best2 {
+        runPlan(samples
+          .groupBy(col("series_key"),
+            graft.functions.rangeForTimestamp(col("t"), 3600000L).as("t_bucket"))
+          .agg(expr("percentile(v, 0.5)").as("p50"),
+            expr("percentile(v, 0.95)").as("p95")))
+      }
       Seq(
         ("increase_sec", incSec, "ok"),
         ("over_time_sec", otSec, "ok"),
-        ("msamples_per_sec", series * perSeries / incSec / 1e6, "ok"))
+        ("irate_sec", irSec, "ok"),
+        ("quantile_sec", qSec, "ok"),
+        ("msamples_per_sec", n / incSec / 1e6, "ok"))
     } catch {
       case e: Throwable =>
-        Seq(("rate_20m", 0.0,
+        Seq((name, 0.0,
           statusOf(spark, e)))
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  private def rateBench(spark: SparkSession): Seq[(String, Double, String)] =
+    rateSection(spark, series = 50000L, perSeries = 400L, "rate_20m")
+
+  /** The decade-up scale point (500k series × 400 = 200M samples). */
+  private def rate200Bench(spark: SparkSession): Seq[(String, Double, String)] =
+    rateSection(spark, series = 500000L, perSeries = 400L, "rate_200m")
 
   /** The document-dedup pipeline at 100k docs — the at-scale complement
     * to the 5k-doc x10 rows, with a CONSTRUCTION-CHECKED answer: 10k
@@ -743,11 +781,16 @@ object Bench {
       if (only.isEmpty) "1" else "0") != "0"
     val annResults = if (doScale) annBench(spark) else Nil
     val rateResults = if (doScale) rateBench(spark) else Nil
+    // the decade-up point; its own switch so a time-budgeted run can
+    // keep the 20M row and drop only the 200M one
+    val doScale200 = doScale &&
+      sys.env.getOrElse("SPARK_GRAFT_SCALE200", "1") != "0"
+    val rate200Results = if (doScale200) rate200Bench(spark) else Nil
     val dedupResults = if (doScale) dedupBench(spark) else Nil
     val streamResults = if (doScale) streamBench(spark) else Nil
 
     val errors = (results ++ x10Results ++ matcherResults ++ annResults ++
-      rateResults ++ dedupResults ++ streamResults).count(_._3 != "ok") +
+      rateResults ++ rate200Results ++ dedupResults ++ streamResults).count(_._3 != "ok") +
       x10Split.count(_._4 != "ok") +
       (if (storeStatus == "ok") 0 else 1) +
       (if (labelSetStatus == "ok") 0 else 1)
@@ -775,6 +818,8 @@ object Bench {
       s""""ann_1m_status":${jsonMap(annResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""rate_20m":${jsonMap(rateResults.map { case (k, v, _) => k -> v.toString })},""" +
       s""""rate_20m_status":${jsonMap(rateResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""rate_200m":${jsonMap(rate200Results.map { case (k, v, _) => k -> v.toString })},""" +
+      s""""rate_200m_status":${jsonMap(rate200Results.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""dedup_100k":${jsonMap(dedupResults.map { case (k, v, _) => k -> v.toString })},""" +
       s""""dedup_100k_status":${jsonMap(dedupResults.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
       s""""stream_ingest":${jsonMap(streamResults.map { case (k, v, _) => k -> v.toString })},""" +
@@ -798,7 +843,8 @@ object Bench {
       .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     // at-scale section failures get their own headline key — folding
     // them under matchers_5m_status misattributed them
-    val badStScale = (annResults ++ rateResults ++ dedupResults ++ streamResults)
+    val badStScale = (annResults ++ rateResults ++ rate200Results ++
+      dedupResults ++ streamResults)
       .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
     def headline(withQueries: Boolean): String = {
       val perQuery =
@@ -814,6 +860,7 @@ object Bench {
         s""""matchers_5m_total_sec":${ms(matcherTotal)},""" +
         s""""ann_1m":${jsonMap(annResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""rate_20m":${jsonMap(rateResults.map { case (k, v, _) => k -> ms(v) })},""" +
+        s""""rate_200m":${jsonMap(rate200Results.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""dedup_100k":${jsonMap(dedupResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""stream_ingest":${jsonMap(streamResults.map { case (k, v, _) => k -> ms(v) })},""" +
         s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +

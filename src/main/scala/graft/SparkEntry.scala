@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.ingest.Appender
 import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
-import graft.query.{AsOf, Histogram, LabelDictionary, Rate, Rules, TsdbSource}
+import graft.query.{AsOf, Histogram, LabelDictionary, PromQl, Rate, Rules, TsdbSource}
 import graft.sources.Tables
 import graft.storage.{BlockStore, Merge, Tombstones}
 import graft.{functions => gf}
@@ -2070,6 +2070,32 @@ object SparkEntry {
         "rule", "grp", "t")
     }),
 
+    // --- PromQL front-end ([[graft.query.PromQl]]): the query LANGUAGE
+    // compiled onto the same frames the hand-built grid entries pin.
+    // lookback = LOOKBACK+1 ms makes PromQl's 3.x left-open staleness
+    // window (g − look, g] equal the suite's closed [g − LOOKBACK, g]
+    // convention on integer milliseconds, so the namedGrid ASOF CTE is
+    // the oracle — the compiler must land on bit-identical fills.
+    "promql_sum_by" -> ((s, dir) =>
+      PromQl.eval("sum by (name) ({name=~\".+\"})",
+          TsdbSource.events(s, dir).samples,
+          PromQl.Params(MINT, MAXT, BUCKET_W, LOOKBACK + 1, nameLabel = "name"))
+        .select(col("series_key"), col("t"), round(col("v"), 2).as("v"))),
+
+    "promql_quantile_by" -> ((s, dir) =>
+      PromQl.eval("quantile by (name) (0.5, {name=~\".+\"})",
+          TsdbSource.events(s, dir).samples,
+          PromQl.Params(MINT, MAXT, BUCKET_W, LOOKBACK + 1, nameLabel = "name"))
+        .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
+
+    // topk keeps the winning input series' FULL label sets — the output
+    // series_key is the events table's own canonical key
+    "promql_topk" -> ((s, dir) =>
+      PromQl.eval("topk(2, {name=~\".+\"})",
+          TsdbSource.events(s, dir).samples,
+          PromQl.Params(MINT, MAXT, BUCKET_W, LOOKBACK + 1, nameLabel = "name"))
+        .select(col("series_key"), col("t"), col("v"))),
+
     // Alert-rule evaluation with a `for` duration — the OTHER half of
     // the rules engine ([[ts_rule_group]] is recording rules): an alert
     // fires at instant t iff the condition held at EVERY lattice
@@ -3519,6 +3545,28 @@ object SparkEntry {
          |  SELECT 'all:sum' AS rule, '' AS grp, t, round(sum(r_v), 2) AS value
          |    FROM f WHERE r_v IS NOT NULL GROUP BY 3)
          |SELECT rule, grp, t, value FROM u ORDER BY rule, grp, t""".stripMargin,
+    // PromQL front-end twins: the compiled expression must reproduce the
+    // namedGrid ASOF fill bit-for-bit (closed [g − LOOKBACK, g] window;
+    // the entries pass lookback = LOOKBACK+1 to PromQl's left-open form)
+    "promql_sum_by" ->
+      s"""$namedGridCte
+         |SELECT '{name="' || name || '"}' AS series_key, t,
+         |  round(sum(r_v), 2) AS v
+         |FROM f WHERE r_v IS NOT NULL GROUP BY name, t
+         |ORDER BY series_key, t""".stripMargin,
+    "promql_quantile_by" ->
+      s"""$namedGridCte
+         |SELECT '{name="' || name || '"}' AS series_key, t,
+         |  round(quantile_cont(r_v, 0.5), 4) AS v
+         |FROM f WHERE r_v IS NOT NULL GROUP BY name, t
+         |ORDER BY series_key, t""".stripMargin,
+    "promql_topk" ->
+      s"""$namedGridCte
+         |SELECT series_key, t, v FROM (
+         |  SELECT series_key, t, r_v AS v, row_number() OVER (
+         |    PARTITION BY t ORDER BY r_v DESC, series_key) AS rk
+         |  FROM f WHERE r_v IS NOT NULL)
+         |WHERE rk <= 2 ORDER BY series_key, t""".stripMargin,
     "emb_quantized_search" ->
       s"""WITH cq AS (SELECT vec_id,
          |  list_transform(embedding, x -> CASE

@@ -1,0 +1,889 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.matchers.{Eq, Matcher, Re}
+
+/** PromQL front-end: a recursive-descent parser and a compiler from the
+  * PromQL expression AST onto this library's operators — selectors
+  * resolve through [[graft.matchers.Matcher]] predicates, instant-vector
+  * staleness through [[AsOf.gridFillWide]]'s candidate-explode fill,
+  * range-vector functions through ONE lag window + ONE candidate-explode
+  * aggregate, aggregations/binary ops through hash aggregates and
+  * equi-joins on canonical label keys. Nothing here introduces a new
+  * physical shape: every PromQL construct lowers to the same plans the
+  * `ts_*` entries already price, so a 100 TB evaluation inherits their
+  * scale story (map-side-combined aggregates, no lattice
+  * materialization, no driver loops).
+  *
+  * The reference repo is the storage engine under this language
+  * (`querier.go` exposes exactly the selector surface the evaluator
+  * consumes); the language semantics follow the Prometheus evaluation
+  * model: a range query evaluates the expression at each instant of the
+  * `start + k·step ≤ end` lattice, an instant vector holds the latest
+  * in-lookback sample per series, range selectors take the trailing
+  * `(t − range, t]` half-open window, counter rate/increase extrapolate
+  * to the window bounds.
+  *
+  * Supported surface (see PromQlSpec for the pinned vectors):
+  *  - selectors: `metric{a="x", b!="y", c=~"re", d!~"re"}`, `offset`;
+  *  - range functions: rate, irate, increase, delta, idelta, resets,
+  *    changes, deriv, predict_linear, and the `*_over_time` family
+  *    (avg/min/max/sum/count/last/stddev/stdvar/quantile/present);
+  *  - instant functions: abs, ceil, floor, exp, ln, log2, log10, sqrt,
+  *    sgn, round, clamp, clamp_min, clamp_max, histogram_quantile,
+  *    vector;
+  *  - aggregations with `by`/`without`: sum, min, max, avg, count,
+  *    stddev, stdvar, quantile, topk, bottomk, count_values;
+  *  - binary ops: `+ - * / % ^` and comparisons (with `bool`),
+  *    vector↔scalar and vector↔vector (one-to-one, `on`/`ignoring`),
+  *    set ops `and`/`or`/`unless`.
+  *  Not supported (rejected at parse/compile): `group_left`/
+  *  `group_right` many-to-one matching, subqueries, `@` modifiers,
+  *  native histograms, `time()`-dependent scalars.
+  */
+object PromQl {
+
+  // ---------------------------------------------------------------- AST
+
+  sealed trait Expr
+  final case class NumberLit(v: Double) extends Expr
+  final case class StringLit(s: String) extends Expr
+  final case class Selector(
+      name: Option[String],
+      matchers: Seq[Matcher],
+      offsetMs: Long) extends Expr
+  final case class RangeSel(sel: Selector, rangeMs: Long) extends Expr
+  final case class Call(fn: String, args: Seq[Expr]) extends Expr
+  final case class Agg(
+      op: String,
+      param: Option[Expr],
+      body: Expr,
+      grouping: Seq[String],
+      without: Boolean) extends Expr
+  final case class Bin(
+      op: String,
+      lhs: Expr,
+      rhs: Expr,
+      bool: Boolean,
+      matchOn: Option[(Boolean, Seq[String])]) extends Expr
+  final case class Neg(e: Expr) extends Expr
+
+  // ------------------------------------------------------------- Lexer
+
+  private sealed trait Tok
+  private case class TNum(v: Double) extends Tok
+  private case class TDur(ms: Long) extends Tok
+  private case class TIdent(s: String) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TOp(s: String) extends Tok
+  private case object TEof extends Tok
+
+  private val aggOps = Set("sum", "min", "max", "avg", "count", "stddev",
+    "stdvar", "quantile", "topk", "bottomk", "count_values")
+  private val keywords = Set("by", "without", "on", "ignoring", "bool",
+    "offset", "and", "or", "unless", "group_left", "group_right")
+
+  private def unitMs(q: String, at: Int): Option[(Long, Int)] =
+    if (at >= q.length) None
+    else if (at + 1 < q.length && q.charAt(at) == 'm' && q.charAt(at + 1) == 's')
+      Some((1L, 2))
+    else q.charAt(at) match {
+      case 's' => Some((1000L, 1))
+      case 'm' => Some((60000L, 1))
+      case 'h' => Some((3600000L, 1))
+      case 'd' => Some((86400000L, 1))
+      case 'w' => Some((7 * 86400000L, 1))
+      case 'y' => Some((365 * 86400000L, 1))
+      case _ => None
+    }
+
+  private def lex(q: String): Seq[Tok] = {
+    val out = Seq.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < q.length && q.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < q.length && (q.charAt(i).isDigit || q.charAt(i) == '.')) i += 1
+        val mantissa = q.substring(start, i)
+        // duration literal: 5m, 1h30m, 90s, 10ms, 2d, 1w, 1y — an
+        // integer count followed by a unit, possibly compounded
+        if (!mantissa.contains('.') && unitMs(q, i).isDefined) {
+          var ms = 0L
+          var n = mantissa.toLong
+          var go = true
+          while (go) {
+            val (u, w) = unitMs(q, i).getOrElse(fail("bad duration unit"))
+            ms += n * u
+            i += w
+            if (i < q.length && q.charAt(i).isDigit) {
+              val ns = i
+              while (i < q.length && q.charAt(i).isDigit) i += 1
+              n = q.substring(ns, i).toLong
+              if (unitMs(q, i).isEmpty) fail("bad compound duration")
+            } else go = false
+          }
+          out += TDur(ms)
+        } else if ((i < q.length && (q.charAt(i) == 'e' || q.charAt(i) == 'E'))) {
+          i += 1
+          if (i < q.length && (q.charAt(i) == '+' || q.charAt(i) == '-')) i += 1
+          while (i < q.length && q.charAt(i).isDigit) i += 1
+          out += TNum(q.substring(start, i).toDouble)
+        } else out += TNum(q.substring(start, i).toDouble)
+      }
+      else if (c.isLetter || c == '_' || c == ':') {
+        val start = i
+        while (i < q.length && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_' || q.charAt(i) == ':')) i += 1
+        out += TIdent(q.substring(start, i))
+      }
+      else if (c == '"' || c == '\'') {
+        val quote = c
+        i += 1
+        val sb = new StringBuilder
+        while (i < q.length && q.charAt(i) != quote) {
+          if (q.charAt(i) == '\\' && i + 1 < q.length) {
+            i += 1
+            sb.append(q.charAt(i) match {
+              case 'n' => '\n'; case 't' => '\t'; case '\\' => '\\'
+              case `quote` => quote; case other => other
+            })
+          } else sb.append(q.charAt(i))
+          i += 1
+        }
+        if (i >= q.length) fail("unterminated string")
+        i += 1
+        out += TStr(sb.toString)
+      }
+      else {
+        val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
+        if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
+        else if ("+-*/%^(){}[],<>=".indexOf(c.toInt) >= 0) { out += TOp(c.toString); i += 1 }
+        else fail(s"unexpected character '$c'")
+      }
+    }
+    out += TEof
+    out.result()
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"promql: $msg")
+
+  // ------------------------------------------------------------ Parser
+
+  def parse(q: String): Expr = new Parser(lex(q)).parseAll()
+
+  private final class Parser(toks: Seq[Tok]) {
+    private var pos = 0
+    private def cur: Tok = toks(pos)
+    private def advance(): Tok = { val t = cur; pos += 1; t }
+    private def expectOp(s: String): Unit = cur match {
+      case TOp(`s`) => pos += 1
+      case other => fail(s"expected '$s', got $other")
+    }
+
+    def parseAll(): Expr = {
+      val e = parseOr()
+      cur match {
+        case TEof => e
+        case other => fail(s"trailing input at $other")
+      }
+    }
+
+    // precedence (loosest to tightest): or < and/unless < comparison
+    // < +- < */% < ^ (right) < unary < atom
+    private def parseOr(): Expr = binL(Seq("or"), () => parseAnd())
+    private def parseAnd(): Expr = binL(Seq("and", "unless"), () => parseCmp())
+    private def parseCmp(): Expr =
+      binL(Seq("==", "!=", ">", "<", ">=", "<="), () => parseAdd())
+    private def parseAdd(): Expr = binL(Seq("+", "-"), () => parseMul())
+    private def parseMul(): Expr = binL(Seq("*", "/", "%"), () => parsePow())
+    private def parsePow(): Expr = {
+      val lhs = parseUnary()
+      cur match {
+        case TOp("^") =>
+          pos += 1
+          val (bool, m) = parseBinModifiers()
+          Bin("^", lhs, parsePow(), bool, m) // right-assoc
+        case _ => lhs
+      }
+    }
+
+    private def binL(ops: Seq[String], next: () => Expr): Expr = {
+      var lhs = next()
+      var go = true
+      while (go) cur match {
+        case TOp(o) if ops.contains(o) =>
+          pos += 1
+          val (bool, m) = parseBinModifiers()
+          lhs = Bin(o, lhs, next(), bool, m)
+        case TIdent(o) if ops.contains(o) =>
+          pos += 1
+          val (bool, m) = parseBinModifiers()
+          lhs = Bin(o, lhs, next(), bool, m)
+        case _ => go = false
+      }
+      lhs
+    }
+
+    private def parseBinModifiers(): (Boolean, Option[(Boolean, Seq[String])]) = {
+      var bool = false
+      var matching: Option[(Boolean, Seq[String])] = None
+      var go = true
+      while (go) cur match {
+        case TIdent("bool") => bool = true; pos += 1
+        case TIdent("on") => pos += 1; matching = Some((true, parseLabelList()))
+        case TIdent("ignoring") => pos += 1; matching = Some((false, parseLabelList()))
+        case TIdent(g @ ("group_left" | "group_right")) =>
+          fail(s"$g (many-to-one matching) is not supported")
+        case _ => go = false
+      }
+      (bool, matching)
+    }
+
+    private def parseLabelList(): Seq[String] = {
+      expectOp("(")
+      val out = Seq.newBuilder[String]
+      var go = cur != TOp(")")
+      while (go) {
+        advance() match {
+          case TIdent(l) => out += l
+          case other => fail(s"expected label name, got $other")
+        }
+        cur match {
+          case TOp(",") => pos += 1
+          case _ => go = false
+        }
+      }
+      expectOp(")")
+      out.result()
+    }
+
+    private def parseUnary(): Expr = cur match {
+      case TOp("-") => pos += 1; Neg(parseUnary())
+      case TOp("+") => pos += 1; parseUnary()
+      case _ => parseAtom()
+    }
+
+    private def parseAtom(): Expr = {
+      val base = cur match {
+        case TNum(v) => pos += 1; NumberLit(v)
+        case TStr(s) => pos += 1; StringLit(s)
+        case TOp("(") =>
+          pos += 1
+          val e = parseOr()
+          expectOp(")")
+          e
+        case TOp("{") => parseSelectorTail(None)
+        case TIdent(id) if aggOps.contains(id) => parseAggregate(id)
+        case TIdent(id) =>
+          pos += 1
+          cur match {
+            case TOp("(") => // function call
+              pos += 1
+              val args = Seq.newBuilder[Expr]
+              if (cur != TOp(")")) {
+                args += parseOr()
+                while (cur == TOp(",")) { pos += 1; args += parseOr() }
+              }
+              expectOp(")")
+              Call(id, args.result())
+            case _ => parseSelectorTail(Some(id))
+          }
+        case other => fail(s"unexpected $other")
+      }
+      postfix(base)
+    }
+
+    /** `[range]` and `offset` modifiers after a selector. */
+    private def postfix(e: Expr): Expr = cur match {
+      case TOp("[") =>
+        pos += 1
+        val r = advance() match {
+          case TDur(ms) => ms
+          case other => fail(s"expected duration in range selector, got $other")
+        }
+        expectOp("]")
+        e match {
+          case s: Selector => postfix(RangeSel(s, r))
+          case _ => fail("range selector requires a plain vector selector")
+        }
+      case TIdent("offset") =>
+        pos += 1
+        val o = advance() match {
+          case TDur(ms) => ms
+          case other => fail(s"expected duration after offset, got $other")
+        }
+        e match {
+          case s: Selector => postfix(s.copy(offsetMs = o))
+          case RangeSel(s, r) => postfix(RangeSel(s.copy(offsetMs = o), r))
+          case _ => fail("offset requires a selector")
+        }
+      case _ => e
+    }
+
+    private def parseSelectorTail(name: Option[String]): Expr = {
+      val ms = Seq.newBuilder[Matcher]
+      if (cur == TOp("{")) {
+        pos += 1
+        var go = cur != TOp("}")
+        while (go) {
+          val label = advance() match {
+            case TIdent(l) => l
+            case other => fail(s"expected label name, got $other")
+          }
+          val op = advance() match {
+            case TOp(o @ ("=" | "!=" | "=~" | "!~")) => o
+            case TOp("==") => "=" // tolerate
+            case other => fail(s"expected matcher op, got $other")
+          }
+          val value = advance() match {
+            case TStr(s) => s
+            case other => fail(s"expected quoted value, got $other")
+          }
+          ms += (op match {
+            case "=" => Eq(label, value)
+            case "!=" => Matcher.neq(label, value)
+            case "=~" => Re(label, value)
+            case "!~" => Matcher.notRe(label, value)
+          })
+          cur match {
+            case TOp(",") => pos += 1; go = cur != TOp("}")
+            case _ => go = false
+          }
+        }
+        expectOp("}")
+      }
+      Selector(name, ms.result(), 0L)
+    }
+
+    private def parseAggregate(op: String): Expr = {
+      pos += 1
+      // modifiers may come before or after the body
+      var grouping: Seq[String] = Nil
+      var without = false
+      var seen = false
+      def tryModifier(): Unit = cur match {
+        case TIdent("by") => pos += 1; grouping = parseLabelList(); seen = true
+        case TIdent("without") =>
+          pos += 1; grouping = parseLabelList(); without = true; seen = true
+        case _ =>
+      }
+      tryModifier()
+      expectOp("(")
+      val first = parseOr()
+      val (param, body) =
+        if (cur == TOp(",")) { pos += 1; (Some(first), parseOr()) }
+        else (None, first)
+      expectOp(")")
+      if (!seen) tryModifier()
+      Agg(op, param, body, grouping, without)
+    }
+  }
+
+  // ---------------------------------------------------------- Compiler
+
+  /** Range-query evaluation parameters: the instant lattice
+    * `start + k·step ≤ end` plus the staleness lookback (Prometheus
+    * default 5m). `nameLabel` is the metric-identity label of the
+    * source corpus (`__name__` in Prometheus; the events fixture uses
+    * `name`). */
+  final case class Params(
+      startMs: Long,
+      endMs: Long,
+      stepMs: Long,
+      lookbackMs: Long = 300000L,
+      nameLabel: String = "__name__")
+
+  /** A compiled value: an instant vector (frame of
+    * `series_key, labels, t, v`) or a constant scalar. */
+  private sealed trait Value
+  private final case class Vec(df: DataFrame) extends Value
+  private final case class Scal(v: Double) extends Value
+
+  /** Evaluate `query` as a range query over `samples`
+    * (`series_key, labels: map<string,string>, t, v`). Returns
+    * `(series_key, labels, t, v)`, one row per series per lattice
+    * instant where the expression has a value, ordered. */
+  def eval(query: String, samples: DataFrame, p: Params): DataFrame = {
+    require(p.stepMs > 0 && p.endMs >= p.startMs, "bad evaluation range")
+    val out = new Compiler(samples, p).eval(parse(query)) match {
+      case Vec(df) => df
+      case Scal(v) => // a scalar result materializes on the lattice
+        samples.sparkSession.range(p.startMs, p.endMs + 1, p.stepMs)
+          .select(lit("{}").as("series_key"),
+            map().cast("map<string,string>").as("labels"),
+            col("id").as("t"), lit(v).as("v"))
+    }
+    out.select("series_key", "labels", "t", "v").orderBy("series_key", "t")
+  }
+
+  private final class Compiler(samples: DataFrame, p: Params) {
+    private val spark = samples.sparkSession
+    private def mapResolve: String => Column = n => col("labels").getItem(n)
+
+    def eval(e: Expr): Value = e match {
+      case NumberLit(v) => Scal(v)
+      case StringLit(_) => fail("a string literal is not a vector/scalar expression")
+      case Neg(x) => eval(x) match {
+        case Scal(v) => Scal(-v)
+        case Vec(df) => Vec(dropName(df.withColumn("v", -col("v"))))
+      }
+      case s: Selector => Vec(instantVector(s))
+      case _: RangeSel => fail("range vector must be an argument of a range function")
+      case c: Call => call(c)
+      case a: Agg => aggregate(a)
+      case b: Bin => binary(b)
+    }
+
+    // --- selectors -----------------------------------------------------
+
+    private def selected(s: Selector): DataFrame = {
+      val ms = s.name.map(n => Eq(p.nameLabel, n)).toSeq ++ s.matchers
+      require(ms.nonEmpty, "promql: empty selector matches nothing")
+      val base = samples.where(Matcher.conjunction(ms, mapResolve))
+      // offset looks BACK: the value at instant t is the series' value
+      // at t − offset ⇒ shift sample times forward and evaluate normally
+      if (s.offsetMs == 0L) base
+      else base.withColumn("t", col("t") + s.offsetMs)
+    }
+
+    /** The staleness fill: latest sample per series within
+      * `(g − lookback, g]` at every lattice instant — ONE candidate
+      * explode + map-side-combined aggregate ([[AsOf.gridFillWide]];
+      * the `lookback − 1` closed window IS the half-open PromQL one on
+      * integer milliseconds). */
+    private def instantVector(s: Selector): DataFrame = {
+      val src = selected(s).select("series_key", "t", "v")
+      val look = p.lookbackMs - 1 // closed window ≡ half-open on int ms
+      // lookback < step: one sample serves at most one instant — the
+      // single-instant fast path; otherwise the candidate-explode fill
+      val filled =
+        if (look < p.stepMs)
+          AsOf.latestPerInstant(src.withColumnRenamed("v", "r_v"),
+              Seq("series_key"), p.stepMs, look, "r", originMs = p.startMs)
+            .where(col("r_v").isNotNull && col("t").between(p.startMs, p.endMs))
+            .select(col("series_key"), col("t"), col("r_v").as("v"))
+        else
+          AsOf.gridFillWide(
+            src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look, Seq("v"))
+            .where(col("v_v").isNotNull)
+            .select(col("series_key"), col("t"), col("v_v").as("v"))
+      attachLabels(filled, selected(s))
+    }
+
+    /** Re-attach the labels map by series key (series-scale dimension
+      * join, broadcast-gated by AQE). */
+    private def attachLabels(df: DataFrame, src: DataFrame): DataFrame =
+      df.join(
+        src.groupBy("series_key").agg(first("labels").as("labels")),
+        Seq("series_key"))
+        .select("series_key", "labels", "t", "v")
+
+    /** PromQL functions/operators drop the metric name from result
+      * label sets; the canonical key is recomputed from the remaining
+      * labels. */
+    private def dropName(df: DataFrame): DataFrame =
+      relabel(df, map_filter(col("labels"), (k, _) => k =!= p.nameLabel))
+
+    private def relabel(df: DataFrame, newLabels: Column): DataFrame =
+      df.withColumn("labels", newLabels)
+        .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+
+    // --- range-vector functions ---------------------------------------
+
+    /** All range functions ride ONE shape: per-sample lag features
+      * (series-keyed window — the same sample-scale sort every window
+      * consumer prices once), a candidate explode onto the ≤
+      * `⌈range/step⌉+1` instants each sample can serve, and ONE
+      * aggregate per `(series, instant)`. */
+    private def rangeFrame(r: RangeSel): DataFrame = {
+      val w = Window.partitionBy("series_key").orderBy("t")
+      val feats = selected(r.sel)
+        .select("series_key", "t", "v")
+        .withColumn("prev_t", lag("t", 1).over(w))
+        .withColumn("prev_v", lag("v", 1).over(w))
+        .withColumn("inc_delta",
+          when(col("prev_v").isNull, lit(null).cast("double"))
+            .when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+            .otherwise(col("v")))
+        .withColumn("reset_f",
+          (col("prev_v").isNotNull && col("v") < col("prev_v")).cast("long"))
+        .withColumn("change_f",
+          (col("prev_v").isNotNull && !(col("v") <=> col("prev_v"))).cast("long"))
+      val k = ((r.rangeMs + p.stepMs - 1) / p.stepMs).toInt
+      val g0 = (floor((col("t") - 1 - p.startMs) / p.stepMs) * p.stepMs
+        + p.stepMs + p.startMs).cast("long")
+      feats
+        .withColumn("g", explode(sequence(g0, g0 + k.toLong * p.stepMs, lit(p.stepMs))))
+        .where(col("g").between(p.startMs, p.endMs) &&
+          col("t") > col("g") - r.rangeMs) // half-open (g − range, g]
+    }
+
+    /** The per-(series, instant) aggregate every range function reads
+      * from. Carries: count, sum, min, max, power sums, first/last
+      * sample structs (with their lag features), counter/reset sums,
+      * and the regression sums for deriv/predict_linear. */
+    private def rangeAgg(r: RangeSel, extra: Seq[Column] = Nil): DataFrame = {
+      val x = (col("t") - col("g")).cast("double") / 1000.0 // seconds rel. instant
+      val aggCols = Seq(
+            count(lit(1)).as("cnt"),
+            sum("v").as("sum_v"),
+            min("v").as("min_v"),
+            max("v").as("max_v"),
+            sum(col("v") * col("v")).as("sum_vv"),
+            min_by(
+              struct(col("t"), col("v"), coalesce(col("inc_delta"), lit(0.0)).as("inc"),
+                col("reset_f"), col("change_f")),
+              col("t")).as("first"),
+            max_by(
+              struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
+                coalesce(col("inc_delta"), lit(0.0)).as("inc")),
+              col("t")).as("last"),
+            sum(coalesce(col("inc_delta"), lit(0.0))).as("sum_inc"),
+            sum("reset_f").as("sum_resets"),
+            sum("change_f").as("sum_changes"),
+            sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("v")).as("sxy")) ++ extra
+      rangeFrame(r)
+        .withColumn("x", x)
+        .groupBy("series_key", "g")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumnRenamed("g", "t")
+    }
+
+    /** PromQL's extrapolatedRate (promql semantics; same closed form as
+      * [[Rate.extrapolatedRate]], here per sliding instant window). */
+    private def extrapolated(r: RangeSel, isCounter: Boolean, isRate: Boolean): Column = {
+      val rangeSec = r.rangeMs / 1000.0
+      val firstT = col("first.t"); val lastT = col("last.t")
+      val base =
+        if (isCounter) col("sum_inc") - col("first.inc")
+        else col("last.v") - col("first.v")
+      val sampledInterval = (lastT - firstT).cast("double") / 1000.0
+      val avgDur = sampledInterval / (col("cnt") - 1)
+      val durToStart0 = (firstT - (col("t") - r.rangeMs)).cast("double") / 1000.0
+      val durToEnd = (col("t") - lastT).cast("double") / 1000.0
+      // a counter cannot have been negative before its first sample:
+      // cap the start extrapolation where the line crosses zero
+      val durToStart =
+        if (!isCounter) durToStart0
+        else when(base > 0 && col("first.v") >= 0,
+          least(durToStart0, sampledInterval * (col("first.v") / base)))
+          .otherwise(durToStart0)
+      val threshold = avgDur * 1.1
+      val ext = sampledInterval +
+        when(durToStart < threshold, durToStart).otherwise(avgDur / 2) +
+        when(durToEnd < threshold, durToEnd).otherwise(avgDur / 2)
+      val scaled = base * (ext / sampledInterval)
+      if (isRate) scaled / rangeSec else scaled
+    }
+
+    private def rangeFunction(fn: String, r: RangeSel, param: Option[Double]): DataFrame = {
+      val needTwo = Set("rate", "increase", "delta", "idelta", "irate", "deriv", "predict_linear")
+      val extra = fn match {
+        case "quantile_over_time" =>
+          Seq(expr(s"percentile(v, ${param.getOrElse(fail("quantile_over_time needs φ"))})")
+            .as("q_v"))
+        case _ => Nil
+      }
+      val agg = rangeAgg(r, extra)
+      val slope = (col("cnt") * col("sxy") - col("sx") * col("sum_v")) /
+        (col("cnt") * col("sxx") - col("sx") * col("sx"))
+      val intercept = (col("sum_v") - slope * col("sx")) / col("cnt")
+      val v: Column = fn match {
+        case "rate" => extrapolated(r, isCounter = true, isRate = true)
+        case "increase" => extrapolated(r, isCounter = true, isRate = false)
+        case "delta" => extrapolated(r, isCounter = false, isRate = false)
+        case "idelta" => col("last.v") - col("last.prev_v")
+        case "irate" =>
+          col("last.inc") / ((col("last.t") - col("last.prev_t")).cast("double") / 1000.0)
+        case "resets" => (col("sum_resets") - col("first.reset_f")).cast("double")
+        case "changes" => (col("sum_changes") - col("first.change_f")).cast("double")
+        case "deriv" => slope
+        case "predict_linear" =>
+          intercept + slope * (param.getOrElse(fail("predict_linear needs t")) )
+        case "avg_over_time" => col("sum_v") / col("cnt")
+        case "sum_over_time" => col("sum_v")
+        case "min_over_time" => col("min_v")
+        case "max_over_time" => col("max_v")
+        case "count_over_time" => col("cnt").cast("double")
+        case "last_over_time" => col("last.v")
+        case "present_over_time" => lit(1.0)
+        case "stddev_over_time" =>
+          sqrt(col("sum_vv") / col("cnt") - pow(col("sum_v") / col("cnt"), 2))
+        case "stdvar_over_time" =>
+          col("sum_vv") / col("cnt") - pow(col("sum_v") / col("cnt"), 2)
+        case "quantile_over_time" => col("q_v")
+        case other => fail(s"unknown range function $other")
+      }
+      val kept =
+        if (needTwo.contains(fn)) agg.where(col("cnt") >= 2)
+        else agg
+      val out = kept.select(col("series_key"), col("t"), v.as("v"))
+        .where(col("v").isNotNull)
+      // range functions drop the metric name (last_over_time keeps it)
+      val withLabels = attachLabels(out, selected(r.sel))
+      if (fn == "last_over_time") withLabels else dropName(withLabels)
+    }
+
+    // --- functions -----------------------------------------------------
+
+    private def call(c: Call): Value = c match {
+      case Call(fn, Seq(r: RangeSel)) if rangeFns.contains(fn) =>
+        Vec(rangeFunction(fn, r, None))
+      case Call(fn @ ("quantile_over_time"), Seq(q, r: RangeSel)) =>
+        Vec(rangeFunction(fn, r, Some(scalarOf(q))))
+      case Call(fn @ ("predict_linear"), Seq(r: RangeSel, h)) =>
+        Vec(rangeFunction(fn, r, Some(scalarOf(h))))
+      case Call("histogram_quantile", Seq(q, e)) =>
+        Vec(histogramQuantile(scalarOf(q), vecOf(e)))
+      case Call("vector", Seq(s)) =>
+        val v = scalarOf(s)
+        Vec(spark.range(p.startMs, p.endMs + 1, p.stepMs)
+          .select(lit("{}").as("series_key"),
+            map().cast("map<string,string>").as("labels"),
+            col("id").as("t"), lit(v).as("v")))
+      case Call("scalar", _) => fail("scalar() is not supported")
+      case Call("round", Seq(e)) => instantFn(e, round(col("v"), 0).cast("double"))
+      case Call("round", Seq(e, to)) =>
+        val m = scalarOf(to)
+        instantFn(e, (floor(col("v") / m + 0.5) * m).cast("double"))
+      case Call("clamp", Seq(e, lo, hi)) =>
+        instantFn(e, least(greatest(col("v"), lit(scalarOf(lo))), lit(scalarOf(hi))))
+      case Call("clamp_min", Seq(e, lo)) => instantFn(e, greatest(col("v"), lit(scalarOf(lo))))
+      case Call("clamp_max", Seq(e, hi)) => instantFn(e, least(col("v"), lit(scalarOf(hi))))
+      case Call(fn, Seq(e)) if instantFns.contains(fn) =>
+        instantFn(e, instantFns(fn)(col("v")))
+      case Call(fn, args) => fail(s"unsupported function $fn/${args.length}")
+    }
+
+    private val rangeFns = Set("rate", "increase", "delta", "idelta", "irate",
+      "resets", "changes", "deriv", "avg_over_time", "sum_over_time",
+      "min_over_time", "max_over_time", "count_over_time", "last_over_time",
+      "present_over_time", "stddev_over_time", "stdvar_over_time")
+
+    private val instantFns: Map[String, Column => Column] = Map(
+      "abs" -> abs, "ceil" -> ((c: Column) => ceil(c).cast("double")),
+      "floor" -> ((c: Column) => floor(c).cast("double")),
+      "exp" -> exp, "ln" -> ((c: Column) => log(c)),
+      "log2" -> ((c: Column) => log(c) / log(lit(2.0))),
+      "log10" -> ((c: Column) => log(c) / log(lit(10.0))),
+      "sqrt" -> sqrt, "sgn" -> ((c: Column) => signum(c)))
+
+    private def instantFn(e: Expr, f: Column): Value = eval(e) match {
+      case Vec(df) => Vec(dropName(df.withColumn("v", f)))
+      case Scal(_) => fail("instant function over a scalar is not supported")
+    }
+
+    private def vecOf(e: Expr): DataFrame = eval(e) match {
+      case Vec(df) => df
+      case Scal(_) => fail("expected an instant vector")
+    }
+
+    private def scalarOf(e: Expr): Double = eval(e) match {
+      case Scal(v) => v
+      case Vec(_) => fail("expected a scalar literal")
+    }
+
+    /** Generic `histogram_quantile` over cumulative `le` buckets: group
+      * by (labels − le − name, t), sort the bucket array once, walk it
+      * with higher-order array functions — no UDF, no per-le pivot. */
+    private def histogramQuantile(phi: Double, iv: DataFrame): DataFrame = {
+      val keep = map_filter(col("labels"),
+        (k, _) => k =!= "le" && k =!= p.nameLabel)
+      val grouped = iv
+        .withColumn("le_d", col("labels").getItem("le").cast("double"))
+        .where(col("le_d").isNotNull)
+        .withColumn("labels", keep)
+        .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+        .groupBy("series_key", "t")
+        .agg(first("labels").as("labels"),
+          sort_array(collect_list(struct(col("le_d").as("le"), col("v")))).as("bk"))
+      val n = size(col("bk"))
+      val total = element_at(col("bk"), n).getField("v")
+      val rank = lit(phi) * total
+      // first bucket index whose cumulative count reaches the rank
+      val idx = element_at(
+        filter(sequence(lit(1), n),
+          i => element_at(col("bk"), i).getField("v") >= rank), 1)
+      val le = element_at(col("bk"), col("__i")).getField("le")
+      val cum = element_at(col("bk"), col("__i")).getField("v")
+      val prevLe = when(col("__i") === 1, lit(0.0))
+        .otherwise(element_at(col("bk"), col("__i") - 1).getField("le"))
+      val prevCum = when(col("__i") === 1, lit(0.0))
+        .otherwise(element_at(col("bk"), col("__i") - 1).getField("v"))
+      val interp = prevLe + (le - prevLe) * ((rank - prevCum) / (cum - prevCum))
+      grouped
+        .where(n >= 2 && total > 0 && element_at(col("bk"), n).getField("le").isNaN === false)
+        .withColumn("__i", idx)
+        .withColumn("v",
+          when(col("__i").isNull, lit(null).cast("double"))
+            // rank falls in the +Inf bucket: the highest finite bound
+            .when(col("__i") === n, element_at(col("bk"), n - 1).getField("le"))
+            .otherwise(interp))
+        .where(col("v").isNotNull)
+        .select("series_key", "labels", "t", "v")
+    }
+
+    // --- aggregations --------------------------------------------------
+
+    private def aggregate(a: Agg): Value = {
+      val iv = vecOf(a.body)
+      // grouping labels: `by` keeps exactly the listed ones; `without`
+      // drops the listed ones plus the metric name
+      val keep: Column =
+        if (a.without)
+          map_filter(col("labels"),
+            (k, _) => !k.isin(a.grouping :+ p.nameLabel: _*))
+        else
+          map_filter(col("labels"), (k, _) => k.isin(a.grouping: _*))
+      val keyed = iv
+        .withColumn("g_labels", keep)
+        .withColumn("g_key", graft.functions.seriesKey(col("g_labels")))
+      def grouped(aggs: Column*): DataFrame =
+        keyed.groupBy("g_key", "t")
+          .agg(first("g_labels").as("labels"), aggs: _*)
+          .withColumnRenamed("g_key", "series_key")
+          .select("series_key", "labels", "t", "v")
+      Vec(a.op match {
+        case "sum" => grouped(sum("v").as("v"))
+        case "min" => grouped(min("v").as("v"))
+        case "max" => grouped(max("v").as("v"))
+        case "avg" => grouped(avg("v").as("v"))
+        case "count" => grouped(count(lit(1)).cast("double").as("v"))
+        case "stddev" => grouped(
+          sqrt(sum(col("v") * col("v")) / count(lit(1)) -
+            pow(sum("v") / count(lit(1)), 2)).as("v"))
+        case "stdvar" => grouped(
+          (sum(col("v") * col("v")) / count(lit(1)) -
+            pow(sum("v") / count(lit(1)), 2)).as("v"))
+        case "quantile" =>
+          val phi = scalarOf(a.param.getOrElse(fail("quantile needs φ")))
+          grouped(expr(s"percentile(v, $phi)").as("v"))
+        case "topk" | "bottomk" =>
+          val k = scalarOf(a.param.getOrElse(fail(s"${a.op} needs k"))).toInt
+          val ord = if (a.op == "topk") col("v").desc else col("v").asc
+          // topk keeps the INPUT series' full label sets
+          keyed
+            .withColumn("__rk", row_number().over(
+              Window.partitionBy("g_key", "t").orderBy(ord, col("series_key"))))
+            .where(col("__rk") <= k)
+            .select("series_key", "labels", "t", "v")
+        case "count_values" =>
+          val target = a.param match {
+            case Some(StringLit(s)) => s
+            case _ => fail("count_values needs a label-name string literal")
+          }
+          // group key gains a label holding the sample VALUE (formatted
+          // like Prometheus: integral values print without a fraction)
+          val vStr = when(col("v") === floor(col("v")),
+            col("v").cast("long").cast("string")).otherwise(col("v").cast("string"))
+          keyed
+            .withColumn("g_labels",
+              map_concat(col("g_labels"), map(lit(target), vStr)))
+            .withColumn("g_key", graft.functions.seriesKey(col("g_labels")))
+            .groupBy("g_key", "t")
+            .agg(first("g_labels").as("labels"),
+              count(lit(1)).cast("double").as("v"))
+            .withColumnRenamed("g_key", "series_key")
+            .select("series_key", "labels", "t", "v")
+        case other => fail(s"unsupported aggregation $other")
+      })
+    }
+
+    // --- binary operators ----------------------------------------------
+
+    private def binary(b: Bin): Value = (eval(b.lhs), eval(b.rhs)) match {
+      case (Scal(l), Scal(r)) => Scal(scalarScalar(b.op, l, r, b.bool))
+      case (Vec(l), Scal(r)) => Vec(vectorScalar(b, l, lit(r), scalarRight = true))
+      case (Scal(l), Vec(r)) => Vec(vectorScalar(b, r, lit(l), scalarRight = false))
+      case (Vec(l), Vec(r)) => Vec(vectorVector(b, l, r))
+    }
+
+    private def scalarScalar(op: String, l: Double, r: Double, bool: Boolean): Double = {
+      def cmp(res: Boolean) = if (res) 1.0 else 0.0
+      op match {
+        case "+" => l + r; case "-" => l - r; case "*" => l * r
+        case "/" => l / r; case "%" => l % r; case "^" => math.pow(l, r)
+        case "==" => cmp(l == r); case "!=" => cmp(l != r)
+        case ">" => cmp(l > r); case "<" => cmp(l < r)
+        case ">=" => cmp(l >= r); case "<=" => cmp(l <= r)
+        case other => fail(s"scalar $other scalar is not defined")
+      }
+    }
+
+    private def arith(op: String, l: Column, r: Column): Column = op match {
+      case "+" => l + r; case "-" => l - r; case "*" => l * r
+      case "/" => l / r; case "%" => l % r; case "^" => pow(l, r)
+      case _ => fail(s"$op is not arithmetic")
+    }
+
+    private def cmpCol(op: String, l: Column, r: Column): Column = op match {
+      case "==" => l === r; case "!=" => l =!= r
+      case ">" => l > r; case "<" => l < r
+      case ">=" => l >= r; case "<=" => l <= r
+      case _ => fail(s"$op is not a comparison")
+    }
+
+    private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+
+    private def vectorScalar(b: Bin, v: DataFrame, s: Column, scalarRight: Boolean): DataFrame = {
+      val (l, r) = if (scalarRight) (col("v"), s) else (s, col("v"))
+      if (cmpOps.contains(b.op)) {
+        val pred = cmpCol(b.op, l, r)
+        if (b.bool)
+          dropName(v.withColumn("v", when(pred, 1.0).otherwise(0.0)))
+        else v.where(pred) // filter keeps the original label sets
+      } else dropName(v.withColumn("v", arith(b.op, l, r)))
+    }
+
+    private def matchKey(matching: Option[(Boolean, Seq[String])]): Column = {
+      val kept = matching match {
+        case Some((true, ls)) => // on(...)
+          map_filter(col("labels"), (k, _) => k.isin(ls: _*))
+        case Some((false, ls)) => // ignoring(...)
+          map_filter(col("labels"), (k, _) => !k.isin(ls :+ p.nameLabel: _*))
+        case None =>
+          map_filter(col("labels"), (k, _) => k =!= p.nameLabel)
+      }
+      graft.functions.seriesKey(kept)
+    }
+
+    private def vectorVector(b: Bin, l: DataFrame, r: DataFrame): DataFrame = {
+      val lk = l.withColumn("__mk", matchKey(b.matchOn))
+      val rk = r.withColumn("__mk", matchKey(b.matchOn))
+      b.op match {
+        case "and" =>
+          lk.join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi")
+            .select("series_key", "labels", "t", "v")
+        case "unless" =>
+          lk.join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_anti")
+            .select("series_key", "labels", "t", "v")
+        case "or" =>
+          val extra = rk.join(lk.select("__mk", "t").distinct(),
+            Seq("__mk", "t"), "left_anti")
+          lk.select("series_key", "labels", "t", "v")
+            .unionByName(extra.select("series_key", "labels", "t", "v"))
+        case op =>
+          // one-to-one matching: equal match keys at equal instants
+          val joined = lk.join(
+            rk.select(col("__mk"), col("t"), col("v").as("__rv")),
+            Seq("__mk", "t"))
+          if (cmpOps.contains(op)) {
+            val pred = cmpCol(op, col("v"), col("__rv"))
+            if (b.bool)
+              dropName(joined.withColumn("v", when(pred, 1.0).otherwise(0.0)))
+                .select("series_key", "labels", "t", "v")
+            else joined.where(pred) // keeps lhs value and labels
+              .select("series_key", "labels", "t", "v")
+          } else
+            dropName(joined.withColumn("v", arith(op, col("v"), col("__rv"))))
+              .select("series_key", "labels", "t", "v")
+      }
+    }
+  }
+}

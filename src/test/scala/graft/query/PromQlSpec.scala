@@ -1,0 +1,284 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** PromQL front-end vectors — the fixtures follow the upstream promql
+  * testdata style (`load 5m` series, `eval instant at 50m`), with the
+  * expected values derived from the documented evaluation model:
+  * left-open selector windows (Prometheus 3.x), counter extrapolation
+  * per extrapolatedRate, one-to-one vector matching. */
+class PromQlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val M = 60000L
+  private val STEP5 = 5 * M
+
+  /** `load <stepMs>`: each series' samples at t = 0, step, 2·step, … */
+  private def load(stepMs: Long)(series: (Map[String, String], Seq[Double])*): DataFrame =
+    series.flatMap { case (lbls, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (lbls, i * stepMs, v) }
+    }.toDF("labels", "t", "v")
+      .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+      .select("series_key", "labels", "t", "v")
+
+  private def at(instantMs: Long, lookbackMs: Long = 300000L) =
+    PromQl.Params(instantMs, instantMs, 60000L, lookbackMs)
+
+  private def vals(df: DataFrame): Map[String, Double] =
+    df.select("series_key", "v").as[(String, Double)].collect().toMap
+
+  private def one(df: DataFrame): Double = {
+    val rows = df.select("v").as[Double].collect()
+    assert(rows.length == 1, s"expected one row, got ${rows.length}")
+    rows.head
+  }
+
+  // the canonical counter fixture: 0 +10 x10 every 5m (upstream
+  // functions.test `http_requests`)
+  private lazy val counters = load(STEP5)(
+    Map("__name__" -> "http_requests", "job" -> "api", "instance" -> "0") ->
+      (0 to 10).map(_ * 10.0),
+    Map("__name__" -> "http_requests", "job" -> "api", "instance" -> "1") ->
+      (0 to 10).map(_ * 20.0))
+
+  test("instant selector: latest in-lookback sample per series, staleness drops") {
+    // samples at 0..50m; eval at 52m within lookback -> value at 50m
+    val out = PromQl.eval("http_requests{instance=\"0\"}", counters, at(52 * M))
+    assert(one(out) == 100.0)
+    // eval at 56m: the 50m sample is 6m old > 5m lookback -> empty
+    val stale = PromQl.eval("http_requests{instance=\"0\"}", counters, at(56 * M))
+    assert(stale.count() == 0)
+    // selector keeps the full label set incl. the metric name
+    val lbls = PromQl.eval("http_requests", counters, at(50 * M))
+      .select("labels").as[Map[String, String]].head()
+    assert(lbls.contains("__name__"))
+  }
+
+  test("rate: counter extrapolation (functions.test vector: 0.03333/s)") {
+    val out = PromQl.eval("rate(http_requests[50m])", counters, at(50 * M))
+    val m = vals(out)
+    assert(m.size == 2)
+    // window (0, 50m]: first=10@5m, last=100@50m, extrapolates to the
+    // full 3000 s window -> 100/3000
+    assert(math.abs(m("{instance=\"0\",job=\"api\"}") - 100.0 / 3000.0) < 1e-9)
+    assert(math.abs(m("{instance=\"1\",job=\"api\"}") - 200.0 / 3000.0) < 1e-9)
+  }
+
+  test("increase = rate × range; delta on a gauge") {
+    val inc = vals(PromQl.eval("increase(http_requests[50m])", counters, at(50 * M)))
+    assert(math.abs(inc("{instance=\"0\",job=\"api\"}") - 100.0) < 1e-9)
+    val temp = load(STEP5)(
+      Map("__name__" -> "cpu_temp") -> Seq(30.0, 29.0, 28.0, 27.0, 26.0))
+    // window (0, 20m]: first=29@5m, last=26@20m, base=-3 over 900 s
+    // sampled; extrapolates by durationToStart=300 (< threshold 330)
+    // and durationToEnd=0 -> -3 * 1200/900 = -4
+    val d = one(PromQl.eval("delta(cpu_temp[20m])", temp, at(20 * M)))
+    assert(math.abs(d - (-4.0)) < 1e-9)
+  }
+
+  test("irate and idelta use the last two samples") {
+    val ir = vals(PromQl.eval("irate(http_requests[15m])", counters, at(50 * M)))
+    assert(math.abs(ir("{instance=\"0\",job=\"api\"}") - 10.0 / 300.0) < 1e-12)
+    val id = vals(PromQl.eval("idelta(http_requests[15m])", counters, at(50 * M)))
+    assert(id("{instance=\"0\",job=\"api\"}") == 10.0)
+  }
+
+  test("resets and changes count in-window transitions") {
+    val s = load(M)(
+      Map("__name__" -> "m") -> Seq(5.0, 6.0, 2.0, 3.0, 3.0, 1.0, 4.0))
+    // window (0, 6m]: samples 6,2,3,3,1,4 — resets at 6->2 and 3->1;
+    // changes: 6->2, 2->3, 3->1, 1->4 (3->3 is no change) = 4
+    assert(one(PromQl.eval("resets(m[6m])", s, at(6 * M, lookbackMs = M))) == 2.0)
+    assert(one(PromQl.eval("changes(m[6m])", s, at(6 * M, lookbackMs = M))) == 4.0)
+  }
+
+  test("deriv is the least-squares slope; predict_linear projects it") {
+    // exactly linear: 10 per 300 s
+    val d = one(PromQl.eval("deriv(http_requests{instance=\"0\"}[50m])",
+      counters, at(50 * M)))
+    assert(math.abs(d - 10.0 / 300.0) < 1e-9)
+    // value at eval time (100) + slope * 3600
+    val p = one(PromQl.eval("predict_linear(http_requests{instance=\"0\"}[50m], 3600)",
+      counters, at(50 * M)))
+    assert(math.abs(p - (100.0 + 3600.0 * 10.0 / 300.0)) < 1e-6)
+  }
+
+  test("the *_over_time family aggregates the trailing window") {
+    val s = load(M)(Map("__name__" -> "m") -> Seq(1.0, 4.0, 2.0, 8.0))
+    val p = at(3 * M, lookbackMs = M)
+    def f(q: String) = one(PromQl.eval(q, s, p))
+    // window (0, 3m]: 4, 2, 8
+    assert(f("sum_over_time(m[3m])") == 14.0)
+    assert(f("avg_over_time(m[3m])") == 14.0 / 3)
+    assert(f("min_over_time(m[3m])") == 2.0)
+    assert(f("max_over_time(m[3m])") == 8.0)
+    assert(f("count_over_time(m[3m])") == 3.0)
+    assert(f("last_over_time(m[3m])") == 8.0)
+    assert(f("quantile_over_time(0.5, m[3m])") == 4.0)
+    val mean = 14.0 / 3
+    val varPop = (Seq(4.0, 2.0, 8.0).map(x => x * x).sum / 3) - mean * mean
+    assert(math.abs(f("stdvar_over_time(m[3m])") - varPop) < 1e-9)
+    assert(math.abs(f("stddev_over_time(m[3m])") - math.sqrt(varPop)) < 1e-9)
+  }
+
+  test("offset shifts the evaluation point back") {
+    val out = PromQl.eval("http_requests{instance=\"0\"} offset 25m",
+      counters, at(50 * M))
+    assert(one(out) == 50.0) // the value at 25m
+  }
+
+  test("aggregations: sum/avg/count/topk/quantile/count_values with by") {
+    val p = at(50 * M)
+    val sum = PromQl.eval("sum by (job) (http_requests)", counters, p)
+    assert(vals(sum) == Map("{job=\"api\"}" -> 300.0))
+    val cnt = PromQl.eval("count(http_requests)", counters, p)
+    assert(vals(cnt) == Map("{}" -> 2.0))
+    val avg = PromQl.eval("avg without (instance) (http_requests)", counters, p)
+    assert(vals(avg) == Map("{job=\"api\"}" -> 150.0))
+    // topk keeps the winning input series' full labels
+    val top = PromQl.eval("topk(1, http_requests)", counters, p)
+    val topRows = top.select("series_key", "v").as[(String, Double)].collect().toSeq
+    assert(topRows.length == 1 && topRows.head._2 == 200.0)
+    assert(topRows.head._1.contains("instance=\"1\""))
+    val q = PromQl.eval("quantile(0.5, http_requests)", counters, p)
+    assert(vals(q) == Map("{}" -> 150.0))
+    val cv = PromQl.eval("count_values(\"val\", http_requests)", counters, p)
+    assert(vals(cv) == Map("{val=\"100\"}" -> 1.0, "{val=\"200\"}" -> 1.0))
+  }
+
+  test("binary ops: vector-scalar arithmetic, comparison filter and bool") {
+    val p = at(50 * M)
+    val doubled = vals(PromQl.eval("http_requests * 2", counters, p))
+    // arithmetic drops the metric name from the result labels
+    assert(doubled == Map(
+      "{instance=\"0\",job=\"api\"}" -> 200.0,
+      "{instance=\"1\",job=\"api\"}" -> 400.0))
+    val filtered = PromQl.eval("http_requests > 150", counters, p)
+    assert(vals(filtered).values.toSeq == Seq(200.0)) // keeps the value
+    val bool = vals(PromQl.eval("http_requests > bool 150", counters, p))
+    assert(bool.values.toSet == Set(0.0, 1.0))
+  }
+
+  test("binary ops: one-to-one vector matching, on/ignoring, set ops") {
+    val p = at(50 * M)
+    val errors = load(STEP5)(
+      Map("__name__" -> "http_errors", "job" -> "api", "instance" -> "0") ->
+        (0 to 10).map(_ * 1.0),
+      Map("__name__" -> "http_errors", "job" -> "api", "instance" -> "1") ->
+        (0 to 10).map(_ * 5.0))
+    val both = counters.unionByName(errors)
+    // default matching: all labels ignoring __name__
+    val ratio = vals(PromQl.eval("http_errors / http_requests", both, p))
+    assert(math.abs(ratio("{instance=\"0\",job=\"api\"}") - 0.1) < 1e-9)
+    assert(math.abs(ratio("{instance=\"1\",job=\"api\"}") - 0.25) < 1e-9)
+    // on(instance): same result here, through the explicit key
+    val on = vals(PromQl.eval("http_errors / on(instance, job) http_requests", both, p))
+    assert(on == ratio)
+    // and / unless
+    val and = PromQl.eval("http_requests and http_errors", both, p)
+    assert(and.count() == 2)
+    val unless = PromQl.eval(
+      "http_requests unless http_errors{instance=\"0\"}", both, p)
+    assert(vals(unless).keySet.forall(_.contains("instance=\"1\"")))
+    // or: rhs series join in only when their MATCH KEY (labels
+    // ignoring __name__) is absent from the lhs — http_errors
+    // {instance="0"} shares its key with the lhs series and is dropped
+    val or = PromQl.eval(
+      "http_requests{instance=\"0\"} or http_errors", both, p)
+    val orRows = vals(or)
+    assert(orRows.size == 2, orRows)
+    assert(orRows.values.toSet == Set(100.0, 50.0)) // lhs req + errors{1}
+  }
+
+  test("instant functions and nesting") {
+    val p = at(50 * M)
+    val s = vals(PromQl.eval("sqrt(http_requests{instance=\"0\"})", counters, p))
+    assert(s.values.head == 10.0)
+    val nested = one(PromQl.eval(
+      "sum(rate(http_requests[50m])) * 3000", counters, p))
+    assert(math.abs(nested - 300.0) < 1e-6)
+    val clamp = vals(PromQl.eval("clamp(http_requests, 120, 180)", counters, p))
+    assert(clamp.values.toSet == Set(120.0, 180.0))
+    val neg = one(PromQl.eval("-http_requests{instance=\"0\"}", counters, p))
+    assert(neg == -100.0)
+    assert(one(PromQl.eval("vector(42)", counters, at(0))) == 42.0)
+  }
+
+  test("histogram_quantile interpolates within the winning bucket") {
+    def bucket(le: String, v: Double) =
+      Map("__name__" -> "lat_bucket", "le" -> le, "job" -> "x") -> Seq(v)
+    val h = load(M)(
+      bucket("0.1", 50.0), bucket("0.2", 70.0), bucket("0.4", 90.0),
+      bucket("1", 100.0), bucket("+Inf", 100.0))
+    val p = at(0, lookbackMs = M)
+    assert(math.abs(one(PromQl.eval(
+      "histogram_quantile(0.5, lat_bucket)", h, p)) - 0.1) < 1e-9)
+    assert(math.abs(one(PromQl.eval(
+      "histogram_quantile(0.9, lat_bucket)", h, p)) - 0.4) < 1e-9)
+    // the +Inf bucket wins -> the highest finite bound
+    assert(one(PromQl.eval("histogram_quantile(1, lat_bucket)", h, p)) == 1.0)
+    // result drops le and groups by the remaining labels
+    val k = PromQl.eval("histogram_quantile(0.5, lat_bucket)", h, p)
+      .select("series_key").as[String].head()
+    assert(k == "{job=\"x\"}")
+  }
+
+  test("range evaluation produces one point per lattice instant") {
+    val out = PromQl.eval("sum(http_requests)",
+      counters, PromQl.Params(0, 50 * M, STEP5))
+    // instants 0..50m step 5m -> 11 points, each the sum at that time
+    assert(out.count() == 11)
+    val at25 = out.where(col("t") === 25 * M).select("v").as[Double].head()
+    assert(at25 == 50.0 + 100.0) // 5*10 + 5*20
+  }
+
+  test("parse errors: unsupported constructs are rejected loudly") {
+    intercept[IllegalArgumentException] { PromQl.parse("a + group_left b") }
+    intercept[IllegalArgumentException] { PromQl.parse("rate(m[5m)") }
+    intercept[IllegalArgumentException] { PromQl.parse("m{label=}") }
+    intercept[IllegalArgumentException] {
+      PromQl.eval("scalar(m)", counters, at(0))
+    }
+    // durations: compound and ms units lex correctly
+    assert(PromQl.parse("m[1h30m]") ==
+      PromQl.RangeSel(PromQl.Selector(Some("m"), Nil, 0L), 90 * M))
+    assert(PromQl.parse("m[1500ms]") ==
+      PromQl.RangeSel(PromQl.Selector(Some("m"), Nil, 0L), 1500L))
+  }
+
+  test("differential: PromQL increase matches Rate.extrapolatedRate on aligned buckets") {
+    // The tumbling-bucket operator and the sliding-window evaluator
+    // agree when the window IS the bucket. Timestamps sit off every
+    // bucket boundary (t ≡ 13 mod 60000) so the two conventions —
+    // half-open (b−H, b] here, [b−H, b) in rangeForTimestamp — contain
+    // identical sample sets.
+    val H = 3600000L
+    val T0 = 1704067200000L
+    val src = spark.range(200L * 50L).select(
+        concat(lit("s"), (col("id") % 200).cast("string")).as("sk"),
+        col("id").as("sample_id"),
+        (lit(T0) + expr("id div 200") * 60000L + 13L).as("t"),
+        // counter with planted resets every 17th sample
+        when(pmod(col("id"), lit(17)) === 0, lit(0.5))
+          .otherwise((expr("id div 200") * 3 + pmod(col("id"), lit(7))).cast("double"))
+          .as("v"))
+      .withColumn("labels", map(lit("__name__"), lit("m"), lit("sk"), col("sk")))
+      .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+    val p = PromQl.Params(T0 + H, T0 + 3 * H, H)
+    val got = PromQl.eval("increase(m[1h])", src, p)
+      .select(col("labels").getItem("sk").as("sk"),
+        col("t").as("t_bucket"), round(col("v"), 4).as("v"))
+    val want = Rate.extrapolatedRate(
+        src.select(col("sk").as("series_key"), col("sample_id"), col("t"), col("v")), H)
+      .where(col("t_bucket").between(T0 + H, T0 + 3 * H))
+      .select(col("series_key").as("sk"), col("t_bucket"),
+        col("xincrease").as("v"))
+    val g = got.as[(String, Long, Double)].collect().toSet
+    val w = want.as[(String, Long, Double)].collect().toSet
+    assert(g.nonEmpty)
+    assert(g == w, s"only-promql=${(g -- w).take(3)} only-rate=${(w -- g).take(3)}")
+  }
+}
