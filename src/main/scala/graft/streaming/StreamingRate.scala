@@ -62,4 +62,64 @@ object StreamingRate {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         incrementsForSeries)
   }
+
+  /** One evaluated instant of a rule input: a per-(series, lattice
+    * instant) value — [[StreamingIngest.streamingIncrease]]'s closed
+    * buckets, a windowed rollup, or any other on-lattice stream. */
+  final case class RuleInput(series_key: String, t: Long, value: Double)
+  final case class AlertRow(series_key: String, t: Long, value: Double, state: String)
+  final case class AlertSt(lastCondT: Long, run: Long)
+
+  private[streaming] def alertForSeries(
+      cond: Double => Boolean,
+      forSteps: Int,
+      stepMs: Long)(
+      key: String,
+      it: Iterator[RuleInput],
+      state: GroupState[AlertSt]): Iterator[AlertRow] = {
+    var st = state.getOption.getOrElse(AlertSt(Long.MinValue, 0L))
+    val out = it.toSeq.sortBy(_.t).flatMap { r =>
+      if (!cond(r.value)) {
+        // inactive instant: the run breaks, nothing is emitted —
+        // exactly the batch operator's where(cond)
+        st = AlertSt(Long.MinValue, 0L)
+        None
+      } else {
+        val run =
+          if (st.lastCondT == r.t - stepMs) st.run + 1 else 1L
+        st = AlertSt(r.t, run)
+        Some(AlertRow(key, r.t, r.value,
+          if (run >= forSteps + 1) "firing" else "pending"))
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** [[graft.query.Rules.alertState]] as a CONTINUOUS query — the
+    * rules engine evaluated per micro-batch instead of per nightly
+    * pass. Per-series state is one `(last condition-true instant,
+    * run length)` pair: the batch operator's trailing RANGE frame
+    * counts `forSteps + 1` present-and-true instants, which over an
+    * on-lattice input is exactly an unbroken run of condition-true
+    * instants `stepMs` apart — a stale (absent) or condition-false
+    * instant resets the run, PromQL's pending-reset. Emitted rows are
+    * final (the input's instants are; StreamingSpec pins the
+    * differential against the batch operator on a micro-batch split).
+    *
+    * Input instants must arrive in nondecreasing `t` order per series
+    * across batches — [[StreamingIngest.streamingIncrease]]'s
+    * bucket-close order and any watermark-ordered rollup satisfy this;
+    * within a batch the fold sorts. */
+  def streamingAlertState(
+      rows: Dataset[RuleInput],
+      cond: Double => Boolean,
+      forSteps: Int,
+      stepMs: Long): Dataset[AlertRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.series_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        alertForSeries(cond, forSteps, stepMs))
+  }
 }

@@ -525,6 +525,56 @@ class StreamingSpec extends SparkSuite {
       (40L, Some(1.5), false))) // t=15 stale: dropped
   }
 
+  test("streaming alertState matches the batch operator on a micro-batch split") {
+    // the nightly rules engine as a continuous query: same frame rows,
+    // delivered across three micro-batches, must produce exactly the
+    // batch Rules.alertState verdicts — pending until the `for` window
+    // fills, firing after, run broken by a condition-false instant AND
+    // by a stale (absent) instant
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingRate.RuleInput
+    val STEP = 100L
+    val rows = Seq(
+      // series a: true at 100..400 -> pending,pending,firing,firing
+      RuleInput("a", 100, 15.0), RuleInput("a", 200, 16.0),
+      RuleInput("a", 300, 17.0), RuleInput("a", 400, 18.0),
+      // series b: true, FALSE breaks the run, true, true -> the post-
+      // break run restarts at pending
+      RuleInput("b", 100, 20.0), RuleInput("b", 200, 5.0),
+      RuleInput("b", 300, 21.0), RuleInput("b", 400, 22.0),
+      // series c: true at 100, STALE at 200 (absent), true at 300, 400
+      RuleInput("c", 100, 30.0), RuleInput("c", 300, 31.0),
+      RuleInput("c", 400, 32.0))
+    val FOR = 2 // firing needs 3 consecutive true instants
+    val THRESH = 10.0
+
+    // batch twin over the same frame
+    val frame = rows.toDF("series_key", "t", "r_v")
+    val want = graft.query.Rules
+      .alertState(frame,
+        org.apache.spark.sql.functions.col("r_v") > THRESH, FOR, STEP)
+      .select("series_key", "t", "value", "state")
+      .as[(String, Long, Double, String)].collect().toSet
+
+    val in = MemoryStream[RuleInput]
+    val q = StreamingRate
+      .streamingAlertState(in.toDS(), _ > THRESH, FOR, STEP)
+      .writeStream.format("memory").queryName("salert")
+      .outputMode(OutputMode.Append).start()
+    // split mid-series so runs span batch boundaries through state
+    in.addData(rows.take(4): _*); q.processAllAvailable()
+    in.addData(rows.slice(4, 8): _*); q.processAllAvailable()
+    in.addData(rows.drop(8): _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("salert").as[StreamingRate.AlertRow].collect()
+      .map(r => (r.series_key, r.t, r.value, r.state)).toSet
+    assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+    // spot-pin the interesting verdicts
+    assert(got.contains(("a", 300L, 17.0, "firing")))
+    assert(got.contains(("b", 400L, 22.0, "pending"))) // run broken at 200
+    assert(got.contains(("c", 400L, 32.0, "pending"))) // stale 200 broke it
+  }
+
   test("snapshot mid-stream carries every ingested sample; the live store keeps " +
     "moving, the snapshot is frozen (TestDB_Snapshot_ChunksOutsideOfCompactedRange db_test.go:495)") {
     // The reference must special-case head chunks beyond the compacted
