@@ -105,6 +105,30 @@ final class Db private (
     passes
   }
 
+  /** Evaluate a PromQL range query over this store — the full language
+    * front-end ([[graft.query.PromQl]]) on the label-carrying read
+    * path: selector resolution still happens in the compiled plan (the
+    * store read attaches each series' label map from the postings
+    * index, one pivot). `nameLabel` defaults to `__name__`, the
+    * Prometheus convention. */
+  def promql(
+      query: String,
+      startMs: Long,
+      endMs: Long,
+      stepMs: Long,
+      lookbackMs: Long = 300000L,
+      nameLabel: String = "__name__"): DataFrame = {
+    // bound the scan to exactly what the expression can reach: the
+    // widest lookback/range/offset behind `start` — block pruning and
+    // t pushdown then apply like any readRange
+    val behind = graft.query.PromQl.maxLookbehindMs(query, lookbackMs)
+    val mint =
+      if (startMs < Long.MinValue + behind) Long.MinValue else startMs - behind
+    val samples = store.readRange(spark, mint, endMs, withLabels = true)
+    graft.query.PromQl.eval(query, samples,
+      graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs, nameLabel))
+  }
+
   /** Consistent snapshot into `destRoot` (`db.go:1108-1146`). */
   def snapshot(destRoot: String): Unit = store.snapshot(destRoot)
 

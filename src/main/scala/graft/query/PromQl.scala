@@ -34,7 +34,7 @@ import graft.matchers.{Eq, Matcher, Re}
   *    (avg/min/max/sum/count/last/stddev/stdvar/quantile/present);
   *  - instant functions: abs, ceil, floor, exp, ln, log2, log10, sqrt,
   *    sgn, round, clamp, clamp_min, clamp_max, histogram_quantile,
-  *    vector;
+  *    vector, absent, sort/sort_desc, label_replace, label_join;
   *  - aggregations with `by`/`without`: sum, min, max, avg, count,
   *    stddev, stdvar, quantile, topk, bottomk, count_values;
   *  - binary ops: `+ - * / % ^` and comparisons (with `bool`),
@@ -175,6 +175,26 @@ object PromQl {
   // ------------------------------------------------------------ Parser
 
   def parse(q: String): Expr = new Parser(lex(q)).parseAll()
+
+  /** Widest time the expression can reach behind an evaluation instant
+    * — staleness lookback or selector range, plus any offset — so a
+    * storage layer can bound its scan to `[start − lookbehind, end]`
+    * instead of reading all history. */
+  def maxLookbehindMs(query: String, lookbackMs: Long): Long =
+    maxLookbehind(parse(query), lookbackMs)
+
+  private def maxLookbehind(e: Expr, look: Long): Long = e match {
+    case s: Selector => look + s.offsetMs
+    case RangeSel(s, r) => r + s.offsetMs
+    case Call(_, args) =>
+      (args.map(maxLookbehind(_, look)) :+ 0L).max
+    case Agg(_, p, b, _, _) =>
+      (p.toSeq :+ b).map(maxLookbehind(_, look)).max
+    case Bin(_, l, r, _, _) =>
+      math.max(maxLookbehind(l, look), maxLookbehind(r, look))
+    case Neg(x) => maxLookbehind(x, look)
+    case _ => 0L
+  }
 
   private final class Parser(toks: Seq[Tok]) {
     private var pos = 0
@@ -648,6 +668,18 @@ object PromQl {
             map().cast("map<string,string>").as("labels"),
             col("id").as("t"), lit(v).as("v")))
       case Call("scalar", _) => fail("scalar() is not supported")
+      case Call("absent", Seq(e)) => Vec(absentOf(e))
+      case Call("sort" | "sort_desc", Seq(e)) =>
+        // presentation-order functions: a relational result set has no
+        // element order — the final eval() ordering applies; identity
+        eval(e)
+      case Call("label_replace",
+          Seq(e, StringLit(dst), StringLit(rep), StringLit(src), StringLit(re))) =>
+        Vec(labelReplace(vecOf(e), dst, rep, src, re))
+      case Call("label_join", e +: StringLit(dst) +: StringLit(sep) +: srcs)
+          if srcs.nonEmpty && srcs.forall(_.isInstanceOf[StringLit]) =>
+        Vec(labelJoin(vecOf(e), dst, sep,
+          srcs.map(_.asInstanceOf[StringLit].s)))
       case Call("round", Seq(e)) => instantFn(e, round(col("v"), 0).cast("double"))
       case Call("round", Seq(e, to)) =>
         val m = scalarOf(to)
@@ -687,6 +719,57 @@ object PromQl {
     private def scalarOf(e: Expr): Double = eval(e) match {
       case Scal(v) => v
       case Vec(_) => fail("expected a scalar literal")
+    }
+
+    /** `absent(v)`: the `{}`-labeled 1 at every lattice instant where
+      * `v` has no elements — enriched with the argument selector's
+      * literal equality matchers (the Prometheus convention), metric
+      * name excluded. */
+    private def absentOf(e: Expr): DataFrame = {
+      val present = vecOf(e).select("t").distinct()
+      val lattice = spark.range(p.startMs, p.endMs + 1, p.stepMs)
+        .select(col("id").as("t"))
+      val missing = lattice.join(present, Seq("t"), "left_anti")
+      val eqs: Seq[(String, String)] = e match {
+        case s: Selector => s.matchers.collect {
+          case Eq(n, v) if n != p.nameLabel && v.nonEmpty => (n, v)
+        }.sortBy(_._1)
+        case _ => Nil
+      }
+      val labelsCol =
+        if (eqs.isEmpty) map().cast("map<string,string>")
+        else map(eqs.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val key = eqs.map { case (k, v) => s"""$k="$v"""" }
+        .mkString("{", ",", "}")
+      missing.select(lit(key).as("series_key"), labelsCol.as("labels"),
+        col("t"), lit(1.0).as("v"))
+    }
+
+    /** `label_replace(v, dst, replacement, src, regex)`: full-anchored
+      * regex against the src label's value (absent ≡ ""); on match dst
+      * becomes the `$1`-expanded replacement (empty removes it), on
+      * mismatch the element passes unchanged. */
+    private def labelReplace(
+        iv: DataFrame, dst: String, rep: String, src: String, re: String): DataFrame = {
+      val anchored = s"^(?:$re)$$"
+      val srcVal = coalesce(col("labels").getItem(src), lit(""))
+      val matched = srcVal.rlike(anchored)
+      val newVal = regexp_replace(srcVal, anchored, rep)
+      val without = map_filter(col("labels"), (k, _) => k =!= dst)
+      val replaced = when(newVal === "", without)
+        .otherwise(map_concat(without, map(lit(dst), newVal)))
+      relabel(iv, when(matched, replaced).otherwise(col("labels")))
+    }
+
+    /** `label_join(v, dst, sep, src...)`: dst = the src label values
+      * joined by sep (absent ≡ ""); an empty result removes dst. */
+    private def labelJoin(
+        iv: DataFrame, dst: String, sep: String, srcs: Seq[String]): DataFrame = {
+      val joined = concat_ws(sep,
+        srcs.map(s => coalesce(col("labels").getItem(s), lit(""))): _*)
+      val without = map_filter(col("labels"), (k, _) => k =!= dst)
+      relabel(iv, when(joined === "", without)
+        .otherwise(map_concat(without, map(lit(dst), joined))))
     }
 
     /** Generic `histogram_quantile` over cumulative `le` buckets: group

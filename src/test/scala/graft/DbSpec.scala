@@ -222,4 +222,27 @@ class DbSpec extends SparkSuite {
     assert(db.blocks.map(_.numSamples).sum == 3L)
     assert(db.query(0, 10).count() == 3)
   }
+
+  test("promql over the store: the language runs on the label-carrying read path") {
+    val root = Files.createTempDirectory("graft-db-promql").toString
+    val db = Db.open(spark, root, Db.Options(blockRangeMs = 3600000L))
+    val M = 60000L
+    // a counter incrementing 10/min for two series
+    def key(inst: String) = model.Labels("__name__" -> "req", "inst" -> inst).canonical
+    db.appender(minValidTime = 0).add(batch(
+      (0 to 10).flatMap(i => Seq(
+        (key("0"), i * M, i * 10.0, i * 2L,
+          Map("__name__" -> "req", "inst" -> "0")),
+        (key("1"), i * M, i * 20.0, i * 2L + 1,
+          Map("__name__" -> "req", "inst" -> "1")))): _*)).commit()
+    // instant vector at 10m: latest values
+    val iv = db.promql("req", 10 * M, 10 * M, M)
+    assert(iv.select("v").as[Double].collect().sorted.toSeq == Seq(100.0, 200.0))
+    // selector matchers resolve through the index-backed labels
+    val sel = db.promql("req{inst=\"1\"}", 10 * M, 10 * M, M)
+    assert(sel.select("v").as[Double].head() == 200.0)
+    // sum(rate): 10/60 + 20/60 per second over the exactly-linear window
+    val sr = db.promql("sum(rate(req[10m]))", 10 * M, 10 * M, M)
+    assert(math.abs(sr.select("v").as[Double].head() - 30.0 / 60.0) < 1e-9)
+  }
 }

@@ -235,6 +235,35 @@ class PromQlSpec extends SparkSuite {
     assert(at25 == 50.0 + 100.0) // 5*10 + 5*20
   }
 
+  test("absent, label_replace, label_join") {
+    val p = at(50 * M)
+    // http_requests exists at 50m -> absent() empty; nonexistent -> 1
+    assert(PromQl.eval("absent(http_requests)", counters, p).count() == 0)
+    val ab = PromQl.eval("absent(nonexistent{job=\"myjob\"})", counters, p)
+    val abRow = ab.select("series_key", "v").as[(String, Double)].head()
+    assert(abRow == (("{job=\"myjob\"}", 1.0))) // Eq matchers become labels
+    // label_replace: $1 expansion on match; mismatch passes through
+    val lr = PromQl.eval(
+      "label_replace(http_requests, \"inst2\", \"i$1\", \"instance\", \"(.*)\")",
+      counters, p)
+    val lrKeys = lr.select("series_key").as[String].collect().toSet
+    assert(lrKeys.forall(_.contains("inst2=\"i")), lrKeys)
+    val miss = PromQl.eval(
+      "label_replace(http_requests, \"x\", \"y\", \"instance\", \"zzz\")",
+      counters, p)
+    assert(miss.select("series_key").as[String].collect()
+      .forall(!_.contains("x=\"")))
+    // label_join concatenates src values into dst
+    val lj = PromQl.eval(
+      "label_join(http_requests, \"combo\", \"-\", \"job\", \"instance\")",
+      counters, p)
+    assert(lj.select("series_key").as[String].collect().toSet
+      .exists(_.contains("combo=\"api-0\"")))
+    // maxLookbehindMs: range + offset dominate the staleness lookback
+    assert(PromQl.maxLookbehindMs("rate(m[30m] offset 10m)", 300000L) == 40 * M)
+    assert(PromQl.maxLookbehindMs("sum(m)", 300000L) == 5 * M)
+  }
+
   test("parse errors: unsupported constructs are rejected loudly") {
     intercept[IllegalArgumentException] { PromQl.parse("a + group_left b") }
     intercept[IllegalArgumentException] { PromQl.parse("rate(m[5m)") }
