@@ -91,7 +91,12 @@ object Bench {
     // float vector on the scan must hold the floor next to
     // emb_ivf_persisted at any corpus scale — and the cross-corpus
     // bigram-LM scorer (two token exchanges + broadcast model)
-    "emb_ivfpq_persisted", "doc_bigram_logprob")
+    "emb_ivfpq_persisted", "doc_bigram_logprob",
+    // r7: the PromQL front-end's canonical aggregate — the compiled
+    // plan must price like the hand-built by-label fill it lowers to
+    // (ts_agg_by's shape: pruned scan, candidate-explode fill, two
+    // hash exchanges)
+    "promql_sum_by")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not
