@@ -38,11 +38,12 @@ import graft.matchers.{Eq, Matcher, Re}
   *  - aggregations with `by`/`without`: sum, min, max, avg, count,
   *    stddev, stdvar, quantile, topk, bottomk, count_values;
   *  - binary ops: `+ - * / % ^` and comparisons (with `bool`),
-  *    vector↔scalar and vector↔vector (one-to-one, `on`/`ignoring`),
-  *    set ops `and`/`or`/`unless`.
-  *  Not supported (rejected at parse/compile): `group_left`/
-  *  `group_right` many-to-one matching, subqueries, `@` modifiers,
-  *  native histograms, `time()`-dependent scalars.
+  *    vector↔scalar and vector↔vector (one-to-one `on`/`ignoring`,
+  *    many-to-one `group_left`/`group_right` with include labels),
+  *    set ops `and`/`or`/`unless`;
+  *  - subqueries `expr[range:step]` as range-function arguments.
+  *  Not supported (rejected at parse/compile): `@` modifiers, native
+  *  histograms, `time()`-dependent scalars, `scalar()`.
   */
 object PromQl {
 
@@ -63,13 +64,26 @@ object PromQl {
       body: Expr,
       grouping: Seq[String],
       without: Boolean) extends Expr
+  /** Vector-matching modifiers: `on`/`ignoring` label set plus the
+    * many-to-one cardinality (`group_left`/`group_right`) and its
+    * include labels. card: 0 = one-to-one, 1 = many-to-one (lhs many),
+    * 2 = one-to-many (rhs many). */
+  final case class Matching(
+      on: Boolean,
+      labels: Seq[String],
+      card: Int = 0,
+      include: Seq[String] = Nil)
   final case class Bin(
       op: String,
       lhs: Expr,
       rhs: Expr,
       bool: Boolean,
-      matchOn: Option[(Boolean, Seq[String])]) extends Expr
+      matchOn: Option[Matching]) extends Expr
   final case class Neg(e: Expr) extends Expr
+  /** `expr[range:step]` — the inner expression evaluated on a `step`
+    * lattice, consumed as a range vector (step 0 = the outer query's
+    * step). */
+  final case class Subquery(body: Expr, rangeMs: Long, stepMs: Long) extends Expr
 
   // ------------------------------------------------------------- Lexer
 
@@ -192,6 +206,7 @@ object PromQl {
       (p.toSeq :+ b).map(maxLookbehind(_, look)).max
     case Bin(_, l, r, _, _) =>
       math.max(maxLookbehind(l, look), maxLookbehind(r, look))
+    case Subquery(body, r, _) => r + maxLookbehind(body, look)
     case Neg(x) => maxLookbehind(x, look)
     case _ => 0L
   }
@@ -249,16 +264,28 @@ object PromQl {
       lhs
     }
 
-    private def parseBinModifiers(): (Boolean, Option[(Boolean, Seq[String])]) = {
+    private def parseBinModifiers(): (Boolean, Option[Matching]) = {
       var bool = false
-      var matching: Option[(Boolean, Seq[String])] = None
+      var matching: Option[Matching] = None
       var go = true
       while (go) cur match {
         case TIdent("bool") => bool = true; pos += 1
-        case TIdent("on") => pos += 1; matching = Some((true, parseLabelList()))
-        case TIdent("ignoring") => pos += 1; matching = Some((false, parseLabelList()))
+        case TIdent("on") =>
+          pos += 1
+          matching = Some(Matching(on = true, parseLabelList()))
+        case TIdent("ignoring") =>
+          pos += 1
+          matching = Some(Matching(on = false, parseLabelList()))
         case TIdent(g @ ("group_left" | "group_right")) =>
-          fail(s"$g (many-to-one matching) is not supported")
+          pos += 1
+          val include = cur match {
+            case TOp("(") => parseLabelList()
+            case _ => Nil
+          }
+          val base = matching.getOrElse(
+            fail(s"$g requires an on/ignoring clause"))
+          matching = Some(base.copy(
+            card = if (g == "group_left") 1 else 2, include = include))
         case _ => go = false
       }
       (bool, matching)
@@ -318,7 +345,7 @@ object PromQl {
       postfix(base)
     }
 
-    /** `[range]` and `offset` modifiers after a selector. */
+    /** `[range]`, `[range:step]` and `offset` modifiers. */
     private def postfix(e: Expr): Expr = cur match {
       case TOp("[") =>
         pos += 1
@@ -326,10 +353,27 @@ object PromQl {
           case TDur(ms) => ms
           case other => fail(s"expected duration in range selector, got $other")
         }
-        expectOp("]")
-        e match {
-          case s: Selector => postfix(RangeSel(s, r))
-          case _ => fail("range selector requires a plain vector selector")
+        cur match {
+          // subquery `[range:step]` / `[range:]` — the lexer folds the
+          // colon (an identifier character, recording-rule names) into
+          // one token `:` or `:<dur>`
+          case TIdent(s) if s.startsWith(":") =>
+            pos += 1
+            val step =
+              if (s == ":") 0L
+              else lex(s.drop(1)) match {
+                case Seq(TDur(ms), TEof) => ms
+                case _ => fail(s"bad subquery step '$s'")
+              }
+            expectOp("]")
+            postfix(Subquery(e, r, step))
+          case _ =>
+            expectOp("]")
+            e match {
+              case s: Selector => postfix(RangeSel(s, r))
+              case _ => fail(
+                "range selector requires a plain vector selector (use [range:step] for a subquery)")
+            }
         }
       case TIdent("offset") =>
         pos += 1
@@ -454,6 +498,7 @@ object PromQl {
       }
       case s: Selector => Vec(instantVector(s))
       case _: RangeSel => fail("range vector must be an argument of a range function")
+      case _: Subquery => fail("a subquery must be an argument of a range function")
       case c: Call => call(c)
       case a: Agg => aggregate(a)
       case b: Bin => binary(b)
@@ -520,9 +565,34 @@ object PromQl {
       * consumer prices once), a candidate explode onto the ≤
       * `⌈range/step⌉+1` instants each sample can serve, and ONE
       * aggregate per `(series, instant)`. */
-    private def rangeFrame(r: RangeSel): DataFrame = {
+    /** Resolve a range-vector argument to (sample frame, labels frame,
+      * range): a `[range]` selector reads the corpus; a `[range:step]`
+      * subquery evaluates its body on the inner `step` lattice (aligned
+      * to absolute multiples, the Prometheus convention) and feeds the
+      * result in as the samples. */
+    private def rangeArgOf(e: Expr): (DataFrame, DataFrame, Long) = e match {
+      case r: RangeSel =>
+        val sel = selected(r.sel)
+        (sel.select("series_key", "t", "v"), sel, r.rangeMs)
+      case sq: Subquery =>
+        val stepIn = if (sq.stepMs > 0) sq.stepMs else p.stepMs
+        val raw = p.startMs - sq.rangeMs
+        val rem = math.floorMod(raw, stepIn)
+        val start0 = if (rem == 0L) raw else raw + stepIn - rem
+        val inner = new Compiler(samples,
+          p.copy(startMs = start0, endMs = p.endMs, stepMs = stepIn))
+          .eval(sq.body) match {
+          case Vec(df) => df
+          case Scal(_) => fail("subquery body must be an instant vector")
+        }
+        (inner.select("series_key", "t", "v"), inner, sq.rangeMs)
+      case _ => fail(
+        "expected a range vector ([range] selector or [range:step] subquery)")
+    }
+
+    private def rangeFrame(src: DataFrame, rangeMs: Long): DataFrame = {
       val w = Window.partitionBy("series_key").orderBy("t")
-      val feats = selected(r.sel)
+      val feats = src
         .select("series_key", "t", "v")
         .withColumn("prev_t", lag("t", 1).over(w))
         .withColumn("prev_v", lag("v", 1).over(w))
@@ -534,20 +604,21 @@ object PromQl {
           (col("prev_v").isNotNull && col("v") < col("prev_v")).cast("long"))
         .withColumn("change_f",
           (col("prev_v").isNotNull && !(col("v") <=> col("prev_v"))).cast("long"))
-      val k = ((r.rangeMs + p.stepMs - 1) / p.stepMs).toInt
+      val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
       val g0 = (floor((col("t") - 1 - p.startMs) / p.stepMs) * p.stepMs
         + p.stepMs + p.startMs).cast("long")
       feats
         .withColumn("g", explode(sequence(g0, g0 + k.toLong * p.stepMs, lit(p.stepMs))))
         .where(col("g").between(p.startMs, p.endMs) &&
-          col("t") > col("g") - r.rangeMs) // half-open (g − range, g]
+          col("t") > col("g") - rangeMs) // half-open (g − range, g]
     }
 
     /** The per-(series, instant) aggregate every range function reads
       * from. Carries: count, sum, min, max, power sums, first/last
       * sample structs (with their lag features), counter/reset sums,
       * and the regression sums for deriv/predict_linear. */
-    private def rangeAgg(r: RangeSel, extra: Seq[Column] = Nil): DataFrame = {
+    private def rangeAgg(
+        src: DataFrame, rangeMs: Long, extra: Seq[Column] = Nil): DataFrame = {
       val x = (col("t") - col("g")).cast("double") / 1000.0 // seconds rel. instant
       val aggCols = Seq(
             count(lit(1)).as("cnt"),
@@ -568,7 +639,7 @@ object PromQl {
             sum("change_f").as("sum_changes"),
             sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
             sum(col("x") * col("v")).as("sxy")) ++ extra
-      rangeFrame(r)
+      rangeFrame(src, rangeMs)
         .withColumn("x", x)
         .groupBy("series_key", "g")
         .agg(aggCols.head, aggCols.tail: _*)
@@ -577,15 +648,15 @@ object PromQl {
 
     /** PromQL's extrapolatedRate (promql semantics; same closed form as
       * [[Rate.extrapolatedRate]], here per sliding instant window). */
-    private def extrapolated(r: RangeSel, isCounter: Boolean, isRate: Boolean): Column = {
-      val rangeSec = r.rangeMs / 1000.0
+    private def extrapolated(rangeMs: Long, isCounter: Boolean, isRate: Boolean): Column = {
+      val rangeSec = rangeMs / 1000.0
       val firstT = col("first.t"); val lastT = col("last.t")
       val base =
         if (isCounter) col("sum_inc") - col("first.inc")
         else col("last.v") - col("first.v")
       val sampledInterval = (lastT - firstT).cast("double") / 1000.0
       val avgDur = sampledInterval / (col("cnt") - 1)
-      val durToStart0 = (firstT - (col("t") - r.rangeMs)).cast("double") / 1000.0
+      val durToStart0 = (firstT - (col("t") - rangeMs)).cast("double") / 1000.0
       val durToEnd = (col("t") - lastT).cast("double") / 1000.0
       // a counter cannot have been negative before its first sample:
       // cap the start extrapolation where the line crosses zero
@@ -602,7 +673,8 @@ object PromQl {
       if (isRate) scaled / rangeSec else scaled
     }
 
-    private def rangeFunction(fn: String, r: RangeSel, param: Option[Double]): DataFrame = {
+    private def rangeFunction(fn: String, arg: Expr, param: Option[Double]): DataFrame = {
+      val (src, labelsSrc, rangeMs) = rangeArgOf(arg)
       val needTwo = Set("rate", "increase", "delta", "idelta", "irate", "deriv", "predict_linear")
       val extra = fn match {
         case "quantile_over_time" =>
@@ -610,14 +682,14 @@ object PromQl {
             .as("q_v"))
         case _ => Nil
       }
-      val agg = rangeAgg(r, extra)
+      val agg = rangeAgg(src, rangeMs, extra)
       val slope = (col("cnt") * col("sxy") - col("sx") * col("sum_v")) /
         (col("cnt") * col("sxx") - col("sx") * col("sx"))
       val intercept = (col("sum_v") - slope * col("sx")) / col("cnt")
       val v: Column = fn match {
-        case "rate" => extrapolated(r, isCounter = true, isRate = true)
-        case "increase" => extrapolated(r, isCounter = true, isRate = false)
-        case "delta" => extrapolated(r, isCounter = false, isRate = false)
+        case "rate" => extrapolated(rangeMs, isCounter = true, isRate = true)
+        case "increase" => extrapolated(rangeMs, isCounter = true, isRate = false)
+        case "delta" => extrapolated(rangeMs, isCounter = false, isRate = false)
         case "idelta" => col("last.v") - col("last.prev_v")
         case "irate" =>
           col("last.inc") / ((col("last.t") - col("last.prev_t")).cast("double") / 1000.0)
@@ -646,19 +718,22 @@ object PromQl {
       val out = kept.select(col("series_key"), col("t"), v.as("v"))
         .where(col("v").isNotNull)
       // range functions drop the metric name (last_over_time keeps it)
-      val withLabels = attachLabels(out, selected(r.sel))
+      val withLabels = attachLabels(out, labelsSrc)
       if (fn == "last_over_time") withLabels else dropName(withLabels)
     }
 
     // --- functions -----------------------------------------------------
 
+    private def isRangeArg(e: Expr): Boolean =
+      e.isInstanceOf[RangeSel] || e.isInstanceOf[Subquery]
+
     private def call(c: Call): Value = c match {
-      case Call(fn, Seq(r: RangeSel)) if rangeFns.contains(fn) =>
-        Vec(rangeFunction(fn, r, None))
-      case Call(fn @ ("quantile_over_time"), Seq(q, r: RangeSel)) =>
-        Vec(rangeFunction(fn, r, Some(scalarOf(q))))
-      case Call(fn @ ("predict_linear"), Seq(r: RangeSel, h)) =>
-        Vec(rangeFunction(fn, r, Some(scalarOf(h))))
+      case Call(fn, Seq(rv)) if rangeFns.contains(fn) && isRangeArg(rv) =>
+        Vec(rangeFunction(fn, rv, None))
+      case Call(fn @ ("quantile_over_time"), Seq(q, rv)) if isRangeArg(rv) =>
+        Vec(rangeFunction(fn, rv, Some(scalarOf(q))))
+      case Call(fn @ ("predict_linear"), Seq(rv, h)) if isRangeArg(rv) =>
+        Vec(rangeFunction(fn, rv, Some(scalarOf(h))))
       case Call("histogram_quantile", Seq(q, e)) =>
         Vec(histogramQuantile(scalarOf(q), vecOf(e)))
       case Call("vector", Seq(s)) =>
@@ -924,11 +999,11 @@ object PromQl {
       } else dropName(v.withColumn("v", arith(b.op, l, r)))
     }
 
-    private def matchKey(matching: Option[(Boolean, Seq[String])]): Column = {
+    private def matchKey(matching: Option[Matching]): Column = {
       val kept = matching match {
-        case Some((true, ls)) => // on(...)
+        case Some(Matching(true, ls, _, _)) => // on(...)
           map_filter(col("labels"), (k, _) => k.isin(ls: _*))
-        case Some((false, ls)) => // ignoring(...)
+        case Some(Matching(false, ls, _, _)) => // ignoring(...)
           map_filter(col("labels"), (k, _) => !k.isin(ls :+ p.nameLabel: _*))
         case None =>
           map_filter(col("labels"), (k, _) => k =!= p.nameLabel)
@@ -936,35 +1011,62 @@ object PromQl {
       graft.functions.seriesKey(kept)
     }
 
-    private def vectorVector(b: Bin, l: DataFrame, r: DataFrame): DataFrame = {
+    private def vectorVector(b: Bin, l0: DataFrame, r0: DataFrame): DataFrame = {
+      // group_right is group_left with the sides swapped for label
+      // purposes: the "many" side supplies the result labels. The value
+      // expression keeps its written operand order either way.
+      val card = b.matchOn.map(_.card).getOrElse(0)
+      val include = b.matchOn.map(_.include).getOrElse(Nil)
+      val (l, r, rightIsMany) =
+        if (card == 2) (r0, l0, true) else (l0, r0, false)
       val lk = l.withColumn("__mk", matchKey(b.matchOn))
       val rk = r.withColumn("__mk", matchKey(b.matchOn))
       b.op match {
         case "and" =>
+          require(card == 0, "set operations take no grouping modifier")
           lk.join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi")
             .select("series_key", "labels", "t", "v")
         case "unless" =>
+          require(card == 0, "set operations take no grouping modifier")
           lk.join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_anti")
             .select("series_key", "labels", "t", "v")
         case "or" =>
+          require(card == 0, "set operations take no grouping modifier")
           val extra = rk.join(lk.select("__mk", "t").distinct(),
             Seq("__mk", "t"), "left_anti")
           lk.select("series_key", "labels", "t", "v")
             .unionByName(extra.select("series_key", "labels", "t", "v"))
         case op =>
-          // one-to-one matching: equal match keys at equal instants
+          // one-to-one, or many-to-one with group_left/right: the
+          // "many" side (l here) may repeat a match key; the "one"
+          // side must be unique per (key, instant) — duplicates there
+          // would silently fan out, like Prometheus's execution error
           val joined = lk.join(
-            rk.select(col("__mk"), col("t"), col("v").as("__rv")),
+            rk.select(col("__mk"), col("t"), col("v").as("__rv"),
+              col("labels").as("__rlabels")),
             Seq("__mk", "t"))
+          // value operands in WRITTEN order (swap back under group_right)
+          val (lv, rv) =
+            if (rightIsMany) (col("__rv"), col("v")) else (col("v"), col("__rv"))
+          // group_left(include...): named labels copy over from the
+          // "one" side onto the result's (many-side) label set
+          val withInclude =
+            if (include.isEmpty) joined
+            else relabel(joined, map_concat(
+              map_filter(col("labels"), (k, _) => !k.isin(include: _*)),
+              map_filter(col("__rlabels"), (k, _) => k.isin(include: _*))))
           if (cmpOps.contains(op)) {
-            val pred = cmpCol(op, col("v"), col("__rv"))
+            val pred = cmpCol(op, lv, rv)
             if (b.bool)
-              dropName(joined.withColumn("v", when(pred, 1.0).otherwise(0.0)))
+              dropName(withInclude.withColumn("v", when(pred, 1.0).otherwise(0.0)))
                 .select("series_key", "labels", "t", "v")
-            else joined.where(pred) // keeps lhs value and labels
+            else withInclude.where(pred)
+              // the kept VALUE is the written lhs operand's; the label
+              // set is the many side's (the grouping convention)
+              .withColumn("v", lv)
               .select("series_key", "labels", "t", "v")
           } else
-            dropName(joined.withColumn("v", arith(op, col("v"), col("__rv"))))
+            dropName(withInclude.withColumn("v", arith(op, lv, rv)))
               .select("series_key", "labels", "t", "v")
       }
     }

@@ -264,6 +264,52 @@ class PromQlSpec extends SparkSuite {
     assert(PromQl.maxLookbehindMs("sum(m)", 300000L) == 5 * M)
   }
 
+  test("subqueries: range functions over an inner evaluation lattice") {
+    // inner sum(http_requests) at the aligned 5m lattice instants in
+    // (25m, 50m]: t = 30..50m -> 180, 210, 240, 270, 300
+    val p = at(50 * M)
+    assert(one(PromQl.eval(
+      "max_over_time(sum(http_requests)[25m:5m])", counters, p)) == 300.0)
+    assert(one(PromQl.eval(
+      "min_over_time(sum(http_requests)[25m:5m])", counters, p)) == 180.0)
+    assert(one(PromQl.eval(
+      "avg_over_time(sum(http_requests)[25m:5m])", counters, p)) == 240.0)
+    // deriv over the inner series: exactly linear, 120 per 20 minutes
+    assert(math.abs(one(PromQl.eval(
+      "deriv(sum(http_requests)[25m:5m])", counters, p)) - 30.0 / 300.0) < 1e-9)
+    // default resolution `[25m:]` = the outer step (60s here): finer
+    // lattice, same extremes
+    assert(one(PromQl.eval(
+      "max_over_time(sum(http_requests)[25m:])", counters, p)) == 300.0)
+    // lookbehind accounts for the subquery range + inner staleness
+    assert(PromQl.maxLookbehindMs("max_over_time(sum(m)[30m:5m])", 5 * M) == 35 * M)
+  }
+
+  test("group_left/group_right: many-to-one matching with include labels") {
+    val info = load(STEP5)(
+      Map("__name__" -> "job_info", "job" -> "api", "version" -> "v2") ->
+        (0 to 10).map(_ => 1.0))
+    val both = counters.unionByName(info)
+    val p = at(50 * M)
+    // both per-instance series match the ONE per-job info row
+    val r = vals(PromQl.eval(
+      "http_requests * on(job) group_left job_info", both, p))
+    assert(r.size == 2 && r.values.toSet == Set(100.0, 200.0))
+    // include labels copy over from the one side
+    val rv = vals(PromQl.eval(
+      "http_requests * on(job) group_left(version) job_info", both, p))
+    assert(rv.keySet.forall(_.contains("version=\"v2\"")), rv.keySet)
+    // group_right: the many side is on the right; written operand order
+    // is preserved in the value expression
+    val rr = vals(PromQl.eval(
+      "job_info * on(job) group_right http_requests", both, p))
+    assert(rr.size == 2 && rr.values.toSet == Set(100.0, 200.0))
+    // group_left without on/ignoring is rejected
+    intercept[IllegalArgumentException] {
+      PromQl.parse("a * group_left b")
+    }
+  }
+
   test("parse errors: unsupported constructs are rejected loudly") {
     intercept[IllegalArgumentException] { PromQl.parse("a + group_left b") }
     intercept[IllegalArgumentException] { PromQl.parse("rate(m[5m)") }
