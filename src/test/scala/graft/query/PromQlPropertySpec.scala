@@ -1,0 +1,122 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Model-based battery for the PromQL range-function aggregate: 40
+  * random series (irregular gaps, planted resets, seeded) evaluated on
+  * a 5m lattice with a 7m range, compared point-for-point against a
+  * sequential in-memory model of the Prometheus evaluation rules —
+  * half-open `(g − range, g]` windows, consecutive-pair deltas inside
+  * the window only, and the full extrapolation closed form for
+  * `increase`. The distributed candidate-explode aggregate must land on
+  * the sequential semantics for every (series, instant). */
+class PromQlPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val M = 60000L
+  private val RANGE = 7 * M
+  private val STEP = 5 * M
+  private val START = 10 * M
+  private val END = 50 * M
+
+  private lazy val series: Map[String, Vector[(Long, Double)]] = {
+    val rnd = new scala.util.Random(42)
+    (0 until 40).map { i =>
+      val n = 2 + rnd.nextInt(50)
+      var t = 500L + rnd.nextInt(5) * 1000L
+      val pts = Vector.fill(n) {
+        t += 1000L + rnd.nextInt(200000)
+        val v =
+          if (rnd.nextInt(6) == 0) rnd.nextInt(10).toDouble // planted reset
+          else rnd.nextInt(100000) / 100.0
+        (t, v)
+      }
+      s"s$i" -> pts
+    }.toMap
+  }
+
+  private lazy val frame = series.toSeq
+    .flatMap { case (k, pts) =>
+      pts.map { case (t, v) =>
+        (k, Map("__name__" -> "m", "s" -> k), t, v)
+      }
+    }
+    .toDF("series_key", "labels", "t", "v")
+
+  private def windows: Seq[(String, Long, Vector[(Long, Double)])] =
+    for {
+      (k, pts) <- series.toSeq
+      g <- START to END by STEP
+      w = pts.filter { case (t, _) => t > g - RANGE && t <= g }
+      if w.nonEmpty
+    } yield (k, g, w)
+
+  private def got(fn: String): Map[(String, Long), Double] =
+    PromQl.eval(s"$fn(m[7m])", frame,
+      PromQl.Params(START, END, STEP))
+      .select(col("labels").getItem("s"), col("t"), col("v"))
+      .as[(String, Long, Double)].collect()
+      .map { case (s, t, v) => (s, t) -> v }.toMap
+
+  private def check(fn: String)(model: Vector[(Long, Double)] => Option[Double]): Unit = {
+    val expected = windows.flatMap { case (k, g, w) =>
+      model(w).map(v => (k, g) -> v)
+    }.toMap
+    val g = got(fn)
+    assert(g.keySet == expected.keySet,
+      s"$fn: ${(g.keySet -- expected.keySet).take(3)} vs ${(expected.keySet -- g.keySet).take(3)}")
+    for ((key, want) <- expected) {
+      val have = g(key)
+      val tol = 1e-9 * math.max(1.0, math.abs(want))
+      assert(math.abs(have - want) <= tol, s"$fn at $key: $have vs $want")
+    }
+  }
+
+  private def pairs(w: Vector[(Long, Double)]): Vector[((Long, Double), (Long, Double))] =
+    if (w.size < 2) Vector.empty else w.init.zip(w.tail)
+
+  test("sum/count/max/avg_over_time match the sequential model") {
+    check("sum_over_time")(w => Some(w.map(_._2).sum))
+    check("count_over_time")(w => Some(w.size.toDouble))
+    check("max_over_time")(w => Some(w.map(_._2).max))
+    check("avg_over_time")(w => Some(w.map(_._2).sum / w.size))
+  }
+
+  test("resets and changes count in-window consecutive transitions only") {
+    check("resets")(w =>
+      Some(pairs(w).count { case ((_, a), (_, b)) => b < a }.toDouble))
+    check("changes")(w =>
+      Some(pairs(w).count { case ((_, a), (_, b)) => b != a }.toDouble))
+  }
+
+  // increase needs the instant g in the model (extrapolation measures
+  // distance to the window bounds), so it gets an instant-aware compare
+  test("increase extrapolation, instant-aware model") {
+    val expected = windows.flatMap { case (k, g, w) =>
+      if (w.size < 2) None
+      else {
+        val incs = pairs(w).map { case ((_, a), (_, b)) =>
+          if (b >= a) b - a else b
+        }.sum
+        val si = (w.last._1 - w.head._1) / 1000.0
+        val avg = si / (w.size - 1)
+        var ds = (w.head._1 - (g - RANGE)) / 1000.0
+        val de = (g - w.last._1) / 1000.0
+        if (incs > 0 && w.head._2 >= 0) ds = math.min(ds, si * (w.head._2 / incs))
+        val th = avg * 1.1
+        val ext = si +
+          (if (ds < th) ds else avg / 2) +
+          (if (de < th) de else avg / 2)
+        Some((k, g) -> incs * (ext / si))
+      }
+    }.toMap
+    val g = got("increase")
+    assert(g.keySet == expected.keySet)
+    for ((key, want) <- expected) {
+      val tol = 1e-9 * math.max(1.0, math.abs(want))
+      assert(math.abs(g(key) - want) <= tol, s"increase at $key: ${g(key)} vs $want")
+    }
+  }
+}
