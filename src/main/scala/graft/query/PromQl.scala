@@ -744,6 +744,8 @@ object PromQl {
             col("id").as("t"), lit(v).as("v")))
       case Call("scalar", _) => fail("scalar() is not supported")
       case Call("absent", Seq(e)) => Vec(absentOf(e))
+      case Call("absent_over_time", Seq(rv)) if isRangeArg(rv) =>
+        Vec(absentOverTime(rv))
       case Call("sort" | "sort_desc", Seq(e)) =>
         // presentation-order functions: a relational result set has no
         // element order — the final eval() ordering applies; identity
@@ -800,17 +802,31 @@ object PromQl {
       * `v` has no elements — enriched with the argument selector's
       * literal equality matchers (the Prometheus convention), metric
       * name excluded. */
-    private def absentOf(e: Expr): DataFrame = {
-      val present = vecOf(e).select("t").distinct()
+    private def absentOf(e: Expr): DataFrame =
+      absentRows(vecOf(e).select("t").distinct(), e match {
+        case s: Selector => Some(s)
+        case _ => None
+      })
+
+    /** `absent_over_time(v[range])`: 1 where the trailing window holds
+      * NO samples of the range argument. */
+    private def absentOverTime(arg: Expr): DataFrame = {
+      val (src, _, rangeMs) = rangeArgOf(arg)
+      val present = rangeFrame(src, rangeMs)
+        .select(col("g").as("t")).distinct()
+      absentRows(present, arg match {
+        case RangeSel(s, _) => Some(s)
+        case _ => None
+      })
+    }
+
+    private def absentRows(presentT: DataFrame, sel: Option[Selector]): DataFrame = {
       val lattice = spark.range(p.startMs, p.endMs + 1, p.stepMs)
         .select(col("id").as("t"))
-      val missing = lattice.join(present, Seq("t"), "left_anti")
-      val eqs: Seq[(String, String)] = e match {
-        case s: Selector => s.matchers.collect {
-          case Eq(n, v) if n != p.nameLabel && v.nonEmpty => (n, v)
-        }.sortBy(_._1)
-        case _ => Nil
-      }
+      val missing = lattice.join(presentT, Seq("t"), "left_anti")
+      val eqs: Seq[(String, String)] = sel.toSeq.flatMap(_.matchers.collect {
+        case Eq(n, v) if n != p.nameLabel && v.nonEmpty => (n, v)
+      }).sortBy(_._1)
       val labelsCol =
         if (eqs.isEmpty) map().cast("map<string,string>")
         else map(eqs.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
@@ -889,7 +905,70 @@ object PromQl {
 
     // --- aggregations --------------------------------------------------
 
-    private def aggregate(a: Agg): Value = {
+    private val keyableAggs =
+      Set("sum", "min", "max", "avg", "count", "stddev", "stdvar", "quantile")
+
+    /** Fast path for `op by (ls) (selector)`: the grouping labels are
+      * functionally dependent on `series_key`, so they ride the fill as
+      * KEY columns and the aggregate groups on them directly — no
+      * labels re-attach join, no second scan; the compiled plan is the
+      * hand-built by-label entry's (pruned scan → fill aggregate →
+      * group aggregate, two hash exchanges). `without` can't enumerate
+      * its columns statically and keeps the generic path. */
+    private def aggregateKeyed(a: Agg, s: Selector): DataFrame = {
+      val ls = a.grouping
+      val cols = ls.indices.map(i => s"__l$i")
+      val src = selected(s).select(
+        Seq(col("series_key"), col("t"), col("v")) ++
+          ls.zip(cols).map { case (l, c) => col("labels").getItem(l).as(c) }: _*)
+      val look = p.lookbackMs - 1
+      val keys = "series_key" +: cols
+      val filled =
+        if (look < p.stepMs)
+          AsOf.latestPerInstant(src.withColumnRenamed("v", "r_v"),
+              keys, p.stepMs, look, "r", originMs = p.startMs)
+            .where(col("r_v").isNotNull && col("t").between(p.startMs, p.endMs))
+            .withColumn("v", col("r_v"))
+        else
+          AsOf.gridFillWide(src, keys, p.startMs, p.endMs, p.stepMs, look, Seq("v"))
+            .where(col("v_v").isNotNull)
+            .withColumn("v", col("v_v"))
+      val n = count(lit(1))
+      val aggCol: Column = a.op match {
+        case "sum" => sum("v")
+        case "min" => min("v")
+        case "max" => max("v")
+        case "avg" => avg("v")
+        case "count" => n.cast("double")
+        case "stddev" => sqrt(sum(col("v") * col("v")) / n - pow(sum("v") / n, 2))
+        case "stdvar" => sum(col("v") * col("v")) / n - pow(sum("v") / n, 2)
+        case "quantile" =>
+          val phi = scalarOf(a.param.getOrElse(fail("quantile needs φ")))
+          expr(s"percentile(v, $phi)")
+        case other => fail(s"internal: $other is not a keyable aggregate")
+      }
+      // result labels rebuilt from the grouped key columns (absent
+      // label values drop out, the PromQL convention)
+      val lbl =
+        if (ls.isEmpty) map().cast("map<string,string>")
+        else map_filter(
+          map(ls.zip(cols).flatMap { case (l, c) => Seq(lit(l), col(c)) }: _*),
+          (_, v) => v.isNotNull)
+      filled
+        .groupBy(cols.map(col) :+ col("t"): _*)
+        .agg(aggCol.as("v"))
+        .withColumn("labels", lbl)
+        .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+        .select("series_key", "labels", "t", "v")
+    }
+
+    private def aggregate(a: Agg): Value = a.body match {
+      case s: Selector if !a.without && keyableAggs.contains(a.op) =>
+        Vec(aggregateKeyed(a, s))
+      case _ => aggregateGeneric(a)
+    }
+
+    private def aggregateGeneric(a: Agg): Value = {
       val iv = vecOf(a.body)
       // grouping labels: `by` keeps exactly the listed ones; `without`
       // drops the listed ones plus the metric name

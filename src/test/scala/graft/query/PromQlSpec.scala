@@ -264,6 +264,33 @@ class PromQlSpec extends SparkSuite {
     assert(PromQl.maxLookbehindMs("sum(m)", 300000L) == 5 * M)
   }
 
+  test("absent_over_time flags windowless instants") {
+    val s = load(M)(Map("__name__" -> "m") -> Seq(1.0, 2.0))
+    // samples at 0, 1m; eval 0..10m step 1m, window 2m: present through
+    // t=2m (the 1m sample is in (0, 2m]); at 3m the LEFT-OPEN window
+    // (1m, 3m] already excludes the sample at exactly 1m -> absent from
+    // 3m on
+    val out = PromQl.eval("absent_over_time(m[2m])", s,
+      PromQl.Params(0, 10 * M, M))
+    assert(out.select("t").as[Long].collect().sorted.toSeq ==
+      (3L to 10L).map(_ * M))
+    assert(out.select("v").as[Double].collect().forall(_ == 1.0))
+  }
+
+  test("by-aggregation fast path plans without a labels re-attach join") {
+    // sum by (job) over a plain selector rides the keyed fill: the
+    // grouping label is a key COLUMN through the fill, so the plan has
+    // no Join at all — the hand-built by-label entries' shape
+    val plan = PromQl.eval("sum by (job) (http_requests)", counters, at(50 * M))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2500))
+    // the generic path (without) still answers identically
+    val a = vals(PromQl.eval("sum by (job) (http_requests)", counters, at(50 * M)))
+    val b = vals(PromQl.eval("sum without (instance, __name__) (http_requests)",
+      counters, at(50 * M)))
+    assert(a == b && a == Map("{job=\"api\"}" -> 300.0))
+  }
+
   test("subqueries: range functions over an inner evaluation lattice") {
     // inner sum(http_requests) at the aligned 5m lattice instants in
     // (25m, 50m]: t = 30..50m -> 180, 210, 240, 270, 300
