@@ -2096,6 +2096,22 @@ object SparkEntry {
           PromQl.Params(MINT, MAXT, BUCKET_W, LOOKBACK + 1, nameLabel = "name"))
         .select(col("series_key"), col("t"), col("v"))),
 
+    // The centerpiece under the gate: PromQL counter increase with the
+    // full extrapolation closed form, evaluated as SLIDING day windows
+    // on the day lattice (not ts_rate_extrapolated's tumbling buckets —
+    // the oracle twin re-derives the same closed form per instant with
+    // the 3.x half-open (g−1d, g] convention). One metric so dropping
+    // the name label keeps result series distinct. Float caveat: the
+    // window delta sum is an unrounded double sum on both engines (the
+    // compiler can't round mid-expression); 4dp of ~1e3 magnitudes
+    // leaves ~7 guard digits — the doc_entropy-class accepted risk.
+    "promql_increase" -> ((s, dir) =>
+      PromQl.eval("increase({name=\"click\"}[1d])",
+          TsdbSource.events(s, dir).samples,
+          PromQl.Params(T0 + 2 * DAY, T0 + 14 * DAY, DAY, LOOKBACK + 1,
+            nameLabel = "name"))
+        .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
+
     // Alert-rule evaluation with a `for` duration — the OTHER half of
     // the rules engine ([[ts_rule_group]] is recording rules): an alert
     // fires at instant t iff the condition held at EVERY lattice
@@ -3567,6 +3583,45 @@ object SparkEntry {
          |    PARTITION BY t ORDER BY r_v DESC, series_key) AS rk
          |  FROM f WHERE r_v IS NOT NULL)
          |WHERE rk <= 2 ORDER BY series_key, t""".stripMargin,
+    // sliding-window extrapolated increase at each day-lattice instant:
+    // lag features per series, instants joined on the half-open window
+    // (g − 1d, g], deltas counted only when the previous sample is also
+    // in the window, then the extrapolation closed form (ms units — the
+    // ratio is scale-invariant). Output key = labels minus the metric
+    // name (user, vip), the PromQL convention.
+    "promql_increase" ->
+      s"""$samplesCte,
+         |c AS (SELECT * FROM s WHERE event_type = 'click'),
+         |l AS (SELECT series_key, user_id, t, v,
+         |  lag(v) OVER win AS prev_v, lag(t) OVER win AS prev_t
+         |  FROM c WINDOW win AS (PARTITION BY series_key ORDER BY t, v)),
+         |g AS (SELECT unnest(generate_series(${T0 + 2 * DAY}, ${T0 + 14 * DAY}, $DAY)) AS gt),
+         |w AS (SELECT l.*, g.gt FROM l JOIN g ON l.t > g.gt - $DAY AND l.t <= g.gt),
+         |i AS (SELECT series_key, user_id, gt, t, v,
+         |  CASE WHEN prev_t IS NULL OR prev_t <= gt - $DAY THEN NULL
+         |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc
+         |  FROM w),
+         |a AS (SELECT series_key, user_id, gt, sum(inc) AS delta_v, count(*) AS n,
+         |  (min(struct_pack(t := t, v := v))).t AS first_t,
+         |  (min(struct_pack(t := t, v := v))).v AS first_v,
+         |  (max(struct_pack(t := t, v := v))).t AS last_t
+         |  FROM i GROUP BY 1, 2, 3),
+         |x AS (SELECT *, (last_t - first_t)::DOUBLE AS si,
+         |  (last_t - first_t)::DOUBLE / (n - 1) AS avg_dur,
+         |  (first_t - (gt - $DAY))::DOUBLE AS ds0,
+         |  (gt - last_t)::DOUBLE AS de0
+         |  FROM a WHERE n >= 2 AND last_t > first_t),
+         |y AS (SELECT *, CASE WHEN delta_v > 0 AND first_v >= 0
+         |    AND si * first_v / delta_v < ds0
+         |  THEN si * first_v / delta_v ELSE ds0 END AS ds1 FROM x),
+         |z AS (SELECT *,
+         |  CASE WHEN ds1 >= avg_dur * 1.1::DOUBLE THEN avg_dur / 2 ELSE ds1 END AS ds,
+         |  CASE WHEN de0 >= avg_dur * 1.1::DOUBLE THEN avg_dur / 2 ELSE de0 END AS de
+         |  FROM y)
+         |SELECT '{user="' || user_id || '"' ||
+         |    CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END || '}' AS series_key,
+         |  gt AS t, round(delta_v * ((si + ds + de) / si), 4) AS v
+         |FROM z ORDER BY series_key, t""".stripMargin,
     "emb_quantized_search" ->
       s"""WITH cq AS (SELECT vec_id,
          |  list_transform(embedding, x -> CASE

@@ -591,7 +591,12 @@ object PromQl {
     }
 
     private def rangeFrame(src: DataFrame, rangeMs: Long): DataFrame = {
-      val w = Window.partitionBy("series_key").orderBy("t")
+      // (t, v) order: Prometheus never has duplicate timestamps per
+      // series, but a relational corpus can — the deterministic
+      // convention is "duplicates are separate samples, larger value
+      // later", so the lag chain and first/last picks never depend on
+      // row order
+      val w = Window.partitionBy("series_key").orderBy("t", "v")
       val feats = src
         .select("series_key", "t", "v")
         .withColumn("prev_t", lag("t", 1).over(w))
@@ -629,11 +634,11 @@ object PromQl {
             min_by(
               struct(col("t"), col("v"), coalesce(col("inc_delta"), lit(0.0)).as("inc"),
                 col("reset_f"), col("change_f")),
-              col("t")).as("first"),
+              struct(col("t"), col("v"))).as("first"),
             max_by(
               struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
                 coalesce(col("inc_delta"), lit(0.0)).as("inc")),
-              col("t")).as("last"),
+              struct(col("t"), col("v"))).as("last"),
             sum(coalesce(col("inc_delta"), lit(0.0))).as("sum_inc"),
             sum("reset_f").as("sum_resets"),
             sum("change_f").as("sum_changes"),
@@ -715,8 +720,16 @@ object PromQl {
       val kept =
         if (needTwo.contains(fn)) agg.where(col("cnt") >= 2)
         else agg
-      val out = kept.select(col("series_key"), col("t"), v.as("v"))
+      val out0 = kept.select(col("series_key"), col("t"), v.as("v"))
         .where(col("v").isNotNull)
+      // degenerate windows (all samples at one t under the duplicate
+      // convention) divide by a zero interval — NaN/±Inf rows are the
+      // no-answer case, like the reference's insufficient-samples skip
+      val out =
+        if (needTwo.contains(fn))
+          out0.where(!isnan(col("v")) &&
+            abs(col("v")) =!= lit(Double.PositiveInfinity))
+        else out0
       // range functions drop the metric name (last_over_time keeps it)
       val withLabels = attachLabels(out, labelsSrc)
       if (fn == "last_over_time") withLabels else dropName(withLabels)
