@@ -30,11 +30,15 @@ import graft.matchers.{Eq, Matcher, Re}
   * Supported surface (see PromQlSpec for the pinned vectors):
   *  - selectors: `metric{a="x", b!="y", c=~"re", d!~"re"}`, `offset`;
   *  - range functions: rate, irate, increase, delta, idelta, resets,
-  *    changes, deriv, predict_linear, and the `*_over_time` family
-  *    (avg/min/max/sum/count/last/stddev/stdvar/quantile/present);
+  *    changes, deriv, predict_linear, holt_winters (=
+  *    double_exponential_smoothing), and the `*_over_time` family
+  *    (avg/min/max/sum/count/last/stddev/stdvar/quantile/present/absent);
   *  - instant functions: abs, ceil, floor, exp, ln, log2, log10, sqrt,
   *    sgn, round, clamp, clamp_min, clamp_max, histogram_quantile,
-  *    vector, absent, sort/sort_desc, label_replace, label_join;
+  *    vector, absent, sort/sort_desc, label_replace, label_join,
+  *    timestamp, the calendar family (minute/hour/day_of_week/
+  *    day_of_month/day_of_year/month/year/days_in_month, zero-arg or
+  *    per-element), and `time()` as a time-varying scalar;
   *  - aggregations with `by`/`without`: sum, min, max, avg, count,
   *    stddev, stdvar, quantile, topk, bottomk, count_values;
   *  - binary ops: `+ - * / % ^` and comparisons (with `bool`),
@@ -467,6 +471,10 @@ object PromQl {
   private sealed trait Value
   private final case class Vec(df: DataFrame) extends Value
   private final case class Scal(v: Double) extends Value
+  /** A time-varying scalar — `time()` and arithmetic over it: one value
+    * per lattice instant, no labels. Binary ops against a vector join
+    * on `t` alone (the per-element scalar semantics). */
+  private final case class ScalV(df: DataFrame) extends Value // (t, v)
 
   /** Evaluate `query` as a range query over `samples`
     * (`series_key, labels: map<string,string>, t, v`). Returns
@@ -678,13 +686,17 @@ object PromQl {
       if (isRate) scaled / rangeSec else scaled
     }
 
-    private def rangeFunction(fn: String, arg: Expr, param: Option[Double]): DataFrame = {
+    private def rangeFunction(fn: String, arg: Expr, param: Seq[Double]): DataFrame = {
       val (src, labelsSrc, rangeMs) = rangeArgOf(arg)
-      val needTwo = Set("rate", "increase", "delta", "idelta", "irate", "deriv", "predict_linear")
+      val needTwo = Set("rate", "increase", "delta", "idelta", "irate",
+        "deriv", "predict_linear", "holt_winters", "double_exponential_smoothing")
       val extra = fn match {
         case "quantile_over_time" =>
-          Seq(expr(s"percentile(v, ${param.getOrElse(fail("quantile_over_time needs φ"))})")
+          Seq(expr(s"percentile(v, ${param.headOption.getOrElse(fail("quantile_over_time needs φ"))})")
             .as("q_v"))
+        case "holt_winters" | "double_exponential_smoothing" =>
+          // the fold needs the ordered points themselves
+          Seq(sort_array(collect_list(struct(col("t"), col("v")))).as("hw_pts"))
         case _ => Nil
       }
       val agg = rangeAgg(src, rangeMs, extra)
@@ -702,7 +714,27 @@ object PromQl {
         case "changes" => (col("sum_changes") - col("first.change_f")).cast("double")
         case "deriv" => slope
         case "predict_linear" =>
-          intercept + slope * (param.getOrElse(fail("predict_linear needs t")) )
+          intercept + slope * param.headOption.getOrElse(fail("predict_linear needs t"))
+        case "holt_winters" | "double_exponential_smoothing" =>
+          // the exact double-exponential recurrence [[Rate.holtWinters]]
+          // pins: s0 = x0, b0 = x1 − x0, fold over x1..x_{n−1}
+          val Seq(sfP, tfP) = param match {
+            case Seq(a, b) => Seq(a, b)
+            case _ => fail("holt_winters needs (sf, tf)")
+          }
+          val v0 = element_at(col("hw_pts"), 1).getField("v")
+          val v1 = element_at(col("hw_pts"), 2).getField("v")
+          val sfL = lit(sfP); val tfL = lit(tfP)
+          org.apache.spark.sql.functions.aggregate(
+            slice(col("hw_pts"), lit(2), size(col("hw_pts")) - 1),
+            struct(v0.as("s"), (v1 - v0).as("b")),
+            (acc, pt) => {
+              val s1 = sfL * pt.getField("v") +
+                (lit(1.0) - sfL) * (acc.getField("s") + acc.getField("b"))
+              struct(s1.as("s"),
+                (tfL * (s1 - acc.getField("s")) +
+                  (lit(1.0) - tfL) * acc.getField("b")).as("b"))
+            }).getField("s")
         case "avg_over_time" => col("sum_v") / col("cnt")
         case "sum_over_time" => col("sum_v")
         case "min_over_time" => col("min_v")
@@ -742,11 +774,14 @@ object PromQl {
 
     private def call(c: Call): Value = c match {
       case Call(fn, Seq(rv)) if rangeFns.contains(fn) && isRangeArg(rv) =>
-        Vec(rangeFunction(fn, rv, None))
+        Vec(rangeFunction(fn, rv, Nil))
       case Call(fn @ ("quantile_over_time"), Seq(q, rv)) if isRangeArg(rv) =>
-        Vec(rangeFunction(fn, rv, Some(scalarOf(q))))
+        Vec(rangeFunction(fn, rv, Seq(scalarOf(q))))
       case Call(fn @ ("predict_linear"), Seq(rv, h)) if isRangeArg(rv) =>
-        Vec(rangeFunction(fn, rv, Some(scalarOf(h))))
+        Vec(rangeFunction(fn, rv, Seq(scalarOf(h))))
+      case Call(fn @ ("holt_winters" | "double_exponential_smoothing"),
+          Seq(rv, sfE, tfE)) if isRangeArg(rv) =>
+        Vec(rangeFunction(fn, rv, Seq(scalarOf(sfE), scalarOf(tfE))))
       case Call("histogram_quantile", Seq(q, e)) =>
         Vec(histogramQuantile(scalarOf(q), vecOf(e)))
       case Call("vector", Seq(s)) =>
@@ -756,6 +791,22 @@ object PromQl {
             map().cast("map<string,string>").as("labels"),
             col("id").as("t"), lit(v).as("v")))
       case Call("scalar", _) => fail("scalar() is not supported")
+      case Call("time", Seq()) =>
+        ScalV(latticeDf.select(col("t"), (col("t") / 1000.0).as("v")))
+      case Call("timestamp", Seq(e)) => eval(e) match {
+        case Vec(df) => Vec(dropName(df.withColumn("v", col("t") / 1000.0)))
+        case _ => fail("timestamp() takes an instant vector")
+      }
+      // calendar functions: zero-arg = over vector(time()) (a {}-labeled
+      // lattice vector); one-arg = per element, value read as epoch sec
+      case Call(fn, Seq()) if calendarFns.contains(fn) =>
+        Vec(latticeDf.select(
+          lit("{}").as("series_key"),
+          map().cast("map<string,string>").as("labels"),
+          col("t"),
+          calendarFns(fn)(timestamp_millis(col("t"))).as("v")))
+      case Call(fn, Seq(e)) if calendarFns.contains(fn) =>
+        instantFn(e, calendarFns(fn)(timestamp_seconds(col("v"))))
       case Call("absent", Seq(e)) => Vec(absentOf(e))
       case Call("absent_over_time", Seq(rv)) if isRangeArg(rv) =>
         Vec(absentOverTime(rv))
@@ -788,6 +839,17 @@ object PromQl {
       "min_over_time", "max_over_time", "count_over_time", "last_over_time",
       "present_over_time", "stddev_over_time", "stdvar_over_time")
 
+    /** UTC calendar projections — PromQL's 0=Sunday day_of_week. */
+    private val calendarFns: Map[String, Column => Column] = Map(
+      "minute" -> (ts => minute(ts).cast("double")),
+      "hour" -> (ts => hour(ts).cast("double")),
+      "day_of_week" -> (ts => (dayofweek(ts) - 1).cast("double")),
+      "day_of_month" -> (ts => dayofmonth(ts).cast("double")),
+      "day_of_year" -> (ts => dayofyear(ts).cast("double")),
+      "month" -> (ts => month(ts).cast("double")),
+      "year" -> (ts => year(ts).cast("double")),
+      "days_in_month" -> (ts => dayofmonth(last_day(ts)).cast("double")))
+
     private val instantFns: Map[String, Column => Column] = Map(
       "abs" -> abs, "ceil" -> ((c: Column) => ceil(c).cast("double")),
       "floor" -> ((c: Column) => floor(c).cast("double")),
@@ -798,18 +860,21 @@ object PromQl {
 
     private def instantFn(e: Expr, f: Column): Value = eval(e) match {
       case Vec(df) => Vec(dropName(df.withColumn("v", f)))
-      case Scal(_) => fail("instant function over a scalar is not supported")
+      case _ => fail("instant function over a scalar is not supported")
     }
 
     private def vecOf(e: Expr): DataFrame = eval(e) match {
       case Vec(df) => df
-      case Scal(_) => fail("expected an instant vector")
+      case _ => fail("expected an instant vector")
     }
 
     private def scalarOf(e: Expr): Double = eval(e) match {
       case Scal(v) => v
-      case Vec(_) => fail("expected a scalar literal")
+      case _ => fail("expected a scalar literal")
     }
+
+    private def latticeDf: DataFrame =
+      spark.range(p.startMs, p.endMs + 1, p.stepMs).select(col("id").as("t"))
 
     /** `absent(v)`: the `{}`-labeled 1 at every lattice instant where
       * `v` has no elements — enriched with the argument selector's
@@ -1052,7 +1117,30 @@ object PromQl {
       case (Vec(l), Scal(r)) => Vec(vectorScalar(b, l, lit(r), scalarRight = true))
       case (Scal(l), Vec(r)) => Vec(vectorScalar(b, r, lit(l), scalarRight = false))
       case (Vec(l), Vec(r)) => Vec(vectorVector(b, l, r))
+      // time-varying scalars: join on the instant alone
+      case (Vec(l), ScalV(r)) =>
+        Vec(vectorScalar(b, l.join(r.withColumnRenamed("v", "__sv"), Seq("t")),
+          col("__sv"), scalarRight = true).drop("__sv"))
+      case (ScalV(l), Vec(r)) =>
+        Vec(vectorScalar(b, r.join(l.withColumnRenamed("v", "__sv"), Seq("t")),
+          col("__sv"), scalarRight = false).drop("__sv"))
+      case (ScalV(l), Scal(r)) =>
+        ScalV(l.withColumn("v", scalArith(b, col("v"), lit(r))))
+      case (Scal(l), ScalV(r)) =>
+        ScalV(r.withColumn("v", scalArith(b, lit(l), col("v"))))
+      case (ScalV(l), ScalV(r)) =>
+        ScalV(l.withColumnRenamed("v", "__lv")
+          .join(r.withColumnRenamed("v", "__rv"), Seq("t"))
+          .select(col("t"), scalArith(b, col("__lv"), col("__rv")).as("v")))
     }
+
+    /** Scalar-side arithmetic/comparison: comparisons between scalars
+      * require `bool` (the PromQL rule) and yield 0/1. */
+    private def scalArith(b: Bin, l: Column, r: Column): Column =
+      if (cmpOps.contains(b.op)) {
+        if (!b.bool) fail("comparisons between scalars must use BOOL")
+        when(cmpCol(b.op, l, r), 1.0).otherwise(0.0)
+      } else arith(b.op, l, r)
 
     private def scalarScalar(op: String, l: Double, r: Double, bool: Boolean): Double = {
       def cmp(res: Boolean) = if (res) 1.0 else 0.0

@@ -264,6 +264,45 @@ class PromQlSpec extends SparkSuite {
     assert(PromQl.maxLookbehindMs("sum(m)", 300000L) == 5 * M)
   }
 
+  test("time(), timestamp(), calendar functions, holt_winters") {
+    val p = at(50 * M)
+    // time() is a time-varying scalar: joins per instant
+    val tv = one(PromQl.eval("http_requests{instance=\"0\"} - time()", counters, p))
+    assert(tv == 100.0 - 3000.0) // v=100 at t=50m=3000s
+    // timestamp(v) = the sample's instant in seconds
+    val ts = one(PromQl.eval("timestamp(http_requests{instance=\"0\"})", counters, p))
+    assert(ts == 3000.0)
+    // calendar: 1970-01-01T00:50Z
+    assert(one(PromQl.eval("minute()", counters, p)) == 50.0)
+    assert(one(PromQl.eval("hour()", counters, p)) == 0.0)
+    assert(one(PromQl.eval("day_of_week()", counters, p)) == 4.0) // Thursday
+    assert(one(PromQl.eval("days_in_month()", counters, p)) == 31.0)
+    // per-element form reads the VALUE as epoch seconds
+    val dm = one(PromQl.eval(
+      "day_of_month(timestamp(http_requests{instance=\"0\"}))", counters, p))
+    assert(dm == 1.0)
+    // scalar-scalar comparison requires bool
+    intercept[IllegalArgumentException] {
+      PromQl.eval("time() > 100", counters, p)
+    }
+    assert(one(PromQl.eval(
+      "http_requests{instance=\"0\"} * (time() > bool 100)", counters, p)) == 100.0)
+    // holt_winters: recurrence differential vs the batch operator on
+    // one aligned window (samples 0..100 linear -> smoothed tracks it)
+    val hw = one(PromQl.eval(
+      "holt_winters(http_requests{instance=\"0\"}[50m], 0.5, 0.3)", counters, p))
+    val batch = Rate.holtWinters(
+        counters.where(col("series_key").contains("instance=\"0\""))
+          .where(col("t") > 0) // the half-open window (0, 50m]
+          // the recurrence reads only VALUE ORDER; shift t off the
+          // boundary so all samples land in ONE tumbling [0, 50m) bucket
+          .withColumn("t", col("t") - 1)
+          .withColumn("sample_id", col("t")),
+        bucketMs = 50 * M, sf = 0.5, tf = 0.3)
+      .select("smoothed").as[Double].head()
+    assert(math.abs(hw - batch) < 5e-4) // batch rounds 4dp
+  }
+
   test("absent_over_time flags windowless instants") {
     val s = load(M)(Map("__name__" -> "m") -> Seq(1.0, 2.0))
     // samples at 0, 1m; eval 0..10m step 1m, window 2m: present through
