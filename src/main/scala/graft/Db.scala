@@ -120,13 +120,17 @@ final class Db private (
       nameLabel: String = "__name__"): DataFrame = {
     // bound the scan to exactly what the expression can reach: the
     // widest lookback/range/offset behind `start` — block pruning and
-    // t pushdown then apply like any readRange
+    // t pushdown then apply like any readRange; each SELECTOR fetches
+    // through the pushdown hook, so its matchers resolve in the
+    // postings index (never on sample rows) like every other read
     val behind = graft.query.PromQl.maxLookbehindMs(query, lookbackMs)
     val mint =
       if (startMs < Long.MinValue + behind) Long.MinValue else startMs - behind
     val samples = store.readRange(spark, mint, endMs, withLabels = true)
     graft.query.PromQl.eval(query, samples,
-      graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs, nameLabel))
+      graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs, nameLabel,
+        pushdown = Some(ms =>
+          store.readRange(spark, mint, endMs, withLabels = true, ms: _*))))
   }
 
   /** Consistent snapshot into `destRoot` (`db.go:1108-1146`). */

@@ -359,6 +359,17 @@ object SparkEntry {
         .select("sample_id", "series_key", "t", "v")
         .sortWithinPartitions("sample_id")))
 
+  /** Shared Params of the promql_* entries: suite grid + the
+    * TsdbSource.select pushdown hook, scan-bounded by the lattice's
+    * own lookbehind (the selectors carry no offsets and the entries'
+    * ranges are ≤ 1d, so [start − 1d − lookback, end] always covers). */
+  private def promqlParams(
+      s: SparkSession, dir: String,
+      mint: Long, maxt: Long, stepMs: Long): PromQl.Params =
+    PromQl.Params(mint, maxt, stepMs, LOOKBACK + 1, nameLabel = "name",
+      pushdown = Some(ms =>
+        TsdbSource.events(s, dir).select(mint - DAY - LOOKBACK - 1, maxt, ms: _*)))
+
   private def tombScratch(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-scratch",
@@ -2076,16 +2087,20 @@ object SparkEntry {
     // window (g − look, g] equal the suite's closed [g − LOOKBACK, g]
     // convention on integer milliseconds, so the namedGrid ASOF CTE is
     // the oracle — the compiler must land on bit-identical fills.
+    // Selectors fetch through the pushdown hook (TsdbSource.select):
+    // matchers compile onto SOURCE columns and reach the parquet scan —
+    // filtering the constructed labels map instead cannot fold through
+    // map_filter and reads the whole corpus.
     "promql_sum_by" -> ((s, dir) =>
       PromQl.eval("sum by (name) ({name=~\".+\"})",
           TsdbSource.events(s, dir).samples,
-          PromQl.Params(MINT, MAXT, BUCKET_W, LOOKBACK + 1, nameLabel = "name"))
+          promqlParams(s, dir, MINT, MAXT, BUCKET_W))
         .select(col("series_key"), col("t"), round(col("v"), 2).as("v"))),
 
     "promql_quantile_by" -> ((s, dir) =>
       PromQl.eval("quantile by (name) (0.5, {name=~\".+\"})",
           TsdbSource.events(s, dir).samples,
-          PromQl.Params(MINT, MAXT, BUCKET_W, LOOKBACK + 1, nameLabel = "name"))
+          promqlParams(s, dir, MINT, MAXT, BUCKET_W))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
 
     // topk keeps the winning input series' FULL label sets — the output
@@ -2093,7 +2108,7 @@ object SparkEntry {
     "promql_topk" -> ((s, dir) =>
       PromQl.eval("topk(2, {name=~\".+\"})",
           TsdbSource.events(s, dir).samples,
-          PromQl.Params(MINT, MAXT, BUCKET_W, LOOKBACK + 1, nameLabel = "name"))
+          promqlParams(s, dir, MINT, MAXT, BUCKET_W))
         .select(col("series_key"), col("t"), col("v"))),
 
     // The centerpiece under the gate: PromQL counter increase with the
@@ -2108,8 +2123,7 @@ object SparkEntry {
     "promql_increase" -> ((s, dir) =>
       PromQl.eval("increase({name=\"click\"}[1d])",
           TsdbSource.events(s, dir).samples,
-          PromQl.Params(T0 + 2 * DAY, T0 + 14 * DAY, DAY, LOOKBACK + 1,
-            nameLabel = "name"))
+          promqlParams(s, dir, T0 + 2 * DAY, T0 + 14 * DAY, DAY))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
 
     // Alert-rule evaluation with a `for` duration — the OTHER half of

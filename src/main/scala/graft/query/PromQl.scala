@@ -464,7 +464,18 @@ object PromQl {
       endMs: Long,
       stepMs: Long,
       lookbackMs: Long = 300000L,
-      nameLabel: String = "__name__")
+      nameLabel: String = "__name__",
+      /** Matcher-pushdown hook: when set, selectors fetch their samples
+        * through it instead of filtering the generic `labels` map —
+        * e.g. `TsdbSource.select` (matchers compile onto SOURCE columns
+        * and reach the parquet scan) or `BlockStore.readRange`
+        * (matchers resolve in the postings index). The returned frame
+        * must be the canonical long format including `labels`, covering
+        * at least `[start − maxLookbehindMs, end]`. Without it, a
+        * selector predicate over the constructed map cannot fold
+        * through `map_filter` and never reaches the scan — correct, but
+        * a full-corpus read at 100 TB. */
+      pushdown: Option[Seq[Matcher] => DataFrame] = None)
 
   /** A compiled value: an instant vector (frame of
     * `series_key, labels, t, v`) or a constant scalar. */
@@ -517,7 +528,10 @@ object PromQl {
     private def selected(s: Selector): DataFrame = {
       val ms = s.name.map(n => Eq(p.nameLabel, n)).toSeq ++ s.matchers
       require(ms.nonEmpty, "promql: empty selector matches nothing")
-      val base = samples.where(Matcher.conjunction(ms, mapResolve))
+      val base = p.pushdown match {
+        case Some(f) => f(ms)
+        case None => samples.where(Matcher.conjunction(ms, mapResolve))
+      }
       // offset looks BACK: the value at instant t is the series' value
       // at t − offset ⇒ shift sample times forward and evaluate normally
       if (s.offsetMs == 0L) base

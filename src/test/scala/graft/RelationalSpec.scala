@@ -48,6 +48,15 @@ class RelationalSpec extends SparkSuite {
     assert(!agg.contains("SortMergeJoin"), agg.take(3000))
   }
 
+  test("promql selectors push matchers and time bounds to the parquet scan") {
+    // the pushdown hook compiles {name="click"} onto the SOURCE columns
+    // — without it the predicate dies against the constructed labels
+    // map and the scan reads the whole corpus
+    val p = plan("promql_increase")
+    assert(p.contains("EqualTo(event_type,click)"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(ts,"), p.take(3000))
+  }
+
   test("benchPhases: reset+setup+query computes the same rows as the bundled entry") {
     // the bench's split lifecycle rows are only honest if the split
     // query IS the bundled query — same rows, same schema
