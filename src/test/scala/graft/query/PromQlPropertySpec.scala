@@ -91,6 +91,31 @@ class PromQlPropertySpec extends SparkSuite {
       Some(pairs(w).count { case ((_, a), (_, b)) => b != a }.toDouble))
   }
 
+  test("instant-vector staleness matches the model in BOTH fill regimes") {
+    // the compiler picks latestPerInstant when lookback−1 < step and
+    // the candidate-explode gridFillWide otherwise — one model, both
+    // regimes: value at g = the max-v sample at the latest t in
+    // (g − lookback, g], else absent
+    for (lookback <- Seq(3 * M, 5 * M, 11 * M)) { // < step, = step, > step
+      val got = PromQl.eval("m", frame,
+        PromQl.Params(START, END, STEP, lookbackMs = lookback))
+        .select(col("labels").getItem("s"), col("t"), col("v"))
+        .as[(String, Long, Double)].collect()
+        .map { case (s, t, v) => (s, t) -> v }.toMap
+      val expected = (for {
+        (k, pts) <- series.toSeq
+        g <- START to END by STEP
+        w = pts.filter { case (t, _) => t > g - lookback && t <= g }
+        if w.nonEmpty
+      } yield {
+        val latestT = w.map(_._1).max
+        (k, g) -> w.filter(_._1 == latestT).map(_._2).max
+      }).toMap
+      assert(got == expected,
+        s"lookback=$lookback: ${(got.toSet -- expected.toSet).take(3)} vs ${(expected.toSet -- got.toSet).take(3)}")
+    }
+  }
+
   // increase needs the instant g in the model (extrapolation measures
   // distance to the window bounds), so it gets an instant-aware compare
   test("increase extrapolation, instant-aware model") {
