@@ -365,10 +365,11 @@ object SparkEntry {
     * ranges are ≤ 1d, so [start − 1d − lookback, end] always covers). */
   private def promqlParams(
       s: SparkSession, dir: String,
-      mint: Long, maxt: Long, stepMs: Long): PromQl.Params =
-    PromQl.Params(mint, maxt, stepMs, LOOKBACK + 1, nameLabel = "name",
+      mint: Long, maxt: Long, stepMs: Long,
+      lookbackMs: Long = LOOKBACK + 1): PromQl.Params =
+    PromQl.Params(mint, maxt, stepMs, lookbackMs, nameLabel = "name",
       pushdown = Some(ms =>
-        TsdbSource.events(s, dir).select(mint - DAY - LOOKBACK - 1, maxt, ms: _*)))
+        TsdbSource.events(s, dir).select(mint - DAY - lookbackMs, maxt, ms: _*)))
 
   private def tombScratch(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(
@@ -2126,6 +2127,17 @@ object SparkEntry {
           promqlParams(s, dir, T0 + 2 * DAY, T0 + 14 * DAY, DAY))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
 
+    // one-to-one vector matching under the gate: click/view per user —
+    // the default match key (labels ignoring the metric name) pairs the
+    // two metrics of each (user, vip) identity at each instant. 6h
+    // staleness on the 6h lattice so the two sparse metrics coincide
+    // at enough instants to gate on.
+    "promql_ratio" -> ((s, dir) =>
+      PromQl.eval("{name=\"click\"} / {name=\"view\"}",
+          TsdbSource.events(s, dir).samples,
+          promqlParams(s, dir, MINT, MAXT, BUCKET_W, BUCKET_W + 1))
+        .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
+
     // Alert-rule evaluation with a `for` duration — the OTHER half of
     // the rules engine ([[ts_rule_group]] is recording rules): an alert
     // fires at instant t iff the condition held at EVERY lattice
@@ -3636,6 +3648,29 @@ object SparkEntry {
          |    CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END || '}' AS series_key,
          |  gt AS t, round(delta_v * ((si + ds + de) / si), 4) AS v
          |FROM z ORDER BY series_key, t""".stripMargin,
+    // one-to-one matching twin: the two metrics' fills of each
+    // (user, vip) identity divided at equal instants — the namedGrid
+    // ASOF shape on the HOURLY lattice (step = the 1h staleness)
+    "promql_ratio" ->
+      s"""$samplesCte,
+         |r AS (SELECT series_key, event_type AS name, t AS rt, max(v) AS rv
+         |  FROM s GROUP BY 1, 2, 3),
+         |g AS (SELECT series_key, name,
+         |  unnest(generate_series($MINT, $MAXT, $BUCKET_W)) AS t
+         |  FROM (SELECT DISTINCT series_key, name FROM r)),
+         |f AS (SELECT g.series_key, g.name, g.t,
+         |  CASE WHEN rt >= g.t - $BUCKET_W THEN rv END AS r_v
+         |  FROM g ASOF LEFT JOIN r ON g.series_key = r.series_key AND g.t >= rt),
+         |u AS (SELECT series_key, name, t, r_v,
+         |  regexp_extract(series_key, 'user="([0-9]+)"', 1) AS u_id
+         |  FROM f WHERE r_v IS NOT NULL)
+         |SELECT '{user="' || a.u_id || '"' ||
+         |    CASE WHEN a.u_id::BIGINT % 10 = 0 THEN ',vip="1"' ELSE '' END
+         |    || '}' AS series_key,
+         |  a.t AS t, round(a.r_v / b.r_v, 4) AS v
+         |FROM u a JOIN u b ON a.u_id = b.u_id AND a.t = b.t
+         |  AND a.name = 'click' AND b.name = 'view'
+         |ORDER BY series_key, a.t""".stripMargin,
     "emb_quantized_search" ->
       s"""WITH cq AS (SELECT vec_id,
          |  list_transform(embedding, x -> CASE
