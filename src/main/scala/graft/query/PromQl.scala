@@ -40,7 +40,7 @@ import graft.matchers.{Eq, Matcher, Re}
   *    day_of_month/day_of_year/month/year/days_in_month, zero-arg or
   *    per-element), and `time()` as a time-varying scalar;
   *  - aggregations with `by`/`without`: sum, min, max, avg, count,
-  *    stddev, stdvar, quantile, topk, bottomk, count_values;
+  *    group, stddev, stdvar, quantile, topk, bottomk, count_values;
   *  - binary ops: `+ - * / % ^` and comparisons (with `bool`),
   *    vector↔scalar and vector↔vector (one-to-one `on`/`ignoring`,
   *    many-to-one `group_left`/`group_right` with include labels),
@@ -99,8 +99,8 @@ object PromQl {
   private case class TOp(s: String) extends Tok
   private case object TEof extends Tok
 
-  private val aggOps = Set("sum", "min", "max", "avg", "count", "stddev",
-    "stdvar", "quantile", "topk", "bottomk", "count_values")
+  private val aggOps = Set("sum", "min", "max", "avg", "count", "group",
+    "stddev", "stdvar", "quantile", "topk", "bottomk", "count_values")
   private val keywords = Set("by", "without", "on", "ignoring", "bool",
     "offset", "and", "or", "unless", "group_left", "group_right")
 
@@ -997,8 +997,8 @@ object PromQl {
 
     // --- aggregations --------------------------------------------------
 
-    private val keyableAggs =
-      Set("sum", "min", "max", "avg", "count", "stddev", "stdvar", "quantile")
+    private val keyableAggs = Set("sum", "min", "max", "avg", "count",
+      "group", "stddev", "stdvar", "quantile")
 
     /** Fast path for `op by (ls) (selector)`: the grouping labels are
       * functionally dependent on `series_key`, so they ride the fill as
@@ -1032,6 +1032,7 @@ object PromQl {
         case "max" => max("v")
         case "avg" => avg("v")
         case "count" => n.cast("double")
+        case "group" => lit(1.0) // PromQL group(): 1 per present group
         case "stddev" => sqrt(sum(col("v") * col("v")) / n - pow(sum("v") / n, 2))
         case "stdvar" => sum(col("v") * col("v")) / n - pow(sum("v") / n, 2)
         case "quantile" =>
@@ -1084,6 +1085,7 @@ object PromQl {
         case "max" => grouped(max("v").as("v"))
         case "avg" => grouped(avg("v").as("v"))
         case "count" => grouped(count(lit(1)).cast("double").as("v"))
+        case "group" => grouped(lit(1.0).as("v"))
         case "stddev" => grouped(
           sqrt(sum(col("v") * col("v")) / count(lit(1)) -
             pow(sum("v") / count(lit(1)), 2)).as("v"))

@@ -147,6 +147,11 @@ class PromQlSpec extends SparkSuite {
     assert(vals(q) == Map("{}" -> 150.0))
     val cv = PromQl.eval("count_values(\"val\", http_requests)", counters, p)
     assert(vals(cv) == Map("{val=\"100\"}" -> 1.0, "{val=\"200\"}" -> 1.0))
+    // group(): 1 per present group, both the keyed and generic paths
+    assert(vals(PromQl.eval("group by (job) (http_requests)", counters, p)) ==
+      Map("{job=\"api\"}" -> 1.0))
+    assert(vals(PromQl.eval("group without (instance) (http_requests)", counters, p)) ==
+      Map("{job=\"api\"}" -> 1.0))
   }
 
   test("binary ops: vector-scalar arithmetic, comparison filter and bool") {
