@@ -45,9 +45,10 @@ import graft.matchers.{Eq, Matcher, Re}
   *    vector↔scalar and vector↔vector (one-to-one `on`/`ignoring`,
   *    many-to-one `group_left`/`group_right` with include labels),
   *    set ops `and`/`or`/`unless`;
-  *  - subqueries `expr[range:step]` as range-function arguments.
-  *  Not supported (rejected at parse/compile): `@` modifiers, native
-  *  histograms, `time()`-dependent scalars, `scalar()`.
+  *  - subqueries `expr[range:step]` as range-function arguments;
+  *  - `@` on plain selectors (fixed timestamp, `start()`, `end()`).
+  *  Not supported (rejected at parse/compile): `@` on range selectors,
+  *  native histograms, `scalar()`.
   */
 object PromQl {
 
@@ -56,10 +57,17 @@ object PromQl {
   sealed trait Expr
   final case class NumberLit(v: Double) extends Expr
   final case class StringLit(s: String) extends Expr
+  /** `@` modifier target: a fixed epoch instant, or the query range's
+    * own start/end. */
+  sealed trait At
+  case object AtStart extends At
+  case object AtEnd extends At
+  final case class AtMs(ms: Long) extends At
   final case class Selector(
       name: Option[String],
       matchers: Seq[Matcher],
-      offsetMs: Long) extends Expr
+      offsetMs: Long,
+      at: Option[At] = None) extends Expr
   final case class RangeSel(sel: Selector, rangeMs: Long) extends Expr
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
   final case class Agg(
@@ -179,7 +187,7 @@ object PromQl {
       else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
-        else if ("+-*/%^(){}[],<>=".indexOf(c.toInt) >= 0) { out += TOp(c.toString); i += 1 }
+        else if ("+-*/%^(){}[],<>=@".indexOf(c.toInt) >= 0) { out += TOp(c.toString); i += 1 }
         else fail(s"unexpected character '$c'")
       }
     }
@@ -390,6 +398,19 @@ object PromQl {
           case RangeSel(s, r) => postfix(RangeSel(s.copy(offsetMs = o), r))
           case _ => fail("offset requires a selector")
         }
+      case TOp("@") =>
+        pos += 1
+        val at = advance() match {
+          case TNum(sec) => AtMs((sec * 1000.0).toLong)
+          case TIdent(w @ ("start" | "end")) =>
+            expectOp("("); expectOp(")")
+            if (w == "start") AtStart else AtEnd
+          case other => fail(s"expected timestamp or start()/end() after @, got $other")
+        }
+        e match {
+          case s: Selector => postfix(s.copy(at = Some(at)))
+          case _ => fail("@ is supported on plain vector selectors only")
+        }
       case _ => e
     }
 
@@ -515,6 +536,7 @@ object PromQl {
         case Scal(v) => Scal(-v)
         case Vec(df) => Vec(dropName(df.withColumn("v", -col("v"))))
       }
+      case s: Selector if s.at.isDefined => Vec(atVector(s))
       case s: Selector => Vec(instantVector(s))
       case _: RangeSel => fail("range vector must be an argument of a range function")
       case _: Subquery => fail("a subquery must be an argument of a range function")
@@ -562,6 +584,24 @@ object PromQl {
       attachLabels(filled, selected(s))
     }
 
+    /** `selector @ T`: the instant vector evaluated ONCE at the pinned
+      * time, replicated across the output lattice — each lattice
+      * instant reads the same fixed-time value (the `@` contract). */
+    private def atVector(s: Selector): DataFrame = {
+      val T = s.at.get match {
+        case AtStart => p.startMs
+        case AtEnd => p.endMs
+        case AtMs(ms) => ms
+      }
+      val one = new Compiler(samples, p.copy(startMs = T, endMs = T))
+        .eval(s.copy(at = None)) match {
+        case Vec(df) => df
+        case _ => fail("internal: selector must evaluate to a vector")
+      }
+      one.drop("t").crossJoin(latticeDf)
+        .select("series_key", "labels", "t", "v")
+    }
+
     /** Re-attach the labels map by series key (series-scale dimension
       * join, broadcast-gated by AQE). */
     private def attachLabels(df: DataFrame, src: DataFrame): DataFrame =
@@ -593,6 +633,8 @@ object PromQl {
       * to absolute multiples, the Prometheus convention) and feeds the
       * result in as the samples. */
     private def rangeArgOf(e: Expr): (DataFrame, DataFrame, Long) = e match {
+      case RangeSel(s, _) if s.at.isDefined =>
+        fail("@ on range selectors is not supported")
       case r: RangeSel =>
         val sel = selected(r.sel)
         (sel.select("series_key", "t", "v"), sel, r.rangeMs)
@@ -1056,7 +1098,7 @@ object PromQl {
     }
 
     private def aggregate(a: Agg): Value = a.body match {
-      case s: Selector if !a.without && keyableAggs.contains(a.op) =>
+      case s: Selector if !a.without && s.at.isEmpty && keyableAggs.contains(a.op) =>
         Vec(aggregateKeyed(a, s))
       case _ => aggregateGeneric(a)
     }

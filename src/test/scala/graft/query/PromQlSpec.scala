@@ -130,6 +130,27 @@ class PromQlSpec extends SparkSuite {
     assert(one(out) == 50.0) // the value at 25m
   }
 
+  test("@ pins the evaluation time; start()/end() resolve to the range") {
+    // a RANGE evaluation where every instant reads the @-pinned value
+    val p = PromQl.Params(40 * M, 50 * M, STEP5)
+    val pinned = PromQl.eval("http_requests{instance=\"0\"} @ 1500", counters, p)
+    val rows = pinned.select("t", "v").as[(Long, Double)].collect().toSet
+    assert(rows == Set(40L, 45L, 50L).map(m => (m * M, 50.0))) // value @25m
+    val atEnd = PromQl.eval("http_requests{instance=\"0\"} @ end()", counters, p)
+    assert(atEnd.select("v").as[Double].collect().toSet == Set(100.0))
+    val atStart = PromQl.eval("http_requests{instance=\"0\"} @ start()", counters, p)
+    assert(atStart.select("v").as[Double].collect().toSet == Set(80.0))
+    // binary op between pinned and moving vectors works per instant
+    val ratio = PromQl.eval(
+      "http_requests{instance=\"0\"} / http_requests{instance=\"0\"} @ 1500",
+      counters, p)
+    assert(ratio.select("t", "v").as[(Long, Double)].collect().toMap ==
+      Map(40 * M -> 80.0 / 50, 45 * M -> 90.0 / 50, 50 * M -> 100.0 / 50))
+    intercept[IllegalArgumentException] {
+      PromQl.eval("rate(http_requests[5m] @ 1500)", counters, p)
+    }
+  }
+
   test("aggregations: sum/avg/count/topk/quantile/count_values with by") {
     val p = at(50 * M)
     val sum = PromQl.eval("sum by (job) (http_requests)", counters, p)
