@@ -1050,7 +1050,9 @@ object PromQl {
       * group aggregate, two hash exchanges). `without` can't enumerate
       * its columns statically and keeps the generic path. */
     private def aggregateKeyed(a: Agg, s: Selector): DataFrame = {
-      val ls = a.grouping
+      // `by (job, job)` must not build a duplicate-key map (Spark's
+      // map-key dedup policy throws by default)
+      val ls = a.grouping.distinct
       val cols = ls.indices.map(i => s"__l$i")
       val src = selected(s).select(
         Seq(col("series_key"), col("t"), col("v")) ++
