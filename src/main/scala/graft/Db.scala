@@ -118,19 +118,19 @@ final class Db private (
       stepMs: Long,
       lookbackMs: Long = 300000L,
       nameLabel: String = "__name__"): DataFrame = {
-    // bound the scan to exactly what the expression can reach: the
-    // widest lookback/range/offset behind `start` — block pruning and
-    // t pushdown then apply like any readRange; each SELECTOR fetches
-    // through the pushdown hook, so its matchers resolve in the
-    // postings index (never on sample rows) like every other read
-    val behind = graft.query.PromQl.maxLookbehindMs(query, lookbackMs)
-    val mint =
-      if (startMs < Long.MinValue + behind) Long.MinValue else startMs - behind
-    val samples = store.readRange(spark, mint, endMs, withLabels = true)
+    // bound the scan to exactly what the expression can reach —
+    // lookbacks/ranges/offsets behind the window AND any @-pinned
+    // absolute instants — then block pruning and t pushdown apply like
+    // any readRange; each SELECTOR fetches through the pushdown hook,
+    // so its matchers resolve in the postings index (never on sample
+    // rows) like every other read
+    val (mint, maxt) =
+      graft.query.PromQl.scanBoundsMs(query, startMs, endMs, lookbackMs)
+    val samples = store.readRange(spark, mint, maxt, withLabels = true)
     graft.query.PromQl.eval(query, samples,
       graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs, nameLabel,
         pushdown = Some(ms =>
-          store.readRange(spark, mint, endMs, withLabels = true, ms: _*))))
+          store.readRange(spark, mint, maxt, withLabels = true, ms: _*))))
   }
 
   /** Consistent snapshot into `destRoot` (`db.go:1108-1146`). */

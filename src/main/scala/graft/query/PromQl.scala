@@ -49,7 +49,14 @@ import graft.matchers.{Eq, Matcher, Re}
   *  - `@` on plain selectors (fixed timestamp, `start()`, `end()`).
   *  Not supported (rejected at parse/compile): `@` on range selectors,
   *  native histograms, `scalar()`.
-  */
+  *
+  *  Documented divergence: one-to-one matching with DUPLICATE match
+  *  keys on the "one" side (e.g. two metrics sharing every non-name
+  *  label, divided without `on`) fans out through the equi-join where
+  *  Prometheus raises "found duplicate series for the match group" —
+  *  a distributed plan cannot raise a per-group execution error without
+  *  pricing a count per match key into every binary op; callers that
+  *  need the check can assert distinctness on the one side first. */
 object PromQl {
 
   // ---------------------------------------------------------------- AST
@@ -223,6 +230,51 @@ object PromQl {
     case _ => 0L
   }
 
+  /** The sample time range the expression can read for the evaluation
+    * window `[startMs, endMs]` — [[maxLookbehindMs]] generalized to `@`
+    * modifiers, whose pinned instants are ABSOLUTE and may fall outside
+    * `[start − lookbehind, end]` entirely. Storage layers bound their
+    * scan with this; the naive `[start − maxLookbehind, end]` silently
+    * starves an `@`-pinned selector of its samples. */
+  def scanBoundsMs(
+      query: String, startMs: Long, endMs: Long, lookbackMs: Long): (Long, Long) = {
+    var lo = if (startMs < Long.MinValue + lookbackMs) Long.MinValue
+      else startMs - lookbackMs
+    var hi = endMs
+    def visit(e: Expr): Unit = e match {
+      case s: Selector =>
+        val (refLo, refHi) = s.at match {
+          case Some(AtMs(ms)) => (ms, ms)
+          case Some(AtStart) => (startMs, startMs)
+          case Some(AtEnd) => (endMs, endMs)
+          case None => (startMs, endMs)
+        }
+        lo = math.min(lo, refLo - lookbackMs - s.offsetMs)
+        hi = math.max(hi, refHi)
+      case RangeSel(s, r) =>
+        val (refLo, refHi) = s.at match {
+          case Some(AtMs(ms)) => (ms, ms)
+          case Some(AtStart) => (startMs, startMs)
+          case Some(AtEnd) => (endMs, endMs)
+          case None => (startMs, endMs)
+        }
+        lo = math.min(lo, refLo - r - s.offsetMs)
+        hi = math.max(hi, refHi)
+      case Call(_, args) => args.foreach(visit)
+      case Agg(_, p, b, _, _) => p.foreach(visit); visit(b)
+      case Bin(_, l, r, _, _) => visit(l); visit(r)
+      case Subquery(body, r, _) =>
+        // the inner lattice reaches back `r` further than the outer one
+        val saved = lo
+        visit(body)
+        lo = math.min(saved, lo - r)
+      case Neg(x) => visit(x)
+      case _ =>
+    }
+    visit(parse(query))
+    (lo, hi)
+  }
+
   private final class Parser(toks: Seq[Tok]) {
     private var pos = 0
     private def cur: Tok = toks(pos)
@@ -331,6 +383,11 @@ object PromQl {
       val base = cur match {
         case TNum(v) => pos += 1; NumberLit(v)
         case TStr(s) => pos += 1; StringLit(s)
+        // PromQL number literals the lexer sees as identifiers
+        case TIdent(s) if s.equalsIgnoreCase("inf") =>
+          pos += 1; NumberLit(Double.PositiveInfinity)
+        case TIdent(s) if s.equalsIgnoreCase("nan") =>
+          pos += 1; NumberLit(Double.NaN)
         case TOp("(") =>
           pos += 1
           val e = parseOr()
@@ -521,6 +578,10 @@ object PromQl {
           .select(lit("{}").as("series_key"),
             map().cast("map<string,string>").as("labels"),
             col("id").as("t"), lit(v).as("v"))
+      case ScalV(df) => // a time-varying scalar likewise, one row per t
+        df.select(lit("{}").as("series_key"),
+          map().cast("map<string,string>").as("labels"),
+          col("t"), col("v"))
     }
     out.select("series_key", "labels", "t", "v").orderBy("series_key", "t")
   }
@@ -535,6 +596,7 @@ object PromQl {
       case Neg(x) => eval(x) match {
         case Scal(v) => Scal(-v)
         case Vec(df) => Vec(dropName(df.withColumn("v", -col("v"))))
+        case ScalV(df) => ScalV(df.withColumn("v", -col("v")))
       }
       case s: Selector if s.at.isDefined => Vec(atVector(s))
       case s: Selector => Vec(instantVector(s))
@@ -566,7 +628,11 @@ object PromQl {
       * the `lookback − 1` closed window IS the half-open PromQL one on
       * integer milliseconds). */
     private def instantVector(s: Selector): DataFrame = {
-      val src = selected(s).select("series_key", "t", "v")
+      // bind the fetch ONCE: the fill source and the labels dimension
+      // share one lineage, so a pushdown hook's postings resolution +
+      // scan isn't planned twice per selector
+      val sel = selected(s)
+      val src = sel.select("series_key", "t", "v")
       val look = p.lookbackMs - 1 // closed window ≡ half-open on int ms
       // lookback < step: one sample serves at most one instant — the
       // single-instant fast path; otherwise the candidate-explode fill
@@ -581,7 +647,7 @@ object PromQl {
             src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look, Seq("v"))
             .where(col("v_v").isNotNull)
             .select(col("series_key"), col("t"), col("v_v").as("v"))
-      attachLabels(filled, selected(s))
+      attachLabels(filled, sel)
     }
 
     /** `selector @ T`: the instant vector evaluated ONCE at the pinned
@@ -860,9 +926,9 @@ object PromQl {
           lit("{}").as("series_key"),
           map().cast("map<string,string>").as("labels"),
           col("t"),
-          calendarFns(fn)(timestamp_millis(col("t"))).as("v")))
+          calendarFns(fn)(col("t").cast("double")).as("v")))
       case Call(fn, Seq(e)) if calendarFns.contains(fn) =>
-        instantFn(e, calendarFns(fn)(timestamp_seconds(col("v"))))
+        instantFn(e, calendarFns(fn)(col("v") * 1000.0))
       case Call("absent", Seq(e)) => Vec(absentOf(e))
       case Call("absent_over_time", Seq(rv)) if isRangeArg(rv) =>
         Vec(absentOverTime(rv))
@@ -877,7 +943,11 @@ object PromQl {
           if srcs.nonEmpty && srcs.forall(_.isInstanceOf[StringLit]) =>
         Vec(labelJoin(vecOf(e), dst, sep,
           srcs.map(_.asInstanceOf[StringLit].s)))
-      case Call("round", Seq(e)) => instantFn(e, round(col("v"), 0).cast("double"))
+      // PromQL round() resolves ties by rounding UP (floor(v + 0.5)):
+      // -2.5 → -2, where HALF_UP would give -3 — and it must agree
+      // with the two-arg form's floor(v/to + 0.5)·to
+      case Call("round", Seq(e)) =>
+        instantFn(e, floor(col("v") + 0.5).cast("double"))
       case Call("round", Seq(e, to)) =>
         val m = scalarOf(to)
         instantFn(e, (floor(col("v") / m + 0.5) * m).cast("double"))
@@ -895,16 +965,27 @@ object PromQl {
       "min_over_time", "max_over_time", "count_over_time", "last_over_time",
       "present_over_time", "stddev_over_time", "stdvar_over_time")
 
-    /** UTC calendar projections — PromQL's 0=Sunday day_of_week. */
-    private val calendarFns: Map[String, Column => Column] = Map(
-      "minute" -> (ts => minute(ts).cast("double")),
-      "hour" -> (ts => hour(ts).cast("double")),
-      "day_of_week" -> (ts => (dayofweek(ts) - 1).cast("double")),
-      "day_of_month" -> (ts => dayofmonth(ts).cast("double")),
-      "day_of_year" -> (ts => dayofyear(ts).cast("double")),
-      "month" -> (ts => month(ts).cast("double")),
-      "year" -> (ts => year(ts).cast("double")),
-      "days_in_month" -> (ts => dayofmonth(last_day(ts)).cast("double")))
+    /** UTC calendar projections from EPOCH MILLISECONDS — PromQL's
+      * 0=Sunday day_of_week. Deliberately not Spark's timestamp
+      * accessors (minute/hour/...), which convert through
+      * `spark.sql.session.timeZone`: PromQL mandates UTC whatever the
+      * session is set to, so sub-day fields are modular epoch math and
+      * date fields go through tz-free DATE arithmetic (epoch days). */
+    private val calendarFns: Map[String, Column => Column] = {
+      val DayMs = 86400000L
+      def utcDate(ms: Column): Column =
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          floor(ms / DayMs).cast("int"))
+      Map(
+        "minute" -> (ms => floor(pmod(ms, lit(3600000L)) / 60000L).cast("double")),
+        "hour" -> (ms => floor(pmod(ms, lit(DayMs)) / 3600000L).cast("double")),
+        "day_of_week" -> (ms => (dayofweek(utcDate(ms)) - 1).cast("double")),
+        "day_of_month" -> (ms => dayofmonth(utcDate(ms)).cast("double")),
+        "day_of_year" -> (ms => dayofyear(utcDate(ms)).cast("double")),
+        "month" -> (ms => month(utcDate(ms)).cast("double")),
+        "year" -> (ms => year(utcDate(ms)).cast("double")),
+        "days_in_month" -> (ms => dayofmonth(last_day(utcDate(ms))).cast("double")))
+    }
 
     private val instantFns: Map[String, Column => Column] = Map(
       "abs" -> abs, "ceil" -> ((c: Column) => ceil(c).cast("double")),

@@ -85,8 +85,13 @@ object StreamingRate {
         st = AlertSt(Long.MinValue, 0L)
         None
       } else {
+        // a redelivered instant (at-least-once upstream) is idempotent:
+        // same run, re-emitted verdict — it must NOT reset a firing
+        // alert back to pending
         val run =
-          if (st.lastCondT == r.t - stepMs) st.run + 1 else 1L
+          if (st.lastCondT == r.t) st.run
+          else if (st.lastCondT == r.t - stepMs) st.run + 1
+          else 1L
         st = AlertSt(r.t, run)
         Some(AlertRow(key, r.t, r.value,
           if (run >= forSteps + 1) "firing" else "pending"))
@@ -110,7 +115,11 @@ object StreamingRate {
     * Input instants must arrive in nondecreasing `t` order per series
     * across batches — [[StreamingIngest.streamingIncrease]]'s
     * bucket-close order and any watermark-ordered rollup satisfy this;
-    * within a batch the fold sorts. */
+    * within a batch the fold sorts, and a REDELIVERED instant (allowed
+    * by at-least-once upstreams) is idempotent — it re-emits the same
+    * verdict without resetting the run. State is one pair per active
+    * series (the same O(#series) bound [[increments]] holds); like
+    * there, dead-series expiry is the caller's TTL policy. */
   def streamingAlertState(
       rows: Dataset[RuleInput],
       cond: Double => Boolean,

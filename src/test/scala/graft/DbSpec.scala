@@ -244,5 +244,10 @@ class DbSpec extends SparkSuite {
     // sum(rate): 10/60 + 20/60 per second over the exactly-linear window
     val sr = db.promql("sum(rate(req[10m]))", 10 * M, 10 * M, M)
     assert(math.abs(sr.select("v").as[Double].head() - 30.0 / 60.0) < 1e-9)
+    // @-pinned instant OUTSIDE the window's own lookbehind: the scan
+    // bound must widen to the pinned time or the query silently empties
+    val pinned = db.promql("req{inst=\"0\"} @ 600", 20 * M, 20 * M, M)
+    assert(pinned.select("t", "v").as[(Long, Double)].collect().toSeq ==
+      Seq((20 * M, 100.0)))
   }
 }

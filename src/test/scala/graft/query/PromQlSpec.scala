@@ -402,6 +402,29 @@ class PromQlSpec extends SparkSuite {
     }
   }
 
+  test("review fixes: Inf/NaN literals, round ties, top-level time(), scan bounds") {
+    val p = at(50 * M)
+    // Inf/NaN are number literals, not metric selectors
+    val lt = PromQl.eval("http_requests < Inf", counters, p)
+    assert(lt.count() == 2) // everything passes
+    assert(PromQl.eval("http_requests < -Inf", counters, p).count() == 0)
+    // round() ties round UP, agreeing with the two-arg form: evaluate
+    // at both sample instants (one series, one value visible per t)
+    val s = load(M)(Map("__name__" -> "m") -> Seq(-2.5, 2.5))
+    val r = PromQl.eval("round(m)", s, PromQl.Params(0, M, M, lookbackMs = M))
+      .select("v").as[Double].collect().sorted.toSeq
+    assert(r == Seq(-2.0, 3.0), r)
+    // a time()-valued top-level query materializes as a {} vector
+    val tv = PromQl.eval("time() * 2", counters, PromQl.Params(0, 10 * M, 5 * M))
+    assert(tv.select("t", "v").as[(Long, Double)].collect().toMap ==
+      Map(0L -> 0.0, 5 * M -> 600.0, 10 * M -> 1200.0))
+    assert(one(PromQl.eval("-time()", counters, at(1000 * 1000))) == -1000.0)
+    // scan bounds widen for @-pinned instants outside the window
+    val (lo, hi) = PromQl.scanBoundsMs(
+      "m @ 60 + rate(m[5m] offset 2m)", 3600000, 7200000, 300000)
+    assert(lo <= 60000 - 300000 && hi >= 7200000, (lo, hi))
+  }
+
   test("parse errors: unsupported constructs are rejected loudly") {
     intercept[IllegalArgumentException] { PromQl.parse("a + group_left b") }
     intercept[IllegalArgumentException] { PromQl.parse("rate(m[5m)") }

@@ -565,6 +565,9 @@ class StreamingSpec extends SparkSuite {
     in.addData(rows.take(4): _*); q.processAllAvailable()
     in.addData(rows.slice(4, 8): _*); q.processAllAvailable()
     in.addData(rows.drop(8): _*); q.processAllAvailable()
+    // at-least-once upstream: the final firing instant redelivered must
+    // re-emit FIRING, not reset the run to pending
+    in.addData(RuleInput("a", 400, 18.0)); q.processAllAvailable()
     q.stop()
     val got = spark.table("salert").as[StreamingRate.AlertRow].collect()
       .map(r => (r.series_key, r.t, r.value, r.state)).toSet
@@ -573,6 +576,7 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains(("a", 300L, 17.0, "firing")))
     assert(got.contains(("b", 400L, 22.0, "pending"))) // run broken at 200
     assert(got.contains(("c", 400L, 32.0, "pending"))) // stale 200 broke it
+    assert(!got.contains(("a", 400L, 18.0, "pending"))) // no replay regression
   }
 
   test("snapshot mid-stream carries every ingested sample; the live store keeps " +
