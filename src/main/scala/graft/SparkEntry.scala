@@ -2138,6 +2138,20 @@ object SparkEntry {
           promqlParams(s, dir, MINT, MAXT, BUCKET_W, BUCKET_W + 1))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
 
+    // scalar() under the gate — the `v / scalar(sum(v))` dashboard
+    // shape: each click series' share of the metric's global total per
+    // instant. The divisor compiles to ONE lattice-sized aggregate
+    // joined on `t` alone (the ts_scalar_op one-row-per-instant
+    // broadcast, now reached from the language). Float caveat: the
+    // global sum is an unrounded double sum on both engines (the
+    // compiler can't round mid-expression) — 6dp of an O(1e-3) ratio
+    // leaves ~9 guard digits, the promql_increase-class accepted risk.
+    "promql_scalar" -> ((s, dir) =>
+      PromQl.eval("{name=\"click\"} / scalar(sum({name=\"click\"}))",
+          TsdbSource.events(s, dir).samples,
+          promqlParams(s, dir, MINT, MAXT, BUCKET_W))
+        .select(col("series_key"), col("t"), round(col("v"), 6).as("v"))),
+
     // Alert-rule evaluation with a `for` duration — the OTHER half of
     // the rules engine ([[ts_rule_group]] is recording rules): an alert
     // fires at instant t iff the condition held at EVERY lattice
@@ -3671,6 +3685,20 @@ object SparkEntry {
          |FROM u a JOIN u b ON a.u_id = b.u_id AND a.t = b.t
          |  AND a.name = 'click' AND b.name = 'view'
          |ORDER BY series_key, a.t""".stripMargin,
+    // scalar(sum(v)) twin: the click fill's global per-instant total as
+    // the divisor; result key = labels minus the metric name
+    "promql_scalar" ->
+      s"""$namedGridCte,
+         |u AS (SELECT series_key, t, r_v,
+         |  regexp_extract(series_key, 'user="([0-9]+)"', 1) AS u_id
+         |  FROM f WHERE r_v IS NOT NULL AND name = 'click'),
+         |tot AS (SELECT t, sum(r_v) AS tot FROM u GROUP BY t)
+         |SELECT '{user="' || u.u_id || '"' ||
+         |    CASE WHEN u.u_id::BIGINT % 10 = 0 THEN ',vip="1"' ELSE '' END
+         |    || '}' AS series_key,
+         |  u.t AS t, round(u.r_v / tot.tot, 6) AS v
+         |FROM u JOIN tot ON u.t = tot.t
+         |ORDER BY series_key, t""".stripMargin,
     "emb_quantized_search" ->
       s"""WITH cq AS (SELECT vec_id,
          |  list_transform(embedding, x -> CASE

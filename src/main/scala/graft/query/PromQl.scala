@@ -32,23 +32,30 @@ import graft.matchers.{Eq, Matcher, Re}
   *  - range functions: rate, irate, increase, delta, idelta, resets,
   *    changes, deriv, predict_linear, holt_winters (=
   *    double_exponential_smoothing), and the `*_over_time` family
-  *    (avg/min/max/sum/count/last/stddev/stdvar/quantile/present/absent);
+  *    (avg/min/max/sum/count/last/stddev/stdvar/quantile/mad/present/
+  *    absent);
   *  - instant functions: abs, ceil, floor, exp, ln, log2, log10, sqrt,
   *    sgn, round, clamp, clamp_min, clamp_max, histogram_quantile,
-  *    vector, absent, sort/sort_desc, label_replace, label_join,
-  *    timestamp, the calendar family (minute/hour/day_of_week/
-  *    day_of_month/day_of_year/month/year/days_in_month, zero-arg or
-  *    per-element), and `time()` as a time-varying scalar;
+  *    vector, absent, sort/sort_desc, sort_by_label(_desc) (identity:
+  *    relational results carry no element order), label_replace,
+  *    label_join, timestamp, the calendar family (minute/hour/
+  *    day_of_week/day_of_month/day_of_year/month/year/days_in_month,
+  *    zero-arg or per-element), `time()` as a time-varying scalar, and
+  *    `scalar()` (the single element per instant, NaN on 0/≥2);
   *  - aggregations with `by`/`without`: sum, min, max, avg, count,
-  *    group, stddev, stdvar, quantile, topk, bottomk, count_values;
+  *    group, stddev, stdvar, quantile, topk, bottomk, count_values,
+  *    limitk / limit_ratio (deterministic pick: lexicographic /
+  *    canonical-hash sampling — upstream's pick is unspecified);
   *  - binary ops: `+ - * / % ^` and comparisons (with `bool`),
   *    vector↔scalar and vector↔vector (one-to-one `on`/`ignoring`,
   *    many-to-one `group_left`/`group_right` with include labels),
   *    set ops `and`/`or`/`unless`;
   *  - subqueries `expr[range:step]` as range-function arguments;
-  *  - `@` on plain selectors (fixed timestamp, `start()`, `end()`).
-  *  Not supported (rejected at parse/compile): `@` on range selectors,
-  *  native histograms, `scalar()`.
+  *  - `@` on plain AND range selectors (fixed timestamp, `start()`,
+  *    `end()` — resolved against the OUTERMOST query range even inside
+  *    subqueries).
+  *  Not supported (rejected at parse/compile): `@` on subqueries,
+  *  native histograms.
   *
   *  Documented divergence: one-to-one matching with DUPLICATE match
   *  keys on the "one" side (e.g. two metrics sharing every non-name
@@ -115,7 +122,8 @@ object PromQl {
   private case object TEof extends Tok
 
   private val aggOps = Set("sum", "min", "max", "avg", "count", "group",
-    "stddev", "stdvar", "quantile", "topk", "bottomk", "count_values")
+    "stddev", "stdvar", "quantile", "topk", "bottomk", "count_values",
+    "limitk", "limit_ratio")
   private val keywords = Set("by", "without", "on", "ignoring", "bool",
     "offset", "and", "or", "unless", "group_left", "group_right")
 
@@ -299,14 +307,22 @@ object PromQl {
     private def parseCmp(): Expr =
       binL(Seq("==", "!=", ">", "<", ">=", "<="), () => parseAdd())
     private def parseAdd(): Expr = binL(Seq("+", "-"), () => parseMul())
-    private def parseMul(): Expr = binL(Seq("*", "/", "%"), () => parsePow())
+    private def parseMul(): Expr = binL(Seq("*", "/", "%"), () => parseUnary())
+    // unary ops take MUL precedence, BELOW the right-assoc '^' (the
+    // PromQL grammar's `unary_op expr %prec MUL`): -2^2 = -(2^2) = -4,
+    // while an exponent re-enters at the unary level so 2^-2 parses
+    private def parseUnary(): Expr = cur match {
+      case TOp("-") => pos += 1; Neg(parseUnary())
+      case TOp("+") => pos += 1; parseUnary()
+      case _ => parsePow()
+    }
     private def parsePow(): Expr = {
-      val lhs = parseUnary()
+      val lhs = parseAtom()
       cur match {
         case TOp("^") =>
           pos += 1
           val (bool, m) = parseBinModifiers()
-          Bin("^", lhs, parsePow(), bool, m) // right-assoc
+          Bin("^", lhs, parseUnary(), bool, m) // right-assoc
         case _ => lhs
       }
     }
@@ -371,12 +387,6 @@ object PromQl {
       }
       expectOp(")")
       out.result()
-    }
-
-    private def parseUnary(): Expr = cur match {
-      case TOp("-") => pos += 1; Neg(parseUnary())
-      case TOp("+") => pos += 1; parseUnary()
-      case _ => parseAtom()
     }
 
     private def parseAtom(): Expr = {
@@ -466,7 +476,8 @@ object PromQl {
         }
         e match {
           case s: Selector => postfix(s.copy(at = Some(at)))
-          case _ => fail("@ is supported on plain vector selectors only")
+          case RangeSel(s, r) => postfix(RangeSel(s.copy(at = Some(at)), r))
+          case _ => fail("@ is supported on vector and range selectors only")
         }
       case _ => e
     }
@@ -586,9 +597,23 @@ object PromQl {
     out.select("series_key", "labels", "t", "v").orderBy("series_key", "t")
   }
 
-  private final class Compiler(samples: DataFrame, p: Params) {
+  /** `outerStartMs`/`outerEndMs`: the OUTERMOST query's evaluation
+    * range — `@ start()`/`@ end()` resolve against it regardless of
+    * subquery nesting (a nested compiler's own lattice is widened and
+    * step-realigned, so resolving there would drift by up to the
+    * subquery range). */
+  private final class Compiler(
+      samples: DataFrame, p: Params,
+      outerStartMs: Long, outerEndMs: Long) {
+    def this(samples: DataFrame, p: Params) = this(samples, p, p.startMs, p.endMs)
     private val spark = samples.sparkSession
     private def mapResolve: String => Column = n => col("labels").getItem(n)
+
+    private def resolveAt(at: At): Long = at match {
+      case AtStart => outerStartMs
+      case AtEnd => outerEndMs
+      case AtMs(ms) => ms
+    }
 
     def eval(e: Expr): Value = e match {
       case NumberLit(v) => Scal(v)
@@ -654,12 +679,9 @@ object PromQl {
       * time, replicated across the output lattice — each lattice
       * instant reads the same fixed-time value (the `@` contract). */
     private def atVector(s: Selector): DataFrame = {
-      val T = s.at.get match {
-        case AtStart => p.startMs
-        case AtEnd => p.endMs
-        case AtMs(ms) => ms
-      }
-      val one = new Compiler(samples, p.copy(startMs = T, endMs = T))
+      val T = resolveAt(s.at.get)
+      val one = new Compiler(samples, p.copy(startMs = T, endMs = T),
+          outerStartMs, outerEndMs)
         .eval(s.copy(at = None)) match {
         case Vec(df) => df
         case _ => fail("internal: selector must evaluate to a vector")
@@ -700,7 +722,7 @@ object PromQl {
       * result in as the samples. */
     private def rangeArgOf(e: Expr): (DataFrame, DataFrame, Long) = e match {
       case RangeSel(s, _) if s.at.isDefined =>
-        fail("@ on range selectors is not supported")
+        fail("internal: @-pinned range selectors resolve before rangeArgOf")
       case r: RangeSel =>
         val sel = selected(r.sel)
         (sel.select("series_key", "t", "v"), sel, r.rangeMs)
@@ -710,10 +732,11 @@ object PromQl {
         val rem = math.floorMod(raw, stepIn)
         val start0 = if (rem == 0L) raw else raw + stepIn - rem
         val inner = new Compiler(samples,
-          p.copy(startMs = start0, endMs = p.endMs, stepMs = stepIn))
+          p.copy(startMs = start0, endMs = p.endMs, stepMs = stepIn),
+          outerStartMs, outerEndMs)
           .eval(sq.body) match {
           case Vec(df) => df
-          case Scal(_) => fail("subquery body must be an instant vector")
+          case _ => fail("subquery body must be an instant vector")
         }
         (inner.select("series_key", "t", "v"), inner, sq.rangeMs)
       case _ => fail(
@@ -808,7 +831,35 @@ object PromQl {
       if (isRate) scaled / rangeSec else scaled
     }
 
-    private def rangeFunction(fn: String, arg: Expr, param: Seq[Double]): DataFrame = {
+    /** The PromQL quantile(0.5, ·) over an ASCENDING-sorted array:
+      * linear interpolation at rank 0.5·(n−1) — the middle element for
+      * odd n, the mean of the two middles for even n. Guarded so the
+      * odd-n case never indexes past the array (ANSI element_at). */
+    private def sortedMedian(arr: Column): Column = {
+      val rk = (size(arr).cast("double") - 1.0) * 0.5
+      val lo = floor(rk).cast("int")
+      val w = rk - lo.cast("double")
+      when(w === 0.0, element_at(arr, lo + 1))
+        .otherwise(element_at(arr, lo + 1) * (lit(1.0) - w) +
+          element_at(arr, lo + 2) * w)
+    }
+
+    /** `m[r] @ T`: the trailing window `(T − r, T]` evaluated ONCE at
+      * the pinned instant, replicated across the output lattice — the
+      * same one-instant-then-cross-join shape as [[atVector]]. */
+    private def rangeFunction(fn: String, arg: Expr, param: Seq[Double]): DataFrame =
+      arg match {
+        case RangeSel(s, rangeMs) if s.at.isDefined =>
+          val T = resolveAt(s.at.get)
+          new Compiler(samples, p.copy(startMs = T, endMs = T),
+              outerStartMs, outerEndMs)
+            .rangeFunction(fn, RangeSel(s.copy(at = None), rangeMs), param)
+            .drop("t").crossJoin(latticeDf)
+            .select("series_key", "labels", "t", "v")
+        case _ => rangeFunctionBody(fn, arg, param)
+      }
+
+    private def rangeFunctionBody(fn: String, arg: Expr, param: Seq[Double]): DataFrame = {
       val (src, labelsSrc, rangeMs) = rangeArgOf(arg)
       val needTwo = Set("rate", "increase", "delta", "idelta", "irate",
         "deriv", "predict_linear", "holt_winters", "double_exponential_smoothing")
@@ -819,6 +870,10 @@ object PromQl {
         case "holt_winters" | "double_exponential_smoothing" =>
           // the fold needs the ordered points themselves
           Seq(sort_array(collect_list(struct(col("t"), col("v")))).as("hw_pts"))
+        case "mad_over_time" =>
+          // the deviation |v_i − med| depends on the window's own
+          // median — two interpolated ranks over the sorted values
+          Seq(sort_array(collect_list(col("v"))).as("mad_vs"))
         case _ => Nil
       }
       val agg = rangeAgg(src, rangeMs, extra)
@@ -869,6 +924,9 @@ object PromQl {
         case "stdvar_over_time" =>
           col("sum_vv") / col("cnt") - pow(col("sum_v") / col("cnt"), 2)
         case "quantile_over_time" => col("q_v")
+        case "mad_over_time" =>
+          val med = sortedMedian(col("mad_vs"))
+          sortedMedian(sort_array(transform(col("mad_vs"), x => abs(x - med))))
         case other => fail(s"unknown range function $other")
       }
       val kept =
@@ -912,7 +970,21 @@ object PromQl {
           .select(lit("{}").as("series_key"),
             map().cast("map<string,string>").as("labels"),
             col("id").as("t"), lit(v).as("v")))
-      case Call("scalar", _) => fail("scalar() is not supported")
+      // scalar(v): the single element's value per lattice instant; NaN
+      // where the vector holds 0 or ≥2 elements. One instant-count
+      // aggregate (lattice-sized) left-joined onto the lattice — the
+      // same one-row-per-instant broadcast shape ts_scalar_op prices;
+      // downstream binary ops join it on `t` alone.
+      case Call("scalar", Seq(e)) => eval(e) match {
+        case Scal(v) => Scal(v)
+        case sv: ScalV => sv
+        case Vec(df) =>
+          val perT = df.groupBy("t").agg(
+            when(count(lit(1)) === 1, min("v"))
+              .otherwise(lit(Double.NaN)).as("__sv"))
+          ScalV(latticeDf.join(perT, Seq("t"), "left")
+            .select(col("t"), coalesce(col("__sv"), lit(Double.NaN)).as("v")))
+      }
       case Call("time", Seq()) =>
         ScalV(latticeDf.select(col("t"), (col("t") / 1000.0).as("v")))
       case Call("timestamp", Seq(e)) => eval(e) match {
@@ -935,6 +1007,12 @@ object PromQl {
       case Call("sort" | "sort_desc", Seq(e)) =>
         // presentation-order functions: a relational result set has no
         // element order — the final eval() ordering applies; identity
+        eval(e)
+      case Call("sort_by_label" | "sort_by_label_desc", e +: srcs)
+          if srcs.nonEmpty && srcs.forall(_.isInstanceOf[StringLit]) =>
+        // label-order presentation, same relational identity as sort():
+        // the element set is unchanged, only upstream's display order
+        // differs (ts_sort_by_label is the ordered-listing consumer)
         eval(e)
       case Call("label_replace",
           Seq(e, StringLit(dst), StringLit(rep), StringLit(src), StringLit(re))) =>
@@ -963,7 +1041,8 @@ object PromQl {
     private val rangeFns = Set("rate", "increase", "delta", "idelta", "irate",
       "resets", "changes", "deriv", "avg_over_time", "sum_over_time",
       "min_over_time", "max_over_time", "count_over_time", "last_over_time",
-      "present_over_time", "stddev_over_time", "stdvar_over_time")
+      "present_over_time", "stddev_over_time", "stdvar_over_time",
+      "mad_over_time")
 
     /** UTC calendar projections from EPOCH MILLISECONDS — PromQL's
       * 0=Sunday day_of_week. Deliberately not Spark's timestamp
@@ -987,12 +1066,20 @@ object PromQl {
         "days_in_month" -> (ms => dayofmonth(last_day(utcDate(ms))).cast("double")))
     }
 
+    /** Spark's log() returns NULL for non-positive inputs; PromQL
+      * defines ln(0) = -Inf and ln(x<0) = NaN (IEEE), and every present
+      * element must keep a value — map the domain edges explicitly. */
+    private def ieeeLog(f: Column => Column): Column => Column = c =>
+      when(c === 0.0, lit(Double.NegativeInfinity))
+        .when(c < 0.0, lit(Double.NaN))
+        .otherwise(f(c))
+
     private val instantFns: Map[String, Column => Column] = Map(
       "abs" -> abs, "ceil" -> ((c: Column) => ceil(c).cast("double")),
       "floor" -> ((c: Column) => floor(c).cast("double")),
-      "exp" -> exp, "ln" -> ((c: Column) => log(c)),
-      "log2" -> ((c: Column) => log(c) / log(lit(2.0))),
-      "log10" -> ((c: Column) => log(c) / log(lit(10.0))),
+      "exp" -> exp, "ln" -> ieeeLog(c => log(c)),
+      "log2" -> ieeeLog(c => log(c) / log(lit(2.0))),
+      "log10" -> ieeeLog(c => log(c) / log(lit(10.0))),
       "sqrt" -> sqrt, "sgn" -> ((c: Column) => signum(c)))
 
     private def instantFn(e: Expr, f: Column): Value = eval(e) match {
@@ -1025,14 +1112,22 @@ object PromQl {
 
     /** `absent_over_time(v[range])`: 1 where the trailing window holds
       * NO samples of the range argument. */
-    private def absentOverTime(arg: Expr): DataFrame = {
-      val (src, _, rangeMs) = rangeArgOf(arg)
-      val present = rangeFrame(src, rangeMs)
-        .select(col("g").as("t")).distinct()
-      absentRows(present, arg match {
-        case RangeSel(s, _) => Some(s)
-        case _ => None
-      })
+    private def absentOverTime(arg: Expr): DataFrame = arg match {
+      case RangeSel(s, r) if s.at.isDefined =>
+        val T = resolveAt(s.at.get)
+        new Compiler(samples, p.copy(startMs = T, endMs = T),
+            outerStartMs, outerEndMs)
+          .absentOverTime(RangeSel(s.copy(at = None), r))
+          .drop("t").crossJoin(latticeDf)
+          .select("series_key", "labels", "t", "v")
+      case _ =>
+        val (src, _, rangeMs) = rangeArgOf(arg)
+        val present = rangeFrame(src, rangeMs)
+          .select(col("g").as("t")).distinct()
+        absentRows(present, arg match {
+          case RangeSel(s, _) => Some(s)
+          case _ => None
+        })
     }
 
     private def absentRows(presentT: DataFrame, sel: Option[Selector]): DataFrame = {
@@ -1107,7 +1202,11 @@ object PromQl {
         .otherwise(element_at(col("bk"), col("__i") - 1).getField("v"))
       val interp = prevLe + (le - prevLe) * ((rank - prevCum) / (cum - prevCum))
       grouped
-        .where(n >= 2 && total > 0 && element_at(col("bk"), n).getField("le").isNaN === false)
+        // the highest bucket must be le="+Inf" (the Prometheus
+        // completeness rule) — with only finite buckets the histogram
+        // yields no result rather than a fabricated interpolation
+        .where(n >= 2 && total > 0 &&
+          element_at(col("bk"), n).getField("le") === lit(Double.PositiveInfinity))
         .withColumn("__i", idx)
         .withColumn("v",
           when(col("__i").isNull, lit(null).cast("double"))
@@ -1228,6 +1327,31 @@ object PromQl {
             .withColumn("__rk", row_number().over(
               Window.partitionBy("g_key", "t").orderBy(ord, col("series_key"))))
             .where(col("__rk") <= k)
+            .select("series_key", "labels", "t", "v")
+        case "limitk" =>
+          val k = scalarOf(a.param.getOrElse(fail("limitk needs k"))).toInt
+          // PromQL's k-series pick is unspecified (upstream samples
+          // randomly); the deterministic stand-in is lexicographic
+          // series_key order per group — ts_limitk's pinned convention
+          keyed
+            .withColumn("__rk", row_number().over(
+              Window.partitionBy("g_key", "t").orderBy(col("series_key"))))
+            .where(col("__rk") <= k)
+            .select("series_key", "labels", "t", "v")
+        case "limit_ratio" =>
+          val r = scalarOf(a.param.getOrElse(fail("limit_ratio needs r")))
+          if (r < -1.0 || r > 1.0) fail("limit_ratio takes a ratio in [-1, 1]")
+          // deterministic per-series hash sampling (ts_limit_ratio's
+          // rule): the canonical labels hash as an unsigned 64-bit
+          // fraction; r ≥ 0 keeps [0, r), negative r the complement
+          // [1+r, 1) — the two partitions union to everything and
+          // membership is stable across evaluations
+          graft.catalyst.GraftExtensions.install(spark)
+          val h = graft.functions.labelsHash(col("labels"))
+          val frac = h.cast("double") / lit(math.pow(2.0, 64)) +
+            when(h < 0, 1.0).otherwise(0.0)
+          keyed
+            .where(if (r >= 0) frac < lit(r) else frac >= lit(1.0 + r))
             .select("series_key", "labels", "t", "v")
         case "count_values" =>
           val target = a.param match {

@@ -146,8 +146,9 @@ class PromQlSpec extends SparkSuite {
       counters, p)
     assert(ratio.select("t", "v").as[(Long, Double)].collect().toMap ==
       Map(40 * M -> 80.0 / 50, 45 * M -> 90.0 / 50, 50 * M -> 100.0 / 50))
+    // @ on a SUBQUERY stays rejected (range selectors are supported)
     intercept[IllegalArgumentException] {
-      PromQl.eval("rate(http_requests[5m] @ 1500)", counters, p)
+      PromQl.eval("rate((http_requests)[5m:1m] @ 1500)", counters, p)
     }
   }
 
@@ -429,8 +430,10 @@ class PromQlSpec extends SparkSuite {
     intercept[IllegalArgumentException] { PromQl.parse("a + group_left b") }
     intercept[IllegalArgumentException] { PromQl.parse("rate(m[5m)") }
     intercept[IllegalArgumentException] { PromQl.parse("m{label=}") }
+    // scalar() over a missing metric is legal (NaN), but an unknown
+    // function still fails loudly
     intercept[IllegalArgumentException] {
-      PromQl.eval("scalar(m)", counters, at(0))
+      PromQl.eval("histogram_fraction(0, 0.2, m)", counters, at(0))
     }
     // durations: compound and ms units lex correctly
     assert(PromQl.parse("m[1h30m]") ==
@@ -470,5 +473,101 @@ class PromQlSpec extends SparkSuite {
     val w = want.as[(String, Long, Double)].collect().toSet
     assert(g.nonEmpty)
     assert(g == w, s"only-promql=${(g -- w).take(3)} only-rate=${(w -- g).take(3)}")
+  }
+
+  test("operator precedence: unary minus binds below right-assoc ^") {
+    val p = at(0)
+    assert(one(PromQl.eval("-2^2", counters, p)) == -4.0)
+    assert(one(PromQl.eval("2^-2", counters, p)) == 0.25)
+    assert(one(PromQl.eval("-2^-2", counters, p)) == -0.25)
+    assert(one(PromQl.eval("2^3^2", counters, p)) == 512.0) // right-assoc
+    assert(one(PromQl.eval("-http_requests{instance=\"0\"}^2",
+      counters, at(50 * M))) == -10000.0)
+  }
+
+  test("scalar(): the single element's value per instant, NaN on 0/>=2") {
+    val p = at(50 * M)
+    val share = vals(PromQl.eval(
+      "http_requests / scalar(sum(http_requests))", counters, p))
+    assert(math.abs(share("{instance=\"0\",job=\"api\"}") - 1.0 / 3) < 1e-9)
+    assert(math.abs(share("{instance=\"1\",job=\"api\"}") - 2.0 / 3) < 1e-9)
+    assert(one(PromQl.eval("scalar(http_requests)", counters, p)).isNaN) // 2 elements
+    assert(one(PromQl.eval(
+      "scalar(http_requests{instance=\"9\"})", counters, p)).isNaN) // empty
+  }
+
+  test("@ on range selectors pins the window; subquery @ resolves the outer range") {
+    val p = PromQl.Params(40 * M, 50 * M, STEP5)
+    val inc = PromQl.eval(
+      "increase(http_requests{instance=\"0\"}[50m] @ end())", counters, p)
+    val rows = inc.select("t", "v").as[(Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set(40L * M, 45L * M, 50L * M))
+    assert(rows.forall(r => math.abs(r._2 - 100.0) < 1e-9))
+    // @ start() INSIDE a subquery resolves against the OUTERMOST start
+    // (40m, value 80) — not the subquery-widened inner lattice's start
+    val sub = PromQl.eval(
+      "avg_over_time((http_requests{instance=\"0\"} @ start())[10m:5m])",
+      counters, p)
+    assert(sub.select("v").as[Double].collect().toSet == Set(80.0))
+  }
+
+  test("a subquery over a scalar-typed body is rejected cleanly") {
+    val ex = intercept[IllegalArgumentException] {
+      PromQl.eval("avg_over_time(time()[1h:1m])", counters, at(50 * M))
+    }
+    assert(ex.getMessage.contains("promql:"))
+  }
+
+  test("histogram_quantile requires a +Inf top bucket") {
+    def bucket(le: String, v: Double) =
+      Map("__name__" -> "lat_bucket", "le" -> le, "job" -> "x") -> Seq(v)
+    val finiteOnly = load(M)(bucket("0.1", 50.0), bucket("0.4", 100.0))
+    assert(PromQl.eval("histogram_quantile(0.5, lat_bucket)",
+      finiteOnly, at(0, lookbackMs = M)).count() == 0)
+  }
+
+  test("ln/log2/log10 domain edges: 0 -> -Inf, negative -> NaN") {
+    val s = load(M)(
+      Map("__name__" -> "g", "i" -> "a") -> Seq(0.0),
+      Map("__name__" -> "g", "i" -> "b") -> Seq(-1.0),
+      Map("__name__" -> "g", "i" -> "c") -> Seq(8.0))
+    val p = at(0, lookbackMs = M)
+    val m = vals(PromQl.eval("ln(g)", s, p))
+    assert(m("{i=\"a\"}") == Double.NegativeInfinity)
+    assert(m("{i=\"b\"}").isNaN)
+    assert(m("{i=\"c\"}") == math.log(8.0))
+    val l2 = vals(PromQl.eval("log2(g)", s, p))
+    assert(l2("{i=\"c\"}") == 3.0)
+    assert(l2("{i=\"a\"}") == Double.NegativeInfinity)
+  }
+
+  test("limitk picks lexicographically; limit_ratio hash-samples, complement unions") {
+    val p = at(50 * M)
+    val lk = PromQl.eval("limitk(1, http_requests)", counters, p)
+      .select("series_key", "v").as[(String, Double)].collect()
+    assert(lk.length == 1 && lk.head._2 == 100.0) // instance="0" sorts first
+    assert(lk.head._1.contains("__name__")) // input label set retained
+    assert(PromQl.eval("limitk(5, http_requests)", counters, p).count() == 2)
+    val inKeys = vals(PromQl.eval("limit_ratio(0.5, http_requests)", counters, p)).keySet
+    val outKeys = vals(PromQl.eval("limit_ratio(-0.5, http_requests)", counters, p)).keySet
+    assert((inKeys & outKeys).isEmpty)
+    assert((inKeys | outKeys).size == 2) // union is everything
+    assert(PromQl.eval("limit_ratio(1.0, http_requests)", counters, p).count() == 2)
+  }
+
+  test("mad_over_time: median absolute deviation over the trailing window") {
+    val s = load(M)(Map("__name__" -> "m") -> Seq(1.0, 4.0, 2.0, 8.0))
+    val p = at(3 * M, lookbackMs = M)
+    // window (0, 3m]: {4, 2, 8} — median 4, |dev| {0, 2, 4} -> 2
+    assert(one(PromQl.eval("mad_over_time(m[3m])", s, p)) == 2.0)
+    // even count (-1m, 3m]: {1, 4, 2, 8} — median 3, |dev| {2, 1, 1, 5} -> 1.5
+    assert(one(PromQl.eval("mad_over_time(m[4m])", s, p)) == 1.5)
+  }
+
+  test("sort_by_label is a relational identity over the element set") {
+    val p = at(50 * M)
+    assert(
+      vals(PromQl.eval("sort_by_label(http_requests, \"instance\")", counters, p)) ==
+        vals(PromQl.eval("http_requests", counters, p)))
   }
 }
