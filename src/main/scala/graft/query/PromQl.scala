@@ -40,13 +40,16 @@ import graft.matchers.{Eq, Matcher, Re}
   *    relational results carry no element order), label_replace,
   *    label_join, timestamp, the calendar family (minute/hour/
   *    day_of_week/day_of_month/day_of_year/month/year/days_in_month,
-  *    zero-arg or per-element), `time()` as a time-varying scalar, and
-  *    `scalar()` (the single element per instant, NaN on 0/≥2);
+  *    zero-arg or per-element), the trigonometric family (sin/cos/tan,
+  *    a(sin|cos|tan), (sin|cos|tan)h, a(sin|cos|tan)h, deg, rad, pi),
+  *    `time()` as a time-varying scalar, and `scalar()` (the single
+  *    element per instant, NaN on 0/≥2);
   *  - aggregations with `by`/`without`: sum, min, max, avg, count,
   *    group, stddev, stdvar, quantile, topk, bottomk, count_values,
   *    limitk / limit_ratio (deterministic pick: lexicographic /
   *    canonical-hash sampling — upstream's pick is unspecified);
-  *  - binary ops: `+ - * / % ^` and comparisons (with `bool`),
+  *  - binary ops: `+ - * / % ^ atan2` (IEEE: x/0 = ±Inf, 0/0 = x%0 =
+  *    NaN) and comparisons (with `bool`),
   *    vector↔scalar and vector↔vector (one-to-one `on`/`ignoring`,
   *    many-to-one `group_left`/`group_right` with include labels),
   *    set ops `and`/`or`/`unless`;
@@ -307,7 +310,7 @@ object PromQl {
     private def parseCmp(): Expr =
       binL(Seq("==", "!=", ">", "<", ">=", "<="), () => parseAdd())
     private def parseAdd(): Expr = binL(Seq("+", "-"), () => parseMul())
-    private def parseMul(): Expr = binL(Seq("*", "/", "%"), () => parseUnary())
+    private def parseMul(): Expr = binL(Seq("*", "/", "%", "atan2"), () => parseUnary())
     // unary ops take MUL precedence, BELOW the right-assoc '^' (the
     // PromQL grammar's `unary_op expr %prec MUL`): -2^2 = -(2^2) = -4,
     // while an exponent re-enters at the unary level so 2^-2 parses
@@ -828,7 +831,11 @@ object PromQl {
         when(durToStart < threshold, durToStart).otherwise(avgDur / 2) +
         when(durToEnd < threshold, durToEnd).otherwise(avgDur / 2)
       val scaled = base * (ext / sampledInterval)
-      if (isRate) scaled / rangeSec else scaled
+      // a degenerate window (≥2 samples all at one timestamp, the
+      // relational duplicate convention) has zero sampled interval —
+      // NaN (the filtered no-answer row), never an ANSI divide error
+      when(sampledInterval === 0.0, lit(Double.NaN))
+        .otherwise(if (isRate) scaled / rangeSec else scaled)
     }
 
     /** The PromQL quantile(0.5, ·) over an ASCENDING-sorted array:
@@ -877,8 +884,11 @@ object PromQl {
         case _ => Nil
       }
       val agg = rangeAgg(src, rangeMs, extra)
-      val slope = (col("cnt") * col("sxy") - col("sx") * col("sum_v")) /
-        (col("cnt") * col("sxx") - col("sx") * col("sx"))
+      // all-x-equal windows (duplicate timestamps) zero the variance
+      // denominator — NaN, not an ANSI divide error
+      val slopeDenom = col("cnt") * col("sxx") - col("sx") * col("sx")
+      val slope = when(slopeDenom === 0.0, lit(Double.NaN))
+        .otherwise((col("cnt") * col("sxy") - col("sx") * col("sum_v")) / slopeDenom)
       val intercept = (col("sum_v") - slope * col("sx")) / col("cnt")
       val v: Column = fn match {
         case "rate" => extrapolated(rangeMs, isCounter = true, isRate = true)
@@ -886,7 +896,8 @@ object PromQl {
         case "delta" => extrapolated(rangeMs, isCounter = false, isRate = false)
         case "idelta" => col("last.v") - col("last.prev_v")
         case "irate" =>
-          col("last.inc") / ((col("last.t") - col("last.prev_t")).cast("double") / 1000.0)
+          val dt = (col("last.t") - col("last.prev_t")).cast("double") / 1000.0
+          when(dt === 0.0, lit(Double.NaN)).otherwise(col("last.inc") / dt)
         case "resets" => (col("sum_resets") - col("first.reset_f")).cast("double")
         case "changes" => (col("sum_changes") - col("first.change_f")).cast("double")
         case "deriv" => slope
@@ -985,6 +996,7 @@ object PromQl {
           ScalV(latticeDf.join(perT, Seq("t"), "left")
             .select(col("t"), coalesce(col("__sv"), lit(Double.NaN)).as("v")))
       }
+      case Call("pi", Seq()) => Scal(math.Pi)
       case Call("time", Seq()) =>
         ScalV(latticeDf.select(col("t"), (col("t") / 1000.0).as("v")))
       case Call("timestamp", Seq(e)) => eval(e) match {
@@ -1080,7 +1092,18 @@ object PromQl {
       "exp" -> exp, "ln" -> ieeeLog(c => log(c)),
       "log2" -> ieeeLog(c => log(c) / log(lit(2.0))),
       "log10" -> ieeeLog(c => log(c) / log(lit(10.0))),
-      "sqrt" -> sqrt, "sgn" -> ((c: Column) => signum(c)))
+      "sqrt" -> sqrt, "sgn" -> ((c: Column) => signum(c)),
+      // the trigonometric family (all IEEE, domain edges give NaN —
+      // Spark's asin/acos/atanh already do; acosh(x<1) needs the guard
+      // because Spark's ln-based form would yield NULL there)
+      "sin" -> sin, "cos" -> cos, "tan" -> tan,
+      "asin" -> asin, "acos" -> acos, "atan" -> atan,
+      "sinh" -> sinh, "cosh" -> cosh, "tanh" -> tanh,
+      "asinh" -> asinh,
+      "acosh" -> ((c: Column) => when(c < 1.0, lit(Double.NaN)).otherwise(acosh(c))),
+      "atanh" -> ((c: Column) =>
+        when(abs(c) > 1.0, lit(Double.NaN)).otherwise(atanh(c))),
+      "deg" -> degrees, "rad" -> radians)
 
     private def instantFn(e: Expr, f: Column): Value = eval(e) match {
       case Vec(df) => Vec(dropName(df.withColumn("v", f)))
@@ -1200,7 +1223,12 @@ object PromQl {
         .otherwise(element_at(col("bk"), col("__i") - 1).getField("le"))
       val prevCum = when(col("__i") === 1, lit(0.0))
         .otherwise(element_at(col("bk"), col("__i") - 1).getField("v"))
-      val interp = prevLe + (le - prevLe) * ((rank - prevCum) / (cum - prevCum))
+      // equal cumulative counts can only meet the rank at φ·total = 0
+      // (idx always strictly exceeds prevCum otherwise) — the quantile
+      // sits at the bucket's lower bound, never an ANSI divide error
+      val interp = prevLe + (le - prevLe) *
+        when(cum === prevCum, lit(0.0))
+          .otherwise((rank - prevCum) / (cum - prevCum))
       grouped
         // the highest bucket must be le="+Inf" (the Prometheus
         // completeness rule) — with only finite buckets the histogram
@@ -1408,10 +1436,13 @@ object PromQl {
       } else arith(b.op, l, r)
 
     private def scalarScalar(op: String, l: Double, r: Double, bool: Boolean): Double = {
+      if (cmpOps.contains(op) && !bool)
+        fail("comparisons between scalars must use BOOL")
       def cmp(res: Boolean) = if (res) 1.0 else 0.0
       op match {
         case "+" => l + r; case "-" => l - r; case "*" => l * r
         case "/" => l / r; case "%" => l % r; case "^" => math.pow(l, r)
+        case "atan2" => math.atan2(l, r)
         case "==" => cmp(l == r); case "!=" => cmp(l != r)
         case ">" => cmp(l > r); case "<" => cmp(l < r)
         case ">=" => cmp(l >= r); case "<=" => cmp(l <= r)
@@ -1419,9 +1450,22 @@ object PromQl {
       }
     }
 
+    /** PromQL arithmetic is IEEE-754: x/0 = ±Inf, 0/0 = NaN, x%0 = NaN.
+      * Spark's Divide/Remainder instead return NULL (non-ANSI) or THROW
+      * (ANSI, the 4.x default) on zero divisors — the zero case is
+      * mapped explicitly (CaseWhen branches evaluate lazily, so the
+      * guarded division never runs on a zero divisor). */
     private def arith(op: String, l: Column, r: Column): Column = op match {
       case "+" => l + r; case "-" => l - r; case "*" => l * r
-      case "/" => l / r; case "%" => l % r; case "^" => pow(l, r)
+      case "/" =>
+        when(r === 0.0,
+          when(l > 0, lit(Double.PositiveInfinity))
+            .when(l < 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)))
+          .otherwise(l / r)
+      case "%" => when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
+      case "^" => pow(l, r)
+      case "atan2" => atan2(l, r)
       case _ => fail(s"$op is not arithmetic")
     }
 
@@ -1468,15 +1512,15 @@ object PromQl {
       val rk = r.withColumn("__mk", matchKey(b.matchOn))
       b.op match {
         case "and" =>
-          require(card == 0, "set operations take no grouping modifier")
+          if (card != 0) fail("set operations take no grouping modifier")
           lk.join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi")
             .select("series_key", "labels", "t", "v")
         case "unless" =>
-          require(card == 0, "set operations take no grouping modifier")
+          if (card != 0) fail("set operations take no grouping modifier")
           lk.join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_anti")
             .select("series_key", "labels", "t", "v")
         case "or" =>
-          require(card == 0, "set operations take no grouping modifier")
+          if (card != 0) fail("set operations take no grouping modifier")
           val extra = rk.join(lk.select("__mk", "t").distinct(),
             Seq("__mk", "t"), "left_anti")
           lk.select("series_key", "labels", "t", "v")
