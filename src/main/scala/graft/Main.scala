@@ -13,6 +13,8 @@ import graft.storage.BlockStore
   * graft.Main ls [--human-readable] <dbPath>
   * graft.Main analyze [--limit N] <dbPath> [blockId]
   * graft.Main dump [--min-time T] [--max-time T] <dbPath>
+  * graft.Main query [--start T] [--end T] [--step MS] [--lookback MS]
+  *                  [--name-label L] [--json] <dbPath> <expr>
   * }}}
   *
   * `bench write` is the reference's `writeBenchmark.run` shape: label
@@ -26,6 +28,16 @@ import graft.storage.BlockStore
   * block's postings dictionary alone — no sample scan; `dump` streams
   * `{labels} value timestamp` lines (`dumpSamples`, main.go:618-655)
   * through a driver iterator, never a collect.
+  *
+  * `query` evaluates a PromQL expression over the store ([[Db.promql]]:
+  * scan bounded by the expression's reach, selectors resolved in the
+  * postings index). Default is an instant query at the store's max
+  * time; `--start`/`--end`/`--step` (epoch ms) select a range query.
+  * Output is `dump`-style `{labels} value timestamp` lines, or the
+  * HTTP API's vector/matrix JSON payload with `--json`
+  * ([[graft.query.ResultJson]]). The reference's `cmd/tsdb` has no
+  * query subcommand — this surfaces the front-end to operators the
+  * same way the other four surface the storage engine.
   */
 object Main {
 
@@ -52,7 +64,8 @@ object Main {
       |  bench write [--out PATH] [--metrics N] [--scrapes N] [file.ndjson]
       |  ls [--human-readable] <dbPath>
       |  analyze [--limit N] <dbPath> [blockId]
-      |  dump [--min-time T] [--max-time T] <dbPath>""".stripMargin
+      |  dump [--min-time T] [--max-time T] <dbPath>
+      |  query [--start T] [--end T] [--step MS] [--lookback MS] [--name-label L] [--json] <dbPath> <expr>""".stripMargin
 
   /** Flag parser: `--key value` pairs anywhere, positionals in order. */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -63,6 +76,8 @@ object Main {
       // boolean flags first — they take no value
       case key +: tail if key == "--human-readable" || key == "-h" =>
         flags += ("human-readable" -> "true"); rest = tail
+      case key +: tail if key == "--json" =>
+        flags += ("json" -> "true"); rest = tail
       case key +: value +: tail if key.startsWith("--") =>
         flags += (key.stripPrefix("--") -> value); rest = tail
       case p +: tail => pos :+= p; rest = tail
@@ -96,6 +111,16 @@ object Main {
       dump(spark, pos.head,
         mint = flags.get("min-time").map(_.toLong).getOrElse(Long.MinValue),
         maxt = flags.get("max-time").map(_.toLong).getOrElse(Long.MaxValue))
+    case Seq("query", rest @ _*) =>
+      val (flags, pos) = parse(rest)
+      require(pos.length >= 2, "query: missing <dbPath> <expr>")
+      query(spark, pos.head, pos(1),
+        start = flags.get("start").map(_.toLong),
+        end = flags.get("end").map(_.toLong),
+        stepMs = flags.getOrElse("step", "60000").toLong,
+        lookbackMs = flags.getOrElse("lookback", "300000").toLong,
+        nameLabel = flags.getOrElse("name-label", "__name__"),
+        json = flags.contains("json"))
     case other =>
       throw new IllegalArgumentException(
         s"unknown command: ${other.mkString(" ")}")
@@ -265,6 +290,36 @@ object Main {
     } finally { idx.unpersist(); () }
   }
 
+  /** PromQL over the store: instant at the store's max time unless
+    * `--start`/`--end` select a window. Lines stream like `dump`;
+    * `--json` renders the HTTP API vector/matrix payload. */
+  private[graft] def query(
+      spark: SparkSession,
+      path: String,
+      expr: String,
+      start: Option[Long],
+      end: Option[Long],
+      stepMs: Long,
+      lookbackMs: Long,
+      nameLabel: String,
+      json: Boolean): Unit = {
+    val db = Db.open(spark, path)
+    require(db.blocks.nonEmpty || (start.isDefined && end.isDefined),
+      s"no live blocks at $path (pass --start/--end to query anyway)")
+    val endMs = end.getOrElse(db.blocks.map(_.maxt).max)
+    val startMs = start.getOrElse(endMs)
+    val out = db.promql(expr, startMs, endMs, stepMs, lookbackMs, nameLabel)
+    if (json)
+      println(graft.query.ResultJson.render(out, instant = startMs == endMs))
+    else {
+      val it = out.select("series_key", "v", "t")
+        .orderBy("series_key", "t").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        println(s"${r.getString(0)} ${r.getDouble(1)} ${r.getLong(2)}")
+      }
+    }
+  }
   /** `tsdb dump` (`dumpSamples`, main.go:618-655): `{labels} value t`
     * lines, series-major — streamed through a driver iterator, so the
     * dump never materializes the store on the driver. */

@@ -86,6 +86,32 @@ class MainSpec extends SparkSuite {
     assert(ls.trim.split("\n").length == 2)
   }
 
+  test("query evaluates PromQL against the store, line and JSON output") {
+    // instant query at the store's max time (1501): latest per series
+    val out = capture("query", dbPath, "{job=\"a\"}")
+    assert(out.trim.split("\n").toSeq == Seq(
+      "{job=\"a\",inst=\"1\"} 2.0 1501",
+      "{job=\"a\",inst=\"2\"} 3.0 1501"), out)
+    // aggregation through the same path
+    val sum = capture("query", dbPath, "sum({job=~\".+\"})")
+    assert(sum.trim == "{} 9.0 1501", sum)
+    // --json renders the HTTP API vector payload
+    val js = capture("query", "--json", dbPath, "{job=\"b\"}")
+    assert(js.trim ==
+      """{"resultType":"vector","result":[{"metric":{"inst":"1","job":"b"},"value":[1.501,"4"]}]}""",
+      js)
+    // --start/--end/--step run a range query; --json gives the matrix
+    val rng = capture("query", "--start", "1000", "--end", "2000",
+      "--step", "500", "--json", dbPath, "{job=\"b\"}")
+    assert(rng.trim ==
+      """{"resultType":"matrix","result":[{"metric":{"inst":"1","job":"b"},"values":[[1,"4"],[1.5,"4"],[2,"4"]]}]}""",
+      rng)
+    // a malformed expression is an operator error, not a stack trace
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("query", dbPath, "sum({job=\"a\"}"))
+    }
+  }
+
   test("unknown command fails with usage") {
     intercept[IllegalArgumentException] { Main.run(spark, Seq("nope")) }
   }
