@@ -525,19 +525,31 @@ object Bench {
           map(lit("series"), (col("id") % series).cast("string")).as("labels"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$tmp/in")
-      val store = new graft.storage.BlockStore(
-        s"$tmp/store", 6 * 3600000L, seriesBuckets = 4)
-      val in = spark.readStream
-        .schema(spark.read.parquet(s"$tmp/in").schema)
-        .parquet(s"$tmp/in")
-        .as[StreamingIngest.Sample]
-      val t0 = System.nanoTime()
-      val q = StreamingIngest.ingest(in, store, s"$tmp/ckpt", minValidTime = 0L)
-      q.awaitTermination() // AvailableNow terminates when drained
-      val sec = (System.nanoTime() - t0) / 1e9
-      val n = store.manifest.blocks.map(_.numSamples).sum
-      require(n == series * scrapes,
-        s"streaming ingest persisted $n of ${series * scrapes} samples")
+      // Min-of-two, like the other at-scale sections — and here it is
+      // load-bearing: the lane is JIT-dominated at this size (profiled
+      // 7.1 s cold vs 3.2 s warm through IDENTICAL code), so a single
+      // pass really measures how much JIT state earlier bench sections
+      // happened to leave behind — the source of the r6→r7 phantom
+      // "regression". The first pass compiles the whole path (source →
+      // stateful validate → block write); the min is the operator's
+      // number.
+      val secs = (1 to 2).map { pass =>
+        val store = new graft.storage.BlockStore(
+          s"$tmp/store$pass", 6 * 3600000L, seriesBuckets = 4)
+        val in = spark.readStream
+          .schema(spark.read.parquet(s"$tmp/in").schema)
+          .parquet(s"$tmp/in")
+          .as[StreamingIngest.Sample]
+        val t0 = System.nanoTime()
+        val q = StreamingIngest.ingest(in, store, s"$tmp/ckpt$pass", minValidTime = 0L)
+        q.awaitTermination() // AvailableNow terminates when drained
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = store.manifest.blocks.map(_.numSamples).sum
+        require(n == series * scrapes,
+          s"streaming ingest persisted $n of ${series * scrapes} samples")
+        sec
+      }
+      val sec = secs.min
       Seq(
         ("ingest_sec", sec, "ok"),
         ("rows_per_sec", series * scrapes / sec, "ok"))
@@ -787,12 +799,17 @@ object Bench {
     val annResults = if (doScale) annBench(spark) else Nil
     val rateResults = if (doScale) rateBench(spark) else Nil
     // the decade-up point; its own switch so a time-budgeted run can
-    // keep the 20M row and drop only the 200M one
-    val doScale200 = doScale &&
-      sys.env.getOrElse("SPARK_GRAFT_SCALE200", "1") != "0"
+    // keep the 20M row and drop only the 200M one — and
+    // SPARK_GRAFT_SCALE200=1 forces it ALONE (isolated calibration)
+    val doScale200 = sys.env.getOrElse("SPARK_GRAFT_SCALE200",
+      if (doScale) "1" else "0") != "0"
     val rate200Results = if (doScale200) rate200Bench(spark) else Nil
     val dedupResults = if (doScale) dedupBench(spark) else Nil
-    val streamResults = if (doScale) streamBench(spark) else Nil
+    // SPARK_GRAFT_STREAM=1 forces the streaming row alone — the lane is
+    // JVM-state sensitive inside a full run, so calibration needs this
+    val doStream = sys.env.getOrElse("SPARK_GRAFT_STREAM",
+      if (doScale) "1" else "0") != "0"
+    val streamResults = if (doStream) streamBench(spark) else Nil
 
     val errors = (results ++ x10Results ++ matcherResults ++ annResults ++
       rateResults ++ rate200Results ++ dedupResults ++ streamResults).count(_._3 != "ok") +
