@@ -61,9 +61,21 @@ def time_once(sql):
     con2.sql(sql).df()
     return round(time.time() - t0, 4)
 
+# Twins whose x10 form is known to exceed the sandbox's memory: the
+# ts_rate_extrapolated twin's lattice join fans out ~window/step x per
+# sample and was OOM-killed at ~130 GB RSS twice in the r7 judge run.
+# The extrapolation family's at-scale cross-engine rows are
+# promql_increase / promql_ratio, whose day/hour-lattice twins join ~1
+# instant per sample (linear in corpus mass).
+X10_UNSAFE = {"ts_rate_extrapolated"}
+
 out = {}
 for name in sorted(names or oracle.keys()):
     if name not in oracle:
+        continue
+    if x10 and name in X10_UNSAFE:
+        out[name] = "skipped: x10 twin exceeds sandbox memory (see comment)"
+        print(f"{name:26s} {out[name]}")
         continue
     try:
         out[name] = min(time_once(oracle[name]), time_once(oracle[name]))
