@@ -228,8 +228,9 @@ object PromQl {
     maxLookbehind(parse(query), lookbackMs)
 
   private def maxLookbehind(e: Expr, look: Long): Long = e match {
-    case s: Selector => look + s.offsetMs
-    case RangeSel(s, r) => r + s.offsetMs
+    // clamp at 0: a negative (forward) offset must not SHRINK the bound
+    case s: Selector => math.max(0L, look + s.offsetMs)
+    case RangeSel(s, r) => math.max(0L, r + s.offsetMs)
     case Call(_, args) =>
       (args.map(maxLookbehind(_, look)) :+ 0L).max
     case Agg(_, p, b, _, _) =>
@@ -261,7 +262,8 @@ object PromQl {
           case None => (startMs, endMs)
         }
         lo = math.min(lo, refLo - lookbackMs - s.offsetMs)
-        hi = math.max(hi, refHi)
+        // a NEGATIVE offset reads samples AHEAD of the instant
+        hi = math.max(hi, refHi - math.min(0L, s.offsetMs))
       case RangeSel(s, r) =>
         val (refLo, refHi) = s.at match {
           case Some(AtMs(ms)) => (ms, ms)
@@ -270,7 +272,7 @@ object PromQl {
           case None => (startMs, endMs)
         }
         lo = math.min(lo, refLo - r - s.offsetMs)
-        hi = math.max(hi, refHi)
+        hi = math.max(hi, refHi - math.min(0L, s.offsetMs))
       case Call(_, args) => args.foreach(visit)
       case Agg(_, p, b, _, _) => p.foreach(visit); visit(b)
       case Bin(_, l, r, _, _) => visit(l); visit(r)
@@ -459,10 +461,14 @@ object PromQl {
         }
       case TIdent("offset") =>
         pos += 1
-        val o = advance() match {
+        // a negative offset looks FORWARD (Prometheus allows it)
+        val neg = cur == TOp("-")
+        if (neg) pos += 1
+        val o0 = advance() match {
           case TDur(ms) => ms
           case other => fail(s"expected duration after offset, got $other")
         }
+        val o = if (neg) -o0 else o0
         e match {
           case s: Selector => postfix(s.copy(offsetMs = o))
           case RangeSel(s, r) => postfix(RangeSel(s.copy(offsetMs = o), r))

@@ -128,6 +128,14 @@ class PromQlSpec extends SparkSuite {
     val out = PromQl.eval("http_requests{instance=\"0\"} offset 25m",
       counters, at(50 * M))
     assert(one(out) == 50.0) // the value at 25m
+    // negative offset looks FORWARD (Prometheus allows it)
+    val fwd = PromQl.eval("http_requests{instance=\"0\"} offset -25m",
+      counters, at(25 * M))
+    assert(one(fwd) == 100.0) // the value at 50m
+    // scan bounds widen AHEAD of the window for forward offsets
+    val (_, hi) = PromQl.scanBoundsMs(
+      "m offset -10m", 0, 25 * M, 300000)
+    assert(hi >= 35 * M, hi)
   }
 
   test("@ pins the evaluation time; start()/end() resolve to the range") {
