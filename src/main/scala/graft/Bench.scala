@@ -836,7 +836,11 @@ object Bench {
     val doScale200 = sys.env.getOrElse("SPARK_GRAFT_SCALE200",
       if (doScale) "1" else "0") != "0"
     val rate200Results = if (doScale200) rate200Bench(spark) else Nil
-    val dedupResults = if (doScale) dedupBench(spark) else Nil
+    // SPARK_GRAFT_DEDUP100K=1 forces the 100k dedup row alone (isolated
+    // calibration — the section is page-cache sensitive after rate_200m)
+    val doDedup100k = sys.env.getOrElse("SPARK_GRAFT_DEDUP100K",
+      if (doScale) "1" else "0") != "0"
+    val dedupResults = if (doDedup100k) dedupBench(spark) else Nil
     // the decade-up dedup point — own switch (SPARK_GRAFT_DEDUP1M=1
     // forces it alone, =0 drops it from a time-budgeted full run)
     val doDedup1m = sys.env.getOrElse("SPARK_GRAFT_DEDUP1M",
