@@ -198,15 +198,20 @@ object AsOf {
       maxtMs: Long,
       stepMs: Long,
       lookbackMs: Long,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(stepMs > 0 && lookbackMs >= stepMs,
       s"gridFillWide is the lookback >= step regime ($lookbackMs < $stepMs): use gridLatest")
     val k = ((lookbackMs + stepMs - 1) / stepMs).toInt
     val g0 = (floor((col("t") - 1 - mintMs) / stepMs) * stepMs + stepMs + mintMs)
       .cast("long")
+    // carryCols: per-key-constant payloads (a labels map) that ride the
+    // same aggregate as `first` — saves the caller a source re-scan and
+    // a key-scale join to re-attach them
     val aggs = valueCols.map(c =>
       max(when(col(c).isNotNull, struct(col("t").as("t"), col(c).as("v"))))
-        .as(s"__m_$c"))
+        .as(s"__m_$c")) ++
+      carryCols.map(c => first(col(c)).as(c))
     val candidates = right
       .withColumn("__g", explode(sequence(g0, g0 + k.toLong * stepMs, lit(stepMs))))
       .where(col("__g").between(mintMs, maxtMs) &&
@@ -234,18 +239,22 @@ object AsOf {
       stepMs: Long,
       lookbackMs: Long,
       name: String = "r",
-      originMs: Long = 0L): DataFrame = {
+      originMs: Long = 0L,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(lookbackMs < stepMs,
       s"latestPerInstant needs lookback < step ($lookbackMs >= $stepMs): use join()")
     val g = (floor((col("t") - 1 - originMs) / stepMs) * stepMs + stepMs + originMs)
       .cast("long")
+    val aggs = max(struct(col("t").as("t"), col("r_v").as("v"))).as("__m") +:
+      carryCols.map(c => first(col(c)).as(c))
     right
       .withColumn("__g", g)
       .where(col("t") >= col("__g") - lookbackMs)
       .groupBy(keys.map(col) :+ col("__g"): _*)
-      .agg(max(struct(col("t").as("t"), col("r_v").as("v"))).as("__m"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(keys.map(col) ++ Seq(col("__g").as("t"),
-        col("__m.t").as(s"${name}_t"), col("__m.v").as(s"${name}_v")): _*)
+        col("__m.t").as(s"${name}_t"), col("__m.v").as(s"${name}_v")) ++
+        carryCols.map(col): _*)
   }
 
   /** The shared mechanics every as-of variant delegates to: one window

@@ -611,6 +611,43 @@ object PromQl {
     * subquery nesting (a nested compiler's own lattice is widened and
     * step-realigned, so resolving there would drift by up to the
     * subquery range). */
+  /** Range functions that read a previous-sample feature (counter
+    * increments, the lag pair) — the ONLY family whose plan needs the
+    * per-series sorted window before the candidate explode. Everything
+    * else aggregates order-free. */
+  private val RangeLagFns = Set(
+    "rate", "increase", "idelta", "irate", "resets", "changes")
+
+  /** Which [[Compiler.rangeAgg]] aggregate columns each range function
+    * actually reads — the generic all-columns row was a generality tax
+    * every function paid (two struct min_by/max_by + five sums nobody
+    * consumed). "sx" implies the sxx/sxy regression pair. */
+  private val RangeAggAll = Set("sum_v", "min_v", "max_v", "sum_vv",
+    "first", "last", "sum_inc", "sum_resets", "sum_changes", "sx")
+  private val RangeNeedByFn: Map[String, Set[String]] = Map(
+    "rate" -> Set("first", "last", "sum_inc"),
+    "increase" -> Set("first", "last", "sum_inc"),
+    "delta" -> Set("first", "last"),
+    "idelta" -> Set("last"),
+    "irate" -> Set("last"),
+    "resets" -> Set("first", "sum_resets"),
+    "changes" -> Set("first", "sum_changes"),
+    "deriv" -> Set("sum_v", "sx"),
+    "predict_linear" -> Set("sum_v", "sx"),
+    "avg_over_time" -> Set("sum_v"),
+    "sum_over_time" -> Set("sum_v"),
+    "min_over_time" -> Set("min_v"),
+    "max_over_time" -> Set("max_v"),
+    "count_over_time" -> Set.empty,
+    "last_over_time" -> Set("last"),
+    "present_over_time" -> Set.empty,
+    "stddev_over_time" -> Set("sum_v", "sum_vv"),
+    "stdvar_over_time" -> Set("sum_v", "sum_vv"),
+    "quantile_over_time" -> Set.empty,
+    "mad_over_time" -> Set.empty,
+    "holt_winters" -> Set.empty,
+    "double_exponential_smoothing" -> Set.empty)
+
   private final class Compiler(
       samples: DataFrame, p: Params,
       outerStartMs: Long, outerEndMs: Long) {
@@ -662,26 +699,28 @@ object PromQl {
       * the `lookback − 1` closed window IS the half-open PromQL one on
       * integer milliseconds). */
     private def instantVector(s: Selector): DataFrame = {
-      // bind the fetch ONCE: the fill source and the labels dimension
-      // share one lineage, so a pushdown hook's postings resolution +
-      // scan isn't planned twice per selector
+      // bind the fetch ONCE, and let the labels map ride the fill's own
+      // aggregate (first per series: constant) — no second scan of the
+      // source and no series-scale re-attach join per selector
       val sel = selected(s)
-      val src = sel.select("series_key", "t", "v")
+      val src = sel.select("series_key", "labels", "t", "v")
       val look = p.lookbackMs - 1 // closed window ≡ half-open on int ms
       // lookback < step: one sample serves at most one instant — the
       // single-instant fast path; otherwise the candidate-explode fill
       val filled =
         if (look < p.stepMs)
           AsOf.latestPerInstant(src.withColumnRenamed("v", "r_v"),
-              Seq("series_key"), p.stepMs, look, "r", originMs = p.startMs)
+              Seq("series_key"), p.stepMs, look, "r", originMs = p.startMs,
+              carryCols = Seq("labels"))
             .where(col("r_v").isNotNull && col("t").between(p.startMs, p.endMs))
-            .select(col("series_key"), col("t"), col("r_v").as("v"))
+            .select(col("series_key"), col("labels"), col("t"), col("r_v").as("v"))
         else
           AsOf.gridFillWide(
-            src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look, Seq("v"))
+            src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look, Seq("v"),
+            carryCols = Seq("labels"))
             .where(col("v_v").isNotNull)
-            .select(col("series_key"), col("t"), col("v_v").as("v"))
-      attachLabels(filled, sel)
+            .select(col("series_key"), col("labels"), col("t"), col("v_v").as("v"))
+      filled
     }
 
     /** `selector @ T`: the instant vector evaluated ONCE at the pinned
@@ -698,14 +737,6 @@ object PromQl {
       one.drop("t").crossJoin(latticeDf)
         .select("series_key", "labels", "t", "v")
     }
-
-    /** Re-attach the labels map by series key (series-scale dimension
-      * join, broadcast-gated by AQE). */
-    private def attachLabels(df: DataFrame, src: DataFrame): DataFrame =
-      df.join(
-        src.groupBy("series_key").agg(first("labels").as("labels")),
-        Seq("series_key"))
-        .select("series_key", "labels", "t", "v")
 
     /** PromQL functions/operators drop the metric name from result
       * label sets; the canonical key is recomputed from the remaining
@@ -724,17 +755,17 @@ object PromQl {
       * consumer prices once), a candidate explode onto the ≤
       * `⌈range/step⌉+1` instants each sample can serve, and ONE
       * aggregate per `(series, instant)`. */
-    /** Resolve a range-vector argument to (sample frame, labels frame,
+    /** Resolve a range-vector argument to (labelled sample frame,
       * range): a `[range]` selector reads the corpus; a `[range:step]`
       * subquery evaluates its body on the inner `step` lattice (aligned
       * to absolute multiples, the Prometheus convention) and feeds the
       * result in as the samples. */
-    private def rangeArgOf(e: Expr): (DataFrame, DataFrame, Long) = e match {
+    private def rangeArgOf(e: Expr): (DataFrame, Long) = e match {
       case RangeSel(s, _) if s.at.isDefined =>
         fail("internal: @-pinned range selectors resolve before rangeArgOf")
       case r: RangeSel =>
         val sel = selected(r.sel)
-        (sel.select("series_key", "t", "v"), sel, r.rangeMs)
+        (sel.select("series_key", "labels", "t", "v"), r.rangeMs)
       case sq: Subquery =>
         val stepIn = if (sq.stepMs > 0) sq.stepMs else p.stepMs
         val raw = p.startMs - sq.rangeMs
@@ -747,30 +778,35 @@ object PromQl {
           case Vec(df) => df
           case _ => fail("subquery body must be an instant vector")
         }
-        (inner.select("series_key", "t", "v"), inner, sq.rangeMs)
+        (inner.select("series_key", "labels", "t", "v"), sq.rangeMs)
       case _ => fail(
         "expected a range vector ([range] selector or [range:step] subquery)")
     }
 
-    private def rangeFrame(src: DataFrame, rangeMs: Long): DataFrame = {
+    private def rangeFrame(
+        src: DataFrame, rangeMs: Long, needLag: Boolean = true): DataFrame = {
       // (t, v) order: Prometheus never has duplicate timestamps per
       // series, but a relational corpus can — the deterministic
       // convention is "duplicates are separate samples, larger value
       // later", so the lag chain and first/last picks never depend on
-      // row order
-      val w = Window.partitionBy("series_key").orderBy("t", "v")
-      val feats = src
-        .select("series_key", "t", "v")
-        .withColumn("prev_t", lag("t", 1).over(w))
-        .withColumn("prev_v", lag("v", 1).over(w))
-        .withColumn("inc_delta",
-          when(col("prev_v").isNull, lit(null).cast("double"))
-            .when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
-            .otherwise(col("v")))
-        .withColumn("reset_f",
-          (col("prev_v").isNotNull && col("v") < col("prev_v")).cast("long"))
-        .withColumn("change_f",
-          (col("prev_v").isNotNull && !(col("v") <=> col("prev_v"))).cast("long"))
+      // row order. Functions that never read a previous-sample feature
+      // (the *_over_time family, delta, deriv, …) skip the lag chain —
+      // and with it the sample-scale per-series SORT the window costs;
+      // their whole plan is explode + ONE map-side-combined hash agg.
+      val feats = if (!needLag) src else {
+        val w = Window.partitionBy("series_key").orderBy("t", "v")
+        src
+          .withColumn("prev_t", lag("t", 1).over(w))
+          .withColumn("prev_v", lag("v", 1).over(w))
+          .withColumn("inc_delta",
+            when(col("prev_v").isNull, lit(null).cast("double"))
+              .when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+              .otherwise(col("v")))
+          .withColumn("reset_f",
+            (col("prev_v").isNotNull && col("v") < col("prev_v")).cast("long"))
+          .withColumn("change_f",
+            (col("prev_v").isNotNull && !(col("v") <=> col("prev_v"))).cast("long"))
+      }
       val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
       val g0 = (floor((col("t") - 1 - p.startMs) / p.stepMs) * p.stepMs
         + p.stepMs + p.startMs).cast("long")
@@ -785,29 +821,50 @@ object PromQl {
       * sample structs (with their lag features), counter/reset sums,
       * and the regression sums for deriv/predict_linear. */
     private def rangeAgg(
-        src: DataFrame, rangeMs: Long, extra: Seq[Column] = Nil): DataFrame = {
+        src: DataFrame, rangeMs: Long, extra: Seq[Column] = Nil,
+        need: Set[String] = RangeAggAll, needLag: Boolean = true,
+        carryLabels: Boolean = false): DataFrame = {
       val x = (col("t") - col("g")).cast("double") / 1000.0 // seconds rel. instant
-      val aggCols = Seq(
-            count(lit(1)).as("cnt"),
-            sum("v").as("sum_v"),
-            min("v").as("min_v"),
-            max("v").as("max_v"),
-            sum(col("v") * col("v")).as("sum_vv"),
-            min_by(
-              struct(col("t"), col("v"), coalesce(col("inc_delta"), lit(0.0)).as("inc"),
-                col("reset_f"), col("change_f")),
-              struct(col("t"), col("v"))).as("first"),
-            max_by(
-              struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
-                coalesce(col("inc_delta"), lit(0.0)).as("inc")),
-              struct(col("t"), col("v"))).as("last"),
-            sum(coalesce(col("inc_delta"), lit(0.0))).as("sum_inc"),
-            sum("reset_f").as("sum_resets"),
-            sum("change_f").as("sum_changes"),
-            sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
-            sum(col("x") * col("v")).as("sxy")) ++ extra
-      rangeFrame(src, rangeMs)
-        .withColumn("x", x)
+      // the first/last sample structs carry the lag features only when
+      // the function family reads them (rate/increase/irate/…); the
+      // lean (t, v) pair otherwise
+      val firstStruct =
+        if (needLag)
+          min_by(
+            struct(col("t"), col("v"), coalesce(col("inc_delta"), lit(0.0)).as("inc"),
+              col("reset_f"), col("change_f")),
+            struct(col("t"), col("v"))).as("first")
+        else min_by(struct(col("t"), col("v")), struct(col("t"), col("v"))).as("first")
+      val lastStruct =
+        if (needLag)
+          max_by(
+            struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
+              coalesce(col("inc_delta"), lit(0.0)).as("inc")),
+            struct(col("t"), col("v"))).as("last")
+        else max_by(struct(col("t"), col("v")), struct(col("t"), col("v"))).as("last")
+      // pruned to what the function reads — cnt always (the ≥2-sample
+      // filter), the rest by need-set; labels ride the same aggregate
+      // (first per group: constant within a series) when the plan has
+      // no window exchange for them to bloat
+      val aggCols = Seq(count(lit(1)).as("cnt")) ++
+        (if (need("sum_v")) Seq(sum("v").as("sum_v")) else Nil) ++
+        (if (need("min_v")) Seq(min("v").as("min_v")) else Nil) ++
+        (if (need("max_v")) Seq(max("v").as("max_v")) else Nil) ++
+        (if (need("sum_vv")) Seq(sum(col("v") * col("v")).as("sum_vv")) else Nil) ++
+        (if (need("first")) Seq(firstStruct) else Nil) ++
+        (if (need("last")) Seq(lastStruct) else Nil) ++
+        (if (need("sum_inc"))
+          Seq(sum(coalesce(col("inc_delta"), lit(0.0))).as("sum_inc")) else Nil) ++
+        (if (need("sum_resets")) Seq(sum("reset_f").as("sum_resets")) else Nil) ++
+        (if (need("sum_changes")) Seq(sum("change_f").as("sum_changes")) else Nil) ++
+        (if (need("sx"))
+          Seq(sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("v")).as("sxy")) else Nil) ++
+        (if (carryLabels) Seq(first("labels").as("labels")) else Nil) ++
+        extra
+      val base = rangeFrame(src, rangeMs, needLag)
+      val withX = if (need("sx")) base.withColumn("x", x) else base
+      withX
         .groupBy("series_key", "g")
         .agg(aggCols.head, aggCols.tail: _*)
         .withColumnRenamed("g", "t")
@@ -873,9 +930,17 @@ object PromQl {
       }
 
     private def rangeFunctionBody(fn: String, arg: Expr, param: Seq[Double]): DataFrame = {
-      val (src, labelsSrc, rangeMs) = rangeArgOf(arg)
+      val (srcFull, rangeMs) = rangeArgOf(arg)
       val needTwo = Set("rate", "increase", "delta", "idelta", "irate",
         "deriv", "predict_linear", "holt_winters", "double_exponential_smoothing")
+      val needLag = RangeLagFns.contains(fn)
+      val need = RangeNeedByFn.getOrElse(fn, RangeAggAll)
+      // labels ride the plan end to end (first() per group in the one
+      // aggregate): on the lag path they add ~1× the series_key string
+      // the window shuffle already carries, and in exchange the
+      // series-scale re-attach join — a source re-scan plus three jobs —
+      // disappears
+      val src = srcFull.select("series_key", "labels", "t", "v")
       val extra = fn match {
         case "quantile_over_time" =>
           Seq(expr(s"percentile(v, ${param.headOption.getOrElse(fail("quantile_over_time needs φ"))})")
@@ -889,7 +954,8 @@ object PromQl {
           Seq(sort_array(collect_list(col("v"))).as("mad_vs"))
         case _ => Nil
       }
-      val agg = rangeAgg(src, rangeMs, extra)
+      val agg = rangeAgg(src, rangeMs, extra,
+        need = need, needLag = needLag, carryLabels = true)
       // all-x-equal windows (duplicate timestamps) zero the variance
       // denominator — NaN, not an ANSI divide error
       val slopeDenom = col("cnt") * col("sxx") - col("sx") * col("sx")
@@ -949,7 +1015,8 @@ object PromQl {
       val kept =
         if (needTwo.contains(fn)) agg.where(col("cnt") >= 2)
         else agg
-      val out0 = kept.select(col("series_key"), col("t"), v.as("v"))
+      val out0 = kept
+        .select(col("series_key"), col("labels"), col("t"), v.as("v"))
         .where(col("v").isNotNull)
       // degenerate windows (all samples at one t under the duplicate
       // convention) divide by a zero interval — NaN/±Inf rows are the
@@ -960,8 +1027,7 @@ object PromQl {
             abs(col("v")) =!= lit(Double.PositiveInfinity))
         else out0
       // range functions drop the metric name (last_over_time keeps it)
-      val withLabels = attachLabels(out, labelsSrc)
-      if (fn == "last_over_time") withLabels else dropName(withLabels)
+      if (fn == "last_over_time") out else dropName(out)
     }
 
     // --- functions -----------------------------------------------------
@@ -1150,8 +1216,9 @@ object PromQl {
           .drop("t").crossJoin(latticeDf)
           .select("series_key", "labels", "t", "v")
       case _ =>
-        val (src, _, rangeMs) = rangeArgOf(arg)
-        val present = rangeFrame(src, rangeMs)
+        val (src, rangeMs) = rangeArgOf(arg)
+        val present = rangeFrame(
+            src.select("series_key", "t", "v"), rangeMs, needLag = false)
           .select(col("g").as("t")).distinct()
         absentRows(present, arg match {
           case RangeSel(s, _) => Some(s)
