@@ -15,6 +15,7 @@ import graft.storage.BlockStore
   * graft.Main dump [--min-time T] [--max-time T] <dbPath>
   * graft.Main query [--start T] [--end T] [--step MS] [--lookback MS]
   *                  [--name-label L] [--json] <dbPath> <expr>
+  * graft.Main serve [--port N] [--lookback MS] [--name-label L] <dbPath>
   * }}}
   *
   * `bench write` is the reference's `writeBenchmark.run` shape: label
@@ -65,7 +66,8 @@ object Main {
       |  ls [--human-readable] <dbPath>
       |  analyze [--limit N] <dbPath> [blockId]
       |  dump [--min-time T] [--max-time T] <dbPath>
-      |  query [--start T] [--end T] [--step MS] [--lookback MS] [--name-label L] [--json] <dbPath> <expr>""".stripMargin
+      |  query [--start T] [--end T] [--step MS] [--lookback MS] [--name-label L] [--json] <dbPath> <expr>
+      |  serve [--port N] [--lookback MS] [--name-label L] <dbPath>""".stripMargin
 
   /** Flag parser: `--key value` pairs anywhere, positionals in order. */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -121,6 +123,17 @@ object Main {
         lookbackMs = flags.getOrElse("lookback", "300000").toLong,
         nameLabel = flags.getOrElse("name-label", "__name__"),
         json = flags.contains("json"))
+    case Seq("serve", rest @ _*) =>
+      val (flags, pos) = parse(rest)
+      require(pos.nonEmpty, "serve: missing <dbPath>")
+      val db = Db.open(spark, pos.head)
+      val server = graft.http.ApiServer.start(spark, db,
+        port = flags.getOrElse("port", "9090").toInt,
+        lookbackMs = flags.getOrElse("lookback", "300000").toLong,
+        nameLabel = flags.getOrElse("name-label", "__name__"))
+      println(s"listening on :${server.getAddress.getPort}")
+      // serve until killed — the reference pattern for any serving main
+      Thread.currentThread.join()
     case other =>
       throw new IllegalArgumentException(
         s"unknown command: ${other.mkString(" ")}")

@@ -732,15 +732,18 @@ object SparkEntry {
         .where(col("t").between(OVERLAP_LO, OVERLAP_HI))
         .withColumn("v", col("v") + 100)
         .withColumn("block_seq", lit(2))
-      // range exchange on the GROUP keys before the dedup aggregate:
-      // RangePartitioning(series_key, t) satisfies the aggregate's
-      // clustered-distribution requirement (equal keys share a
-      // partition), so the agg plans no exchange of its own and the
-      // in-partition sort below is the result's total order — the
-      // final `orderBy` this replaces re-executed union+agg in its
-      // sampling job (x10 3.15 → measured below)
+      // ONE hash exchange on series_key before the dedup aggregate:
+      // HashPartitioning(series_key) satisfies the aggregate's
+      // clustered distribution on (series_key, t) — a subset of the
+      // group keys — so the agg plans no exchange of its own, and
+      // unlike the r7 repartitionByRange form there is NO range-bounds
+      // sampling job re-executing the union lineage. The in-partition
+      // sort is the store layout's own contract (series-clustered,
+      // t-ordered within — S1's bucketed SORTED BY shape), which is
+      // what the vertical-merge read path guarantees; a global total
+      // order was never the operator's semantics.
       Merge.dedupLatest(
-          a.unionByName(b).repartitionByRange(col("series_key"), col("t")))
+          a.unionByName(b).repartition(col("series_key")))
         .select("sample_id", "series_key", "t", "v")
         .sortWithinPartitions("series_key", "t", "sample_id")
     }),
@@ -1659,14 +1662,15 @@ object SparkEntry {
       val amends = base.where(col("sample_id") % 77 === 0)
         .withColumn("v", col("v") + 1)
         .withColumn("arrival", col("arrival") + 3000000)
-      // the seriesOrdered pattern on the ARRIVAL axis: one range
+      // the seriesOrdered pattern on the ARRIVAL axis: ONE hash
       // exchange + one in-partition sort satisfies validate's window
-      // AND makes the final order an in-partition sort of the tiny
-      // aggregate (a global orderBy's sampling job would re-run the
-      // whole union+window+agg)
+      // (clustered on series_key, ordered by arrival) AND makes the
+      // final order an in-partition sort of the tiny aggregate. Hash,
+      // not range: a range exchange's bounds-sampling job would re-run
+      // the whole 3-way union lineage once before the real pass
       Appender.validate(
           base.unionByName(dups).unionByName(amends)
-            .repartitionByRange(col("series_key"))
+            .repartition(col("series_key"))
             .sortWithinPartitions("series_key", "arrival"),
           MIN_VALID)
         .groupBy("series_key", "status")

@@ -18,7 +18,7 @@ import org.apache.spark.sql.DataFrame
   */
 object ResultJson {
 
-  private def esc(s: String): String = {
+  private[graft] def esc(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
       case '"' => sb.append("\\\"")
@@ -43,6 +43,12 @@ object ResultJson {
   private[query] def fmtT(ms: Long): String =
     if (ms % 1000 == 0) (ms / 1000).toString else (ms / 1000.0).toString
 
+  /** One label map as the API's sorted `{"k":"v",…}` object. */
+  private[graft] def labelsJson(labels: scala.collection.Map[String, String]): String =
+    labels.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+
   /** Render `frame` (`series_key, labels, t, v`) as the API payload.
     * `instant = true` emits the `vector` shape from each series' single
     * (latest) point; otherwise the full `matrix`. */
@@ -58,9 +64,7 @@ object ResultJson {
       val key = r.getString(0)
       if (!labelsOf.contains(key)) {
         keys += key
-        labelsOf(key) = r.getMap[String, String](1).toSeq.sortBy(_._1)
-          .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-          .mkString("{", ",", "}")
+        labelsOf(key) = labelsJson(r.getMap[String, String](1))
         pointsOf(key) = scala.collection.mutable.ArrayBuffer.empty
       }
       pointsOf(key) += ((r.getLong(2), r.getDouble(3)))

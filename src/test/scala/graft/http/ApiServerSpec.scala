@@ -1,0 +1,143 @@
+package graft.http
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{Db, SparkSuite}
+
+/** Real HTTP round trips against [[ApiServer]] on a loopback port — the
+  * API surface is what a dashboard consumes, so each endpoint's status
+  * code, envelope, and payload shape are pinned. */
+class ApiServerSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
+  import spark.implicits._
+
+  private lazy val dbPath: String = {
+    val root = Files.createTempDirectory("graft-api-db").toString
+    val store = new graft.storage.BlockStore(root, blockRangeMs = 1000L)
+    val rows = Seq(
+      ("{job=\"a\",inst=\"1\"}", Map("job" -> "a", "inst" -> "1"), 1L, 100L, 1.0),
+      ("{job=\"a\",inst=\"1\"}", Map("job" -> "a", "inst" -> "1"), 2L, 1500L, 2.0),
+      ("{job=\"a\",inst=\"2\"}", Map("job" -> "a", "inst" -> "2"), 3L, 200L, 3.0),
+      ("{job=\"b\",inst=\"1\"}", Map("job" -> "b", "inst" -> "1"), 4L, 300L, 4.0))
+      .toDF("series_key", "labels", "sample_id", "t", "v")
+    store.write(rows)
+    root
+  }
+
+  private lazy val (server, base) = {
+    val s = ApiServer.start(spark, Db.open(spark, dbPath), port = 0)
+    (s, s"http://127.0.0.1:${s.getAddress.getPort}")
+  }
+  override def afterAll(): Unit = {
+    try server.stop(0) finally super.afterAll()
+  }
+
+  private val client = HttpClient.newHttpClient()
+  private def get(pathAndQuery: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def post(path: String, form: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  test("query: instant vector at the store's max time by default") {
+    val (code, body) = get(s"/api/v1/query?query=${enc("{job=\"a\"}")}")
+    assert(code == 200, body)
+    assert(body.startsWith("""{"status":"success","data":{"resultType":"vector""""))
+    // both job=a series resolve at t=1501 under the default lookback
+    assert(body.contains(""""inst":"1","job":"a""""))
+    assert(body.contains(""""inst":"2","job":"a""""))
+    assert(body.contains(""""value":[1.501,"2"]"""), body)
+    assert(body.contains(""""value":[1.501,"3"]"""), body)
+  }
+
+  test("query: explicit time as unix seconds and RFC 3339") {
+    val (_, atUnix) = get(s"/api/v1/query?query=${enc("{inst=\"1\"}")}&time=0.300")
+    assert(atUnix.contains(""""value":[0.3,"4"]""") &&
+      atUnix.contains(""""value":[0.3,"1"]"""), atUnix)
+    val (_, atIso) =
+      get(s"/api/v1/query?query=${enc("{inst=\"1\"}")}&time=1970-01-01T00:00:00.300Z")
+    assert(atIso == atUnix)
+  }
+
+  test("query_range: matrix with values arrays; POST form works") {
+    val (code, body) = post("/api/v1/query_range",
+      s"query=${enc("sum({job=~\".+\"})")}&start=0&end=2&step=1")
+    assert(code == 200, body)
+    assert(body.contains(""""resultType":"matrix""""))
+    // sum at t=1s: 1+3+4 = 8; at t=2s: 2+3+4 = 9
+    assert(body.contains("""[1,"8"]""") && body.contains("""[2,"9"]"""), body)
+  }
+
+  test("query_range: parameter validation errors are bad_data 400s") {
+    val q = enc("{job=\"a\"}")
+    val (c1, b1) = get(s"/api/v1/query_range?query=$q&start=2&end=1&step=1")
+    assert(c1 == 400 && b1.contains(""""errorType":"bad_data""""), b1)
+    val (c2, b2) = get(s"/api/v1/query_range?query=$q&start=0&end=1&step=0")
+    assert(c2 == 400 && b2.contains("step"), b2)
+    val (c3, b3) = get(s"/api/v1/query_range?query=$q&start=0&end=100000&step=0.001")
+    assert(c3 == 400 && b3.contains("11,000"), b3)
+    val (c4, _) = get(s"/api/v1/query_range?query=$q&start=0&end=1")
+    assert(c4 == 400)
+  }
+
+  test("query: a PromQL parse error is a bad_data 400") {
+    val (code, body) = get(s"/api/v1/query?query=${enc("sum({job=\"a\"}")}")
+    assert(code == 400 && body.contains(""""status":"error""""), body)
+    assert(body.contains("promql"), body)
+  }
+
+  test("labels and label values, bare and matcher-scoped") {
+    assert(get("/api/v1/labels")._2 ==
+      """{"status":"success","data":["inst","job"]}""")
+    assert(get("/api/v1/label/job/values")._2 ==
+      """{"status":"success","data":["a","b"]}""")
+    val scoped = get(s"/api/v1/label/inst/values?match[]=${enc("{job=\"b\"}")}")._2
+    assert(scoped == """{"status":"success","data":["1"]}""")
+  }
+
+  test("series returns the matching label sets; no match[] is an error") {
+    val (code, body) = get(s"/api/v1/series?match[]=${enc("{inst=\"1\"}")}")
+    assert(code == 200)
+    assert(body ==
+      """{"status":"success","data":[{"inst":"1","job":"a"},{"inst":"1","job":"b"}]}""",
+      body)
+    // time bounds prune: only job=b's sample sits in [250, 400]
+    val bounded =
+      get(s"/api/v1/series?match[]=${enc("{inst=\"1\"}")}&start=0.250&end=0.400")._2
+    assert(bounded == """{"status":"success","data":[{"inst":"1","job":"b"}]}""")
+    assert(get("/api/v1/series")._1 == 400)
+  }
+
+  test("status endpoints and health checks") {
+    val (code, body) = get("/api/v1/status/tsdb")
+    assert(code == 200 && body.contains(""""numSeries":3"""), body)
+    assert(get("/-/healthy") == ((200, "OK")))
+    assert(get("/-/ready") == ((200, "OK")))
+    assert(get("/api/v1/nope")._1 == 404)
+  }
+
+  test("duration and time parsing accept the Prometheus formats") {
+    assert(ApiServer.parseDurationMs("90") == 90000L)
+    assert(ApiServer.parseDurationMs("1m30s") == 90000L)
+    assert(ApiServer.parseDurationMs("250ms") == 250L)
+    assert(ApiServer.parseDurationMs("2h") == 7200000L)
+    assert(ApiServer.parseTimeMs("1.5") == 1500L)
+    assert(ApiServer.parseTimeMs("2024-01-01T00:00:00Z") == 1704067200000L)
+    intercept[Exception](ApiServer.parseDurationMs("bogus"))
+  }
+}
