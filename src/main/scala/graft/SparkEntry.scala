@@ -354,7 +354,7 @@ object SparkEntry {
           .parquet(tombScratch(dir).toString)
       },
       (s, dir) => Tombstones.applyTo(
-          sampleRanged(TsdbSource.events(s, dir).samples),
+          TsdbSource.events(s, dir).samples,
           s.read.parquet(tombScratch(dir).toString))
         .select("sample_id", "series_key", "t", "v")
         .sortWithinPartitions("sample_id")),
@@ -376,7 +376,7 @@ object SparkEntry {
       // query = PostingsForMatchers over the PERSISTED index (a
       // #series×#labels parquet read) + the single fact probe
       (s, dir) => graft.query.Postings.select(
-          sampleRanged(TsdbSource.events(s, dir).samples),
+          TsdbSource.events(s, dir).samples,
           s.read.parquet(postingsScratch(dir).toString),
           MINT, MAXT,
           Eq("name", "click"), Re("user", "1.*"), Matcher.neq("vip", "1"))
@@ -539,19 +539,6 @@ object SparkEntry {
   private def orderedOnce(df: DataFrame, cols: String*): DataFrame =
     df.localCheckpoint().orderBy(cols.map(col): _*)
 
-  /** Total output order for SAMPLE-SCALE results priced as ONE
-    * exchange: range-partition the scan-side frame on the result key
-    * BEFORE the order-preserving operators above it (broadcast joins
-    * and filters keep the streamed side's partitioning and ordering),
-    * so the exchange's range-sampling job re-executes only the pushdown
-    * scan — a final `orderBy` would run the whole join/agg lineage a
-    * second time just to pick partition bounds. An in-partition sort at
-    * the sink then makes partition order the global order — the same
-    * one-exchange contract `Rate.seriesOrdered` gives the window
-    * family, applied to the select/delete read shapes. */
-  private def sampleRanged(df: DataFrame): DataFrame =
-    df.repartitionByRange(col("sample_id"))
-
   /** Shared: the events table as a TsdbSource, selected and projected to
     * the output shape used by the ts_select_* queries. */
   private def tsSelect(s: SparkSession, dir: String, ms: Matcher*): DataFrame =
@@ -685,12 +672,13 @@ object SparkEntry {
     // (querier.go:326-396) as joins.
     "ts_select_postings" -> ((s, dir) => {
       val samples = TsdbSource.events(s, dir).samples
-      // probe side pre-ranged on the result key ([[sampleRanged]]): the
-      // time clamp still pushes through the exchange to the scan, the
-      // broadcast semi-join preserves the partitioning, and the index
-      // derivation no longer runs twice for an output sort
+      // zero extra exchanges on the probe side: the time clamp pushes
+      // to the scan, the broadcast semi-join preserves the scan's
+      // partitioning, and the sink's in-partition sort is the
+      // distributed read contract (partition-ordered — a global order
+      // would buy nothing but an exchange plus its sampling scan)
       graft.query.Postings.select(
-          sampleRanged(samples), graft.query.Postings.fromSamples(samples),
+          samples, graft.query.Postings.fromSamples(samples),
           MINT, MAXT,
           Eq("name", "click"), Re("user", "1.*"), Matcher.neq("vip", "1"))
         .select(col("sample_id"), col("series_key"), col("t"), col("v"))
@@ -755,10 +743,10 @@ object SparkEntry {
     // the window would get only a no-op interval, so restricting
     // resolution to the window is result-identical and scan-minimal.
     "ts_tombstone_delete" -> ((s, dir) => {
-      // [[sampleRanged]] under the broadcast anti-join: the surviving
-      // volume ≈ the exchanged volume (deletes are a small fraction),
-      // and the two-matcher resolution lineage stops running twice
-      Tombstones.applyTo(sampleRanged(TsdbSource.events(s, dir).samples),
+      // zero extra exchanges: the broadcast anti-join preserves the
+      // scan's partitioning; partition-ordered output is the
+      // distributed read contract
+      Tombstones.applyTo(TsdbSource.events(s, dir).samples,
           tombstoneSet(s, dir))
         .select("sample_id", "series_key", "t", "v")
         .sortWithinPartitions("sample_id")

@@ -44,11 +44,12 @@ object AsOf {
     * null when none. `right` needs columns `keys :+ t :+ r_v`.
     *
     * `ranged = true` applies the `Rate.seriesOrdered` pricing to the
-    * union: ONE range exchange on the keys + the window's in-partition
-    * sort, instead of a hash exchange now and a global orderBy (whose
-    * range-sampling job re-runs the window stage) later — the fill's
-    * output order becomes `keys :+ t` across partition ranges, so
-    * sample-scale consumers finish with `sortWithinPartitions`. */
+    * union: ONE hash exchange on the keys + the window's in-partition
+    * sort, priced explicitly instead of a hash exchange now and a
+    * global orderBy (whose range-sampling job re-runs the window
+    * stage) later — the fill's output arrives key-clustered and
+    * t-ordered within, so sample-scale consumers finish with
+    * `sortWithinPartitions`. */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -111,11 +112,12 @@ object AsOf {
             .withColumn("__side", lit(i)),
           allowMissingColumns = true)
     }
-    // see [[join]]: range partitioning on the keys satisfies the fill
-    // window's clustering AND makes partition order the result order
+    // see [[join]]: hash partitioning on the keys satisfies the fill
+    // window's clustering without a range exchange's bounds-sampling
+    // pass over the union lineage
     val unioned =
       if (!ranged) unioned0
-      else unioned0.repartitionByRange(keys.map(col): _*)
+      else unioned0.repartition(keys.map(col): _*)
         .sortWithinPartitions((keys :+ "t" :+ "__side").map(col): _*)
     fillAsOf(unioned, keys, lookbackMs, leftSide = n,
       fills = rights.zipWithIndex.map { case ((name, _), i) =>

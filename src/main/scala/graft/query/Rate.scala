@@ -26,18 +26,23 @@ import graft.functions.rangeForTimestamp
 object Rate {
 
   /** Canonical pre-pass for the ad-hoc (non-store) consumer path: ONE
-    * range exchange on `series_key` + ONE in-partition sort in the
+    * hash exchange on `series_key` + ONE in-partition sort in the
     * family's total order `(series_key, t, sample_id)`. Every window
     * and aggregate in the family is satisfied by this
-    * distribution+ordering (range partitioning on `series_key` clusters
-    * any key set it prefixes; the sort is the windows' exact required
-    * order), and the partition ranges make the output order the
-    * entries' RESULT order — so family queries need no final global
-    * `orderBy`, whose range-sampling job re-executes the entire window
-    * stage a second time (measured as the family's dominant constant
-    * factor at x10). A bucketed store scan provides the same
-    * distribution with zero exchanges; this is the raw-parquet
-    * equivalent, paying one exchange total.
+    * distribution+ordering (hash partitioning on `series_key` clusters
+    * any key set containing it; the sort is the windows' exact required
+    * order), and the output arrives series-clustered and t-ordered
+    * within — the SAME contract the bucketed store layout gives its
+    * readers (S1's `CLUSTERED/SORTED BY` shape), so family queries
+    * need no final `orderBy`. Hash, not range: RangePartitioning buys
+    * only a global series order nothing consumes, and its
+    * bounds-sampling job executes the input lineage a second time —
+    * measured at x10 as ~0.3–0.6 s per entry across the family
+    * (ts_over_time 1.43 → 0.72, ts_counter_rate 1.37 → 0.86,
+    * ts_subquery 1.20 → 0.63 cold-context when the r8 switch landed).
+    * A bucketed store scan provides the same distribution with zero
+    * exchanges; this is the raw-parquet equivalent, paying one
+    * exchange total.
     *
     * NOT for the partial-combine aggregates ([[deriv]],
     * [[predictLinear]], the sketch path): those shrink their shuffle to
@@ -45,17 +50,16 @@ object Rate {
     * exchange — only right when the downstream window needs every row
     * on one partition anyway. */
   def seriesOrdered(samples: DataFrame): DataFrame =
-    samples.repartitionByRange(col("series_key"))
+    samples.repartition(col("series_key"))
       .sortWithinPartitions("series_key", "t", "sample_id")
 
   /** [[seriesOrdered]] minus the sample-scale sort — for the family's
     * pure-aggregate members (exact percentile, histogram bucketing, the
-    * point-list folds): range clustering alone satisfies their grouping
-    * and still makes the result order one in-partition sort of the
-    * aggregate's bucket-grain output, while a within-partition total
-    * order would be pure waste (hash aggregates don't read it). */
+    * point-list folds): series clustering alone satisfies their
+    * grouping, while a within-partition total order would be pure
+    * waste (hash aggregates don't read it). */
   def seriesClustered(samples: DataFrame): DataFrame =
-    samples.repartitionByRange(col("series_key"))
+    samples.repartition(col("series_key"))
 
   /** Per `(series_key, t_bucket)` counter increase and per-second rate.
     *
