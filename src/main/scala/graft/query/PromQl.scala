@@ -1561,17 +1561,19 @@ object PromQl {
       } else dropName(v.withColumn("v", arith(b.op, l, r)))
     }
 
-    private def matchKey(matching: Option[Matching]): Column = {
-      val kept = matching match {
-        case Some(Matching(true, ls, _, _)) => // on(...)
-          map_filter(col("labels"), (k, _) => k.isin(ls: _*))
-        case Some(Matching(false, ls, _, _)) => // ignoring(...)
-          map_filter(col("labels"), (k, _) => !k.isin(ls :+ p.nameLabel: _*))
-        case None =>
-          map_filter(col("labels"), (k, _) => k =!= p.nameLabel)
-      }
-      graft.functions.seriesKey(kept)
+    /** The matching label subset as a MAP — also the upstream
+      * resultMetric label set for one-to-one results. */
+    private def matchLabels(matching: Option[Matching]): Column = matching match {
+      case Some(Matching(true, ls, _, _)) => // on(...)
+        map_filter(col("labels"), (k, _) => k.isin(ls: _*))
+      case Some(Matching(false, ls, _, _)) => // ignoring(...)
+        map_filter(col("labels"), (k, _) => !k.isin(ls :+ p.nameLabel: _*))
+      case None =>
+        map_filter(col("labels"), (k, _) => k =!= p.nameLabel)
     }
+
+    private def matchKey(matching: Option[Matching]): Column =
+      graft.functions.seriesKey(matchLabels(matching))
 
     private def vectorVector(b: Bin, l0: DataFrame, r0: DataFrame): DataFrame = {
       // group_right is group_left with the sides swapped for label
@@ -1617,10 +1619,19 @@ object PromQl {
             else relabel(joined, map_concat(
               map_filter(col("labels"), (k, _) => !k.isin(include: _*)),
               map_filter(col("__rlabels"), (k, _) => k.isin(include: _*))))
+          // upstream's resultMetric rule: a ONE-TO-ONE result narrows
+          // to the MATCHING labels exactly (the on-list, or everything
+          // minus ignored minus name — which is the match key map
+          // itself); many-to-one keeps the many side's label set
+          // (+ include) with only the name dropped. Filter comparisons
+          // are the exception either way: the surviving samples keep
+          // their original label sets, metric name included.
+          def resultLabels(df: DataFrame): DataFrame =
+            if (card == 0) relabel(df, matchLabels(b.matchOn)) else dropName(df)
           if (cmpOps.contains(op)) {
             val pred = cmpCol(op, lv, rv)
             if (b.bool)
-              dropName(withInclude.withColumn("v", when(pred, 1.0).otherwise(0.0)))
+              resultLabels(withInclude.withColumn("v", when(pred, 1.0).otherwise(0.0)))
                 .select("series_key", "labels", "t", "v")
             else withInclude.where(pred)
               // the kept VALUE is the written lhs operand's; the label
@@ -1628,7 +1639,7 @@ object PromQl {
               .withColumn("v", lv)
               .select("series_key", "labels", "t", "v")
           } else
-            dropName(withInclude.withColumn("v", arith(op, lv, rv)))
+            resultLabels(withInclude.withColumn("v", arith(op, lv, rv)))
               .select("series_key", "labels", "t", "v")
       }
     }

@@ -228,6 +228,34 @@ class PromQlSpec extends SparkSuite {
     assert(orRows.values.toSet == Set(100.0, 50.0)) // lhs req + errors{1}
   }
 
+  test("one-to-one on/ignoring narrows result labels to the match key") {
+    val p = at(50 * M)
+    // the docs' canonical shape: errors carry an extra `code` label the
+    // requests side lacks — ignoring(code) matches, and the RESULT
+    // drops code (and the name): {instance, job} only
+    val coded = load(STEP5)(
+      Map("__name__" -> "http_errors", "job" -> "api", "instance" -> "0",
+        "code" -> "500") -> (0 to 10).map(_ * 1.0))
+    val both = counters.unionByName(coded)
+    val ig = vals(PromQl.eval(
+      "http_errors / ignoring(code) http_requests", both, p))
+    assert(ig == Map("{instance=\"0\",job=\"api\"}" -> 0.1), ig)
+    // on(instance): ONLY the on-list survives into the result
+    val on = vals(PromQl.eval(
+      "http_errors / on(instance) http_requests", both, p))
+    assert(on == Map("{instance=\"0\"}" -> 0.1), on)
+    // bool comparisons narrow the same way; plain filter comparisons
+    // keep the surviving sample's ORIGINAL labels, name included
+    val bool = vals(PromQl.eval(
+      "http_errors >= bool on(instance) http_requests", both, p))
+    assert(bool == Map("{instance=\"0\"}" -> 0.0), bool)
+    val filt = PromQl.eval(
+      "http_errors < on(instance) http_requests", both, p)
+      .select("labels").as[Map[String, String]].collect()
+    assert(filt.length == 1 && filt.head("code") == "500" &&
+      filt.head("__name__") == "http_errors")
+  }
+
   test("instant functions and nesting") {
     val p = at(50 * M)
     val s = vals(PromQl.eval("sqrt(http_requests{instance=\"0\"})", counters, p))
