@@ -60,13 +60,13 @@ import graft.matchers.{Eq, Matcher, Re}
   *  Not supported (rejected at parse/compile): `@` on subqueries,
   *  native histograms.
   *
-  *  Documented divergence: one-to-one matching with DUPLICATE match
-  *  keys on the "one" side (e.g. two metrics sharing every non-name
-  *  label, divided without `on`) fans out through the equi-join where
-  *  Prometheus raises "found duplicate series for the match group" —
-  *  a distributed plan cannot raise a per-group execution error without
-  *  pricing a count per match key into every binary op; callers that
-  *  need the check can assert distinctness on the one side first. */
+  *  Vector matching raises Prometheus's execution error on DUPLICATE
+  *  match keys (one-to-one: either side; many-to-one: the "one" side) —
+  *  a `raise_error` branch fed by a count window whose (key, instant)
+  *  partitioning the match join reuses, so the check prices one
+  *  in-partition sort of lattice-scale rows, never a pass over
+  *  samples. The error surfaces at action time, like any execution
+  *  error in a lazy plan. */
 object PromQl {
 
   // ---------------------------------------------------------------- AST
@@ -1601,12 +1601,30 @@ object PromQl {
           lk.select("series_key", "labels", "t", "v")
             .unionByName(extra.select("series_key", "labels", "t", "v"))
         case op =>
-          // one-to-one, or many-to-one with group_left/right: the
-          // "many" side (l here) may repeat a match key; the "one"
-          // side must be unique per (key, instant) — duplicates there
-          // would silently fan out, like Prometheus's execution error
-          val joined = lk.join(
-            rk.select(col("__mk"), col("t"), col("v").as("__rv"),
+          // upstream's execution errors for duplicate match keys:
+          // one-to-one requires BOTH sides unique per (key, instant);
+          // many-to-one requires the "one" side (r here) unique. The
+          // detection window's (key, t) partitioning is exactly the
+          // join's, so EnsureRequirements plans ONE exchange per side
+          // either way — the check costs an in-partition sort of
+          // lattice-scale rows, not a pass over samples.
+          def uniqueOrError(df: DataFrame, what: String): DataFrame = {
+            val w = Window.partitionBy("__mk", "t")
+            df.withColumn("__dup", count(lit(1)).over(w))
+              .withColumn("v",
+                when(col("__dup") > 1,
+                  raise_error(concat(
+                    lit("promql: found duplicate series for the match group "),
+                    col("__mk"),
+                    lit(s" on the $what side of the operation")))
+                    .cast("double"))
+                  .otherwise(col("v")))
+              .drop("__dup")
+          }
+          val lku = if (card == 0) uniqueOrError(lk, "left") else lk
+          val rku = uniqueOrError(rk, if (card == 0) "right" else "one")
+          val joined = lku.join(
+            rku.select(col("__mk"), col("t"), col("v").as("__rv"),
               col("labels").as("__rlabels")),
             Seq("__mk", "t"))
           // value operands in WRITTEN order (swap back under group_right)

@@ -191,9 +191,14 @@ class PromQlConformanceSpec extends SparkSuite {
       val df = frameOf(b.samples)
       val p = PromQl.Params(b.fromMs, b.toMs, b.stepMs)
       if (b.fail) {
-        val ex = intercept[IllegalArgumentException] { PromQl.eval(b.expr, df, p) }
-        assert(ex.getMessage != null && ex.getMessage.contains("promql:"),
-          s"expected a promql: rejection, got: ${ex.getMessage}")
+        // compile-time rejections throw at eval(); execution errors
+        // (duplicate match keys — raise_error in the plan) surface at
+        // the action, possibly wrapped in Spark's task-failure chain
+        val ex = intercept[Throwable] { PromQl.eval(b.expr, df, p).collect() }
+        val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+          .map(e => String.valueOf(e.getMessage)).mkString("\n")
+        assert(msgs.contains("promql:"),
+          s"expected a promql: rejection, got: $msgs")
       } else {
         val got = PromQl.eval(b.expr, df, p)
           .select("series_key", "t", "v").as[(String, Long, Double)]
