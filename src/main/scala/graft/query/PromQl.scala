@@ -53,12 +53,12 @@ import graft.matchers.{Eq, Matcher, Re}
   *    vector↔scalar and vector↔vector (one-to-one `on`/`ignoring`,
   *    many-to-one `group_left`/`group_right` with include labels),
   *    set ops `and`/`or`/`unless`;
-  *  - subqueries `expr[range:step]` as range-function arguments;
-  *  - `@` on plain AND range selectors (fixed timestamp, `start()`,
-  *    `end()` — resolved against the OUTERMOST query range even inside
-  *    subqueries).
-  *  Not supported (rejected at parse/compile): `@` on subqueries,
-  *  native histograms.
+  *  - subqueries `expr[range:step]` as range-function arguments, with
+  *    `offset` and `@`;
+  *  - `@` on plain selectors, range selectors, and subqueries (fixed
+  *    timestamp, `start()`, `end()` — resolved against the OUTERMOST
+  *    query range even inside subqueries).
+  *  Not supported (rejected at parse/compile): native histograms.
   *
   *  Vector matching raises Prometheus's execution error on DUPLICATE
   *  match keys (one-to-one: either side; many-to-one: the "one" side) —
@@ -112,7 +112,12 @@ object PromQl {
   /** `expr[range:step]` — the inner expression evaluated on a `step`
     * lattice, consumed as a range vector (step 0 = the outer query's
     * step). */
-  final case class Subquery(body: Expr, rangeMs: Long, stepMs: Long) extends Expr
+  final case class Subquery(
+      body: Expr,
+      rangeMs: Long,
+      stepMs: Long,
+      offsetMs: Long = 0L,
+      at: Option[At] = None) extends Expr
 
   // ------------------------------------------------------------- Lexer
 
@@ -237,7 +242,8 @@ object PromQl {
       (p.toSeq :+ b).map(maxLookbehind(_, look)).max
     case Bin(_, l, r, _, _) =>
       math.max(maxLookbehind(l, look), maxLookbehind(r, look))
-    case Subquery(body, r, _) => r + maxLookbehind(body, look)
+    case Subquery(body, r, _, o, _) =>
+      math.max(0L, r + maxLookbehind(body, look) + o)
     case Neg(x) => maxLookbehind(x, look)
     case _ => 0L
   }
@@ -276,11 +282,22 @@ object PromQl {
       case Call(_, args) => args.foreach(visit)
       case Agg(_, p, b, _, _) => p.foreach(visit); visit(b)
       case Bin(_, l, r, _, _) => visit(l); visit(r)
-      case Subquery(body, r, _) =>
-        // the inner lattice reaches back `r` further than the outer one
+      case Subquery(body, r, _, o, at) =>
+        // the inner lattice reaches back `r` (+ a positive offset)
+        // further than the outer one; an @-pin moves the whole window
+        // to the pinned instant's past, a negative offset reads ahead
         val saved = lo
         visit(body)
-        lo = math.min(saved, lo - r)
+        val (refLo, refHi) = at match {
+          case Some(AtMs(ms)) => (ms, ms)
+          case Some(AtStart) => (startMs, startMs)
+          case Some(AtEnd) => (endMs, endMs)
+          case None => (startMs, endMs)
+        }
+        lo = math.min(
+          math.min(saved, lo - r - math.max(0L, o)),
+          refLo - o - r - maxLookbehind(body, lookbackMs))
+        hi = math.max(hi, refHi - math.min(0L, o))
       case Neg(x) => visit(x)
       case _ =>
     }
@@ -472,7 +489,8 @@ object PromQl {
         e match {
           case s: Selector => postfix(s.copy(offsetMs = o))
           case RangeSel(s, r) => postfix(RangeSel(s.copy(offsetMs = o), r))
-          case _ => fail("offset requires a selector")
+          case sq: Subquery => postfix(sq.copy(offsetMs = o))
+          case _ => fail("offset requires a selector or subquery")
         }
       case TOp("@") =>
         pos += 1
@@ -486,7 +504,8 @@ object PromQl {
         e match {
           case s: Selector => postfix(s.copy(at = Some(at)))
           case RangeSel(s, r) => postfix(RangeSel(s.copy(at = Some(at)), r))
-          case _ => fail("@ is supported on vector and range selectors only")
+          case sq: Subquery => postfix(sq.copy(at = Some(at)))
+          case _ => fail("@ is supported on selectors and subqueries only")
         }
       case _ => e
     }
@@ -763,22 +782,32 @@ object PromQl {
     private def rangeArgOf(e: Expr): (DataFrame, Long) = e match {
       case RangeSel(s, _) if s.at.isDefined =>
         fail("internal: @-pinned range selectors resolve before rangeArgOf")
+      case sq: Subquery if sq.at.isDefined =>
+        fail("internal: @-pinned subqueries resolve before rangeArgOf")
       case r: RangeSel =>
         val sel = selected(r.sel)
         (sel.select("series_key", "labels", "t", "v"), r.rangeMs)
       case sq: Subquery =>
         val stepIn = if (sq.stepMs > 0) sq.stepMs else p.stepMs
-        val raw = p.startMs - sq.rangeMs
+        // a subquery offset shifts the whole inner evaluation window
+        // back (negative: forward), exactly like a selector offset: the
+        // inner lattice stays aligned to absolute step multiples in the
+        // SHIFTED window, and results shift forward onto outer time
+        val raw = p.startMs - sq.rangeMs - sq.offsetMs
         val rem = math.floorMod(raw, stepIn)
         val start0 = if (rem == 0L) raw else raw + stepIn - rem
         val inner = new Compiler(samples,
-          p.copy(startMs = start0, endMs = p.endMs, stepMs = stepIn),
+          p.copy(startMs = start0, endMs = p.endMs - sq.offsetMs,
+            stepMs = stepIn),
           outerStartMs, outerEndMs)
           .eval(sq.body) match {
           case Vec(df) => df
           case _ => fail("subquery body must be an instant vector")
         }
-        (inner.select("series_key", "labels", "t", "v"), sq.rangeMs)
+        val shifted =
+          if (sq.offsetMs == 0L) inner
+          else inner.withColumn("t", col("t") + sq.offsetMs)
+        (shifted.select("series_key", "labels", "t", "v"), sq.rangeMs)
       case _ => fail(
         "expected a range vector ([range] selector or [range:step] subquery)")
     }
@@ -924,6 +953,16 @@ object PromQl {
           new Compiler(samples, p.copy(startMs = T, endMs = T),
               outerStartMs, outerEndMs)
             .rangeFunction(fn, RangeSel(s.copy(at = None), rangeMs), param)
+            .drop("t").crossJoin(latticeDf)
+            .select("series_key", "labels", "t", "v")
+        // `expr[r:s] @ T`: the pinned trailing window evaluated once,
+        // replicated across the output lattice — the same shape as a
+        // pinned range selector
+        case sq: Subquery if sq.at.isDefined =>
+          val T = resolveAt(sq.at.get)
+          new Compiler(samples, p.copy(startMs = T, endMs = T),
+              outerStartMs, outerEndMs)
+            .rangeFunction(fn, sq.copy(at = None), param)
             .drop("t").crossJoin(latticeDf)
             .select("series_key", "labels", "t", "v")
         case _ => rangeFunctionBody(fn, arg, param)
@@ -1213,6 +1252,13 @@ object PromQl {
         new Compiler(samples, p.copy(startMs = T, endMs = T),
             outerStartMs, outerEndMs)
           .absentOverTime(RangeSel(s.copy(at = None), r))
+          .drop("t").crossJoin(latticeDf)
+          .select("series_key", "labels", "t", "v")
+      case sq: Subquery if sq.at.isDefined =>
+        val T = resolveAt(sq.at.get)
+        new Compiler(samples, p.copy(startMs = T, endMs = T),
+            outerStartMs, outerEndMs)
+          .absentOverTime(sq.copy(at = None))
           .drop("t").crossJoin(latticeDf)
           .select("series_key", "labels", "t", "v")
       case _ =>

@@ -154,10 +154,15 @@ class PromQlSpec extends SparkSuite {
       counters, p)
     assert(ratio.select("t", "v").as[(Long, Double)].collect().toMap ==
       Map(40 * M -> 80.0 / 50, 45 * M -> 90.0 / 50, 50 * M -> 100.0 / 50))
-    // @ on a SUBQUERY stays rejected (range selectors are supported)
-    intercept[IllegalArgumentException] {
-      PromQl.eval("rate((http_requests)[5m:1m] @ 1500)", counters, p)
-    }
+    // @ on a SUBQUERY pins the inner window (25m here) at every outer
+    // instant: inner 1m lattice points over (20m, 25m] are
+    // 40,40,40,40,50 → delta 10 over a 240s sampled interval,
+    // extrapolated to the 300s window: 12.5/300 per second
+    val sqAt = PromQl.eval(
+      "rate((http_requests{instance=\"0\"})[5m:1m] @ 1500)", counters, p)
+    val sqRows = sqAt.select("t", "v").as[(Long, Double)].collect().toMap
+    assert(sqRows.keySet == Set(40L * M, 45L * M, 50L * M), sqRows)
+    sqRows.values.foreach(v => assert(math.abs(v - 12.5 / 300.0) < 1e-12, v))
   }
 
   test("aggregations: sum/avg/count/topk/quantile/count_values with by") {
