@@ -103,7 +103,10 @@ object Bench {
     // instant per sample (linear), where the ts_rate_extrapolated twin
     // fans out ~window/step× and OOM-killed the 128 GiB sandbox at x10
     // (judge-reproduced, r7) — methodology note in BENCH_NOTES
-    "promql_increase", "promql_ratio")
+    "promql_increase", "promql_ratio",
+    // late-r8: the subquery path (inner 6h fill feeding an outer
+    // sliding-day max — two lattice grains in one compiled plan)
+    "promql_subquery")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

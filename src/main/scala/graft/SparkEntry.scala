@@ -2159,6 +2159,17 @@ object SparkEntry {
           promqlParams(s, dir, MINT, MAXT, BUCKET_W, BUCKET_W + 1))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
 
+    // the SUBQUERY path under the gate: an inner 6h-lattice staleness
+    // fill of the click metric consumed by an outer sliding-day
+    // max_over_time — max is exact (no float sums), so the twin
+    // hash-compares with no rounding caveat. Inner lattice aligned to
+    // absolute 6h multiples (the Prometheus subquery convention).
+    "promql_subquery" -> ((s, dir) =>
+      PromQl.eval("max_over_time({name=\"click\"}[1d:6h])",
+          TsdbSource.events(s, dir).samples,
+          promqlParams(s, dir, T0 + 2 * DAY, T0 + 14 * DAY, DAY, BUCKET_W + 1))
+        .select(col("series_key"), col("t"), col("v"))),
+
     // scalar() under the gate — the `v / scalar(sum(v))` dashboard
     // shape: each click series' share of the metric's global total per
     // instant. The divisor compiles to ONE lattice-sized aggregate
@@ -3706,6 +3717,24 @@ object SparkEntry {
          |FROM u a JOIN u b ON a.u_id = b.u_id AND a.t = b.t
          |  AND a.name = 'click' AND b.name = 'view'
          |ORDER BY series_key, a.t""".stripMargin,
+    // subquery twin: inner 6h-lattice fill (closed 6h staleness window,
+    // latest = max (t, v) struct — the duplicate convention), outer
+    // sliding-day max over the inner instants; max is exact, no
+    // rounding needed on either engine
+    "promql_subquery" ->
+      s"""$samplesCte,
+         |c AS (SELECT * FROM s WHERE event_type = 'click'),
+         |gi AS (SELECT unnest(generate_series(${T0 + DAY}, ${T0 + 14 * DAY}, $BUCKET_W)) AS ti),
+         |f AS (SELECT series_key, user_id, ti,
+         |  (max(struct_pack(t := t, v := v))).v AS fv
+         |  FROM c JOIN gi ON c.t >= gi.ti - $BUCKET_W AND c.t <= gi.ti
+         |  GROUP BY 1, 2, 3),
+         |go AS (SELECT unnest(generate_series(${T0 + 2 * DAY}, ${T0 + 14 * DAY}, $DAY)) AS gt)
+         |SELECT '{user="' || user_id || '"' ||
+         |    CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END || '}' AS series_key,
+         |  gt AS t, max(fv) AS v
+         |FROM f JOIN go ON f.ti > go.gt - $DAY AND f.ti <= go.gt
+         |GROUP BY 1, 2 ORDER BY series_key, t""".stripMargin,
     // scalar(sum(v)) twin: the click fill's global per-instant total as
     // the divisor; result key = labels minus the metric name
     "promql_scalar" ->
