@@ -24,6 +24,23 @@ object Bench {
   private def runPlan(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Free the JVM residue a section's query executions leave behind:
+    * localCheckpoint blocks (freed only when a driver GC lets the
+    * ContextCleaner reap them), broadcast pieces, shuffle files. Left
+    * alone, ~400 executions of the sf pass fill the unified memory
+    * manager's storage pool, execution memory borrows less, and every
+    * later section pays spill it would not pay in isolation — the
+    * full-run rows then read ~+0.3-0.5 s over an isolated calibration
+    * of the same code (r8 measured). Sweeping between sections makes a
+    * full-run artifact price like the per-section calibration runs. */
+  private def hygiene(spark: SparkSession): Unit = {
+    spark.sqlContext.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = true))
+    System.gc() // enqueue dead RDD/broadcast/shuffle weak refs
+    Thread.sleep(2000) // let the (async) cleaner drain before timing
+  }
+
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -638,6 +655,7 @@ object Bench {
     // best-of-2 for the main sf pass too (same rationale as the x10
     // pass below) — these per-query numbers are a cross-round record
     runSetup(spark, selected, sfDir)
+    hygiene(spark) // shed the warm-pass + setup residue before timing
     val results = bestOf(
       timeQueries(spark, selected, sfDir),
       timeQueries(spark, selected, sfDir))
@@ -665,6 +683,9 @@ object Bench {
           val prep = (System.nanoTime() - t0) / 1e9
           val subset = selected.filter(q => X10.contains(q._1))
           runSetup(spark, subset, tmp)
+          // the x10 rows are THE cross-round/cross-engine comparison:
+          // shed the sf-pass + corpus-build residue before timing
+          hygiene(spark)
           // best-of-2: the x10 numbers are THE cross-round comparison, and
           // a single pass right after the corpus + store builds carries
           // their GC/page-cache wake (observed ±30% on the first queries
@@ -678,6 +699,7 @@ object Bench {
           // stays for cross-round continuity; THESE are the rows that
           // compare like-for-like against an oracle that never pays the
           // build.
+          hygiene(spark)
           val split = SparkEntry.benchPhases.toSeq.sortBy(_._1)
             .filter { case (k, _) => only.forall(_.contains(k)) }
             .map { case (name, ph) =>
@@ -713,6 +735,7 @@ object Bench {
     val doLifecycle = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE", "1") != "0"
     var storeStatus = "ok"
     val (writeRps, compactSec, bytesPerSample) = if (!doLifecycle) (0.0, 0.0, 0.0) else {
+      hygiene(spark)
       // One full write+compact lifecycle against a fresh store dir.
       // Each pass gets its own store (compact mutates the manifest, so
       // the two measurements must not share state).
@@ -769,6 +792,7 @@ object Bench {
     // above where inter-arrival deltas genuinely cost ~20 bits)
     var bytesPerSampleLabelSets = 0.0
     val writeRpsLabelSets: Double = if (!doLifecycle) 0.0 else {
+      hygiene(spark)
       def labelSetPass(): Double = {
         val tmp = java.nio.file.Files.createTempDirectory("graft-ls-bench-")
         try {
@@ -823,7 +847,7 @@ object Bench {
     // SPARK_GRAFT_ONLY iteration unless forced with SPARK_GRAFT_MATCHERS=1.
     val doMatchers = sys.env.getOrElse("SPARK_GRAFT_MATCHERS",
       if (only.isEmpty) "1" else "0") != "0"
-    val matcherResults = if (doMatchers) matcherBench(spark) else Nil
+    val matcherResults = if (doMatchers) { hygiene(spark); matcherBench(spark) } else Nil
     val matcherTotal = matcherResults.map(_._2).sum
 
     // At-scale rows (1M-vector ANN lifecycle, 20M-sample rate family).
@@ -831,29 +855,29 @@ object Bench {
     // SPARK_GRAFT_SCALE=1; disable in full runs with SPARK_GRAFT_SCALE=0.
     val doScale = sys.env.getOrElse("SPARK_GRAFT_SCALE",
       if (only.isEmpty) "1" else "0") != "0"
-    val annResults = if (doScale) annBench(spark) else Nil
-    val rateResults = if (doScale) rateBench(spark) else Nil
+    val annResults = if (doScale) { hygiene(spark); annBench(spark) } else Nil
+    val rateResults = if (doScale) { hygiene(spark); rateBench(spark) } else Nil
     // the decade-up point; its own switch so a time-budgeted run can
     // keep the 20M row and drop only the 200M one — and
     // SPARK_GRAFT_SCALE200=1 forces it ALONE (isolated calibration)
     val doScale200 = sys.env.getOrElse("SPARK_GRAFT_SCALE200",
       if (doScale) "1" else "0") != "0"
-    val rate200Results = if (doScale200) rate200Bench(spark) else Nil
+    val rate200Results = if (doScale200) { hygiene(spark); rate200Bench(spark) } else Nil
     // SPARK_GRAFT_DEDUP100K=1 forces the 100k dedup row alone (isolated
     // calibration — the section is page-cache sensitive after rate_200m)
     val doDedup100k = sys.env.getOrElse("SPARK_GRAFT_DEDUP100K",
       if (doScale) "1" else "0") != "0"
-    val dedupResults = if (doDedup100k) dedupBench(spark) else Nil
+    val dedupResults = if (doDedup100k) { hygiene(spark); dedupBench(spark) } else Nil
     // the decade-up dedup point — own switch (SPARK_GRAFT_DEDUP1M=1
     // forces it alone, =0 drops it from a time-budgeted full run)
     val doDedup1m = sys.env.getOrElse("SPARK_GRAFT_DEDUP1M",
       if (doScale) "1" else "0") != "0"
-    val dedup1mResults = if (doDedup1m) dedup1mBench(spark) else Nil
+    val dedup1mResults = if (doDedup1m) { hygiene(spark); dedup1mBench(spark) } else Nil
     // SPARK_GRAFT_STREAM=1 forces the streaming row alone — the lane is
     // JVM-state sensitive inside a full run, so calibration needs this
     val doStream = sys.env.getOrElse("SPARK_GRAFT_STREAM",
       if (doScale) "1" else "0") != "0"
-    val streamResults = if (doStream) streamBench(spark) else Nil
+    val streamResults = if (doStream) { hygiene(spark); streamBench(spark) } else Nil
 
     val errors = (results ++ x10Results ++ matcherResults ++ annResults ++
       rateResults ++ rate200Results ++ dedupResults ++ dedup1mResults ++
