@@ -128,7 +128,8 @@ final class Db private (
       graft.query.PromQl.scanBoundsMs(query, startMs, endMs, lookbackMs)
     val samples = store.readRange(spark, mint, maxt, withLabels = true)
     graft.query.PromQl.eval(query, samples,
-      graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs, nameLabel,
+      graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs,
+        nameLabel = nameLabel,
         pushdown = Some(ms =>
           store.readRange(spark, mint, maxt, withLabels = true, ms: _*))))
   }

@@ -581,6 +581,10 @@ object PromQl {
       endMs: Long,
       stepMs: Long,
       lookbackMs: Long = 300000L,
+      /** Default resolution for subqueries written `[range:]` — the
+        * analogue of Prometheus's default evaluation interval (its
+        * upstream default, 1m). */
+      defaultEvalMs: Long = 60000L,
       nameLabel: String = "__name__",
       /** Matcher-pushdown hook: when set, selectors fetch their samples
         * through it instead of filtering the generic `labels` map —
@@ -788,7 +792,10 @@ object PromQl {
         val sel = selected(r.sel)
         (sel.select("series_key", "labels", "t", "v"), r.rangeMs)
       case sq: Subquery =>
-        val stepIn = if (sq.stepMs > 0) sq.stepMs else p.stepMs
+        // `[range:]` defaults to the configured evaluation interval
+        // (Prometheus's query.default-evaluation-interval), NOT the
+        // outer query step
+        val stepIn = if (sq.stepMs > 0) sq.stepMs else p.defaultEvalMs
         // a subquery offset shifts the whole inner evaluation window
         // back (negative: forward), exactly like a selector offset: the
         // inner lattice stays aligned to absolute step multiples in the
@@ -878,7 +885,7 @@ object PromQl {
       val aggCols = Seq(count(lit(1)).as("cnt")) ++
         (if (need("sum_v")) Seq(sum("v").as("sum_v")) else Nil) ++
         (if (need("min_v")) Seq(min("v").as("min_v")) else Nil) ++
-        (if (need("max_v")) Seq(max("v").as("max_v")) else Nil) ++
+        (if (need("max_v")) Seq(nanSkipMax(col("v")).as("max_v")) else Nil) ++
         (if (need("sum_vv")) Seq(sum(col("v") * col("v")).as("sum_vv")) else Nil) ++
         (if (need("first")) Seq(firstStruct) else Nil) ++
         (if (need("last")) Seq(lastStruct) else Nil) ++
@@ -943,6 +950,24 @@ object PromQl {
           element_at(arr, lo + 2) * w)
     }
 
+    /** PromQL max skips NaN (a NaN running max is replaced by ANY
+      * value; only an all-NaN input yields NaN) — the opposite of
+      * Spark's ordering, where NaN sorts greatest and `max` returns it
+      * whenever one is present. Spark's `min` happens to agree with
+      * PromQL already (NaN-greatest means it never wins a min). */
+    private def nanSkipMax(c: Column): Column =
+      coalesce(max(when(isnan(c), lit(null)).otherwise(c)), lit(Double.NaN))
+
+    /** The PromQL out-of-range quantile rule (shared by the quantile
+      * aggregation, quantile_over_time and histogram_quantile): φ NaN →
+      * NaN, φ < 0 → -Inf, φ > 1 → +Inf — a value per group, never an
+      * error (Spark's `percentile` would throw on all three). */
+    private def quantileEdge(phi: Double): Option[Double] =
+      if (phi.isNaN) Some(Double.NaN)
+      else if (phi < 0) Some(Double.NegativeInfinity)
+      else if (phi > 1) Some(Double.PositiveInfinity)
+      else None
+
     /** `m[r] @ T`: the trailing window `(T − r, T]` evaluated ONCE at
       * the pinned instant, replicated across the output lattice — the
       * same one-instant-then-cross-join shape as [[atVector]]. */
@@ -982,8 +1007,11 @@ object PromQl {
       val src = srcFull.select("series_key", "labels", "t", "v")
       val extra = fn match {
         case "quantile_over_time" =>
-          Seq(expr(s"percentile(v, ${param.headOption.getOrElse(fail("quantile_over_time needs φ"))})")
-            .as("q_v"))
+          val phi = param.headOption.getOrElse(fail("quantile_over_time needs φ"))
+          Seq((quantileEdge(phi) match {
+            case Some(edge) => min(lit(edge)) // constant per window
+            case None => expr(s"percentile(v, $phi)")
+          }).as("q_v"))
         case "holt_winters" | "double_exponential_smoothing" =>
           // the fold needs the ordered points themselves
           Seq(sort_array(collect_list(struct(col("t"), col("v")))).as("hw_pts"))
@@ -1153,7 +1181,14 @@ object PromQl {
         val m = scalarOf(to)
         instantFn(e, (floor(col("v") / m + 0.5) * m).cast("double"))
       case Call("clamp", Seq(e, lo, hi)) =>
-        instantFn(e, least(greatest(col("v"), lit(scalarOf(lo))), lit(scalarOf(hi))))
+        val (l, h) = (scalarOf(lo), scalarOf(hi))
+        // upstream rule: min > max yields an EMPTY vector, never a
+        // crossed clamp
+        instantFn(e, if (l > h) lit(null).cast("double")
+          else least(greatest(col("v"), lit(l)), lit(h))) match {
+          case Vec(df) => Vec(df.where(col("v").isNotNull))
+          case v => v
+        }
       case Call("clamp_min", Seq(e, lo)) => instantFn(e, greatest(col("v"), lit(scalarOf(lo))))
       case Call("clamp_max", Seq(e, hi)) => instantFn(e, least(col("v"), lit(scalarOf(hi))))
       case Call(fn, Seq(e)) if instantFns.contains(fn) =>
@@ -1292,8 +1327,22 @@ object PromQl {
       * regex against the src label's value (absent ≡ ""); on match dst
       * becomes the `$1`-expanded replacement (empty removes it), on
       * mismatch the element passes unchanged. */
+    /** A legal Prometheus label name ([a-zA-Z_][a-zA-Z0-9_]*) — the
+      * upstream precondition on label_replace/label_join destinations;
+      * violating it is a query error, not a silent bad label. */
+    private def requireLabelName(fn: String, name: String): Unit =
+      if (!name.matches("[a-zA-Z_][a-zA-Z0-9_]*"))
+        fail(s"$fn: invalid destination label name '$name'")
+
     private def labelReplace(
         iv: DataFrame, dst: String, rep: String, src: String, re: String): DataFrame = {
+      requireLabelName("label_replace", dst)
+      // an unparseable regex is a query error at compile, not a Spark
+      // task failure at the action
+      try java.util.regex.Pattern.compile(re)
+      catch { case e: java.util.regex.PatternSyntaxException =>
+        fail(s"label_replace: invalid regular expression '$re': ${e.getDescription}")
+      }
       val anchored = s"^(?:$re)$$"
       val srcVal = coalesce(col("labels").getItem(src), lit(""))
       val matched = srcVal.rlike(anchored)
@@ -1308,6 +1357,7 @@ object PromQl {
       * joined by sep (absent ≡ ""); an empty result removes dst. */
     private def labelJoin(
         iv: DataFrame, dst: String, sep: String, srcs: Seq[String]): DataFrame = {
+      requireLabelName("label_join", dst)
       val joined = concat_ws(sep,
         srcs.map(s => coalesce(col("labels").getItem(s), lit(""))): _*)
       val without = map_filter(col("labels"), (k, _) => k =!= dst)
@@ -1356,10 +1406,13 @@ object PromQl {
           element_at(col("bk"), n).getField("le") === lit(Double.PositiveInfinity))
         .withColumn("__i", idx)
         .withColumn("v",
-          when(col("__i").isNull, lit(null).cast("double"))
-            // rank falls in the +Inf bucket: the highest finite bound
-            .when(col("__i") === n, element_at(col("bk"), n - 1).getField("le"))
-            .otherwise(interp))
+          // out-of-range φ: a ±Inf/NaN VALUE per histogram, never an
+          // error (the upstream bucketQuantile precondition rule)
+          quantileEdge(phi).map(lit).getOrElse(
+            when(col("__i").isNull, lit(null).cast("double"))
+              // rank falls in the +Inf bucket: the highest finite bound
+              .when(col("__i") === n, element_at(col("bk"), n - 1).getField("le"))
+              .otherwise(interp)))
         .where(col("v").isNotNull)
         .select("series_key", "labels", "t", "v")
     }
@@ -1400,7 +1453,7 @@ object PromQl {
       val aggCol: Column = a.op match {
         case "sum" => sum("v")
         case "min" => min("v")
-        case "max" => max("v")
+        case "max" => nanSkipMax(col("v"))
         case "avg" => avg("v")
         case "count" => n.cast("double")
         case "group" => lit(1.0) // PromQL group(): 1 per present group
@@ -1408,7 +1461,10 @@ object PromQl {
         case "stdvar" => sum(col("v") * col("v")) / n - pow(sum("v") / n, 2)
         case "quantile" =>
           val phi = scalarOf(a.param.getOrElse(fail("quantile needs φ")))
-          expr(s"percentile(v, $phi)")
+          quantileEdge(phi) match {
+            case Some(edge) => min(lit(edge)) // constant per group
+            case None => expr(s"percentile(v, $phi)")
+          }
         case other => fail(s"internal: $other is not a keyable aggregate")
       }
       // result labels rebuilt from the grouped key columns (absent
@@ -1453,7 +1509,7 @@ object PromQl {
       Vec(a.op match {
         case "sum" => grouped(sum("v").as("v"))
         case "min" => grouped(min("v").as("v"))
-        case "max" => grouped(max("v").as("v"))
+        case "max" => grouped(nanSkipMax(col("v")).as("v"))
         case "avg" => grouped(avg("v").as("v"))
         case "count" => grouped(count(lit(1)).cast("double").as("v"))
         case "group" => grouped(lit(1.0).as("v"))
@@ -1465,14 +1521,27 @@ object PromQl {
             pow(sum("v") / count(lit(1)), 2)).as("v"))
         case "quantile" =>
           val phi = scalarOf(a.param.getOrElse(fail("quantile needs φ")))
-          grouped(expr(s"percentile(v, $phi)").as("v"))
+          grouped(quantileEdge(phi) match {
+            case Some(edge) => min(lit(edge)).as("v")
+            case None => expr(s"percentile(v, $phi)").as("v")
+          })
         case "topk" | "bottomk" =>
-          val k = scalarOf(a.param.getOrElse(fail(s"${a.op} needs k"))).toInt
+          val kD = scalarOf(a.param.getOrElse(fail(s"${a.op} needs k")))
+          // upstream: a NaN / fractional k is a query error, not a
+          // truncation
+          if (kD.isNaN || kD != math.floor(kD))
+            fail(s"${a.op}: scalar value $kD is not an integer")
+          val k = kD.toInt
           val ord = if (a.op == "topk") col("v").desc else col("v").asc
-          // topk keeps the INPUT series' full label sets
+          // topk keeps the INPUT series' full label sets. NaN loses
+          // every PromQL heap comparison — it is picked only when the
+          // group has fewer non-NaN elements than k, so it must sort
+          // LAST here (Spark's NaN-greatest default would hand topk a
+          // NaN first)
           keyed
             .withColumn("__rk", row_number().over(
-              Window.partitionBy("g_key", "t").orderBy(ord, col("series_key"))))
+              Window.partitionBy("g_key", "t").orderBy(
+                when(isnan(col("v")), 1).otherwise(0).asc, ord, col("series_key"))))
             .where(col("__rk") <= k)
             .select("series_key", "labels", "t", "v")
         case "limitk" =>

@@ -411,8 +411,9 @@ class PromQlSpec extends SparkSuite {
     // deriv over the inner series: exactly linear, 120 per 20 minutes
     assert(math.abs(one(PromQl.eval(
       "deriv(sum(http_requests)[25m:5m])", counters, p)) - 30.0 / 300.0) < 1e-9)
-    // default resolution `[25m:]` = the outer step (60s here): finer
-    // lattice, same extremes
+    // default resolution `[25m:]` = Params.defaultEvalMs (60s, the
+    // upstream default-evaluation-interval analogue): finer lattice,
+    // same extremes
     assert(one(PromQl.eval(
       "max_over_time(sum(http_requests)[25m:])", counters, p)) == 300.0)
     // lookbehind accounts for the subquery range + inner staleness
