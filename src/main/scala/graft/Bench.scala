@@ -436,8 +436,9 @@ object Bench {
         runPlan(samples
           .groupBy(col("series_key"),
             graft.functions.rangeForTimestamp(col("t"), 3600000L).as("t_bucket"))
-          .agg(expr("percentile(v, 0.5)").as("p50"),
-            expr("percentile(v, 0.95)").as("p95")))
+          // one percentile buffer for both ranks (the array form) —
+          // matches ts_quantile_bucket's shape
+          .agg(expr("percentile(v, array(0.5D, 0.95D))").as("ps")))
       }
       Seq(
         ("increase_sec", incSec, "ok"),

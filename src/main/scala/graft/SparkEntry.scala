@@ -1002,12 +1002,17 @@ object SparkEntry {
     // hash aggregate never reads an input order, so the sort-free
     // variant applies.
     "ts_quantile_bucket" -> ((s, dir) =>
+      // both ranks from ONE percentile buffer (array form): two scalar
+      // percentile aggregates would each collect the group's values —
+      // double the buffering and double the in-group sort
       Rate.seriesClustered(TsdbSource.events(s, dir).samples)
         .groupBy(col("series_key"), gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"))
         .agg(
-          round(expr("percentile(v, 0.5)"), 4).as("p50"),
-          round(expr("percentile(v, 0.95)"), 4).as("p95"),
+          expr("percentile(v, array(0.5D, 0.95D))").as("__ps"),
           count(lit(1)).as("n"))
+        .select(col("series_key"), col("t_bucket"),
+          round(element_at(col("__ps"), 1), 4).as("p50"),
+          round(element_at(col("__ps"), 2), 4).as("p95"), col("n"))
         .sortWithinPartitions("series_key", "t_bucket")),
 
     // The sketch path for the same question: Greenwald-Khanna
