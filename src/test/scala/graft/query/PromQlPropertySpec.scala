@@ -116,6 +116,81 @@ class PromQlPropertySpec extends SparkSuite {
     }
   }
 
+  test("subquery alignment: offset and @ match the sequential model") {
+    // the full subquery rule, sequentially: at outer instant g with
+    // offset o, the inner window is the half-open (e − r, e] for
+    // e = g − o; inner instants are the absolute multiples of the inner
+    // step INSIDE that window (left-open: an instant exactly at e − r
+    // is out); each instant staleness-fills with the default 5m
+    // left-open lookback; the outer function aggregates the filled
+    // values. Negative offsets shift e FORWARD. Five (r, s, o) shapes
+    // cover both fill regimes (inner step below and at the lookback).
+    val look = 5 * M
+    def fillAt(pts: Vector[(Long, Double)], tau: Long): Option[Double] = {
+      val w = pts.filter { case (t, _) => t > tau - look && t <= tau }
+      if (w.isEmpty) None
+      else {
+        val latest = w.map(_._1).max
+        Some(w.filter(_._1 == latest).map(_._2).max)
+      }
+    }
+    def innerInstants(e: Long, r: Long, s: Long): Seq[Long] = {
+      val lo = e - r
+      val first = if (lo % s == 0) lo + s else (lo / s + 1) * s
+      first to e by s
+    }
+    val cases = Seq(
+      (7 * M, 2 * M, 0L), (10 * M, 5 * M, 5 * M), (9 * M, M, 3 * M),
+      (12 * M, 5 * M, -5 * M), (8 * M, 3 * M, 0L))
+    for ((r, s, o) <- cases) {
+      val oStr =
+        if (o == 0) ""
+        else if (o < 0) s" offset -${-o / M}m"
+        else s" offset ${o / M}m"
+      val q = s"sum_over_time(m[${r / M}m:${s / M}m]$oStr)"
+      val got = PromQl.eval(q, frame, PromQl.Params(START, END, STEP))
+        .select(col("labels").getItem("s"), col("t"), col("v"))
+        .as[(String, Long, Double)].collect()
+        .map { case (k, t, v) => (k, t) -> v }.toMap
+      val expected = (for {
+        (k, pts) <- series.toSeq
+        g <- START to END by STEP
+        vs = innerInstants(g - o, r, s).flatMap(tau => fillAt(pts, tau))
+        if vs.nonEmpty
+      } yield (k, g) -> vs.sum).toMap
+      assert(got.keySet == expected.keySet,
+        s"$q: ${(got.keySet -- expected.keySet).take(3)} vs ${(expected.keySet -- got.keySet).take(3)}")
+      for ((key, want) <- expected) {
+        val tol = 1e-9 * math.max(1.0, math.abs(want))
+        assert(math.abs(got(key) - want) <= tol, s"$q at $key: ${got(key)} vs $want")
+      }
+    }
+    // @-pinned subqueries (with and without a stacked offset): the
+    // trailing window evaluates ONCE at e = T − o and replicates
+    for ((r, s, o, atSec, fn) <- Seq(
+        (10 * M, 2 * M, 0L, 1800, "max_over_time"),
+        (6 * M, 2 * M, 2 * M, 1800, "sum_over_time"))) {
+      val oStr = if (o == 0) "" else s" offset ${o / M}m"
+      val q = s"$fn(m[${r / M}m:${s / M}m] @ $atSec$oStr)"
+      val got = PromQl.eval(q, frame, PromQl.Params(START, END, STEP))
+        .select(col("labels").getItem("s"), col("t"), col("v"))
+        .as[(String, Long, Double)].collect()
+        .map { case (k, t, v) => (k, t) -> v }.toMap
+      val expected = (for {
+        (k, pts) <- series.toSeq
+        vs = innerInstants(atSec * 1000L - o, r, s).flatMap(tau => fillAt(pts, tau))
+        if vs.nonEmpty
+        agg = if (fn == "max_over_time") vs.max else vs.sum
+        g <- START to END by STEP
+      } yield (k, g) -> agg).toMap
+      assert(got.keySet == expected.keySet, s"$q keys differ")
+      for ((key, want) <- expected) {
+        val tol = 1e-9 * math.max(1.0, math.abs(want))
+        assert(math.abs(got(key) - want) <= tol, s"$q at $key: ${got(key)} vs $want")
+      }
+    }
+  }
+
   // increase needs the instant g in the model (extrapolation measures
   // distance to the window bounds), so it gets an instant-aware compare
   test("increase extrapolation, instant-aware model") {
