@@ -612,9 +612,26 @@ object PromQl {
     * (`series_key, labels: map<string,string>, t, v`). Returns
     * `(series_key, labels, t, v)`, one row per series per lattice
     * instant where the expression has a value, ordered. */
+  /** True iff `query` is a top-level range vector (`m[5m]`,
+    * `expr[r:s]`) — its instant-query result is a MATRIX (the raw
+    * window content), the HTTP API's `resultType` switch. */
+  def isRangeVector(query: String): Boolean = parse(query) match {
+    case _: RangeSel | _: Subquery => true
+    case _ => false
+  }
+
   def eval(query: String, samples: DataFrame, p: Params): DataFrame = {
     require(p.stepMs > 0 && p.endMs >= p.startMs, "bad evaluation range")
-    val out = new Compiler(samples, p).eval(parse(query)) match {
+    val out = parse(query) match {
+      // a TOP-LEVEL range vector is legal in an INSTANT query and
+      // returns the raw window as a matrix (`GET /api/v1/query?query=
+      // up[5m]`, the last-samples debugging shape); a range query over
+      // a range vector is the upstream error
+      case rv @ (_: RangeSel | _: Subquery) =>
+        if (p.startMs != p.endMs)
+          fail("invalid expression type \"range vector\" for range query")
+        new Compiler(samples, p).rangeLiteral(rv)
+      case ast => new Compiler(samples, p).eval(ast) match {
       case Vec(df) => df
       case Scal(v) => // a scalar result materializes on the lattice
         samples.sparkSession.range(p.startMs, p.endMs + 1, p.stepMs)
@@ -625,6 +642,7 @@ object PromQl {
         df.select(lit("{}").as("series_key"),
           map().cast("map<string,string>").as("labels"),
           col("t"), col("v"))
+      }
     }
     out.select("series_key", "labels", "t", "v").orderBy("series_key", "t")
   }
@@ -967,6 +985,34 @@ object PromQl {
       else if (phi < 0) Some(Double.NegativeInfinity)
       else if (phi > 1) Some(Double.PositiveInfinity)
       else None
+
+    /** A TOP-LEVEL range vector in an instant query: the raw window
+      * content `(end − r, end]` as a matrix — every sample (selector)
+      * or inner evaluation instant (subquery), ORIGINAL timestamps
+      * (the selected frame carries offset-shifted times, so the output
+      * shifts them back). `@` pins the window end first. */
+    def rangeLiteral(e: Expr): DataFrame = e match {
+      case r: RangeSel if r.sel.at.isDefined =>
+        val T = resolveAt(r.sel.at.get)
+        new Compiler(samples, p.copy(startMs = T, endMs = T),
+            outerStartMs, outerEndMs)
+          .rangeLiteral(RangeSel(r.sel.copy(at = None), r.rangeMs))
+      case sq: Subquery if sq.at.isDefined =>
+        val T = resolveAt(sq.at.get)
+        new Compiler(samples, p.copy(startMs = T, endMs = T),
+            outerStartMs, outerEndMs)
+          .rangeLiteral(sq.copy(at = None))
+      case _ =>
+        val off = e match {
+          case r: RangeSel => r.sel.offsetMs
+          case sq: Subquery => sq.offsetMs
+          case _ => fail("expected a range vector")
+        }
+        val (src, rangeMs) = rangeArgOf(e)
+        src.where(col("t") > p.endMs - rangeMs && col("t") <= p.endMs)
+          .withColumn("t", col("t") - off)
+          .select("series_key", "labels", "t", "v")
+    }
 
     /** `m[r] @ T`: the trailing window `(T − r, T]` evaluated ONCE at
       * the pinned instant, replicated across the output lattice — the
