@@ -27,7 +27,14 @@ class PromQlConformanceSpec extends SparkSuite {
 
   // ---------------------------------------------------------- parsing
 
-  private case class Expected(labels: Map[String, String], vals: Seq[Option[Double]])
+  /** `vals`: lattice-aligned expectations (index k → from + k·step).
+    * `ats`: timestamped `v@t` expectations (upstream promqltest's
+    * instant-matrix notation, t in seconds) — used when an instant
+    * query of a top-level range vector returns the raw window. */
+  private case class Expected(
+      labels: Map[String, String],
+      vals: Seq[Option[Double]],
+      ats: Seq[(Long, Double)] = Nil)
   private case class EvalBlock(
       line: Int,
       expr: String,
@@ -156,7 +163,13 @@ class PromQlConformanceSpec extends SparkSuite {
         i += 1
         val expected = contentLines().map { case (_, raw) =>
           val (id, toks) = splitSeriesLine(raw)
-          Expected(parseLabels(id), expand(toks))
+          if (toks.exists(_.contains('@'))) {
+            val ats = toks.map { t =>
+              val Array(v, ts) = t.split("@", 2)
+              (math.round(ts.toDouble * 1000), num(v))
+            }
+            Expected(parseLabels(id), Nil, ats)
+          } else Expected(parseLabels(id), expand(toks))
         }
         blocks += EvalBlock(headerLine, expr, fail, fromMs, toMs, stepMs,
           expected, loaded)
@@ -207,7 +220,7 @@ class PromQlConformanceSpec extends SparkSuite {
           val key = keyOf(e.labels)
           e.vals.zipWithIndex.collect {
             case (Some(v), k) => (key, b.fromMs + k * b.stepMs) -> v
-          }
+          } ++ e.ats.map { case (t, v) => (key, t) -> v }
         }.toMap
         val missing = want.keySet -- got.keySet
         val extra = got.keySet -- want.keySet
