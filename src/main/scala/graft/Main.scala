@@ -322,8 +322,11 @@ object Main {
     val endMs = end.getOrElse(db.blocks.map(_.maxt).max)
     val startMs = start.getOrElse(endMs)
     val out = db.promql(expr, startMs, endMs, stepMs, lookbackMs, nameLabel)
+    // a top-level range vector's instant result is a matrix (the raw
+    // window), not a last-sample vector — same switch as the HTTP API
     if (json)
-      println(graft.query.ResultJson.render(out, instant = startMs == endMs))
+      println(graft.query.ResultJson.render(out,
+        instant = startMs == endMs && !graft.query.PromQl.isRangeVector(expr)))
     else {
       val it = out.select("series_key", "v", "t")
         .orderBy("series_key", "t").toLocalIterator()

@@ -97,11 +97,12 @@ object ApiServer {
   private def required(ps: Map[String, Seq[String]], k: String): String =
     one(ps, k).getOrElse(badData(s"missing parameter $k"))
 
-  /** Prometheus time params: unix seconds (float) or RFC 3339. */
+  /** Prometheus time params: unix seconds (float) or RFC 3339
+    * (including numeric UTC offsets, e.g. `+05:30`). */
   private[http] def parseTimeMs(s: String): Long =
     try {
       if (s.exists(c => c == 'T' || c == 'Z' || c == '-') && !s.matches("-?[0-9.]+"))
-        java.time.Instant.parse(s).toEpochMilli
+        java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
       else math.round(s.toDouble * 1000.0)
     } catch {
       case _: Exception => badData(s"invalid time '$s'")
@@ -151,19 +152,49 @@ object ApiServer {
     private def storeMaxMs: Long =
       if (db.blocks.nonEmpty) db.blocks.map(_.maxt).max else 0L
 
-    private def dataOf(path: String, ps: Map[String, Seq[String]]): String =
+    /** The `limit` parameter (Prometheus: 0 or absent = unlimited).
+      * Applied as `limit(n+1)` BEFORE any collect so a broad `match[]`
+      * never materializes an unbounded series set on the driver; the
+      * extra row only detects truncation for the warning. */
+    private def limitOf(ps: Map[String, Seq[String]]): Option[Int] =
+      one(ps, "limit").map { s =>
+        val n = try s.toInt catch {
+          case _: NumberFormatException => badData(s"invalid limit '$s'")
+        }
+        if (n < 0) badData("limit must be non-negative")
+        n
+      }.filter(_ > 0)
+
+    private def bounded(
+        df: org.apache.spark.sql.DataFrame,
+        lim: Option[Int]): (Array[org.apache.spark.sql.Row], Seq[String]) = {
+      val rows = lim.fold(df)(n => df.limit(n + 1)).collect()
+      lim match {
+        case Some(n) if rows.length > n =>
+          (rows.take(n), Seq("results truncated due to limit"))
+        case _ => (rows, Nil)
+      }
+    }
+
+    private def dataOf(
+        path: String, ps: Map[String, Seq[String]]): (String, Seq[String]) =
       path match {
         case "query" =>
+          val q = required(ps, "query")
           val t = one(ps, "time").map(parseTimeMs).getOrElse(storeMaxMs)
+          one(ps, "timeout").foreach(parseDurationMs) // validated, unused
           val look = one(ps, "lookback_delta").map(parseDurationMs)
             .getOrElse(lookbackMs)
-          val out = db.promql(required(ps, "query"), t, t,
+          val out = db.promql(q, t, t,
             stepMs = 60000L, lookbackMs = look, nameLabel = nameLabel)
-          ResultJson.render(out, instant = true)
+          // a top-level range vector is a MATRIX (the raw window), not
+          // a last-sample vector — the API's resultType switch
+          (ResultJson.render(out, instant = !PromQl.isRangeVector(q)), Nil)
         case "query_range" =>
           val start = parseTimeMs(required(ps, "start"))
           val end = parseTimeMs(required(ps, "end"))
           val step = parseDurationMs(required(ps, "step"))
+          one(ps, "timeout").foreach(parseDurationMs) // validated, unused
           if (end < start) badData("end timestamp must not be before start time")
           if (step <= 0) badData("zero or negative query resolution step")
           if ((end - start) / step > 11000)
@@ -172,54 +203,59 @@ object ApiServer {
             .getOrElse(lookbackMs)
           val out = db.promql(required(ps, "query"), start, end,
             stepMs = step, lookbackMs = look, nameLabel = nameLabel)
-          ResultJson.render(out, instant = false)
+          (ResultJson.render(out, instant = false), Nil)
         case "labels" =>
-          val names = selectedSeries(ps) match {
+          val df = selectedSeries(ps) match {
             case Some(sel) =>
               sel.select(explode(map_keys(col("labels"))).as("ln"))
                 .distinct().orderBy("ln")
-                .collect().map(_.getString(0))
-            case None =>
-              db.labelNames().orderBy("label_name")
-                .collect().map(_.getString(0))
+            case None => db.labelNames().orderBy("label_name")
           }
-          names.map(n => "\"" + ResultJson.esc(n) + "\"")
-            .mkString("[", ",", "]")
+          val (rows, warns) = bounded(df, limitOf(ps))
+          (rows.map(r => "\"" + ResultJson.esc(r.getString(0)) + "\"")
+            .mkString("[", ",", "]"), warns)
         case p if p.startsWith("label/") && p.endsWith("/values") =>
           val name = p.stripPrefix("label/").stripSuffix("/values")
-          val values = selectedSeries(ps) match {
+          val df = selectedSeries(ps) match {
             case Some(sel) =>
               sel.where(map_contains_key(col("labels"), lit(name)))
                 .select(col("labels").getItem(name).as("lv"))
                 .distinct().orderBy("lv")
-                .collect().map(_.getString(0))
-            case None =>
-              db.labelValues(name).orderBy("label_value")
-                .collect().map(_.getString(0))
+            case None => db.labelValues(name).orderBy("label_value")
           }
-          values.map(v => "\"" + ResultJson.esc(v) + "\"")
-            .mkString("[", ",", "]")
+          val (rows, warns) = bounded(df, limitOf(ps))
+          (rows.map(r => "\"" + ResultJson.esc(r.getString(0)) + "\"")
+            .mkString("[", ",", "]"), warns)
         case "series" =>
           val sel = selectedSeries(ps)
             .getOrElse(badData("no match[] parameter provided"))
-          val rows = sel.select("series_key", "labels")
+          val df = sel.select("series_key", "labels")
             .groupBy("series_key").agg(first("labels").as("labels"))
             .orderBy("series_key")
-            .collect()
-          rows.map(r => ResultJson.labelsJson(r.getMap[String, String](1)))
-            .mkString("[", ",", "]")
+          val (rows, warns) = bounded(df, limitOf(ps))
+          (rows.map(r => ResultJson.labelsJson(r.getMap[String, String](1)))
+            .mkString("[", ",", "]"), warns)
+        case "format_query" =>
+          ("\"" + ResultJson.esc(
+            PromQl.format(PromQl.parse(required(ps, "query")))) + "\"", Nil)
+        case "parse_query" =>
+          (PromQl.astJson(PromQl.parse(required(ps, "query"))), Nil)
+        case "metadata" =>
+          // honest empty object: the store carries no scraped metadata
+          ("{}", Nil)
         case "status/tsdb" =>
           // headStats from the manifest + postings dictionary — the
           // `analyze` report's machine-readable sibling; no sample scan
           val bs = db.blocks
           val samples = bs.map(_.numSamples).sum
           val series = bs.map(_.numSeries.toLong).sum
-          s"""{"headStats":{"numSeries":$series,"numLabelPairs":0,""" +
+          (s"""{"headStats":{"numSeries":$series,"numLabelPairs":0,""" +
             s""""chunkCount":${bs.size},"minTime":${if (bs.isEmpty) 0 else bs.map(_.mint).min},""" +
             s""""maxTime":${if (bs.isEmpty) 0 else bs.map(_.maxt).max}},""" +
-            s""""numSamples":$samples,"numBlocks":${bs.size}}"""
+            s""""numSamples":$samples,"numBlocks":${bs.size}}""", Nil)
         case "status/buildinfo" =>
-          """{"version":"graft","revision":"","branch":"","buildUser":"","buildDate":"","goVersion":""}"""
+          ("""{"version":"graft","revision":"","branch":"","buildUser":"","buildDate":"","goVersion":""}""",
+            Nil)
         case other => throw new ApiError(404, "not_found", s"unknown endpoint $other")
       }
 
@@ -238,8 +274,12 @@ object ApiServer {
     def handle(ex: HttpExchange): Unit =
       try {
         val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/")
-        val data = dataOf(path, params(ex))
-        respond(ex, 200, s"""{"status":"success","data":$data}""",
+        val (data, warns) = dataOf(path, params(ex))
+        val warnPart =
+          if (warns.isEmpty) ""
+          else warns.map(w => "\"" + ResultJson.esc(w) + "\"")
+            .mkString(""","warnings":[""", ",", "]")
+        respond(ex, 200, s"""{"status":"success","data":$data$warnPart}""",
           "application/json")
       } catch {
         case e: ApiError =>

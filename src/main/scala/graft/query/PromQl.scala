@@ -596,7 +596,16 @@ object PromQl {
         * selector predicate over the constructed map cannot fold
         * through `map_filter` and never reaches the scan — correct, but
         * a full-corpus read at 100 TB. */
-      pushdown: Option[Seq[Matcher] => DataFrame] = None)
+      pushdown: Option[Seq[Matcher] => DataFrame] = None,
+      /** Range functions evaluate by candidate-explode (each sample
+        * fans out to the ⌈range/step⌉ instants it contributes to) up
+        * to this fan-out, and switch to an anchored RANGE-frame
+        * window above it: a long-range/short-step query like
+        * `rate(m[1d])` at 1m resolution would otherwise amplify every
+        * sample 1440× before the aggregate. Tests pin both plans
+        * equal by forcing 0 (always window) / MaxValue (always
+        * explode). */
+      rangeExplodeCapK: Int = 64)
 
   /** A compiled value: an instant vector (frame of
     * `series_key, labels, t, v`) or a constant scalar. */
@@ -618,6 +627,183 @@ object PromQl {
   def isRangeVector(query: String): Boolean = parse(query) match {
     case _: RangeSel | _: Subquery => true
     case _ => false
+  }
+
+  // ------------------------------------------- printer (format_query)
+
+  /** Operator precedence (low→high): `or` < `and`/`unless` <
+    * comparisons < `+`/`-` < `*`/`/`/`%`/`atan2` < `^`. */
+  private val precOf = Map("or" -> 1, "and" -> 2, "unless" -> 2,
+    "==" -> 3, "!=" -> 3, ">" -> 3, "<" -> 3, ">=" -> 3, "<=" -> 3,
+    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "atan2" -> 5,
+    "^" -> 6)
+
+  /** Shortest `1w2d3h4m5s6ms` duration text (the API's duration
+    * convention; `0s` for zero). */
+  private[graft] def durStr(ms: Long): String =
+    if (ms == 0) "0s"
+    else {
+      val sb = new StringBuilder
+      if (ms < 0) sb.append('-')
+      var r = math.abs(ms)
+      Seq("w" -> 604800000L, "d" -> 86400000L, "h" -> 3600000L,
+        "m" -> 60000L, "s" -> 1000L, "ms" -> 1L).foreach { case (u, w) =>
+        if (r >= w) { sb.append(r / w).append(u); r %= w }
+      }
+      sb.toString
+    }
+
+  private def quoted(s: String): String = "\"" + ResultJson.esc(s) + "\""
+
+  private def matcherStr(m: Matcher): String = m match {
+    case graft.matchers.Eq(n, v) => s"""$n=${quoted(v)}"""
+    case graft.matchers.Re(n, p) => s"""$n=~${quoted(p)}"""
+    case graft.matchers.Not(graft.matchers.Eq(n, v)) => s"""$n!=${quoted(v)}"""
+    case graft.matchers.Not(graft.matchers.Re(n, p)) => s"""$n!~${quoted(p)}"""
+    case other => sys.error(s"unprintable matcher $other")
+  }
+
+  private def atStr(at: At): String = at match {
+    case AtStart => " @ start()"
+    case AtEnd => " @ end()"
+    case AtMs(ms) => " @ " + (if (ms % 1000 == 0) (ms / 1000).toString
+      else (ms / 1000.0).toString)
+  }
+
+  private def selBase(s: Selector): String = {
+    val ms = s.matchers.map(matcherStr)
+    s.name.getOrElse("") +
+      (if (ms.isEmpty && s.name.isDefined) ""
+       else ms.mkString("{", ",", "}"))
+  }
+
+  private def selMods(offsetMs: Long, at: Option[At]): String =
+    (if (offsetMs != 0) s" offset ${durStr(offsetMs)}" else "") +
+      at.map(atStr).getOrElse("")
+
+  /** Render the AST back to canonical PromQL text — the
+    * `format_query` endpoint's body. Minimal parentheses: an operand
+    * keeps parens only when its operator binds no tighter than its
+    * parent's (with `^`'s right-associativity honoured). */
+  def format(e: Expr): String = e match {
+    case NumberLit(v) => ResultJson.fmtV(v)
+    case StringLit(s) => quoted(s)
+    case s: Selector => selBase(s) + selMods(s.offsetMs, s.at)
+    case RangeSel(s, r) =>
+      selBase(s) + s"[${durStr(r)}]" + selMods(s.offsetMs, s.at)
+    case Call(fn, args) => s"$fn(${args.map(format).mkString(", ")})"
+    case Agg(op, param, body, grouping, without) =>
+      val mod =
+        if (without) s" without (${grouping.mkString(", ")})"
+        else if (grouping.nonEmpty) s" by (${grouping.mkString(", ")})"
+        else ""
+      val args = (param.toSeq :+ body).map(format).mkString(", ")
+      s"$op$mod($args)"
+    case Neg(inner) => inner match {
+      case _: Bin => s"-(${format(inner)})"
+      case _ => "-" + format(inner)
+    }
+    case sq: Subquery =>
+      val body = sq.body match {
+        case _: Bin | _: Neg => s"(${format(sq.body)})"
+        case _ => format(sq.body)
+      }
+      val step = if (sq.stepMs == 0) "" else durStr(sq.stepMs)
+      body + s"[${durStr(sq.rangeMs)}:$step]" + selMods(sq.offsetMs, sq.at)
+    case b @ Bin(op, lhs, rhs, bool, matching) =>
+      val p = precOf(op)
+      def side(e: Expr, right: Boolean): String = {
+        val needs = e match {
+          case Bin(o, _, _, _, _) =>
+            val q = precOf(o)
+            q < p || (q == p && (if (op == "^") !right else right))
+          case _ => false
+        }
+        if (needs) s"(${format(e)})" else format(e)
+      }
+      val mod = matching.map { m =>
+        val onPart =
+          (if (m.on) s" on (${m.labels.mkString(", ")})"
+           else s" ignoring (${m.labels.mkString(", ")})")
+        val cardPart = m.card match {
+          case 1 => s" group_left (${m.include.mkString(", ")})"
+          case 2 => s" group_right (${m.include.mkString(", ")})"
+          case _ => ""
+        }
+        onPart + cardPart
+      }.getOrElse("")
+      val boolPart = if (bool) " bool" else ""
+      s"${side(lhs, right = false)} $op$boolPart$mod ${side(rhs, right = true)}"
+  }
+
+  // -------------------------------------- AST JSON (parse_query)
+
+  /** The `parse_query` endpoint's AST tree — the upstream
+    * `translate_ast` shape (node `type` discriminators
+    * `vectorSelector`/`matrixSelector`/`call`/`aggregation`/
+    * `binaryExpr`/`unaryExpr`/`subquery`/`numberLiteral`/
+    * `stringLiteral`, matchers with `=`/`!=`/`=~`/`!~` types). */
+  def astJson(e: Expr): String = {
+    def jstr(s: String): String = quoted(s)
+    def matcherJson(m: Matcher): String = {
+      val (n, t, v) = m match {
+        case graft.matchers.Eq(n0, v0) => (n0, "=", v0)
+        case graft.matchers.Re(n0, p0) => (n0, "=~", p0)
+        case graft.matchers.Not(graft.matchers.Eq(n0, v0)) => (n0, "!=", v0)
+        case graft.matchers.Not(graft.matchers.Re(n0, p0)) => (n0, "!~", p0)
+        case other => sys.error(s"unprintable matcher $other")
+      }
+      s"""{"name":${jstr(n)},"type":${jstr(t)},"value":${jstr(v)}}"""
+    }
+    def atJson(at: Option[At]): String = at match {
+      case Some(AtMs(ms)) => s""""timestamp":$ms,"startOrEnd":null"""
+      case Some(AtStart) => """"timestamp":null,"startOrEnd":"start""""
+      case Some(AtEnd) => """"timestamp":null,"startOrEnd":"end""""
+      case None => """"timestamp":null,"startOrEnd":null"""
+    }
+    def selJson(s: Selector, range: Option[Long]): String = {
+      val ms = s.name.map(n => graft.matchers.Eq("__name__", n)).toSeq ++
+        s.matchers
+      val t = if (range.isDefined) "matrixSelector" else "vectorSelector"
+      val rangePart = range.map(r => s""""range":${jstr(durStr(r))},""").getOrElse("")
+      s"""{"type":${jstr(t)},"name":${jstr(s.name.getOrElse(""))},""" +
+        s""""matchers":[${ms.map(matcherJson).mkString(",")}],$rangePart""" +
+        s""""offset":${jstr(durStr(s.offsetMs))},${atJson(s.at)}}"""
+    }
+    e match {
+      case NumberLit(v) =>
+        s"""{"type":"numberLiteral","val":${jstr(ResultJson.fmtV(v))}}"""
+      case StringLit(s) =>
+        s"""{"type":"stringLiteral","val":${jstr(s)}}"""
+      case s: Selector => selJson(s, None)
+      case RangeSel(s, r) => selJson(s, Some(r))
+      case Call(fn, args) =>
+        s"""{"type":"call","func":{"name":${jstr(fn)}},""" +
+          s""""args":[${args.map(astJson).mkString(",")}]}"""
+      case Agg(op, param, body, grouping, without) =>
+        s"""{"type":"aggregation","op":${jstr(op)},""" +
+          s""""expr":${astJson(body)},""" +
+          s""""param":${param.map(astJson).getOrElse("null")},""" +
+          s""""grouping":[${grouping.map(jstr).mkString(",")}],""" +
+          s""""without":$without}"""
+      case Neg(inner) =>
+        s"""{"type":"unaryExpr","op":"-","expr":${astJson(inner)}}"""
+      case sq: Subquery =>
+        s"""{"type":"subquery","expr":${astJson(sq.body)},""" +
+          s""""range":${jstr(durStr(sq.rangeMs))},""" +
+          s""""step":${jstr(durStr(sq.stepMs))},""" +
+          s""""offset":${jstr(durStr(sq.offsetMs))},${atJson(sq.at)}}"""
+      case Bin(op, lhs, rhs, bool, matching) =>
+        val m = matching.map { mm =>
+          s""","matching":{"card":${jstr(mm.card match {
+            case 1 => "many-to-one"; case 2 => "one-to-many"
+            case _ => "one-to-one" })},""" +
+            s""""on":${mm.on},"labels":[${mm.labels.map(jstr).mkString(",")}],""" +
+            s""""include":[${mm.include.map(jstr).mkString(",")}]}"""
+        }.getOrElse("")
+        s"""{"type":"binaryExpr","op":${jstr(op)},""" +
+          s""""lhs":${astJson(lhs)},"rhs":${astJson(rhs)},"bool":$bool$m}"""
+    }
   }
 
   def eval(query: String, samples: DataFrame, p: Params): DataFrame = {
@@ -837,17 +1023,9 @@ object PromQl {
         "expected a range vector ([range] selector or [range:step] subquery)")
     }
 
-    private def rangeFrame(
-        src: DataFrame, rangeMs: Long, needLag: Boolean = true): DataFrame = {
-      // (t, v) order: Prometheus never has duplicate timestamps per
-      // series, but a relational corpus can — the deterministic
-      // convention is "duplicates are separate samples, larger value
-      // later", so the lag chain and first/last picks never depend on
-      // row order. Functions that never read a previous-sample feature
-      // (the *_over_time family, delta, deriv, …) skip the lag chain —
-      // and with it the sample-scale per-series SORT the window costs;
-      // their whole plan is explode + ONE map-side-combined hash agg.
-      val feats = if (!needLag) src else {
+    private def lagFeats(src: DataFrame, needLag: Boolean): DataFrame =
+      if (!needLag) src
+      else {
         val w = Window.partitionBy("series_key").orderBy("t", "v")
         src
           .withColumn("prev_t", lag("t", 1).over(w))
@@ -861,6 +1039,18 @@ object PromQl {
           .withColumn("change_f",
             (col("prev_v").isNotNull && !(col("v") <=> col("prev_v"))).cast("long"))
       }
+
+    private def rangeFrame(
+        src: DataFrame, rangeMs: Long, needLag: Boolean = true): DataFrame = {
+      // (t, v) order: Prometheus never has duplicate timestamps per
+      // series, but a relational corpus can — the deterministic
+      // convention is "duplicates are separate samples, larger value
+      // later", so the lag chain and first/last picks never depend on
+      // row order. Functions that never read a previous-sample feature
+      // (the *_over_time family, delta, deriv, …) skip the lag chain —
+      // and with it the sample-scale per-series SORT the window costs;
+      // their whole plan is explode + ONE map-side-combined hash agg.
+      val feats = lagFeats(src, needLag)
       val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
       val g0 = (floor((col("t") - 1 - p.startMs) / p.stepMs) * p.stepMs
         + p.stepMs + p.startMs).cast("long")
@@ -916,12 +1106,91 @@ object PromQl {
             sum(col("x") * col("v")).as("sxy")) else Nil) ++
         (if (carryLabels) Seq(first("labels").as("labels")) else Nil) ++
         extra
-      val base = rangeFrame(src, rangeMs, needLag)
-      val withX = if (need("sx")) base.withColumn("x", x) else base
-      withX
-        .groupBy("series_key", "g")
-        .agg(aggCols.head, aggCols.tail: _*)
-        .withColumnRenamed("g", "t")
+      val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
+      // high fan-out guard: above the cap, the explode would amplify
+      // every sample k× before the (map-side-combined) aggregate —
+      // switch to the anchored RANGE-frame window, whose exchange
+      // carries samples + lattice anchors once. The window path covers
+      // the need-sets without per-instant relative features (the "sx"
+      // regression sums read `t − g`, which a frame aggregate cannot
+      // see) and without `extra` buffers; those keep the explode at
+      // any k.
+      if (k > p.rangeExplodeCapK && extra.isEmpty && !need("sx"))
+        windowRangeAgg(src, rangeMs, need, needLag)
+      else {
+        val base = rangeFrame(src, rangeMs, needLag)
+        val withX = if (need("sx")) base.withColumn("x", x) else base
+        withX
+          .groupBy("series_key", "g")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .withColumnRenamed("g", "t")
+      }
+    }
+
+    /** [[rangeAgg]]'s high-fan-out twin: per-series lattice ANCHOR rows
+      * (null `v`) union the (lag-featured) samples, and every aggregate
+      * evaluates over `RANGE BETWEEN rangeMs−1 PRECEDING AND CURRENT
+      * ROW` — at an anchor `g` that frame is exactly the half-open
+      * window `(g − range, g]`. Anchor rows carry null aggregate
+      * inputs, so they never contribute; output keeps only anchors
+      * with ≥1 real sample in frame (the groupBy path's implicit
+      * group-existence rule). One exchange of n + |series|·|lattice|
+      * rows replaces the k·n exploded rows. */
+    private def windowRangeAgg(
+        src: DataFrame, rangeMs: Long, need: Set[String],
+        needLag: Boolean): DataFrame = {
+      val feats = lagFeats(src, needLag)
+      val anchors0 = src.groupBy("series_key")
+        .agg(first("labels").as("labels"))
+        .withColumn("t",
+          explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
+        .withColumn("v", lit(null).cast("double"))
+      val anchors = feats.columns.foldLeft(anchors0) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(feats.schema(c).dataType))
+      }
+      val w = Window.partitionBy("series_key").orderBy("t")
+        .rangeBetween(-(rangeMs - 1), 0)
+      // anchor rows have null v (a real sample's v is never null —
+      // NaN is a value); guarding the min_by/max_by ORDERING nulls
+      // anchors out of the pick
+      def real(c: Column): Column = when(col("v").isNotNull, c)
+      val ord = real(struct(col("t"), col("v")))
+      val firstStruct =
+        (if (needLag)
+          min_by(real(struct(col("t"), col("v"),
+            coalesce(col("inc_delta"), lit(0.0)).as("inc"),
+            col("reset_f"), col("change_f"))), ord)
+        else min_by(real(struct(col("t"), col("v"))), ord))
+          .over(w).as("first")
+      val lastStruct =
+        (if (needLag)
+          max_by(real(struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
+            coalesce(col("inc_delta"), lit(0.0)).as("inc"))), ord)
+        else max_by(real(struct(col("t"), col("v"))), ord))
+          .over(w).as("last")
+      val aggCols = Seq(count(col("v")).over(w).as("cnt")) ++
+        (if (need("sum_v")) Seq(sum("v").over(w).as("sum_v")) else Nil) ++
+        (if (need("min_v")) Seq(min("v").over(w).as("min_v")) else Nil) ++
+        (if (need("max_v")) Seq(coalesce(
+          max(when(isnan(col("v")), lit(null)).otherwise(col("v"))).over(w),
+          lit(Double.NaN)).as("max_v")) else Nil) ++
+        (if (need("sum_vv"))
+          Seq(sum(col("v") * col("v")).over(w).as("sum_vv")) else Nil) ++
+        (if (need("first")) Seq(firstStruct) else Nil) ++
+        (if (need("last")) Seq(lastStruct) else Nil) ++
+        (if (need("sum_inc"))
+          Seq(sum(coalesce(col("inc_delta"), lit(0.0))).over(w).as("sum_inc"))
+        else Nil) ++
+        (if (need("sum_resets"))
+          Seq(sum("reset_f").over(w).as("sum_resets")) else Nil) ++
+        (if (need("sum_changes"))
+          Seq(sum("change_f").over(w).as("sum_changes")) else Nil)
+      feats.unionByName(anchors.select(feats.columns.map(col): _*))
+        .select(Seq(col("series_key"), col("labels"), col("t"),
+          col("v").as("__real")) ++ aggCols: _*)
+        .where(col("__real").isNull && col("cnt") >= 1)
+        .drop("__real")
     }
 
     /** PromQL's extrapolatedRate (promql semantics; same closed form as
@@ -1226,17 +1495,23 @@ object PromQl {
       case Call("round", Seq(e, to)) =>
         val m = scalarOf(to)
         instantFn(e, (floor(col("v") / m + 0.5) * m).cast("double"))
+      // NaN inputs propagate (Go's math.Min/Max): Spark orders NaN
+      // above +Inf, so an unguarded least() would map NaN to the
+      // upper bound
       case Call("clamp", Seq(e, lo, hi)) =>
         val (l, h) = (scalarOf(lo), scalarOf(hi))
         // upstream rule: min > max yields an EMPTY vector, never a
         // crossed clamp
         instantFn(e, if (l > h) lit(null).cast("double")
-          else least(greatest(col("v"), lit(l)), lit(h))) match {
+          else when(isnan(col("v")), col("v"))
+            .otherwise(least(greatest(col("v"), lit(l)), lit(h)))) match {
           case Vec(df) => Vec(df.where(col("v").isNotNull))
           case v => v
         }
       case Call("clamp_min", Seq(e, lo)) => instantFn(e, greatest(col("v"), lit(scalarOf(lo))))
-      case Call("clamp_max", Seq(e, hi)) => instantFn(e, least(col("v"), lit(scalarOf(hi))))
+      case Call("clamp_max", Seq(e, hi)) => instantFn(e,
+        when(isnan(col("v")), col("v"))
+          .otherwise(least(col("v"), lit(scalarOf(hi)))))
       case Call(fn, Seq(e)) if instantFns.contains(fn) =>
         instantFn(e, instantFns(fn)(col("v")))
       case Call(fn, args) => fail(s"unsupported function $fn/${args.length}")
@@ -1769,25 +2044,49 @@ object PromQl {
           // join's, so EnsureRequirements plans ONE exchange per side
           // either way — the check costs an in-partition sort of
           // lattice-scale rows, not a pass over samples.
+          // FILTER form, not a projected column: a raise_error buried
+          // in a projection collapses into the post-join output and
+          // never evaluates when the join matches nothing — a filter
+          // above the window is evaluated for every input row
           def uniqueOrError(df: DataFrame, what: String): DataFrame = {
             val w = Window.partitionBy("__mk", "t")
             df.withColumn("__dup", count(lit(1)).over(w))
-              .withColumn("v",
-                when(col("__dup") > 1,
-                  raise_error(concat(
-                    lit("promql: found duplicate series for the match group "),
-                    col("__mk"),
-                    lit(s" on the $what side of the operation")))
-                    .cast("double"))
-                  .otherwise(col("v")))
+              .where(when(col("__dup") > 1,
+                raise_error(concat(
+                  lit("promql: found duplicate series for the match group "),
+                  col("__mk"),
+                  lit(s" on the $what side of the operation")))
+                  .cast("boolean"))
+                .otherwise(lit(true)))
               .drop("__dup")
           }
-          val lku = if (card == 0) uniqueOrError(lk, "left") else lk
+          // right-side (the "one" side) duplicates error UNCONDITIONALLY
+          // (upstream builds its signature map first); left-side
+          // duplicates error only among MATCHED signatures, so the
+          // left check runs on the joined frame — where, with the
+          // right side unique, >1 row per (key, t) means left dups
+          // that actually matched. The joined frame is already
+          // partitioned by the join keys, so the window adds no
+          // exchange.
           val rku = uniqueOrError(rk, if (card == 0) "right" else "one")
-          val joined = lku.join(
+          val joined0 = lk.join(
             rku.select(col("__mk"), col("t"), col("v").as("__rv"),
               col("labels").as("__rlabels")),
             Seq("__mk", "t"))
+          val joined =
+            if (card != 0) joined0
+            else {
+              val w = Window.partitionBy("__mk", "t")
+              joined0.withColumn("__dup", count(lit(1)).over(w))
+                .where(when(col("__dup") > 1,
+                  raise_error(concat(
+                    lit("promql: found duplicate series for the match group "),
+                    col("__mk"),
+                    lit(" on the left side of the operation")))
+                    .cast("boolean"))
+                  .otherwise(lit(true)))
+                .drop("__dup")
+            }
           // value operands in WRITTEN order (swap back under group_right)
           val (lv, rv) =
             if (rightIsMany) (col("__rv"), col("v")) else (col("v"), col("__rv"))

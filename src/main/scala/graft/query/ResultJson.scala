@@ -32,13 +32,19 @@ object ResultJson {
     sb.toString
   }
 
-  /** Go `strconv.FormatFloat(v, 'f', -1, 64)`-flavoured value text. */
+  /** Go `strconv.FormatFloat(v, 'f', -1, 64)` value text: shortest
+    * round-trip decimal digits, always FIXED notation — no scientific
+    * form (`0.0000001`, not `1.0E-7`; `1e21` spelled out). Java's
+    * `Double.toString` supplies the shortest digits; `BigDecimal`
+    * re-renders them plain. */
   private[query] def fmtV(v: Double): String =
     if (v.isNaN) "NaN"
     else if (v == Double.PositiveInfinity) "+Inf"
     else if (v == Double.NegativeInfinity) "-Inf"
+    else if (v == 0.0) (if (1 / v < 0) "-0" else "0")
     else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
-    else v.toString
+    else new java.math.BigDecimal(java.lang.Double.toString(v))
+      .stripTrailingZeros.toPlainString
 
   private[query] def fmtT(ms: Long): String =
     if (ms % 1000 == 0) (ms / 1000).toString else (ms / 1000.0).toString

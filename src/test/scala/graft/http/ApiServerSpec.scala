@@ -138,6 +138,59 @@ class ApiServerSpec extends SparkSuite
     assert(ApiServer.parseDurationMs("2h") == 7200000L)
     assert(ApiServer.parseTimeMs("1.5") == 1500L)
     assert(ApiServer.parseTimeMs("2024-01-01T00:00:00Z") == 1704067200000L)
+    // RFC 3339 with a numeric UTC offset (+05:30 = the same instant)
+    assert(ApiServer.parseTimeMs("2024-01-01T05:30:00+05:30") == 1704067200000L)
     intercept[Exception](ApiServer.parseDurationMs("bogus"))
+  }
+
+  test("query: a top-level range vector renders a MATRIX, every sample") {
+    val (code, body) =
+      get(s"/api/v1/query?query=${enc("{job=\"a\",inst=\"1\"}[5m]")}&time=2")
+    assert(code == 200, body)
+    assert(body.contains(""""resultType":"matrix""""), body)
+    // the raw window carries BOTH samples at their original timestamps
+    assert(body.contains(""""values":[[0.1,"1"],[1.5,"2"]]"""), body)
+  }
+
+  test("limit bounds series/labels/label-values and warns on truncation") {
+    val all = enc("{job=~\".+\"}")
+    val (c1, b1) = get(s"/api/v1/series?match[]=$all&limit=2")
+    assert(c1 == 200, b1)
+    assert(b1.count(_ == '{') == 3, b1) // envelope + exactly 2 label sets
+    assert(b1.contains(""""warnings":["results truncated due to limit"]"""), b1)
+    // a limit >= the cardinality returns everything, no warning
+    val (_, b2) = get(s"/api/v1/series?match[]=$all&limit=10")
+    assert(!b2.contains("warnings"), b2)
+    val (_, b3) = get("/api/v1/labels?limit=1")
+    assert(b3.contains(""""data":["inst"]""") && b3.contains("warnings"), b3)
+    val (_, b4) = get("/api/v1/label/job/values?limit=1")
+    assert(b4.contains(""""data":["a"]""") && b4.contains("warnings"), b4)
+    // limit=0 means unlimited (the Prometheus convention)
+    val (_, b5) = get("/api/v1/labels?limit=0")
+    assert(b5.contains("""["inst","job"]""") && !b5.contains("warnings"), b5)
+    assert(get("/api/v1/labels?limit=-1")._1 == 400)
+    assert(get("/api/v1/labels?limit=abc")._1 == 400)
+  }
+
+  test("format_query round-trips; parse_query returns the AST tree") {
+    val (c1, b1) = get(s"/api/v1/format_query?query=${enc(
+      "sum by(job) (rate(m{a=\"b\"}[5m])) / 2")}")
+    assert(c1 == 200, b1)
+    assert(b1 ==
+      """{"status":"success","data":"sum by (job)(rate(m{a=\"b\"}[5m])) / 2"}""",
+      b1)
+    val (c2, b2) = get(s"/api/v1/parse_query?query=${enc("rate(m[5m])")}")
+    assert(c2 == 200, b2)
+    assert(b2.contains(""""type":"call","func":{"name":"rate"}"""), b2)
+    assert(b2.contains(""""type":"matrixSelector""""), b2)
+    assert(b2.contains(""""range":"5m""""), b2)
+    assert(get(s"/api/v1/format_query?query=${enc("sum(")}")._1 == 400)
+  }
+
+  test("metadata is an honest empty object; timeout is validated") {
+    assert(get("/api/v1/metadata")._2 == """{"status":"success","data":{}}""")
+    val q = enc("{job=\"a\"}")
+    assert(get(s"/api/v1/query?query=$q&timeout=30s")._1 == 200)
+    assert(get(s"/api/v1/query?query=$q&timeout=bogus")._1 == 400)
   }
 }

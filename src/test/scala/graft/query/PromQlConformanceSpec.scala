@@ -198,6 +198,26 @@ class PromQlConformanceSpec extends SparkSuite {
     parseCorpus(text)
   }
 
+  private def runEval(b: EvalBlock, p: PromQl.Params): Unit = {
+    val got = PromQl.eval(b.expr, frameOf(b.samples), p)
+      .select("series_key", "t", "v").as[(String, Long, Double)]
+      .collect().map { case (k, t, v) => (k, t) -> v }.toMap
+    val want = b.expected.flatMap { e =>
+      val key = keyOf(e.labels)
+      e.vals.zipWithIndex.collect {
+        case (Some(v), k) => (key, b.fromMs + k * b.stepMs) -> v
+      } ++ e.ats.map { case (t, v) => (key, t) -> v }
+    }.toMap
+    val missing = want.keySet -- got.keySet
+    val extra = got.keySet -- want.keySet
+    assert(missing.isEmpty && extra.isEmpty,
+      s"result keys differ: missing=${missing.take(4)} extra=${extra.take(4)}")
+    val bad = want.collect {
+      case (k, w) if !close(got(k), w) => (k, w, got(k))
+    }
+    assert(bad.isEmpty, s"values differ (want vs got): ${bad.take(4)}")
+  }
+
   corpus.foreach { b =>
     val kind = if (b.fail) "eval_fail" else "eval"
     test(s"L${b.line} $kind: ${b.expr}") {
@@ -212,25 +232,19 @@ class PromQlConformanceSpec extends SparkSuite {
           .map(e => String.valueOf(e.getMessage)).mkString("\n")
         assert(msgs.contains("promql:"),
           s"expected a promql: rejection, got: $msgs")
-      } else {
-        val got = PromQl.eval(b.expr, df, p)
-          .select("series_key", "t", "v").as[(String, Long, Double)]
-          .collect().map { case (k, t, v) => (k, t) -> v }.toMap
-        val want = b.expected.flatMap { e =>
-          val key = keyOf(e.labels)
-          e.vals.zipWithIndex.collect {
-            case (Some(v), k) => (key, b.fromMs + k * b.stepMs) -> v
-          } ++ e.ats.map { case (t, v) => (key, t) -> v }
-        }.toMap
-        val missing = want.keySet -- got.keySet
-        val extra = got.keySet -- want.keySet
-        assert(missing.isEmpty && extra.isEmpty,
-          s"result keys differ: missing=${missing.take(4)} extra=${extra.take(4)}")
-        val bad = want.collect {
-          case (k, w) if !close(got(k), w) => (k, w, got(k))
-        }
-        assert(bad.isEmpty, s"values differ (want vs got): ${bad.take(4)}")
-      }
+      } else runEval(b, p)
+    }
+  }
+
+  // Differential pass: every range-vector block re-evaluates with the
+  // RANGE-frame window plan FORCED (rangeExplodeCapK = 0) and must
+  // land on the same corpus expectation as the candidate explode —
+  // the two plans are pinned equal wherever the corpus reaches a
+  // range aggregate.
+  corpus.filter(b => !b.fail && b.expr.contains("[")).foreach { b =>
+    test(s"L${b.line} window-plan: ${b.expr}") {
+      runEval(b, PromQl.Params(b.fromMs, b.toMs, b.stepMs,
+        rangeExplodeCapK = 0))
     }
   }
 

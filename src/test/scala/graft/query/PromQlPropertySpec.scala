@@ -53,9 +53,11 @@ class PromQlPropertySpec extends SparkSuite {
       if w.nonEmpty
     } yield (k, g, w)
 
-  private def got(fn: String): Map[(String, Long), Double] =
+  /** capK forces the plan: MaxValue = candidate explode, 0 = the
+    * anchored RANGE-frame window — both must land on the model. */
+  private def got(fn: String, capK: Int): Map[(String, Long), Double] =
     PromQl.eval(s"$fn(m[7m])", frame,
-      PromQl.Params(START, END, STEP))
+      PromQl.Params(START, END, STEP, rangeExplodeCapK = capK))
       .select(col("labels").getItem("s"), col("t"), col("v"))
       .as[(String, Long, Double)].collect()
       .map { case (s, t, v) => (s, t) -> v }.toMap
@@ -64,13 +66,15 @@ class PromQlPropertySpec extends SparkSuite {
     val expected = windows.flatMap { case (k, g, w) =>
       model(w).map(v => (k, g) -> v)
     }.toMap
-    val g = got(fn)
-    assert(g.keySet == expected.keySet,
-      s"$fn: ${(g.keySet -- expected.keySet).take(3)} vs ${(expected.keySet -- g.keySet).take(3)}")
-    for ((key, want) <- expected) {
-      val have = g(key)
-      val tol = 1e-9 * math.max(1.0, math.abs(want))
-      assert(math.abs(have - want) <= tol, s"$fn at $key: $have vs $want")
+    for (capK <- Seq(Int.MaxValue, 0)) {
+      val g = got(fn, capK)
+      assert(g.keySet == expected.keySet,
+        s"$fn(cap=$capK): ${(g.keySet -- expected.keySet).take(3)} vs ${(expected.keySet -- g.keySet).take(3)}")
+      for ((key, want) <- expected) {
+        val have = g(key)
+        val tol = 1e-9 * math.max(1.0, math.abs(want))
+        assert(math.abs(have - want) <= tol, s"$fn(cap=$capK) at $key: $have vs $want")
+      }
     }
   }
 
@@ -212,11 +216,14 @@ class PromQlPropertySpec extends SparkSuite {
         Some((k, g) -> incs * (ext / si))
       }
     }.toMap
-    val g = got("increase")
-    assert(g.keySet == expected.keySet)
-    for ((key, want) <- expected) {
-      val tol = 1e-9 * math.max(1.0, math.abs(want))
-      assert(math.abs(g(key) - want) <= tol, s"increase at $key: ${g(key)} vs $want")
+    for (capK <- Seq(Int.MaxValue, 0)) {
+      val g = got("increase", capK)
+      assert(g.keySet == expected.keySet)
+      for ((key, want) <- expected) {
+        val tol = 1e-9 * math.max(1.0, math.abs(want))
+        assert(math.abs(g(key) - want) <= tol,
+          s"increase(cap=$capK) at $key: ${g(key)} vs $want")
+      }
     }
   }
 }
