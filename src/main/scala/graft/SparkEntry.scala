@@ -1071,8 +1071,10 @@ object SparkEntry {
     // PromQL irate()/idelta(): instantaneous rate from the last two
     // samples of each (series, day) — one window pass, one surviving
     // row per bucket, reset convention shared with ts_counter_rate.
+    // no seriesOrdered pre-pass: the top2 aggregate combines map-side,
+    // so a full-volume exchange BEFORE it would defeat the shrink
     "ts_irate" -> ((s, dir) =>
-      Rate.instant(Rate.seriesOrdered(TsdbSource.events(s, dir).samples), DAY)
+      Rate.instant(TsdbSource.events(s, dir).samples, DAY)
         .sortWithinPartitions("series_key", "t_bucket")),
 
     // PromQL resets()/changes() per (series, day): consecutive-sample
@@ -2152,6 +2154,19 @@ object SparkEntry {
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, T0 + 2 * DAY, T0 + 14 * DAY, DAY))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
+
+    // The HIGH-FAN-OUT row: a day of 1m-step sliding-day rate() —
+    // k = ⌈1d/1m⌉ = 1440, far above the explode cap, so this compiles
+    // to the anchored RANGE-frame window plan (the explode twin is
+    // pinned equal by the conformance/property differentials; the
+    // explode would amplify every sample 1440× before its aggregate).
+    // Same closed form as promql_increase per instant, divided by the
+    // range seconds; 8dp of ~1e-2 magnitudes leaves ~8 guard digits.
+    "promql_rate_1d" -> ((s, dir) =>
+      PromQl.eval("rate({name=\"click\"}[1d])",
+          TsdbSource.events(s, dir).samples,
+          promqlParams(s, dir, T0 + 2 * DAY, T0 + 3 * DAY, 60000L))
+        .select(col("series_key"), col("t"), round(col("v"), 8).as("v"))),
 
     // one-to-one vector matching under the gate: click/view per user —
     // the default match key (labels ignoring the metric name) pairs the
@@ -3698,6 +3713,42 @@ object SparkEntry {
          |SELECT '{user="' || user_id || '"' ||
          |    CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END || '}' AS series_key,
          |  gt AS t, round(delta_v * ((si + ds + de) / si), 4) AS v
+         |FROM z ORDER BY series_key, t""".stripMargin,
+    // the high-fan-out twin: identical closed form on the 1m lattice
+    // over one day, divided by the range seconds (rate)
+    "promql_rate_1d" ->
+      s"""$samplesCte,
+         |c AS (SELECT * FROM s WHERE event_type = 'click'),
+         |l AS (SELECT series_key, user_id, t, v,
+         |  lag(v) OVER win AS prev_v, lag(t) OVER win AS prev_t
+         |  FROM c WINDOW win AS (PARTITION BY series_key ORDER BY t, v)),
+         |g AS (SELECT unnest(generate_series(${T0 + 2 * DAY}, ${T0 + 3 * DAY}, 60000)) AS gt),
+         |w AS (SELECT l.*, g.gt FROM l JOIN g ON l.t > g.gt - $DAY AND l.t <= g.gt),
+         |i AS (SELECT series_key, user_id, gt, t, v,
+         |  CASE WHEN prev_t IS NULL OR prev_t <= gt - $DAY THEN NULL
+         |       WHEN v >= prev_v THEN v - prev_v ELSE v END AS inc
+         |  FROM w),
+         |a AS (SELECT series_key, user_id, gt, sum(inc) AS delta_v, count(*) AS n,
+         |  (min(struct_pack(t := t, v := v))).t AS first_t,
+         |  (min(struct_pack(t := t, v := v))).v AS first_v,
+         |  (max(struct_pack(t := t, v := v))).t AS last_t
+         |  FROM i GROUP BY 1, 2, 3),
+         |x AS (SELECT *, (last_t - first_t)::DOUBLE AS si,
+         |  (last_t - first_t)::DOUBLE / (n - 1) AS avg_dur,
+         |  (first_t - (gt - $DAY))::DOUBLE AS ds0,
+         |  (gt - last_t)::DOUBLE AS de0
+         |  FROM a WHERE n >= 2 AND last_t > first_t),
+         |y AS (SELECT *, CASE WHEN delta_v > 0 AND first_v >= 0
+         |    AND si * first_v / delta_v < ds0
+         |  THEN si * first_v / delta_v ELSE ds0 END AS ds1 FROM x),
+         |z AS (SELECT *,
+         |  CASE WHEN ds1 >= avg_dur * 1.1::DOUBLE THEN avg_dur / 2 ELSE ds1 END AS ds,
+         |  CASE WHEN de0 >= avg_dur * 1.1::DOUBLE THEN avg_dur / 2 ELSE de0 END AS de
+         |  FROM y)
+         |SELECT '{user="' || user_id || '"' ||
+         |    CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END || '}' AS series_key,
+         |  gt AS t,
+         |  round(delta_v * ((si + ds + de) / si) / 86400.0, 8) AS v
          |FROM z ORDER BY series_key, t""".stripMargin,
     // one-to-one matching twin: the two metrics' fills of each
     // (user, vip) identity divided at equal instants — the namedGrid

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.labelsHashDescription)
     ext.injectFunction(GraftExtensions.arrayDotDescription)
     ext.injectFunction(GraftExtensions.arrayL2SqDescription)
+    ext.injectFunction(GraftExtensions.topTwoDescription)
     ext.injectOptimizerRule(_ => RegexSetRewrite)
   }
 }
@@ -48,9 +49,18 @@ object GraftExtensions {
   val arrayL2SqDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     binaryDescription("array_l2sq", classOf[ArrayL2Sq], ArrayL2Sq.apply)
 
+  val topTwoDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("top2"),
+      new ExpressionInfo(classOf[TopTwo].getName, "top2"), {
+        case Seq(t, id, v) => TopTwo(t, id, v)
+        case args => throw new IllegalArgumentException(
+          s"top2 expects 3 arguments (t, id, v), got ${args.length}")
+      })
+
   /** Idempotent runtime registration on a live session. */
   def install(spark: SparkSession): Unit = {
-    Seq(labelsHashDescription, arrayDotDescription, arrayL2SqDescription)
+    Seq(labelsHashDescription, arrayDotDescription, arrayL2SqDescription,
+      topTwoDescription)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -44,6 +44,12 @@ object LabelDictionary {
     */
   def rewrite(dict: DataFrame, ms: Seq[Matcher], maxValues: Int = 1000): Seq[Matcher] = {
     def rw(m: Matcher): Matcher = m match {
+      // upstream's literal fast paths (`.*` matches everything, `.+`
+      // everything non-empty): a dictionary scan can only ever return
+      // "too many values, keep the regex" for these, so don't spend a
+      // job learning that — the matcher-resolution aggregate handles
+      // both shapes directly
+      case re @ Re(_, ".*" | ".+") => re
       case re @ Re(name, _) =>
         val vals = dict
           .where(col("label_name") === name &&

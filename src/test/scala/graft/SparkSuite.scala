@@ -16,10 +16,17 @@ object SparkSuite {
     .getOrCreate()
 }
 
+/** One-time idempotent registration of the engine's Catalyst pieces
+  * for every suite sharing the session. */
+object GraftTestInstall {
+  lazy val done: Unit = graft.catalyst.GraftExtensions.install(SparkSuite.spark)
+}
+
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkSuite.spark
     s.sparkContext.setLogLevel("WARN")
+    GraftTestInstall.done
     s
   }
   val sf: String = "/root/testdata/sf0.001"

@@ -218,15 +218,31 @@ class RateSpec extends SparkSuite {
     // the r6 family plan contract: the range pre-pass's exchange+sort
     // satisfy the whole-series window (no further exchange, no further
     // sort below it) — the property behind the -25..-49% x10 deltas
-    val plan = Rate.instant(
+    val plan = Rate.increase(
       Rate.seriesOrdered(TsdbSource.events(spark, sf).samples), 86400000L)
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1,
       s"expected exactly the range exchange:\n${plan.take(3000)}")
     assert(plan.split(" Sort ").length - 1 == 1,
       s"expected exactly the pre-pass sort:\n${plan.take(3000)}")
-    // and the window sits above them, not re-sorting
-    assert(plan.indexOf("Window") < plan.indexOf(" Sort "), plan.take(3000))
+    // and the window sits above them (root-first print: earlier index),
+    // not re-sorting
+    assert(plan.indexOf("Window") >= 0 &&
+      plan.indexOf("Window") < plan.indexOf("Exchange"), plan.take(3000))
+  }
+
+  test("instant (top2 aggregate): one combine-shrunk exchange, no sort, no window") {
+    // the r9 irate plan contract: the custom top2 DeclarativeAggregate
+    // keeps map-side partial aggregation, so the only exchange carries
+    // two structs per (series, bucket) — no window, no sample sort
+    val plan = Rate.instant(TsdbSource.events(spark, sf).samples, 86400000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top2"), plan.take(3000))
+    assert(plan.split("Exchange").length - 1 == 1, plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains(" Sort "), plan.take(3000))
+    assert(plan.contains("partial_top2") || plan.contains("partial top2") ||
+      plan.toLowerCase.contains("hashaggregate"), plan.take(3000))
   }
 
   test("seriesClustered pre-pass: pure aggregate runs with no sort at all") {
