@@ -1127,70 +1127,128 @@ object PromQl {
       }
     }
 
-    /** [[rangeAgg]]'s high-fan-out twin: per-series lattice ANCHOR rows
-      * (null `v`) union the (lag-featured) samples, and every aggregate
-      * evaluates over `RANGE BETWEEN rangeMs−1 PRECEDING AND CURRENT
-      * ROW` — at an anchor `g` that frame is exactly the half-open
-      * window `(g − range, g]`. Anchor rows carry null aggregate
-      * inputs, so they never contribute; output keeps only anchors
-      * with ≥1 real sample in frame (the groupBy path's implicit
-      * group-existence rule). One exchange of n + |series|·|lattice|
-      * rows replaces the k·n exploded rows. */
+    /** [[rangeAgg]]'s high-fan-out twin: block PREFIX/SUFFIX
+      * decomposition. Every half-open window `(g − range, g]` splits
+      * EXACTLY at the one `range`-aligned block boundary it contains:
+      * the SUFFIX of block `B(g)−1` strictly after `g − range`, plus
+      * the PREFIX of block `B(g)` up to `g` (`B(x) = ⌊x/range⌋`; the
+      * boundary-landing case degenerates to suffix = the whole previous
+      * block). Both halves are *unbounded-preceding* running aggregates
+      * — O(1) per row in Spark's window machinery (the suffix runs the
+      * same frame over `pt` DESCENDING) — evaluated at per-(series,
+      * lattice-instant) anchor rows spliced into the sample stream: an
+      * END anchor at `pt = g` collects the prefix, a START anchor at
+      * `pt = g − range` the suffix, and one hash aggregate per
+      * `(series, g)` semigroup-combines the halves (all suffix-part
+      * times precede all prefix-part times, so first/last combine by
+      * coalesce). Total cost: one exchange + two in-partition sorts of
+      * `n + 2·|series|·|lattice|` rows — NO k·n explode, and no
+      * anchors-inside-sliding-frames quadratic (Spark re-evaluates a
+      * sliding frame's whole buffer whenever its lower bound moves, so
+      * a lattice-dense RANGE frame costs O(lattice²) per series — the
+      * r9 bench caught the first version of this path doing exactly
+      * that at k = 1440). */
     private def windowRangeAgg(
         src: DataFrame, rangeMs: Long, need: Set[String],
         needLag: Boolean): DataFrame = {
       val feats = lagFeats(src, needLag)
       val anchors0 = src.groupBy("series_key")
         .agg(first("labels").as("labels"))
-        .withColumn("t",
+        .withColumn("g",
           explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
-        .withColumn("v", lit(null).cast("double"))
-      val anchors = feats.columns.foldLeft(anchors0) { (df, c) =>
-        if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null).cast(feats.schema(c).dataType))
-      }
-      val w = Window.partitionBy("series_key").orderBy("t")
-        .rangeBetween(-(rangeMs - 1), 0)
+      // sample rows: flag 0; END anchors: flag 1 at pt = g (sorting
+      // AFTER equal-pt samples, so t = g samples land in the prefix);
+      // START anchors: flag −1 at pt = g − range (sorting BEFORE
+      // equal-pt samples in the DESC pass, so t = g − range samples
+      // stay OUT of the suffix — the half-open boundary)
+      val featsP = feats
+        .withColumn("g", lit(null).cast("long"))
+        .withColumn("pt", col("t"))
+        .withColumn("flag", lit(0))
+      def pad(df: DataFrame): DataFrame =
+        featsP.columns.foldLeft(df) { (d, c) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, lit(null).cast(featsP.schema(c).dataType))
+        }.select(featsP.columns.map(col): _*)
+      val endA = pad(anchors0
+        .withColumn("pt", col("g")).withColumn("flag", lit(1)))
+      val startA = pad(anchors0
+        .withColumn("pt", col("g") - rangeMs).withColumn("flag", lit(-1)))
+      val rows = featsP.unionByName(endA).unionByName(startA)
+        .withColumn("blk",
+          ((col("pt") - pmod(col("pt"), lit(rangeMs))) / rangeMs).cast("long"))
+      val wp = Window.partitionBy("series_key", "blk")
+        .orderBy(col("pt"), col("flag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ws = Window.partitionBy("series_key", "blk")
+        .orderBy(col("pt").desc, col("flag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // anchor rows have null v (a real sample's v is never null —
       // NaN is a value); guarding the min_by/max_by ORDERING nulls
       // anchors out of the pick
       def real(c: Column): Column = when(col("v").isNotNull, c)
       val ord = real(struct(col("t"), col("v")))
       val firstStruct =
-        (if (needLag)
-          min_by(real(struct(col("t"), col("v"),
+        if (needLag)
+          real(struct(col("t"), col("v"),
             coalesce(col("inc_delta"), lit(0.0)).as("inc"),
-            col("reset_f"), col("change_f"))), ord)
-        else min_by(real(struct(col("t"), col("v"))), ord))
-          .over(w).as("first")
+            col("reset_f"), col("change_f")))
+        else real(struct(col("t"), col("v")))
       val lastStruct =
-        (if (needLag)
-          max_by(real(struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
-            coalesce(col("inc_delta"), lit(0.0)).as("inc"))), ord)
-        else max_by(real(struct(col("t"), col("v"))), ord))
-          .over(w).as("last")
-      val aggCols = Seq(count(col("v")).over(w).as("cnt")) ++
-        (if (need("sum_v")) Seq(sum("v").over(w).as("sum_v")) else Nil) ++
-        (if (need("min_v")) Seq(min("v").over(w).as("min_v")) else Nil) ++
-        (if (need("max_v")) Seq(coalesce(
-          max(when(isnan(col("v")), lit(null)).otherwise(col("v"))).over(w),
-          lit(Double.NaN)).as("max_v")) else Nil) ++
+        if (needLag)
+          real(struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
+            coalesce(col("inc_delta"), lit(0.0)).as("inc")))
+        else real(struct(col("t"), col("v")))
+      val nonNan = when(isnan(col("v")), lit(null)).otherwise(col("v"))
+      // (name, running stat, combine of the two halves). Sums add
+      // null-safely, min/max take the null-skipping least/greatest,
+      // first/last coalesce in time order (suffix half < prefix half).
+      def ph(n: String) = col("p_" + n); def sh(n: String) = col("s_" + n)
+      def addParts(n: String) =
+        when(ph(n).isNull && sh(n).isNull, lit(null))
+          .otherwise(coalesce(ph(n), lit(0.0)) + coalesce(sh(n), lit(0.0)))
+      def addPartsL(n: String) =
+        when(ph(n).isNull && sh(n).isNull, lit(null))
+          .otherwise(coalesce(ph(n), lit(0L)) + coalesce(sh(n), lit(0L)))
+      val stats: Seq[(String, Column, Column)] =
+        Seq(("cnt", count(col("v")),
+          coalesce(ph("cnt"), lit(0L)) + coalesce(sh("cnt"), lit(0L)))) ++
+        (if (need("sum_v")) Seq(("sum_v", sum("v"), addParts("sum_v"))) else Nil) ++
+        (if (need("min_v"))
+          Seq(("min_v", min("v"), least(ph("min_v"), sh("min_v")))) else Nil) ++
+        (if (need("max_v")) Seq(("max_v", max(nonNan),
+          coalesce(greatest(ph("max_v"), sh("max_v")), lit(Double.NaN)))) else Nil) ++
         (if (need("sum_vv"))
-          Seq(sum(col("v") * col("v")).over(w).as("sum_vv")) else Nil) ++
-        (if (need("first")) Seq(firstStruct) else Nil) ++
-        (if (need("last")) Seq(lastStruct) else Nil) ++
-        (if (need("sum_inc"))
-          Seq(sum(coalesce(col("inc_delta"), lit(0.0))).over(w).as("sum_inc"))
-        else Nil) ++
+          Seq(("sum_vv", sum(col("v") * col("v")), addParts("sum_vv"))) else Nil) ++
+        (if (need("first")) Seq(("first", min_by(firstStruct, ord),
+          coalesce(sh("first"), ph("first")))) else Nil) ++
+        (if (need("last")) Seq(("last", max_by(lastStruct, ord),
+          coalesce(ph("last"), sh("last")))) else Nil) ++
+        (if (need("sum_inc")) Seq(("sum_inc",
+          sum(coalesce(col("inc_delta"), lit(0.0))), addParts("sum_inc"))) else Nil) ++
         (if (need("sum_resets"))
-          Seq(sum("reset_f").over(w).as("sum_resets")) else Nil) ++
+          Seq(("sum_resets", sum("reset_f"), addPartsL("sum_resets"))) else Nil) ++
         (if (need("sum_changes"))
-          Seq(sum("change_f").over(w).as("sum_changes")) else Nil)
-      feats.unionByName(anchors.select(feats.columns.map(col): _*))
-        .select(Seq(col("series_key"), col("labels"), col("t"),
-          col("v").as("__real")) ++ aggCols: _*)
-        .where(col("__real").isNull && col("cnt") >= 1)
-        .drop("__real")
+          Seq(("sum_changes", sum("change_f"), addPartsL("sum_changes"))) else Nil)
+      val staged = rows.select(
+        Seq(col("series_key"), col("labels"), col("g"), col("flag")) ++
+          stats.map { case (n, f, _) => f.over(wp).as("p_" + n) } ++
+          stats.map { case (n, f, _) => f.over(ws).as("s_" + n) }: _*)
+        .where(col("flag") =!= 0)
+      // one hash aggregate splices each anchor pair back together: the
+      // END row carries the prefix half, the START row the suffix half
+      def half(n: String, flag: Int) = first(
+        when(col("flag") === flag, col((if (flag == 1) "p_" else "s_") + n)),
+        ignoreNulls = true).as((if (flag == 1) "p_" else "s_") + n)
+      staged
+        .groupBy("series_key", "g")
+        .agg(
+          first(col("labels"), ignoreNulls = true).as("labels"),
+          stats.flatMap { case (n, _, _) => Seq(half(n, 1), half(n, -1)) }: _*)
+        .select(
+          Seq(col("series_key"), col("labels"), col("g").as("t")) ++
+            stats.map { case (n, _, comb) => comb.as(n) }: _*)
+        .where(col("cnt") >= 1)
     }
 
     /** PromQL's extrapolatedRate (promql semantics; same closed form as
