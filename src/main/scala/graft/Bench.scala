@@ -127,7 +127,12 @@ object Bench {
     // r9: the high-fan-out guard row — k = ⌈1d/1m⌉ = 1440 compiles to
     // the anchored RANGE-frame window plan; per-sample cost must sit
     // within ~2× of the k≤30 explode rows
-    "promql_rate_1d")
+    "promql_rate_1d",
+    // r9: native-histogram ingest + quantile — ONE map-side-combined
+    // hash aggregate to bucket grain, everything after at ≤ ~20 rows
+    // per series-day (ts_hist_quantile's scale shape on the sparse
+    // exponential lattice)
+    "ts_native_quantile")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not

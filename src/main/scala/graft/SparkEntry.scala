@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.ingest.Appender
 import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextStats}
 import graft.matchers.{Eq, Matcher, Re}
-import graft.query.{AsOf, Histogram, LabelDictionary, PromQl, Rate, Rules, TsdbSource}
+import graft.query.{AsOf, Histogram, LabelDictionary, NativeHistogram, PromQl, Rate, Rules, TsdbSource}
 import graft.sources.Tables
 import graft.storage.{BlockStore, Merge, Tombstones}
 import graft.{functions => gf}
@@ -165,6 +165,8 @@ object SparkEntry {
   private val LOOKBACK = 3600000L // 1h PeekBack window
   /** Finite `le` bucket boundaries for ts_hist_quantile (v ∈ [0, 490]). */
   private val HIST_LES = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
+  /** Native-histogram zero-bucket threshold (|v − 35| ≤ zt → zero bucket). */
+  private val NATIVE_ZT = 0.5
   /** Per-source sampling rates for doc_sample_mix (default 0.25). */
   private val MIX_RATES = Seq("src0" -> 0.8, "src1" -> 0.8, "src2" -> 0.5)
   private val BUCKET_W = 21600000L // 6h block range
@@ -825,6 +827,62 @@ object SparkEntry {
       Histogram.fraction(TsdbSource.events(s, dir).samples,
           DAY, HIST_LES, 25.0, 120.0)
         .sortWithinPartitions("series_key", "t_bucket")),
+
+    // NATIVE (sparse exponential-bucket) histograms — the Prometheus 3.x
+    // data model the classic le convention is being superseded by, and
+    // this engine's one previously-declared-out-of-scope surface.
+    // Observations are `v − 35` (recentres the corpus so the negative,
+    // zero [±0.5] and positive bucket parts all carry mass) at schema 0
+    // (exact power-of-two boundaries — the cross-engine-deterministic
+    // resolution; see NativeHistogram's determinism contract). Ingest is
+    // ONE map-side-combined hash aggregate to bucket grain; everything
+    // downstream runs at bucket grain (≤ ~20 rows per series-day).
+    "ts_native_quantile" -> ((s, dir) =>
+      NativeHistogram.quantile(
+          NativeHistogram.observe(TsdbSource.events(s, dir).samples,
+            DAY, lit(0), NATIVE_ZT, col("v") - 35),
+          0.9, NATIVE_ZT)
+        .orderBy("series_key", "t_bucket")),
+
+    // histogram_fraction(-2, 16, h) over the native buckets: linear
+    // overlap inside partially covered buckets, one histogram-grain
+    // aggregate.
+    "ts_native_fraction" -> ((s, dir) =>
+      NativeHistogram.fraction(
+          NativeHistogram.observe(TsdbSource.events(s, dir).samples,
+            DAY, lit(0), NATIVE_ZT, col("v") - 35),
+          -2.0, 16.0, NATIVE_ZT)
+        .orderBy("series_key", "t_bucket")),
+
+    // histogram_sum/avg/stddev/stdvar(h): geometric-midpoint moment
+    // estimators (upstream's estimator; exact bounds make √(l·u) the
+    // same doubles in both engines).
+    "ts_native_stddev" -> ((s, dir) =>
+      NativeHistogram.stats(
+          NativeHistogram.observe(TsdbSource.events(s, dir).samples,
+            DAY, lit(0), NATIVE_ZT, col("v") - 35),
+          NATIVE_ZT)
+        .orderBy("series_key", "t_bucket")),
+
+    // `sum(h)` across series of MIXED schemas (even users observe at
+    // schema 0, odd at schema −1): the bucket-wise merge downscales to
+    // the group's coarsest schema (idx' = ⌈idx/2^Δ⌉ — exact integer
+    // math), then the merged per-day histogram answers a median. The
+    // oracle exploits the pinned downscale identity (NativeHistogramSpec
+    // "downscale mapping ≡ direct bucketing"): merging schema-0 buckets
+    // into schema −1 is exactly direct observation at schema −1.
+    "ts_native_sum_merge" -> ((s, dir) => {
+      val src = TsdbSource.events(s, dir)
+        .selectWithLabels(T0, T0 + 40 * DAY, Seq("user"))
+      val obs = NativeHistogram.observe(
+        src, DAY,
+        when(col("user").cast("long") % 2 === 0, lit(0)).otherwise(lit(-1)),
+        NATIVE_ZT, col("v") - 35)
+      NativeHistogram.quantile(
+          NativeHistogram.sumBy(obs, Seq("t_bucket")),
+          0.5, NATIVE_ZT, Seq("t_bucket"))
+        .orderBy("t_bucket")
+    }),
 
     // PromQL *_over_time range vectors: trailing-1h sliding aggregates
     // per sample via ONE range-frame window (count/min/max/sum/avg).
@@ -2543,6 +2601,45 @@ object SparkEntry {
        |  CASE WHEN prev_v IS NOT NULL AND v < prev_v THEN 1 ELSE 0 END AS reset
        |  FROM l)""".stripMargin
 
+  /** Native-histogram bucket rows + per-histogram scalars + exact bounds
+    * (the NativeHistogram.observe/withTotals/boundsOf twin): observations
+    * are `v − 35` at per-row exponent schema `sch`. The bucket index is
+    * the log2 seed with the exact power-of-two ±1 fix-up — the SAME
+    * correction NativeHistogram.bucketIdx applies, so a libm log2
+    * difference can never shift a bucket between engines. Ends in
+    * `e(keys…, part, idx, c, sv, cum, total, negtot, h_sum, l, u)`. */
+  private def nativeCte(schemaSql: String, keys: String = "series_key, t_bucket"): String =
+    s"""$samplesCte,
+       |o AS (SELECT series_key, (t // $DAY) * $DAY + $DAY AS t_bucket,
+       |  v - 35 AS vv, $schemaSql AS sch FROM s),
+       |ix AS (SELECT *,
+       |  ceil(log2(greatest(abs(vv), 0.125)) * pow(2, sch))::INT AS i0 FROM o),
+       |b AS (SELECT $keys, sch,
+       |  CASE WHEN abs(vv) <= $NATIVE_ZT THEN 0 WHEN vv > 0 THEN 1 ELSE -1 END AS part,
+       |  CASE WHEN abs(vv) <= $NATIVE_ZT THEN NULL ELSE
+       |    i0 + (pow(2, i0 * pow(2, -sch)) < abs(vv))::INT
+       |       - (pow(2, (i0 - 1) * pow(2, -sch)) >= abs(vv))::INT END AS idx,
+       |  vv FROM ix),
+       |bc AS (SELECT $keys, sch, part, idx,
+       |  count(*) AS c, sum(vv) AS sv FROM b GROUP BY ALL),
+       |w AS (SELECT *,
+       |  sum(c) OVER (PARTITION BY $keys
+       |    ORDER BY part, CASE WHEN part = -1 THEN -idx ELSE idx END
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  sum(c) OVER (PARTITION BY $keys) AS total,
+       |  coalesce(sum(CASE WHEN part = -1 THEN c END)
+       |    OVER (PARTITION BY $keys), 0) AS negtot,
+       |  round(sum(sv) OVER (PARTITION BY $keys), 2) AS h_sum
+       |  FROM bc),
+       |e AS (SELECT *,
+       |  CASE WHEN part = 1 THEN pow(2, (idx - 1) * pow(2, -sch))
+       |       WHEN part = -1 THEN -pow(2, idx * pow(2, -sch))
+       |       WHEN negtot > 0 THEN ${-NATIVE_ZT} ELSE 0.0 END AS l,
+       |  CASE WHEN part = 1 THEN pow(2, idx * pow(2, -sch))
+       |       WHEN part = -1 THEN -pow(2, (idx - 1) * pow(2, -sch))
+       |       ELSE $NATIVE_ZT END AS u
+       |  FROM w)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   /** The IVF+PQ ADC search oracle — shared by the ad-hoc
@@ -2756,6 +2853,55 @@ object SparkEntry {
          |    ELSE prev_le + (le - prev_le) * (total * 0.9 - (cum - n)) / n END, 4) AS q
          |FROM w WHERE cum >= total * 0.9 AND (cum - n) < total * 0.9
          |ORDER BY series_key, t_bucket""".stripMargin
+    },
+    // fractional-scale digit cuts are floor(x·10ˢ + 0.5)/10ˢ on BOTH
+    // sides, not round(x, s): integer-scaled sums over small counts
+    // land exact rationals ON the half-grid, where Spark's
+    // exact-decimal HALF_UP and DuckDB's multiply-based round pick
+    // opposite sides of the unrepresentable half (2/8045 rows at
+    // sf0.01 before the change) — the floor form is the same IEEE op
+    // sequence in both engines (NativeHistogram.cut)
+    "ts_native_quantile" -> {
+      s"""${nativeCte("0")}
+         |SELECT series_key, t_bucket, total::BIGINT AS n,
+         |  floor((l + (u - l) * (0.9 * total - (cum - c)) / c) * 1e4 + 0.5)
+         |    / 1e4 AS q
+         |FROM e WHERE cum >= 0.9 * total AND (cum - c) < 0.9 * total
+         |ORDER BY series_key, t_bucket""".stripMargin
+    },
+    "ts_native_fraction" -> {
+      s"""${nativeCte("0")}
+         |SELECT series_key, t_bucket, max(total)::BIGINT AS n,
+         |  floor(sum(round(c * greatest(0, (least(16.0, u) - greatest(-2.0, l))
+         |      / (u - l)) * 1e8)::BIGINT) / 1e8 / max(total) * 1e6 + 0.5)
+         |    / 1e6 AS frac
+         |FROM e GROUP BY 1, 2
+         |ORDER BY series_key, t_bucket""".stripMargin
+    },
+    "ts_native_stddev" -> {
+      s"""${nativeCte("0")},
+         |m AS (SELECT *, CASE WHEN part = 0 THEN 0.0
+         |    ELSE sign(u) * sqrt(abs(l * u)) END AS mid FROM e),
+         |a AS (SELECT series_key, t_bucket, max(total)::BIGINT AS n,
+         |  max(h_sum) AS h_sum,
+         |  floor(max(h_sum / total) * 1e4 + 0.5) / 1e4 AS h_avg,
+         |  floor(sum(round(c * (mid - h_sum / total) * (mid - h_sum / total)
+         |      * 1e4)::BIGINT) / 1e4 / max(total) * 1e4 + 0.5) / 1e4 AS h_stdvar
+         |  FROM m GROUP BY 1, 2)
+         |SELECT *, floor(sqrt(h_stdvar) * 1e4 + 0.5) / 1e4 AS h_stddev FROM a
+         |ORDER BY series_key, t_bucket""".stripMargin
+    },
+    // the downscale identity pinned by NativeHistogramSpec: merging the
+    // even-user schema-0 histograms into the odd users' schema −1 is
+    // EXACTLY direct observation at schema −1, so the oracle buckets
+    // every sample at −1 — a stronger check than replaying the merge
+    "ts_native_sum_merge" -> {
+      s"""${nativeCte("-1", "t_bucket")}
+         |SELECT t_bucket, total::BIGINT AS n,
+         |  floor((l + (u - l) * (0.5 * total - (cum - c)) / c) * 1e4 + 0.5)
+         |    / 1e4 AS q
+         |FROM e WHERE cum >= 0.5 * total AND (cum - c) < 0.5 * total
+         |ORDER BY t_bucket""".stripMargin
     },
     "ts_hist_fraction" -> {
       val leCase = HIST_LES.sorted
