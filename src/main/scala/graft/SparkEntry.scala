@@ -842,7 +842,7 @@ object SparkEntry {
           NativeHistogram.observe(TsdbSource.events(s, dir).samples,
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           0.9, NATIVE_ZT)
-        .orderBy("series_key", "t_bucket")),
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // histogram_fraction(-2, 16, h) over the native buckets: linear
     // overlap inside partially covered buckets, one histogram-grain
@@ -852,7 +852,7 @@ object SparkEntry {
           NativeHistogram.observe(TsdbSource.events(s, dir).samples,
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           -2.0, 16.0, NATIVE_ZT)
-        .orderBy("series_key", "t_bucket")),
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // histogram_sum/avg/stddev/stdvar(h): geometric-midpoint moment
     // estimators (upstream's estimator; exact bounds make √(l·u) the
@@ -862,7 +862,7 @@ object SparkEntry {
           NativeHistogram.observe(TsdbSource.events(s, dir).samples,
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           NATIVE_ZT)
-        .orderBy("series_key", "t_bucket")),
+        .sortWithinPartitions("series_key", "t_bucket")),
 
     // `sum(h)` across series of MIXED schemas (even users observe at
     // schema 0, odd at schema −1): the bucket-wise merge downscales to
@@ -881,7 +881,7 @@ object SparkEntry {
       NativeHistogram.quantile(
           NativeHistogram.sumBy(obs, Seq("t_bucket")),
           0.5, NATIVE_ZT, Seq("t_bucket"))
-        .orderBy("t_bucket")
+        .sortWithinPartitions("t_bucket")
     }),
 
     // PromQL *_over_time range vectors: trailing-1h sliding aggregates

@@ -1174,9 +1174,19 @@ object PromQl {
         .withColumn("pt", col("g")).withColumn("flag", lit(1)))
       val startA = pad(anchors0
         .withColumn("pt", col("g") - rangeMs).withColumn("flag", lit(-1)))
+      // EXPLICIT partition count on the decomposition exchange: anchor
+      // rows are near-identical and compress ~50×, so AQE's byte-based
+      // coalescing reads a multi-million-row exchange as "one 64 MB
+      // partition" and serializes both window passes through a single
+      // task (r9 bench: 7+ minutes single-threaded). Window cost is
+      // per-ROW, not per-byte — pin the session's shuffle parallelism
+      // (an explicit count is exempt from AQE coalescing); the windows
+      // below share this distribution, so no further exchange.
+      val shufN = src.sparkSession.sessionState.conf.numShufflePartitions
       val rows = featsP.unionByName(endA).unionByName(startA)
         .withColumn("blk",
           ((col("pt") - pmod(col("pt"), lit(rangeMs))) / rangeMs).cast("long"))
+        .repartition(shufN, col("series_key"), col("blk"))
       val wp = Window.partitionBy("series_key", "blk")
         .orderBy(col("pt"), col("flag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

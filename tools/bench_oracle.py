@@ -64,10 +64,14 @@ def time_once(sql):
 # Twins whose x10 form is known to exceed the sandbox's memory: the
 # ts_rate_extrapolated twin's lattice join fans out ~window/step x per
 # sample and was OOM-killed at ~130 GB RSS twice in the r7 judge run.
-# The extrapolation family's at-scale cross-engine rows are
-# promql_increase / promql_ratio, whose day/hour-lattice twins join ~1
-# instant per sample (linear in corpus mass).
-X10_UNSAFE = {"ts_rate_extrapolated"}
+# The promql_rate_1d twin is the same shape at k = 1440 (a 1m lattice
+# day against day windows: ~30M joined rows + min(struct) aggregate) —
+# OOM-killed (exit 137) in the r9 builder run; the Spark side runs the
+# block prefix/suffix window plan in ~37 s, making this a Spark-only
+# row at x10. The extrapolation family's at-scale cross-engine rows
+# are promql_increase / promql_ratio, whose day/hour-lattice twins
+# join ~1 instant per sample (linear in corpus mass).
+X10_UNSAFE = {"ts_rate_extrapolated", "promql_rate_1d"}
 
 out = {}
 for name in sorted(names or oracle.keys()):
