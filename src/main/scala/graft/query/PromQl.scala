@@ -1152,8 +1152,14 @@ object PromQl {
         src: DataFrame, rangeMs: Long, need: Set[String],
         needLag: Boolean): DataFrame = {
       val feats = lagFeats(src, needLag)
+      // repartition BEFORE the lattice explode: the series aggregate's
+      // output is one AQE-coalesced partition, and the ×|lattice|
+      // explode would otherwise run single-threaded (measured 14 s of
+      // a 37 s x10 plan writing 25M anchor rows from one task)
+      val shufN0 = src.sparkSession.sessionState.conf.numShufflePartitions
       val anchors0 = src.groupBy("series_key")
         .agg(first("labels").as("labels"))
+        .repartition(shufN0)
         .withColumn("g",
           explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
       // sample rows: flag 0; END anchors: flag 1 at pt = g (sorting
@@ -1161,7 +1167,11 @@ object PromQl {
       // START anchors: flag −1 at pt = g − range (sorting BEFORE
       // equal-pt samples in the DESC pass, so t = g − range samples
       // stay OUT of the suffix — the half-open boundary)
-      val featsP = feats
+      // the labels MAP stays OUT of the exchange + both sorts + the
+      // splice aggregate: it rides every one of the n + 2·series·lattice
+      // rows otherwise, and a per-series broadcast join re-attaches it
+      // at output grain for the same information
+      val featsP = feats.drop("labels")
         .withColumn("g", lit(null).cast("long"))
         .withColumn("pt", col("t"))
         .withColumn("flag", lit(0))
@@ -1170,9 +1180,9 @@ object PromQl {
           if (d.columns.contains(c)) d
           else d.withColumn(c, lit(null).cast(featsP.schema(c).dataType))
         }.select(featsP.columns.map(col): _*)
-      val endA = pad(anchors0
+      val endA = pad(anchors0.drop("labels")
         .withColumn("pt", col("g")).withColumn("flag", lit(1)))
-      val startA = pad(anchors0
+      val startA = pad(anchors0.drop("labels")
         .withColumn("pt", col("g") - rangeMs).withColumn("flag", lit(-1)))
       // EXPLICIT partition count on the decomposition exchange: anchor
       // rows are near-identical and compress ~50×, so AQE's byte-based
@@ -1187,32 +1197,39 @@ object PromQl {
         .withColumn("blk",
           ((col("pt") - pmod(col("pt"), lit(rangeMs))) / rangeMs).cast("long"))
         .repartition(shufN, col("series_key"), col("blk"))
+      // the `v` tiebreak in both sort orders reproduces the explode
+      // path's min_by/max_by ordering key struct(t, v) — duplicates of
+      // a timestamp resolve "larger value later" — so the per-FIELD
+      // first_value/last_value picks below (2-slot primitive buffers,
+      // not 5-field struct compares per row) are pick-identical
       val wp = Window.partitionBy("series_key", "blk")
-        .orderBy(col("pt"), col("flag"))
+        .orderBy(col("pt"), col("flag"), col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ws = Window.partitionBy("series_key", "blk")
-        .orderBy(col("pt").desc, col("flag"))
+        .orderBy(col("pt").desc, col("flag"), col("v").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // anchor rows have null v (a real sample's v is never null —
-      // NaN is a value); guarding the min_by/max_by ORDERING nulls
-      // anchors out of the pick
+      // anchor rows have null v (a real sample's v is never null — NaN
+      // is a value); the `real` guard nulls anchors out of every pick
       def real(c: Column): Column = when(col("v").isNotNull, c)
-      val ord = real(struct(col("t"), col("v")))
-      val firstStruct =
-        if (needLag)
-          real(struct(col("t"), col("v"),
-            coalesce(col("inc_delta"), lit(0.0)).as("inc"),
-            col("reset_f"), col("change_f")))
-        else real(struct(col("t"), col("v")))
-      val lastStruct =
-        if (needLag)
-          real(struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
-            coalesce(col("inc_delta"), lit(0.0)).as("inc")))
-        else real(struct(col("t"), col("v")))
+      val firstFields: Seq[(String, Column)] =
+        (Seq("t" -> col("t"), "v" -> col("v")) ++
+          (if (needLag) Seq(
+            "inc" -> coalesce(col("inc_delta"), lit(0.0)),
+            "reset_f" -> col("reset_f"), "change_f" -> col("change_f"))
+          else Nil)).map { case (n, c) => n -> real(c) }
+      val lastFields: Seq[(String, Column)] =
+        (Seq("t" -> col("t"), "v" -> col("v")) ++
+          (if (needLag) Seq(
+            "prev_t" -> col("prev_t"), "prev_v" -> col("prev_v"),
+            "inc" -> coalesce(col("inc_delta"), lit(0.0)))
+          else Nil)).map { case (n, c) => n -> real(c) }
       val nonNan = when(isnan(col("v")), lit(null)).otherwise(col("v"))
-      // (name, running stat, combine of the two halves). Sums add
-      // null-safely, min/max take the null-skipping least/greatest,
-      // first/last coalesce in time order (suffix half < prefix half).
+      // (name, prefix running stat, suffix running stat, combine).
+      // Sums add null-safely; min/max combine via the null-skipping
+      // least/greatest; first/last fields coalesce in time order (all
+      // suffix-half times precede all prefix-half times). In the DESC
+      // suffix pass first/last swap roles: the window-first sample is
+      // the LAST non-null the descending walk sees.
       def ph(n: String) = col("p_" + n); def sh(n: String) = col("s_" + n)
       def addParts(n: String) =
         when(ph(n).isNull && sh(n).isNull, lit(null))
@@ -1220,45 +1237,80 @@ object PromQl {
       def addPartsL(n: String) =
         when(ph(n).isNull && sh(n).isNull, lit(null))
           .otherwise(coalesce(ph(n), lit(0L)) + coalesce(sh(n), lit(0L)))
-      val stats: Seq[(String, Column, Column)] =
-        Seq(("cnt", count(col("v")),
+      val stats: Seq[(String, Column, Column, Column)] =
+        Seq(("cnt", count(col("v")), count(col("v")),
           coalesce(ph("cnt"), lit(0L)) + coalesce(sh("cnt"), lit(0L)))) ++
-        (if (need("sum_v")) Seq(("sum_v", sum("v"), addParts("sum_v"))) else Nil) ++
-        (if (need("min_v"))
-          Seq(("min_v", min("v"), least(ph("min_v"), sh("min_v")))) else Nil) ++
-        (if (need("max_v")) Seq(("max_v", max(nonNan),
+        (if (need("sum_v"))
+          Seq(("sum_v", sum("v"), sum("v"), addParts("sum_v"))) else Nil) ++
+        (if (need("min_v")) Seq(("min_v", min("v"), min("v"),
+          least(ph("min_v"), sh("min_v")))) else Nil) ++
+        (if (need("max_v")) Seq(("max_v", max(nonNan), max(nonNan),
           coalesce(greatest(ph("max_v"), sh("max_v")), lit(Double.NaN)))) else Nil) ++
-        (if (need("sum_vv"))
-          Seq(("sum_vv", sum(col("v") * col("v")), addParts("sum_vv"))) else Nil) ++
-        (if (need("first")) Seq(("first", min_by(firstStruct, ord),
-          coalesce(sh("first"), ph("first")))) else Nil) ++
-        (if (need("last")) Seq(("last", max_by(lastStruct, ord),
-          coalesce(ph("last"), sh("last")))) else Nil) ++
+        (if (need("sum_vv")) Seq(("sum_vv",
+          sum(col("v") * col("v")), sum(col("v") * col("v")),
+          addParts("sum_vv"))) else Nil) ++
+        (if (need("first")) firstFields.map { case (fn, c) =>
+          (s"first_$fn", first(c, ignoreNulls = true),
+            last(c, ignoreNulls = true),
+            coalesce(sh(s"first_$fn"), ph(s"first_$fn")))
+        } else Nil) ++
+        (if (need("last")) lastFields.map { case (fn, c) =>
+          (s"last_$fn", last(c, ignoreNulls = true),
+            first(c, ignoreNulls = true),
+            coalesce(ph(s"last_$fn"), sh(s"last_$fn")))
+        } else Nil) ++
         (if (need("sum_inc")) Seq(("sum_inc",
-          sum(coalesce(col("inc_delta"), lit(0.0))), addParts("sum_inc"))) else Nil) ++
-        (if (need("sum_resets"))
-          Seq(("sum_resets", sum("reset_f"), addPartsL("sum_resets"))) else Nil) ++
-        (if (need("sum_changes"))
-          Seq(("sum_changes", sum("change_f"), addPartsL("sum_changes"))) else Nil)
+          sum(coalesce(col("inc_delta"), lit(0.0))),
+          sum(coalesce(col("inc_delta"), lit(0.0))),
+          addParts("sum_inc"))) else Nil) ++
+        (if (need("sum_resets")) Seq(("sum_resets",
+          sum("reset_f"), sum("reset_f"), addPartsL("sum_resets"))) else Nil) ++
+        (if (need("sum_changes")) Seq(("sum_changes",
+          sum("change_f"), sum("change_f"), addPartsL("sum_changes"))) else Nil)
       val staged = rows.select(
-        Seq(col("series_key"), col("labels"), col("g"), col("flag")) ++
-          stats.map { case (n, f, _) => f.over(wp).as("p_" + n) } ++
-          stats.map { case (n, f, _) => f.over(ws).as("s_" + n) }: _*)
+        Seq(col("series_key"), col("g"), col("flag")) ++
+          stats.map { case (n, f, _, _) => f.over(wp).as("p_" + n) } ++
+          stats.map { case (n, _, f, _) => f.over(ws).as("s_" + n) }: _*)
         .where(col("flag") =!= 0)
       // one hash aggregate splices each anchor pair back together: the
       // END row carries the prefix half, the START row the suffix half
       def half(n: String, flag: Int) = first(
         when(col("flag") === flag, col((if (flag == 1) "p_" else "s_") + n)),
         ignoreNulls = true).as((if (flag == 1) "p_" else "s_") + n)
-      staged
+      def struct4(fields: Seq[(String, Column)], prefix: String): Column = {
+        val t = col(s"${prefix}_t")
+        when(t.isNotNull,
+          struct(fields.map { case (fn, _) => col(s"${prefix}_$fn").as(fn) }: _*))
+          .as(prefix)
+      }
+      val combined = staged
+        // same AQE-vs-compression pin as the window exchange above: the
+        // splice aggregate's shuffle carries anchor-grain stat rows
+        // that compress away, and a byte-coalesced single finalizer
+        // over millions of groups serializes the tail of the plan
+        .repartition(shufN, col("series_key"), col("g"))
         .groupBy("series_key", "g")
         .agg(
-          first(col("labels"), ignoreNulls = true).as("labels"),
-          stats.flatMap { case (n, _, _) => Seq(half(n, 1), half(n, -1)) }: _*)
+          stats.head match { case (n, _, _, _) => half(n, 1) },
+          stats.map { case (n, _, _, _) => half(n, -1) } ++
+            stats.tail.map { case (n, _, _, _) => half(n, 1) }: _*)
         .select(
-          Seq(col("series_key"), col("labels"), col("g").as("t")) ++
-            stats.map { case (n, _, comb) => comb.as(n) }: _*)
+          Seq(col("series_key"), col("g").as("t")) ++
+            stats.map { case (n, _, _, comb) => comb.as(n) }: _*)
         .where(col("cnt") >= 1)
+      // rebuild the first/last structs the consumers read, and
+      // re-attach labels per series (metadata-sized broadcast join —
+      // the map never rode the sample-scale exchange or sorts)
+      val structed = combined.select(
+        Seq(col("series_key"), col("t")) ++
+          stats.collect {
+            case (n, _, _, _)
+              if !n.startsWith("first_") && !n.startsWith("last_") => col(n)
+          } ++
+          (if (need("first")) Seq(struct4(firstFields, "first")) else Nil) ++
+          (if (need("last")) Seq(struct4(lastFields, "last")) else Nil): _*)
+      val labelsDim = src.groupBy("series_key").agg(first("labels").as("labels"))
+      structed.join(broadcast(labelsDim), Seq("series_key"))
     }
 
     /** PromQL's extrapolatedRate (promql semantics; same closed form as
@@ -1687,9 +1739,12 @@ object PromQl {
           .select("series_key", "labels", "t", "v")
       case _ =>
         val (src, rangeMs) = rangeArgOf(arg)
-        val present = rangeFrame(
-            src.select("series_key", "t", "v"), rangeMs, needLag = false)
-          .select(col("g").as("t")).distinct()
+        // through rangeAgg (need = ∅ ⇒ just group existence), so the
+        // high-fan-out cap applies here too — absent_over_time(m[1d])
+        // at 1m step must not explode k = 1440× any more than rate does
+        val present = rangeAgg(src, rangeMs,
+            need = Set.empty[String], needLag = false)
+          .select(col("t")).distinct()
         absentRows(present, arg match {
           case RangeSel(s, _) => Some(s)
           case _ => None
