@@ -1131,8 +1131,14 @@ object SparkEntry {
     // row per bucket, reset convention shared with ts_counter_rate.
     // no seriesOrdered pre-pass: the top2 aggregate combines map-side,
     // so a full-volume exchange BEFORE it would defeat the shrink
+    // seriesClustered pre-pass, NOT a bare partial+final aggregate: at
+    // ~2 samples per (series, day) group the map-side combine shrinks
+    // nothing, so every map task pays a full-cardinality hash map
+    // (measured x10: 13 CPU-s in the partial stage, 1M→993k rows).
+    // Clustering first makes ONE full aggregate over per-task-sized
+    // maps; the exchange carries the same ~1M rows either way.
     "ts_irate" -> ((s, dir) =>
-      Rate.instant(TsdbSource.events(s, dir).samples, DAY)
+      Rate.instant(Rate.seriesClustered(TsdbSource.events(s, dir).samples), DAY)
         .sortWithinPartitions("series_key", "t_bucket")),
 
     // PromQL resets()/changes() per (series, day): consecutive-sample
