@@ -804,11 +804,13 @@ object SparkEntry {
     // convention: bucket counts per (series, day), cumulative walk,
     // linear interpolation inside the φ=0.9 bucket.
     "ts_hist_quantile" -> ((s, dir) =>
-      // no seriesClustered pre-pass (see ts_hist_fraction): the literal
-      // boundary decomposition makes this ONE map-side-combined hash
-      // aggregate at (series, day) grain — a raw-row range exchange
-      // would route every sample for nothing
-      Histogram.quantile(TsdbSource.events(s, dir).samples,
+      // seriesClustered pre-pass (r9, measured): at ~2 samples per
+      // (series, day) group the map-side partial combines NOTHING —
+      // every map task pays a full-cardinality hash map to shrink 1M
+      // rows to ~1M. Clustering first plans ONE full aggregate over
+      // per-task-sized maps; the exchange carries the same rows.
+      Histogram.quantile(
+          Rate.seriesClustered(TsdbSource.events(s, dir).samples),
           DAY, HIST_LES, 0.9)
         .sortWithinPartitions("series_key", "t_bucket")),
 
@@ -817,14 +819,14 @@ object SparkEntry {
     // bound exactly on a boundary (exact cumulative count), upper bound
     // interior to (100, 250] (interpolated). ONE conditional hash
     // aggregate, no window — see Histogram.fraction.
-    // No seriesClustered pre-pass here, unlike ts_hist_quantile: the
-    // fraction aggregate's group grain is (series, day) with plain
-    // conditional counts, so the map-side partial collapses sample
-    // volume BEFORE the shuffle — a raw-row range exchange would route
-    // every sample for nothing (quantile's per-le grain is ~row-scale,
-    // which is why IT pre-clusters).
+    // seriesClustered pre-pass — the ts_hist_quantile rationale: map-
+    // side combine is a no-op at this corpus's ~2 samples per group, so
+    // "collapse before the shuffle" was paying full-cardinality hash
+    // maps per map task for nothing (the r8 comment here argued the
+    // opposite; the r9 stage metrics said otherwise).
     "ts_hist_fraction" -> ((s, dir) =>
-      Histogram.fraction(TsdbSource.events(s, dir).samples,
+      Histogram.fraction(
+          Rate.seriesClustered(TsdbSource.events(s, dir).samples),
           DAY, HIST_LES, 25.0, 120.0)
         .sortWithinPartitions("series_key", "t_bucket")),
 
@@ -839,7 +841,8 @@ object SparkEntry {
     // downstream runs at bucket grain (≤ ~20 rows per series-day).
     "ts_native_quantile" -> ((s, dir) =>
       NativeHistogram.quantile(
-          NativeHistogram.observe(TsdbSource.events(s, dir).samples,
+          NativeHistogram.observe(
+            Rate.seriesClustered(TsdbSource.events(s, dir).samples),
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           0.9, NATIVE_ZT)
         .sortWithinPartitions("series_key", "t_bucket")),
@@ -849,7 +852,8 @@ object SparkEntry {
     // aggregate.
     "ts_native_fraction" -> ((s, dir) =>
       NativeHistogram.fraction(
-          NativeHistogram.observe(TsdbSource.events(s, dir).samples,
+          NativeHistogram.observe(
+            Rate.seriesClustered(TsdbSource.events(s, dir).samples),
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           -2.0, 16.0, NATIVE_ZT)
         .sortWithinPartitions("series_key", "t_bucket")),
@@ -859,7 +863,8 @@ object SparkEntry {
     // same doubles in both engines).
     "ts_native_stddev" -> ((s, dir) =>
       NativeHistogram.stats(
-          NativeHistogram.observe(TsdbSource.events(s, dir).samples,
+          NativeHistogram.observe(
+            Rate.seriesClustered(TsdbSource.events(s, dir).samples),
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           NATIVE_ZT)
         .sortWithinPartitions("series_key", "t_bucket")),
