@@ -2190,13 +2190,13 @@ object SparkEntry {
     // filtering the constructed labels map instead cannot fold through
     // map_filter and reads the whole corpus.
     "promql_sum_by" -> ((s, dir) =>
-      PromQl.eval("sum by (name) ({name=~\".+\"})",
+      PromQl.evalUnsorted("sum by (name) ({name=~\".+\"})",
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, MINT, MAXT, BUCKET_W))
         .select(col("series_key"), col("t"), round(col("v"), 2).as("v"))),
 
     "promql_quantile_by" -> ((s, dir) =>
-      PromQl.eval("quantile by (name) (0.5, {name=~\".+\"})",
+      PromQl.evalUnsorted("quantile by (name) (0.5, {name=~\".+\"})",
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, MINT, MAXT, BUCKET_W))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
@@ -2204,7 +2204,7 @@ object SparkEntry {
     // topk keeps the winning input series' FULL label sets — the output
     // series_key is the events table's own canonical key
     "promql_topk" -> ((s, dir) =>
-      PromQl.eval("topk(2, {name=~\".+\"})",
+      PromQl.evalUnsorted("topk(2, {name=~\".+\"})",
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, MINT, MAXT, BUCKET_W))
         .select(col("series_key"), col("t"), col("v"))),
@@ -2219,7 +2219,7 @@ object SparkEntry {
     // compiler can't round mid-expression); 4dp of ~1e3 magnitudes
     // leaves ~7 guard digits — the doc_entropy-class accepted risk.
     "promql_increase" -> ((s, dir) =>
-      PromQl.eval("increase({name=\"click\"}[1d])",
+      PromQl.evalUnsorted("increase({name=\"click\"}[1d])",
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, T0 + 2 * DAY, T0 + 14 * DAY, DAY))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
@@ -2232,7 +2232,7 @@ object SparkEntry {
     // Same closed form as promql_increase per instant, divided by the
     // range seconds; 8dp of ~1e-2 magnitudes leaves ~8 guard digits.
     "promql_rate_1d" -> ((s, dir) =>
-      PromQl.eval("rate({name=\"click\"}[1d])",
+      PromQl.evalUnsorted("rate({name=\"click\"}[1d])",
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, T0 + 2 * DAY, T0 + 3 * DAY, 60000L))
         .select(col("series_key"), col("t"), round(col("v"), 8).as("v"))),
@@ -2243,7 +2243,7 @@ object SparkEntry {
     // staleness on the 6h lattice so the two sparse metrics coincide
     // at enough instants to gate on.
     "promql_ratio" -> ((s, dir) =>
-      PromQl.eval("{name=\"click\"} / {name=\"view\"}",
+      PromQl.evalUnsorted("{name=\"click\"} / {name=\"view\"}",
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, MINT, MAXT, BUCKET_W, BUCKET_W + 1))
         .select(col("series_key"), col("t"), round(col("v"), 4).as("v"))),
@@ -2254,7 +2254,7 @@ object SparkEntry {
     // hash-compares with no rounding caveat. Inner lattice aligned to
     // absolute 6h multiples (the Prometheus subquery convention).
     "promql_subquery" -> ((s, dir) =>
-      PromQl.eval("max_over_time({name=\"click\"}[1d:6h])",
+      PromQl.evalUnsorted("max_over_time({name=\"click\"}[1d:6h])",
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, T0 + 2 * DAY, T0 + 14 * DAY, DAY, BUCKET_W + 1))
         .select(col("series_key"), col("t"), col("v"))),
@@ -2268,7 +2268,7 @@ object SparkEntry {
     // compiler can't round mid-expression) — 6dp of an O(1e-3) ratio
     // leaves ~9 guard digits, the promql_increase-class accepted risk.
     "promql_scalar" -> ((s, dir) =>
-      PromQl.eval("{name=\"click\"} / scalar(sum({name=\"click\"}))",
+      PromQl.evalUnsorted("{name=\"click\"} / scalar(sum({name=\"click\"}))",
           TsdbSource.events(s, dir).samples,
           promqlParams(s, dir, MINT, MAXT, BUCKET_W))
         .select(col("series_key"), col("t"), round(col("v"), 6).as("v"))),

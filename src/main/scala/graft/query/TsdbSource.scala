@@ -38,10 +38,20 @@ final case class TsdbSource(
     name => m.getOrElse(name, lit(null).cast("string"))
   }
 
+  /** `map_concat` of per-label conditional singletons, NOT
+    * `map_filter` over one big map: higher-order map functions
+    * evaluate INTERPRETED per row, and this expression runs once per
+    * source row in every labels-carrying query (measured r9: the
+    * dominant per-row cost of the PromQL fill stages). `CreateMap` +
+    * `map_concat` + `when` all stay inside whole-stage codegen;
+    * insertion order is the static key sort, and absent/empty labels
+    * contribute an empty map — output-identical to the filtered form. */
   private def labelsMap: Column =
-    map_filter(
-      map(labelCols.sortBy(_._1).flatMap { case (k, c) => Seq(lit(k), c.cast("string")) }: _*),
-      (_, v) => v.isNotNull && v =!= "")
+    map_concat(labelCols.sortBy(_._1).map { case (k, c) =>
+      val v = c.cast("string")
+      when(v.isNotNull && v =!= "", map(lit(k), v))
+        .otherwise(map().cast("map<string,string>"))
+    }: _*)
 
   /** Canonical series key composed *statically*: the label names are
     * known at plan time, so the sort happens in Scala and the key is a
