@@ -1558,6 +1558,27 @@ object PromQl {
       case Call(fn @ ("holt_winters" | "double_exponential_smoothing"),
           Seq(rv, sfE, tfE)) if isRangeArg(rv) =>
         Vec(rangeFunction(fn, rv, Seq(scalarOf(sfE), scalarOf(tfE))))
+      // native-histogram corridor: when the source carries the `h`
+      // channel and the argument is a plain selector, the histogram
+      // functions consume the NATIVE buckets; histogram_quantile
+      // additionally keeps its classic le-bucket half and unions (the
+      // upstream mixed-data behavior — each half is empty where the
+      // other kind of sample lives)
+      case Call(fn @ ("histogram_count" | "histogram_sum" | "histogram_avg" |
+          "histogram_stddev" | "histogram_stdvar"), Seq(e))
+          if hasH && hSelectorOf(e).isDefined =>
+        val hv = hInstantVector(hSelectorOf(e).get)
+        Vec(hVec(hv, hScalarExpr(fn, col("h"))))
+      case Call("histogram_fraction", Seq(lo, hi, e))
+          if hasH && hSelectorOf(e).isDefined =>
+        val hv = hInstantVector(hSelectorOf(e).get)
+        Vec(hVec(hv, hFractionExpr(scalarOf(lo), scalarOf(hi), col("h"))))
+      case Call("histogram_quantile", Seq(q, e))
+          if hasH && hSelectorOf(e).isDefined =>
+        val phi = scalarOf(q)
+        val hv = hInstantVector(hSelectorOf(e).get)
+        Vec(histogramQuantile(phi, vecOf(e))
+          .unionByName(hVec(hv, hQuantileExpr(phi, col("h")))))
       case Call("histogram_quantile", Seq(q, e)) =>
         Vec(histogramQuantile(scalarOf(q), vecOf(e)))
       case Call("vector", Seq(s)) =>
@@ -1871,6 +1892,145 @@ object PromQl {
         .where(col("v").isNotNull)
         .select("series_key", "labels", "t", "v")
     }
+
+    // --- native histograms ----------------------------------------------
+    //
+    // The corridor: a histogram-valued sample carries an `h` struct
+    // (`schema, zt, z_count, count, sum, neg[], pos[]` — the
+    // [[NativeHistogram]] model; counts are FloatHistogram doubles) and
+    // a NULL `v`, so float paths drop it naturally in their fills. The
+    // histogram functions fetch the selector themselves, staleness-fill
+    // the latest `h` per instant through the same AsOf machinery, and
+    // reduce IN-ROW to a float vector with higher-order array
+    // expressions (instant-vector grain — the interpreted lambdas touch
+    // group-scale rows, never samples). Out of corridor scope,
+    // rejected as before: histogram arithmetic, rate over histogram
+    // counters, sum() of histogram vectors.
+
+    /** True when the bound source carries the histogram channel. */
+    private def hasH: Boolean = samples.columns.contains("h")
+
+    /** `functions.aggregate`, qualified — the compiler's own
+      * `aggregate(a: Agg)` shadows it. */
+    private def fold(arr: Column, zero: Column,
+        f: (Column, Column) => Column): Column =
+      org.apache.spark.sql.functions.aggregate(arr, zero, f)
+    private def fold(arr: Column, zero: Column,
+        f: (Column, Column) => Column, fin: Column => Column): Column =
+      org.apache.spark.sql.functions.aggregate(arr, zero, f, fin)
+
+    private def hSelectorOf(e: Expr): Option[Selector] = e match {
+      case s: Selector if s.at.isEmpty => Some(s)
+      case _ => None
+    }
+
+    /** Staleness fill over the `h` channel: latest histogram sample per
+      * series within the lookback at every lattice instant. */
+    private def hInstantVector(s: Selector): DataFrame = {
+      val src = selected(s).where(col("h").isNotNull)
+        .select("series_key", "labels", "t", "h")
+      val look = p.lookbackMs - 1
+      if (look < p.stepMs)
+        AsOf.latestPerInstant(src.withColumnRenamed("h", "r_v"),
+            Seq("series_key"), p.stepMs, look, "r", originMs = p.startMs,
+            carryCols = Seq("labels"))
+          .where(col("r_v").isNotNull && col("t").between(p.startMs, p.endMs))
+          .select(col("series_key"), col("labels"), col("t"), col("r_v").as("h"))
+      else
+        AsOf.gridFillWide(
+          src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look, Seq("h"),
+          carryCols = Seq("labels"))
+          .where(col("h_v").isNotNull)
+          .select(col("series_key"), col("labels"), col("t"), col("h_v").as("h"))
+    }
+
+    /** The histogram's buckets as `(l, u, c)` triples in VALUE order
+      * (negative buckets by descending index, the zero bucket, positive
+      * ascending) — the walk order every estimator shares. Bounds are
+      * `±2^(i·2^−schema)` (exact for schema ≤ 0); the zero bucket's
+      * lower bound collapses to 0 without negative mass. */
+    private def hBuckets(h: Column): Column = {
+      val w = pow(lit(2.0), -h.getField("schema").cast("double"))
+      def up(i: Column) = pow(lit(2.0), i.cast("double") * w)
+      def lo(i: Column) = pow(lit(2.0), (i - 1).cast("double") * w)
+      def tri(l: Column, u: Column, c: Column) =
+        struct(l.as("l"), u.as("u"), c.as("c"))
+      val neg = transform(reverse(h.getField("neg")), b =>
+        tri(-up(b.getField("i")), -lo(b.getField("i")), b.getField("c")))
+      val negTot = fold(h.getField("neg"), lit(0.0),
+        (a, b) => a + b.getField("c"))
+      val zt = h.getField("zt")
+      val zero = when(h.getField("z_count") > 0,
+        array(tri(when(negTot > 0, -zt).otherwise(lit(0.0)), zt,
+          h.getField("z_count"))))
+        .otherwise(array().cast("array<struct<l:double,u:double,c:double>>"))
+      val pos = transform(h.getField("pos"), b =>
+        tri(lo(b.getField("i")), up(b.getField("i")), b.getField("c")))
+      concat(neg, zero, pos)
+    }
+
+    /** The moment/count estimators over one histogram struct. */
+    private def hScalarExpr(fn: String, h: Column): Column = {
+      val count = h.getField("count"); val sum = h.getField("sum")
+      lazy val mean = sum / count
+      // geometric bucket midpoint (the upstream estimator; the zero
+      // bucket — the only one straddling 0 — contributes at 0)
+      def mid(b: Column) =
+        when(b.getField("l") <= 0 && b.getField("u") >= 0, lit(0.0))
+          .otherwise(signum(b.getField("u")) *
+            sqrt(abs(b.getField("l") * b.getField("u"))))
+      lazy val variance = fold(hBuckets(h), lit(0.0),
+        (a, b) => a + b.getField("c") * (mid(b) - mean) * (mid(b) - mean)) / count
+      fn match {
+        case "histogram_count" => count
+        case "histogram_sum" => sum
+        case "histogram_avg" => mean
+        case "histogram_stdvar" => variance
+        case "histogram_stddev" => sqrt(variance)
+        case other => fail(s"internal: $other is not a histogram scalar")
+      }
+    }
+
+    /** `histogram_quantile(φ, h)` on native buckets: one fold in value
+      * order locates the bucket where the cumulative count reaches
+      * `φ·count` and interpolates linearly between its exact bounds.
+      * `φ` outside [0, 1] yields ±Inf per upstream; an empty histogram
+      * yields NaN. */
+    private def hQuantileExpr(phi: Double, h: Column): Column =
+      quantileEdge(phi).map(lit).getOrElse {
+        val rank = lit(phi) * h.getField("count")
+        fold(hBuckets(h),
+          struct(lit(0.0).as("cum"), lit(Double.NaN).as("q")),
+          (acc, b) => {
+            val cum = acc.getField("cum"); val c = b.getField("c")
+            val l = b.getField("l"); val u = b.getField("u")
+            when(!isnan(acc.getField("q")), acc)
+              .when(cum + c >= rank, struct((cum + c).as("cum"),
+                (l + (u - l) * (rank - cum) / c).as("q")))
+              .otherwise(struct((cum + c).as("cum"), acc.getField("q")))
+          },
+          a => a.getField("q"))
+      }
+
+    /** `histogram_fraction(lo, hi, h)`: linear bucket overlap with
+      * `[lo, hi]` over the count; a zero-width bucket (point mass)
+      * contributes fully iff its point is inside the range. */
+    private def hFractionExpr(lo: Double, hi: Double, h: Column): Column = {
+      val ov = fold(hBuckets(h), lit(0.0), (a, b) => {
+        val bl = b.getField("l"); val bu = b.getField("u")
+        val frac = when(bu === bl,
+          when(lit(lo) <= bl && bl <= lit(hi), lit(1.0)).otherwise(lit(0.0)))
+          .otherwise(greatest(lit(0.0),
+            (least(lit(hi), bu) - greatest(lit(lo), bl)) / (bu - bl)))
+        a + b.getField("c") * frac
+      })
+      ov / h.getField("count")
+    }
+
+    /** Reduce a filled histogram vector to a float vector (function
+      * semantics: the metric name drops from the result labels). */
+    private def hVec(hv: DataFrame, value: Column): DataFrame =
+      dropName(hv.withColumn("v", value).select("series_key", "labels", "t", "v"))
 
     // --- aggregations --------------------------------------------------
 

@@ -6,6 +6,14 @@ import org.apache.spark.sql.DataFrame
 
 import graft.SparkSuite
 
+/** Loader-side native-histogram value — the shape of PromQl's `h`
+  * channel ([[graft.query.NativeHistogram]] model, FloatHistogram
+  * double counts). Top-level so the Spark product encoder applies. */
+case class ConfHB(i: Int, c: Double)
+case class ConfHV(
+    schema: Int, zt: Double, z_count: Double, count: Double, sum: Double,
+    neg: Seq[ConfHB], pos: Seq[ConfHB])
+
 /** Replays the upstream-format PromQL conformance corpus
   * (`src/test/resources/promql_conformance.test`, the prometheus
   * promql/promqltest `load`/`eval` block format) against [[PromQl.eval]]
@@ -43,7 +51,7 @@ class PromQlConformanceSpec extends SparkSuite {
       toMs: Long,
       stepMs: Long,
       expected: Seq[Expected],
-      samples: Seq[(Map[String, String], Long, Double)])
+      samples: Seq[(Map[String, String], Long, Option[Double], Option[ConfHV])])
 
   private def durMs(s: String): Long =
     if (s.matches("-?[0-9]+")) s.toLong * 1000L
@@ -88,6 +96,54 @@ class PromQlConformanceSpec extends SparkSuite {
       case other => sys.error(s"bad series value token '$other'")
     }
 
+  // ------------------------------------------- native-histogram literals
+
+  /** Upstream promqltest histogram literal `{{k:v …}}`, optionally
+    * repeated `xN` (N additional points, like `valxN`). Supported
+    * fields: schema, sum, count, z_bucket (zero-bucket count),
+    * z_bucket_w (zero threshold), buckets/offset (positive),
+    * n_buckets/n_offset (negative). Bucket list entry j carries index
+    * `offset + j`; index i covers `(base^(i−1), base^i]`. */
+  private val histTok = """^\{\{(.*)\}\}(?:x([0-9]+))?$""".r
+
+  private def parseHist(body: String): ConfHV = {
+    var schema = 0; var zt = 0.0; var z = 0.0; var cnt = 0.0; var sum = 0.0
+    var posL: Seq[Double] = Nil; var negL: Seq[Double] = Nil
+    var posOff = 0; var negOff = 0
+    val kv = """([a-z_]+):(\[[^\]]*\]|[^\s\]]+)""".r
+    kv.findAllMatchIn(body).foreach { m =>
+      val v = m.group(2)
+      def nums = v.stripPrefix("[").stripSuffix("]").trim
+        .split("\\s+").filter(_.nonEmpty).map(_.toDouble).toSeq
+      m.group(1) match {
+        case "schema" => schema = v.toInt
+        case "z_bucket_w" => zt = v.toDouble
+        case "z_bucket" => z = v.toDouble
+        case "count" => cnt = v.toDouble
+        case "sum" => sum = v.toDouble
+        case "buckets" => posL = nums
+        case "offset" => posOff = v.toInt
+        case "n_buckets" => negL = nums
+        case "n_offset" => negOff = v.toInt
+        case other => sys.error(s"unsupported histogram field '$other'")
+      }
+    }
+    ConfHV(schema, zt, z, cnt, sum,
+      negL.zipWithIndex.collect { case (c, j) if c != 0 => ConfHB(negOff + j, c) },
+      posL.zipWithIndex.collect { case (c, j) if c != 0 => ConfHB(posOff + j, c) })
+  }
+
+  /** Load-block value expansion over BOTH channels: float tokens fill
+    * `v`, histogram literals fill `h`. */
+  private def expandVals(
+      tokens: Seq[String]): Seq[(Option[Double], Option[ConfHV])] =
+    tokens.flatMap {
+      case histTok(body, reps) =>
+        val h = parseHist(body)
+        (0 to (if (reps == null) 0 else reps.toInt)).map(_ => (None, Some(h)))
+      case t => expand(Seq(t)).map(v => (v, None))
+    }
+
   private def parseLabels(s: String): Map[String, String] = {
     val i = s.indexOf('{')
     if (i < 0) Map("__name__" -> s.trim)
@@ -116,7 +172,21 @@ class PromQlConformanceSpec extends SparkSuite {
       if (t.contains('{')) t.indexOf('}') + 1
       else t.indexWhere(_.isWhitespace) match { case -1 => t.length; case i => i }
     val (id, rest) = t.splitAt(end)
-    (id, rest.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+    // histogram literals `{{…}}` contain spaces — keep each one (plus
+    // any `xN` suffix) a single token
+    val toks = Seq.newBuilder[String]
+    var s = rest.trim
+    while (s.nonEmpty) {
+      val tok =
+        if (s.startsWith("{{")) {
+          val e = s.indexOf("}}") + 2
+          require(e >= 2, s"unterminated histogram literal in '$line'")
+          s.take(e) + s.drop(e).takeWhile(!_.isWhitespace)
+        } else s.takeWhile(!_.isWhitespace)
+      toks += tok
+      s = s.drop(tok.length).trim
+    }
+    (id, toks.result())
   }
 
   private val evalInstantRx = """^(eval|eval_fail)\s+instant\s+at\s+(\S+)\s+(.*)$""".r
@@ -126,7 +196,8 @@ class PromQlConformanceSpec extends SparkSuite {
   private def parseCorpus(text: String): Seq[EvalBlock] = {
     val lines = text.linesIterator.toVector
     val blocks = Vector.newBuilder[EvalBlock]
-    var loaded = Vector.empty[(Map[String, String], Long, Double)]
+    var loaded =
+      Vector.empty[(Map[String, String], Long, Option[Double], Option[ConfHV])]
     var i = 0
     def contentLines(): Seq[(Int, String)] = {
       val out = Seq.newBuilder[(Int, String)]
@@ -146,8 +217,9 @@ class PromQlConformanceSpec extends SparkSuite {
         contentLines().foreach { case (_, raw) =>
           val (id, toks) = splitSeriesLine(raw)
           val labels = parseLabels(id)
-          loaded ++= expand(toks).zipWithIndex.collect {
-            case (Some(v), k) => (labels, k * step, v)
+          loaded ++= expandVals(toks).zipWithIndex.collect {
+            case ((v, h), k) if v.isDefined || h.isDefined =>
+              (labels, k * step, v, h)
           }
         }
       } else {
@@ -180,11 +252,13 @@ class PromQlConformanceSpec extends SparkSuite {
 
   // ---------------------------------------------------------- running
 
-  private def frameOf(samples: Seq[(Map[String, String], Long, Double)]): DataFrame =
-    samples.toDF("labels", "t", "v")
+  private def frameOf(
+      samples: Seq[(Map[String, String], Long, Option[Double], Option[ConfHV])])
+      : DataFrame =
+    samples.toDF("labels", "t", "v", "h")
       .withColumn("series_key",
         graft.functions.seriesKey(org.apache.spark.sql.functions.col("labels")))
-      .select("series_key", "labels", "t", "v")
+      .select("series_key", "labels", "t", "v", "h")
 
   private def close(a: Double, b: Double): Boolean =
     (a.isNaN && b.isNaN) || a == b ||
