@@ -57,8 +57,15 @@ import graft.matchers.{Eq, Matcher, Re}
   *    `offset` and `@`;
   *  - `@` on plain selectors, range selectors, and subqueries (fixed
   *    timestamp, `start()`, `end()` — resolved against the OUTERMOST
-  *    query range even inside subqueries).
-  *  Not supported (rejected at parse/compile): native histograms.
+  *    query range even inside subqueries);
+  *  - native histograms (the corridor, active when the bound source
+  *    carries an `h` channel — [[NativeHistogram]]'s struct shape):
+  *    histogram_count/sum/avg/stddev/stdvar/quantile/fraction over
+  *    histogram-valued selectors and over `sum [by/without]` of them
+  *    (bucket-wise merge; mixed schemas downscale to the group's
+  *    coarsest). histogram_quantile unions its classic le-bucket half.
+  *  Not supported: histogram arithmetic and rate over histogram
+  *  counters (the corridor's documented bounds).
   *
   *  Vector matching raises Prometheus's execution error on DUPLICATE
   *  match keys (one-to-one: either side; many-to-one: the "one" side) —
@@ -1566,19 +1573,17 @@ object PromQl {
       // other kind of sample lives)
       case Call(fn @ ("histogram_count" | "histogram_sum" | "histogram_avg" |
           "histogram_stddev" | "histogram_stdvar"), Seq(e))
-          if hasH && hSelectorOf(e).isDefined =>
-        val hv = hInstantVector(hSelectorOf(e).get)
-        Vec(hVec(hv, hScalarExpr(fn, col("h"))))
+          if hasH && hVecOf(e).isDefined =>
+        Vec(hVec(hVecOf(e).get, hScalarExpr(fn, col("h"))))
       case Call("histogram_fraction", Seq(lo, hi, e))
-          if hasH && hSelectorOf(e).isDefined =>
-        val hv = hInstantVector(hSelectorOf(e).get)
-        Vec(hVec(hv, hFractionExpr(scalarOf(lo), scalarOf(hi), col("h"))))
+          if hasH && hVecOf(e).isDefined =>
+        Vec(hVec(hVecOf(e).get,
+          hFractionExpr(scalarOf(lo), scalarOf(hi), col("h"))))
       case Call("histogram_quantile", Seq(q, e))
-          if hasH && hSelectorOf(e).isDefined =>
+          if hasH && hVecOf(e).isDefined =>
         val phi = scalarOf(q)
-        val hv = hInstantVector(hSelectorOf(e).get)
         Vec(histogramQuantile(phi, vecOf(e))
-          .unionByName(hVec(hv, hQuantileExpr(phi, col("h")))))
+          .unionByName(hVec(hVecOf(e).get, hQuantileExpr(phi, col("h")))))
       case Call("histogram_quantile", Seq(q, e)) =>
         Vec(histogramQuantile(scalarOf(q), vecOf(e)))
       case Call("vector", Seq(s)) =>
@@ -1919,11 +1924,6 @@ object PromQl {
         f: (Column, Column) => Column, fin: Column => Column): Column =
       org.apache.spark.sql.functions.aggregate(arr, zero, f, fin)
 
-    private def hSelectorOf(e: Expr): Option[Selector] = e match {
-      case s: Selector if s.at.isEmpty => Some(s)
-      case _ => None
-    }
-
     /** Staleness fill over the `h` channel: latest histogram sample per
       * series within the lookback at every lattice instant. */
     private def hInstantVector(s: Selector): DataFrame = {
@@ -2031,6 +2031,72 @@ object PromQl {
       * semantics: the metric name drops from the result labels). */
     private def hVec(hv: DataFrame, value: Column): DataFrame =
       dropName(hv.withColumn("v", value).select("series_key", "labels", "t", "v"))
+
+    /** The corridor's recursive argument evaluator: a histogram vector
+      * is a plain selector's fill, or `sum [by/without] (…)` of one —
+      * the bucket-wise merge PromQL defines for histogram aggregation
+      * (`histogram_quantile(φ, sum(rate-less m))`, the canonical
+      * serving shape). Anything else is not histogram-valued here. */
+    private def hVecOf(e: Expr): Option[DataFrame] = e match {
+      case s: Selector if s.at.isEmpty => Some(hInstantVector(s))
+      case Agg("sum", None, body, grouping, without) =>
+        hVecOf(body).map(hSumBy(_, grouping, without))
+      case _ => None
+    }
+
+    /** Bucket-wise `sum` of histogram vectors at instant grain: mixed
+      * schemas merge at the group's COARSEST (minimum) schema with the
+      * exact `idx' = ⌈idx/2^Δ⌉` remap ([[NativeHistogram.sumBy]]'s
+      * rule); zero buckets and the scalar moments add. All joins and
+      * aggregates run at instant-vector grain — never samples. */
+    private def hSumBy(hv: DataFrame, grouping: Seq[String], without: Boolean): DataFrame = {
+      val ls = grouping.distinct
+      val keep: Column =
+        if (without)
+          map_filter(col("labels"), (k, _) => !k.isin(ls :+ p.nameLabel: _*))
+        else map_filter(col("labels"), (k, _) => k.isin(ls: _*))
+      val g = hv
+        .withColumn("labels", keep)
+        .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+      val base = g.groupBy("series_key", "t").agg(
+        first("labels").as("labels"),
+        min(col("h.schema")).as("__schema"),
+        max(col("h.zt")).as("__zt"),
+        sum(col("h.z_count")).as("__z"),
+        sum(col("h.count")).as("__count"),
+        sum(col("h.sum")).as("__sum"))
+      def side(p0: Int, arr: Column) = transform(arr, b =>
+        struct(lit(p0).as("part"), b.getField("i").as("i"), b.getField("c").as("c")))
+      val buckets = g.select(col("series_key"), col("t"),
+          col("h.schema").as("__sch"),
+          explode(concat(side(-1, col("h.neg")), side(1, col("h.pos")))).as("b"))
+        .select(col("series_key"), col("t"), col("__sch"),
+          col("b.part").as("part"), col("b.i").as("i"), col("b.c").as("c"))
+        .join(base.select(col("series_key"), col("t"), col("__schema")),
+          Seq("series_key", "t"))
+        .withColumn("i", (-floor((-col("i")).cast("double") /
+          pow(lit(2.0), (col("__sch") - col("__schema")).cast("double"))))
+          .cast("int"))
+        .groupBy("series_key", "t", "part", "i")
+        .agg(sum("c").as("c"))
+        .groupBy("series_key", "t")
+        .agg(
+          sort_array(collect_list(when(col("part") === -1,
+            struct(col("i"), col("c"))))).as("__neg"),
+          sort_array(collect_list(when(col("part") === 1,
+            struct(col("i"), col("c"))))).as("__pos"))
+      base.join(buckets, Seq("series_key", "t"), "left")
+        .select(col("series_key"), col("labels"), col("t"),
+          struct(
+            col("__schema").as("schema"), col("__zt").as("zt"),
+            col("__z").as("z_count"), col("__count").as("count"),
+            col("__sum").as("sum"),
+            coalesce(col("__neg"),
+              array().cast("array<struct<i:int,c:double>>")).as("neg"),
+            coalesce(col("__pos"),
+              array().cast("array<struct<i:int,c:double>>")).as("pos"))
+            .as("h"))
+    }
 
     // --- aggregations --------------------------------------------------
 
