@@ -1013,10 +1013,23 @@ object Bench {
     val rateResults = if (doRate20) { hygiene(spark); rateBench(spark) } else Nil
     // the decade-up point; its own switch so a time-budgeted run can
     // keep the 20M row and drop only the 200M one — and
-    // SPARK_GRAFT_SCALE200=1 forces it ALONE (isolated calibration)
-    val doScale200 = sys.env.getOrElse("SPARK_GRAFT_SCALE200",
-      if (doScale) "1" else "0") != "0"
-    val rate200Results = if (doScale200) { hygiene(spark); rate200Bench(spark) } else Nil
+    // SPARK_GRAFT_SCALE200=1 forces it ALONE (isolated calibration).
+    // r10 root cause of the r9 2× "regression" on diff-clean code: the
+    // section is the run's most memory-shape-sensitive (a 200M-row sort
+    // working set against whatever page-cache/heap state 40 minutes of
+    // earlier sections left), and the r9 mid-run twin re-ran it while
+    // THIS JVM still held its 48 GiB heap — the twin measured the
+    // contention it existed to rule out (in-run 60.0 s / twin 70.6 s vs
+    // 22.2 s on an idle host, same code). So in a full run the section
+    // is now ALWAYS measured in a fresh child JVM at the very end,
+    // after this JVM has stopped Spark and released its heap — the
+    // in-parent pass is skipped entirely (it produced only a number the
+    // child supersedes). SPARK_GRAFT_SCALE200=1 (the child itself, or
+    // manual calibration) still runs in-process.
+    val scale200Env = sys.env.get("SPARK_GRAFT_SCALE200")
+    val doScale200InParent = scale200Env.exists(_ != "0")
+    val rate200Results =
+      if (doScale200InParent) { hygiene(spark); rate200Bench(spark) } else Nil
     // SPARK_GRAFT_DEDUP100K=1 forces the 100k dedup row alone (isolated
     // calibration — the section is page-cache sensitive after rate_200m)
     val doDedup100k = sys.env.getOrElse("SPARK_GRAFT_DEDUP100K",
@@ -1071,32 +1084,46 @@ object Bench {
         .getOrElse(false)
     }
     var isoBudget = 3 // wall-clock bound: at most 3 fresh-JVM re-runs
-    def isoFor(
+    def wantsIso(
         name: String, rows: Seq[(String, Double, String)],
-        extraSuspect: Boolean = false): Option[(String, Seq[(String, Double, String)])] =
-      if (!isolationOn || rows.isEmpty || isoBudget <= 0) None
+        extraSuspect: Boolean = false): Boolean =
+      if (!isolationOn || rows.isEmpty || isoBudget <= 0) false
       else {
         val prev =
           if (name == "lifecycle") topLevelOf(prevText, LifecycleKeys)
           else sectionOf(prevText, name)
-        if (regressed(rows, prev) || extraSuspect) {
-          isoBudget -= 1
-          Some(name -> isolatedSection(name, sfDir))
-        } else None
+        if (regressed(rows, prev) || extraSuspect) { isoBudget -= 1; true }
+        else false
       }
-    // priority order = how load-bearing the section's scaling claim is
-    val isolatedRuns: Seq[(String, Seq[(String, Double, String)])] = Seq(
-      isoFor("dedup_1m", dedup1mResults),
-      isoFor("ann_1m", annResults, annSuspect),
-      isoFor("matchers_5m", matcherResults),
-      isoFor("lifecycle", lifecycleRows),
-      isoFor("dedup_100k", dedupResults),
-      isoFor("rate_20m", rateResults),
-      isoFor("rate_200m", rate200Results),
-      isoFor("stream_ingest", streamResults)).flatten
+    // priority order = how load-bearing the section's scaling claim is.
+    // rate_200m is UNCONDITIONAL (its in-parent pass no longer runs):
+    // the section's one honest habitat is a fresh JVM on a quiet host.
+    val isoPlan: Seq[String] =
+      (if (isolationOn && scale200Env.isEmpty && doScale) Seq("rate_200m")
+       else Nil) ++ Seq(
+        ("dedup_1m", dedup1mResults, false),
+        ("ann_1m", annResults, annSuspect),
+        ("matchers_5m", matcherResults, false),
+        ("lifecycle", lifecycleRows, false),
+        ("dedup_100k", dedupResults, false),
+        ("rate_20m", rateResults, false),
+        ("stream_ingest", streamResults, false)).collect {
+        case (n, rows, extra) if wantsIso(n, rows, extra) => n
+      }
+    // release THIS JVM's entire footprint before any child measures:
+    // stopping Spark drops the executor pools/caches, and the full GCs
+    // let G1 uncommit the heap toward MaxHeapFreeRatio — the children
+    // must see an idle host, not a 48 GiB squatter (the r9 lesson)
+    if (isoPlan.nonEmpty) {
+      spark.stop()
+      (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
+    }
+    val isolatedRuns: Seq[(String, Seq[(String, Double, String)])] =
+      isoPlan.map(n => n -> isolatedSection(n, sfDir))
     val isoMap = isolatedRuns.toMap
     def healed(name: String, rows: Seq[(String, Double, String)]) =
-      isoMap.get(name).map(minMerge(rows, _)).getOrElse(rows)
+      if (rows.isEmpty) isoMap.getOrElse(name, rows)
+      else isoMap.get(name).map(minMerge(rows, _)).getOrElse(rows)
     val matcherR = healed("matchers_5m", matcherResults)
     val annR = healed("ann_1m", annResults)
     val rateR = healed("rate_20m", rateResults)

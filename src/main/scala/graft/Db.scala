@@ -131,7 +131,13 @@ final class Db private (
       graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs,
         nameLabel = nameLabel,
         pushdown = Some(ms =>
-          store.readRange(spark, mint, maxt, withLabels = true, ms: _*))))
+          store.readRange(spark, mint, maxt, withLabels = true, ms: _*)),
+        // the manifest's series total bounds every matched set — the
+        // same bound readSelected's semi-join gate uses — so the
+        // compiler's per-series dim broadcasts hint only when the
+        // driver-side build is provably safe
+        seriesEstimate = Some(store.manifest.blocks.map(_.numSeries).sum),
+        broadcastLimit = store.broadcastLimit))
   }
 
   /** Consistent snapshot into `destRoot` (`db.go:1108-1146`). */

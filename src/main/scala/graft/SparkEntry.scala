@@ -889,6 +889,57 @@ object SparkEntry {
         .sortWithinPartitions("t_bucket")
     }),
 
+    // THE canonical native-histogram serving query —
+    // `histogram_quantile(0.9, rate(m[3d]))` — through the full PromQL
+    // corridor (hRangeVec: per-channel counter deltas + whole-histogram
+    // reset detection + the extrapolation factor, then the in-row
+    // quantile walk). Counter histograms are CONSTRUCTED cumulatively
+    // from per-day observe() increments (channel running sums packed to
+    // one h-struct sample per scraped day), so the corpus is reset-free
+    // by construction and the oracle can re-derive every channel delta
+    // as the integer sum of per-day increments inside (first, last] —
+    // exact cross-engine integers scaled by the identical IEEE factor
+    // expression. q is floor-cut at 4dp on both sides.
+    "promql_native_rate" -> ((s, dir) => {
+      val src = TsdbSource.events(s, dir)
+        .select(T0, T0 + 16 * DAY, Eq("name", "click"))
+      val obs = NativeHistogram.observe(src, DAY, lit(0), NATIVE_ZT, col("v") - 35)
+      // cumulative channel counts at every scraped day (days² join is
+      // bounded by the ≤ 15-day corpus; a store-scale twin would use a
+      // per-channel running window over the day grain)
+      val days = obs.select(col("series_key"), col("t_bucket").as("__d")).distinct()
+      val cum = obs.join(days, Seq("series_key"))
+        .where(col("t_bucket") <= col("__d"))
+        .groupBy("series_key", "__d", "part", "idx")
+        .agg(sum("c").as("c"), sum("sv").as("sv"))
+      val hs = cum.groupBy(col("series_key"), col("__d").as("t")).agg(
+          coalesce(sum(when(col("part") === 0, col("c"))), lit(0L))
+            .cast("double").as("__z"),
+          sum("c").cast("double").as("__cnt"),
+          round(sum("sv"), 2).as("__sum"),
+          sort_array(collect_list(when(col("part") === -1,
+            struct(col("idx").cast("int").as("i"),
+              col("c").cast("double").as("c"))))).as("__neg"),
+          sort_array(collect_list(when(col("part") === 1,
+            struct(col("idx").cast("int").as("i"),
+              col("c").cast("double").as("c"))))).as("__pos"))
+        .select(col("series_key"), col("t"),
+          lit(null).cast("double").as("v"),
+          struct(lit(0).as("schema"), lit(NATIVE_ZT).as("zt"),
+            col("__z").as("z_count"), col("__cnt").as("count"),
+            col("__sum").as("sum"),
+            col("__neg").as("neg"), col("__pos").as("pos")).as("h"))
+      val lab = src.groupBy("series_key").agg(first("labels").as("labels"))
+      val frame = hs.join(lab, Seq("series_key"))
+        .select("series_key", "labels", "t", "v", "h")
+      PromQl.evalUnsorted(
+          "histogram_quantile(0.9, rate({name=\"click\"}[3d]))", frame,
+          PromQl.Params(T0 + 4 * DAY, T0 + 15 * DAY, DAY, nameLabel = "name",
+            seriesEstimate = Some(100000L)))
+        .select(col("series_key"), col("t"),
+          (floor(col("v") * 1e4 + 0.5) / 1e4).as("q"))
+    }),
+
     // PromQL *_over_time range vectors: trailing-1h sliding aggregates
     // per sample via ONE range-frame window (count/min/max/sum/avg).
     "ts_over_time" -> ((s, dir) =>
@@ -2913,6 +2964,74 @@ object SparkEntry {
          |    / 1e4 AS q
          |FROM e WHERE cum >= 0.5 * total AND (cum - c) < 0.5 * total
          |ORDER BY t_bucket""".stripMargin
+    },
+    // the rate-composition twin: per-channel deltas are INTEGER sums of
+    // per-day observe() increments inside (first, last] (the corpus is
+    // cumulative, hence reset-free), scaled by the IDENTICAL IEEE
+    // factor expression; the walk uses an EXCLUSIVE running sum (the
+    // corridor fold's op sequence) and the same interpolation form.
+    "promql_native_rate" -> {
+      val R = 3 * DAY
+      s"""WITH s AS (SELECT user_id, epoch_ms(ts) AS t, value - 35 AS vv
+         |  FROM events WHERE event_type = 'click'),
+         |o0 AS (SELECT user_id, (t // $DAY) * $DAY + $DAY AS d, vv FROM s),
+         |ix AS (SELECT *, ceil(log2(greatest(abs(vv), 0.125)))::INT AS i0 FROM o0),
+         |b AS (SELECT user_id, d,
+         |  CASE WHEN abs(vv) <= $NATIVE_ZT THEN 0 WHEN vv > 0 THEN 1 ELSE -1 END AS part,
+         |  CASE WHEN abs(vv) <= $NATIVE_ZT THEN NULL ELSE
+         |    i0 + (pow(2, i0) < abs(vv))::INT
+         |       - (pow(2, i0 - 1) >= abs(vv))::INT END AS idx
+         |  FROM ix),
+         |o AS (SELECT user_id, d, part, idx, count(*) AS c FROM b GROUP BY ALL),
+         |dd AS (SELECT DISTINCT user_id, d FROM o),
+         |g AS (SELECT user_id,
+         |    unnest(generate_series(${T0 + 4 * DAY}, ${T0 + 15 * DAY}, $DAY)) AS t
+         |  FROM (SELECT DISTINCT user_id FROM o)),
+         |w AS (SELECT g.user_id, g.t, count(*) AS n,
+         |    min(dd.d) AS first_t, max(dd.d) AS last_t
+         |  FROM g JOIN dd ON dd.user_id = g.user_id
+         |    AND dd.d > g.t - $R AND dd.d <= g.t
+         |  GROUP BY 1, 2 HAVING count(*) >= 2 AND max(dd.d) > min(dd.d)),
+         |f AS (SELECT user_id, t, first_t, last_t,
+         |  ((last_t - first_t) / 1000.0
+         |    + CASE WHEN (first_t - (t - $R)) / 1000.0
+         |          < (last_t - first_t) / 1000.0 / (n - 1) * 1.1
+         |        THEN (first_t - (t - $R)) / 1000.0
+         |        ELSE (last_t - first_t) / 1000.0 / (n - 1) / 2 END
+         |    + CASE WHEN (t - last_t) / 1000.0
+         |          < (last_t - first_t) / 1000.0 / (n - 1) * 1.1
+         |        THEN (t - last_t) / 1000.0
+         |        ELSE (last_t - first_t) / 1000.0 / (n - 1) / 2 END)
+         |  / ((last_t - first_t) / 1000.0) / ${R / 1000}.0 AS factor
+         |  FROM w),
+         |dch AS (SELECT f.user_id, f.t, f.factor, o.part, o.idx, sum(o.c) AS ci
+         |  FROM f JOIN o ON o.user_id = f.user_id
+         |    AND o.d > f.first_t AND o.d <= f.last_t
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |tot AS (SELECT user_id, t, sum(ci) AS icnt FROM dch GROUP BY 1, 2),
+         |wk AS (SELECT user_id, t, part, idx, factor, ci * factor AS c,
+         |    sum(ci * factor) OVER (PARTITION BY user_id, t
+         |      ORDER BY part, CASE WHEN part = -1 THEN -idx ELSE idx END
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumpre,
+         |    coalesce(sum(CASE WHEN part = -1 THEN ci * factor END)
+         |      OVER (PARTITION BY user_id, t), 0) AS negtot
+         |  FROM dch WHERE ci <> 0),
+         |e AS (SELECT wk.*, tot.icnt,
+         |  CASE WHEN part = 1 THEN pow(2, idx - 1)
+         |       WHEN part = -1 THEN -pow(2, idx)
+         |       WHEN negtot > 0 THEN ${-NATIVE_ZT} ELSE 0.0 END AS l,
+         |  CASE WHEN part = 1 THEN pow(2, idx)
+         |       WHEN part = -1 THEN -pow(2, idx - 1)
+         |       ELSE $NATIVE_ZT END AS u
+         |  FROM wk JOIN tot ON tot.user_id = wk.user_id AND tot.t = wk.t),
+         |r AS (SELECT *, 0.9 * (icnt * factor) AS rk,
+         |  coalesce(cumpre, 0) AS cp FROM e)
+         |SELECT '{user="' || user_id || '"' ||
+         |    CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END ||
+         |    '}' AS series_key,
+         |  t, floor((l + (u - l) * (rk - cp) / c) * 1e4 + 0.5) / 1e4 AS q
+         |FROM r WHERE cp < rk AND cp + c >= rk
+         |ORDER BY series_key, t""".stripMargin
     },
     "ts_hist_fraction" -> {
       val leCase = HIST_LES.sorted

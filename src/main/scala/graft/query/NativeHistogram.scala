@@ -99,6 +99,15 @@ object NativeHistogram {
         col("series_key"),
         rangeForTimestamp(col("t"), bucketMs).as("t_bucket"),
         schema.cast("int").as("schema"), vv)
+      // NaN observations DROP, by documented convention: they fit no
+      // bucket (`av <= zt` and `vv > 0` are both false for NaN, and
+      // ceil(log2(NaN)) is null — an unfiltered NaN would fabricate a
+      // phantom negative-bucket row with null bounds that corrupts the
+      // cumulative walk and every total). Upstream counts NaN in
+      // count/sum only, which makes count ≠ Σ buckets and quantile
+      // ranks NaN-shifted; the relational model keeps count ≡ Σ bucket
+      // counts instead, so its estimators stay well-defined.
+      .where(!isnan(col("__vv")))
       .select(
         col("series_key"), col("t_bucket"), col("schema"),
         part.as("part"),

@@ -61,11 +61,14 @@ import graft.matchers.{Eq, Matcher, Re}
   *  - native histograms (the corridor, active when the bound source
   *    carries an `h` channel — [[NativeHistogram]]'s struct shape):
   *    histogram_count/sum/avg/stddev/stdvar/quantile/fraction over
-  *    histogram-valued selectors and over `sum [by/without]` of them
-  *    (bucket-wise merge; mixed schemas downscale to the group's
-  *    coarsest). histogram_quantile unions its classic le-bucket half.
-  *  Not supported: histogram arithmetic and rate over histogram
-  *  counters (the corridor's documented bounds).
+  *    histogram-valued selectors, over `rate`/`increase`/`delta` of
+  *    histogram range selectors (counter semantics + extrapolation per
+  *    channel — the `histogram_quantile(0.9, rate(m[5m]))` SLO shape),
+  *    and over `sum [by/without]` of either (bucket-wise merge; mixed
+  *    schemas downscale to the group's coarsest). histogram_quantile
+  *    unions its classic le-bucket half.
+  *  Not supported: histogram arithmetic (the corridor's documented
+  *  bound).
   *
   *  Vector matching raises Prometheus's execution error on DUPLICATE
   *  match keys (one-to-one: either side; many-to-one: the "one" side) —
@@ -612,7 +615,26 @@ object PromQl {
         * sample 1440× before the aggregate. Tests pin both plans
         * equal by forcing 0 (always window) / MaxValue (always
         * explode). */
-      rangeExplodeCapK: Int = 64)
+      rangeExplodeCapK: Int = 64,
+      /** Upper bound on the matched series count, when the caller can
+        * know it cheaply (a store read knows it from the manifest —
+        * [[graft.Db.promql]] threads it; a raw-parquet eval leaves it
+        * unset). Gates every per-series dimension broadcast the
+        * compiler emits, the same discipline as
+        * `BlockStore.broadcastLimit`: an unconditional `broadcast()`
+        * over 10⁸ series forces a driver-side build that OOMs, so with
+        * no bound (or one over [[broadcastLimit]]) the hint is dropped
+        * and AQE picks the strategy from runtime sizes. */
+      seriesEstimate: Option[Long] = None,
+      /** Max series-dimension rows the compiler will HINT broadcast
+        * (matches `BlockStore.Options.broadcastLimit`'s default). */
+      broadcastLimit: Long = 2000000L) {
+    /** A per-series dim (one row per series) with the broadcast hint
+      * applied only when the series bound says the driver-side build is
+      * safe. */
+    private[query] def hintSeriesDim(dim: DataFrame): DataFrame =
+      if (seriesEstimate.exists(_ <= broadcastLimit)) broadcast(dim) else dim
+  }
 
   /** A compiled value: an instant vector (frame of
     * `series_key, labels, t, v`) or a constant scalar. */
@@ -944,6 +966,14 @@ object PromQl {
       * the `lookback − 1` closed window IS the half-open PromQL one on
       * integer milliseconds). */
     private def instantVector(s: Selector): DataFrame = {
+      // mixed-corpus sources: a series can interleave float and
+      // histogram samples, and a NEWER histogram makes the float
+      // channel stale — the latest-ROW fill decides per instant
+      // ([[mixedFill]], the h channel's mirror)
+      if (hasH)
+        return mixedFill(s).where(col("vh.v").isNotNull)
+          .select(col("series_key"), col("labels"), col("t"),
+            col("vh.v").as("v"))
       // bind the fetch ONCE, and let the labels map ride the fill's own
       // aggregate (first per series: constant) — no second scan of the
       // source and no series-scale re-attach join per selector
@@ -1327,8 +1357,13 @@ object PromQl {
           } ++
           (if (need("first")) Seq(struct4(firstFields, "first")) else Nil) ++
           (if (need("last")) Seq(struct4(lastFields, "last")) else Nil): _*)
+      // labels re-attach at output grain: ONE ROW PER SERIES, so the
+      // broadcast hint is gated on the caller's series bound (a store
+      // read knows it from the manifest; unbounded → AQE decides) —
+      // unconditional hinting here is a driver OOM exactly on the big
+      // queries this path exists for (k > 64 over a wide fleet)
       val labelsDim = src.groupBy("series_key").agg(first("labels").as("labels"))
-      structed.join(broadcast(labelsDim), Seq("series_key"))
+      structed.join(p.hintSeriesDim(labelsDim), Seq("series_key"))
     }
 
     /** PromQL's extrapolatedRate (promql semantics; same closed form as
@@ -1582,8 +1617,18 @@ object PromQl {
       case Call("histogram_quantile", Seq(q, e))
           if hasH && hVecOf(e).isDefined =>
         val phi = scalarOf(q)
-        Vec(histogramQuantile(phi, vecOf(e))
-          .unionByName(hVec(hVecOf(e).get, hQuantileExpr(phi, col("h")))))
+        // a metric carrying BOTH classic le-buckets and native data for
+        // the same underlying series would emit duplicate output
+        // elements from the union (upstream detects the conflict and
+        // drops the classic side with a warning) — the native half wins
+        // and the classic half anti-joins away its colliding (series,
+        // instant) elements; disjoint corpora pass through untouched
+        val native = hVec(hVecOf(e).get, hQuantileExpr(phi, col("h")))
+        val classic = histogramQuantile(phi, vecOf(e))
+        Vec(classic
+          .join(native.select("series_key", "t"),
+            Seq("series_key", "t"), "left_anti")
+          .unionByName(native))
       case Call("histogram_quantile", Seq(q, e)) =>
         Vec(histogramQuantile(scalarOf(q), vecOf(e)))
       case Call("vector", Seq(s)) =>
@@ -1909,8 +1954,8 @@ object PromQl {
     // reduce IN-ROW to a float vector with higher-order array
     // expressions (instant-vector grain — the interpreted lambdas touch
     // group-scale rows, never samples). Out of corridor scope,
-    // rejected as before: histogram arithmetic, rate over histogram
-    // counters, sum() of histogram vectors.
+    // rejected as before: histogram arithmetic (binary ops between
+    // histogram vectors — the corridor's one documented bound).
 
     /** True when the bound source carries the histogram channel. */
     private def hasH: Boolean = samples.columns.contains("h")
@@ -1924,25 +1969,39 @@ object PromQl {
         f: (Column, Column) => Column, fin: Column => Column): Column =
       org.apache.spark.sql.functions.aggregate(arr, zero, f, fin)
 
-    /** Staleness fill over the `h` channel: latest histogram sample per
-      * series within the lookback at every lattice instant. */
-    private def hInstantVector(s: Selector): DataFrame = {
-      val src = selected(s).where(col("h").isNotNull)
-        .select("series_key", "labels", "t", "h")
+    /** Latest-ROW staleness fill over the mixed `(v, h)` channel: one
+      * struct payload rides the fill, so its `(t, payload)` max picks
+      * the latest SAMPLE regardless of type — upstream staleness is
+      * latest-sample-wins ACROSS types (a newer float supersedes an
+      * older histogram inside the lookback, and vice versa). Consumers
+      * keep exactly the instants their own channel wins. */
+    private def mixedFill(s: Selector): DataFrame = {
+      val src = selected(s).where(col("h").isNotNull || col("v").isNotNull)
+        .select(col("series_key"), col("labels"), col("t"),
+          struct(col("v"), col("h")).as("vh"))
       val look = p.lookbackMs - 1
       if (look < p.stepMs)
-        AsOf.latestPerInstant(src.withColumnRenamed("h", "r_v"),
+        AsOf.latestPerInstant(src.withColumnRenamed("vh", "r_v"),
             Seq("series_key"), p.stepMs, look, "r", originMs = p.startMs,
             carryCols = Seq("labels"))
-          .where(col("r_v").isNotNull && col("t").between(p.startMs, p.endMs))
-          .select(col("series_key"), col("labels"), col("t"), col("r_v").as("h"))
+          .where(col("t").between(p.startMs, p.endMs))
+          .select(col("series_key"), col("labels"), col("t"),
+            col("r_v").as("vh"))
       else
         AsOf.gridFillWide(
-          src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look, Seq("h"),
-          carryCols = Seq("labels"))
-          .where(col("h_v").isNotNull)
-          .select(col("series_key"), col("labels"), col("t"), col("h_v").as("h"))
+          src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look,
+          Seq("vh"), carryCols = Seq("labels"))
+          .select(col("series_key"), col("labels"), col("t"),
+            col("vh_v").as("vh"))
     }
+
+    /** Staleness fill over the `h` channel: the latest sample per
+      * series within the lookback at every lattice instant, kept only
+      * where that latest sample IS a histogram ([[mixedFill]]). */
+    private def hInstantVector(s: Selector): DataFrame =
+      mixedFill(s).where(col("vh.h").isNotNull)
+        .select(col("series_key"), col("labels"), col("t"),
+          col("vh.h").as("h"))
 
     /** The histogram's buckets as `(l, u, c)` triples in VALUE order
       * (negative buckets by descending index, the zero bucket, positive
@@ -2033,15 +2092,176 @@ object PromQl {
       dropName(hv.withColumn("v", value).select("series_key", "labels", "t", "v"))
 
     /** The corridor's recursive argument evaluator: a histogram vector
-      * is a plain selector's fill, or `sum [by/without] (…)` of one —
-      * the bucket-wise merge PromQL defines for histogram aggregation
-      * (`histogram_quantile(φ, sum(rate-less m))`, the canonical
-      * serving shape). Anything else is not histogram-valued here. */
+      * is a plain selector's fill, `rate`/`increase`/`delta` of a
+      * histogram range selector ([[hRangeVec]] — the
+      * `histogram_quantile(0.9, rate(m[5m]))` SLO shape), or
+      * `sum [by/without] (…)` of either — the bucket-wise merge PromQL
+      * defines for histogram aggregation. Anything else is not
+      * histogram-valued here. */
     private def hVecOf(e: Expr): Option[DataFrame] = e match {
       case s: Selector if s.at.isEmpty => Some(hInstantVector(s))
+      case Call(fn @ ("rate" | "increase" | "delta"), Seq(rs: RangeSel))
+          if rs.sel.at.isEmpty =>
+        Some(hRangeVec(fn, rs))
       case Agg("sum", None, body, grouping, without) =>
         hVecOf(body).map(hSumBy(_, grouping, without))
       case _ => None
+    }
+
+    /** `rate()`/`increase()`/`delta()` over a native-histogram range
+      * selector — histogram-valued output, one histogram per (series,
+      * instant). Upstream semantics (promql/functions.go
+      * histogramRate): the window's result is `last − first` channel-
+      * wise, plus the pre-reset histogram at every counter reset
+      * (detected whole-histogram: any count/z_count/bucket shrink), the
+      * whole thing scaled by the float family's extrapolation factor
+      * (histograms skip the counter zero-cut — that guard is
+      * float-only upstream) and, for `rate`, by 1/range-seconds.
+      * `delta` is the gauge form: plain `last − first`, no resets.
+      *
+      * Plan shape — the identity `last − first + Σ resets prev ≡
+      * Σ consecutive-pair deltas (reset pairs contribute cur)` turns
+      * the window computation into per-CHANNEL sums: ONE per-series
+      * sample-grain lag (whole-struct predecessor + in-row channel
+      * subtract), a channel explode (≤ ~2·buckets + 3 scalar channels
+      * per sample), the family's candidate-anchor explode, and ONE
+      * map-side-combined hash aggregate per (series, instant, channel).
+      * Nothing is quadratic; the shuffle carries channel-grain rows.
+      * The per-(series, instant) sample stats (n, first/last t → the
+      * extrapolation factor) ride a parallel sample-grain aggregate
+      * joined back at group grain.
+      *
+      * Corridor bounds (documented, as upstream warns-and-drops):
+      * schema and zero threshold are fixed per series within the range;
+      * a float sample inside the window of a histogram series does not
+      * flip the result to float. */
+    private def hRangeVec(fn: String, rs: RangeSel): DataFrame = {
+      val rangeMs = rs.rangeMs
+      val isCounter = fn != "delta"
+      val src = selected(rs.sel).where(col("h").isNotNull)
+        .select("series_key", "labels", "t", "h")
+      // bucket count at index i (0 when the channel is absent; `get` is
+      // the null-on-miss lookup — ANSI element_at throws on empty)
+      def cAt(arr: Column, i: Column): Column =
+        coalesce(get(filter(arr, b => b.getField("i") === i), lit(0))
+          .getField("c"), lit(0.0))
+      // channel-wise cur − prev over one side's sparse arrays; zero
+      // deltas drop (canonical sparse form — both engines' walks then
+      // see the same bucket sequence)
+      def sideSub(cur: Column, prev: Column): Column = {
+        val idxs = array_sort(array_union(
+          transform(cur, b => b.getField("i")),
+          transform(prev, b => b.getField("i"))))
+        filter(
+          transform(idxs, i =>
+            struct(i.as("i"), (cAt(cur, i) - cAt(prev, i)).as("c"))),
+          s => s.getField("c") =!= 0.0)
+      }
+      def anyShrunk(cur: Column, prev: Column): Column =
+        exists(prev, pb => cAt(cur, pb.getField("i")) < pb.getField("c"))
+      val w = Window.partitionBy("series_key").orderBy("t")
+      val withPrev = src
+        .withColumn("__ph", lag("h", 1).over(w))
+        .withColumn("__pt", lag("t", 1).over(w))
+      // upstream FloatHistogram.DetectReset: any channel shrinking
+      // (total, zero bucket, or any sparse bucket) marks a counter
+      // restart; the pair then contributes cur alone (≡ adding prev to
+      // last − first)
+      val reset: Column =
+        if (!isCounter) lit(false)
+        else col("h.count") < col("__ph.count") ||
+          col("h.z_count") < col("__ph.z_count") ||
+          anyShrunk(col("h.pos"), col("__ph.pos")) ||
+          anyShrunk(col("h.neg"), col("__ph.neg"))
+      def d(cur: Column, prev: Column): Column =
+        when(reset, cur).otherwise(cur - prev)
+      val deltas = withPrev.where(col("__pt").isNotNull).select(
+        col("series_key"), col("t"), col("__pt"),
+        when(reset, col("h.pos"))
+          .otherwise(sideSub(col("h.pos"), col("__ph.pos"))).as("__dpos"),
+        when(reset, col("h.neg"))
+          .otherwise(sideSub(col("h.neg"), col("__ph.neg"))).as("__dneg"),
+        d(col("h.z_count"), col("__ph.z_count")).as("__dz"),
+        d(col("h.count"), col("__ph.count")).as("__dcnt"),
+        // the sum channel is gauge-like even in a counter histogram
+        // (negative observations shrink it); on reset it restarts with
+        // the post-reset histogram like every other channel
+        d(col("h.sum"), col("__ph.sum")).as("__dsum"))
+      def chanOf(p0: Int, arr: Column): Column = transform(arr, b =>
+        struct(lit(p0).as("part"), b.getField("i").as("i"),
+          b.getField("c").as("c")))
+      def scalarChan(p0: Int, c: Column): Column =
+        struct(lit(p0).as("part"), lit(null).cast("int").as("i"), c.as("c"))
+      val chan = deltas.select(
+        col("series_key"), col("t"), col("__pt"),
+        explode(concat(
+          chanOf(-1, col("__dneg")),
+          array(scalarChan(0, col("__dz")), scalarChan(2, col("__dcnt")),
+            scalarChan(3, col("__dsum"))),
+          chanOf(1, col("__dpos")))).as("ch"))
+      // the family's candidate-anchor explode ([[rangeFrame]]'s form)
+      val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
+      val g0 = (floor((col("t") - 1 - p.startMs) / p.stepMs) * p.stepMs
+        + p.stepMs + p.startMs).cast("long")
+      def anchored(df: DataFrame): DataFrame = df
+        .withColumn("g",
+          explode(sequence(g0, g0 + k.toLong * p.stepMs, lit(p.stepMs))))
+        .where(col("g").between(p.startMs, p.endMs) &&
+          col("t") > col("g") - rangeMs) // half-open (g − range, g]
+      // a pair contributes to instant g only when BOTH ends are in the
+      // window — the base of last − first is the first IN-WINDOW sample
+      val chanSums = anchored(chan)
+        .where(col("__pt") > col("g") - rangeMs)
+        .select(col("series_key"), col("g"),
+          col("ch.part").as("part"), col("ch.i").as("i"), col("ch.c").as("c"))
+        .groupBy("series_key", "g", "part", "i")
+        .agg(sum("c").as("c"))
+      // per-(series, instant) sample stats → the extrapolation factor
+      val stats = anchored(src.select(col("series_key"), col("t"),
+          col("h.schema").as("__sch"), col("h.zt").as("__zt")))
+        .groupBy("series_key", "g")
+        .agg(count(lit(1)).as("cnt"),
+          min("t").as("first_t"), max("t").as("last_t"),
+          first("__sch").as("schema"), max("__zt").as("zt"))
+        .where(col("cnt") >= 2 && col("last_t") > col("first_t"))
+      val si = (col("last_t") - col("first_t")).cast("double") / 1000.0
+      val avgDur = si / (col("cnt") - 1)
+      val durStart = (col("first_t") - (col("g") - rangeMs)).cast("double") / 1000.0
+      val durEnd = (col("g") - col("last_t")).cast("double") / 1000.0
+      val thr = avgDur * 1.1
+      val ext = si +
+        when(durStart < thr, durStart).otherwise(avgDur / 2) +
+        when(durEnd < thr, durEnd).otherwise(avgDur / 2)
+      val factor: Column =
+        if (fn == "rate") ext / si / (rangeMs / 1000.0) else ext / si
+      val scaled = chanSums
+        .join(stats.withColumn("__factor", factor),
+          Seq("series_key", "g"))
+        .withColumn("c", col("c") * col("__factor"))
+      val emptySide = array().cast("array<struct<i:int,c:double>>")
+      val packed = scaled
+        .groupBy("series_key", "g", "schema", "zt")
+        .agg(
+          coalesce(sum(when(col("part") === 0, col("c"))), lit(0.0)).as("__z"),
+          coalesce(sum(when(col("part") === 2, col("c"))), lit(0.0)).as("__cnt"),
+          coalesce(sum(when(col("part") === 3, col("c"))), lit(0.0)).as("__sum"),
+          sort_array(collect_list(when(col("part") === -1 && col("c") =!= 0.0,
+            struct(col("i"), col("c"))))).as("__neg"),
+          sort_array(collect_list(when(col("part") === 1 && col("c") =!= 0.0,
+            struct(col("i"), col("c"))))).as("__pos"))
+        .select(col("series_key"), col("g").as("t"),
+          struct(col("schema"), col("zt"),
+            col("__z").as("z_count"), col("__cnt").as("count"),
+            col("__sum").as("sum"),
+            coalesce(col("__neg"), emptySide).as("neg"),
+            coalesce(col("__pos"), emptySide).as("pos")).as("h"))
+      // labels re-attach at output grain, hint gated on the caller's
+      // series bound (the windowRangeAgg discipline)
+      val labelsDim = src.groupBy("series_key").agg(first("labels").as("labels"))
+      val out = packed.join(p.hintSeriesDim(labelsDim), Seq("series_key"))
+        .select("series_key", "labels", "t", "h")
+      // counter/gauge range functions drop the metric name
+      dropName(out)
     }
 
     /** Bucket-wise `sum` of histogram vectors at instant grain: mixed
@@ -2059,12 +2279,26 @@ object PromQl {
         .withColumn("labels", keep)
         .withColumn("series_key", graft.functions.seriesKey(col("labels")))
       val base = g.groupBy("series_key", "t").agg(
-        first("labels").as("labels"),
-        min(col("h.schema")).as("__schema"),
-        max(col("h.zt")).as("__zt"),
-        sum(col("h.z_count")).as("__z"),
-        sum(col("h.count")).as("__count"),
-        sum(col("h.sum")).as("__sum"))
+          first("labels").as("labels"),
+          min(col("h.schema")).as("__schema"),
+          max(col("h.zt")).as("__zt"),
+          min(col("h.zt")).as("__ztMin"),
+          sum(col("h.z_count")).as("__z"),
+          sum(col("h.count")).as("__count"),
+          sum(col("h.sum")).as("__sum"))
+        // mixed zero thresholds cannot merge bucket-wise without
+        // re-bucketing interior buckets into the widened zero bucket
+        // (upstream grows the zero bucket absorbing them); rather than
+        // silently mis-bucket, raise the clean execution error — the
+        // schema remap below has a downscale rule, zt has none here
+        .where(when(col("__zt") =!= col("__ztMin"),
+          raise_error(concat(
+            lit("promql: cannot sum native histograms with differing " +
+              "zero thresholds in one group ("),
+            col("__ztMin"), lit(" vs "), col("__zt"), lit(")")))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+        .drop("__ztMin")
       def side(p0: Int, arr: Column) = transform(arr, b =>
         struct(lit(p0).as("part"), b.getField("i").as("i"), b.getField("c").as("c")))
       val buckets = g.select(col("series_key"), col("t"),

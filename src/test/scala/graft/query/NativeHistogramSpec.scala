@@ -31,6 +31,17 @@ class NativeHistogramSpec extends SparkSuite {
     assert(got == cases.map(_._3))
   }
 
+  test("observe: NaN observations drop (no phantom bucket rows)") {
+    val r = rows(Seq(2.0, Double.NaN, 3.0))
+    // no row with a bucket part but a null index (the phantom a NaN
+    // used to fabricate: part -1 with idx null from ceil(log2(NaN)))
+    assert(r.where(col("part") =!= 0 && col("idx").isNull).count() == 0)
+    // the NaN contributes to NOTHING: totals equal the NaN-free twin
+    val clean = rows(Seq(2.0, 3.0))
+    assert(r.agg(sum("c")).as[Long].head() == clean.agg(sum("c")).as[Long].head())
+    assert(NativeHistogram.quantile(r, 0.5, ZT).select("n").as[Long].head() == 2L)
+  }
+
   test("observe: zero bucket, positive and negative parts") {
     // values: -3 (neg idx 2), -0.3 (zero), 0.0 (zero), 3 (pos idx 2), 6 (pos idx 3)
     val r = rows(Seq(-3.0, -0.3, 0.0, 3.0, 6.0))

@@ -168,9 +168,13 @@ class PromQlConformanceSpec extends SparkSuite {
 
   private def splitSeriesLine(line: String): (String, Seq[String]) = {
     val t = line.trim
+    val ws = t.indexWhere(_.isWhitespace) match { case -1 => t.length; case i => i }
+    // the id's label braces only count when they start before the first
+    // whitespace — a BARE metric name followed by a histogram literal
+    // (`hc {{…}}`) must not swallow the literal's braces into the id
     val end =
-      if (t.contains('{')) t.indexOf('}') + 1
-      else t.indexWhere(_.isWhitespace) match { case -1 => t.length; case i => i }
+      if (t.contains('{') && t.indexOf('{') < ws) t.indexOf('}') + 1
+      else ws
     val (id, rest) = t.splitAt(end)
     // histogram literals `{{…}}` contain spaces — keep each one (plus
     // any `xN` suffix) a single token

@@ -612,4 +612,35 @@ class PromQlSpec extends SparkSuite {
       vals(PromQl.eval("sort_by_label(http_requests, \"instance\")", counters, p)) ==
         vals(PromQl.eval("http_requests", counters, p)))
   }
+
+  test("windowRangeAgg labels broadcast is gated on the caller's series bound") {
+    // force the RANGE-frame window plan (capK = 0) so the per-series
+    // labels dim join is in the plan, then flip only the series bound
+    def planOf(est: Option[Long]): String = {
+      val p = PromQl.Params(50 * M, 50 * M, M, rangeExplodeCapK = 0,
+        seriesEstimate = est)
+      PromQl.eval("rate(http_requests[30m])", counters, p)
+        .queryExecution.sparkPlan.toString
+    }
+    // with auto-broadcast off, only the explicit hint can broadcast —
+    // the assert proves the GATE controls the strategy, not size luck
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(planOf(Some(2L)).contains("BroadcastHashJoin"),
+        planOf(Some(2L)).take(2000))
+      // unbounded (raw-parquet eval) and over-bound (wide fleet) both
+      // drop the hint — AQE picks from runtime sizes
+      assert(!planOf(None).contains("BroadcastHashJoin"),
+        planOf(None).take(2000))
+      assert(!planOf(Some(3000000L)).contains("BroadcastHashJoin"),
+        planOf(Some(3000000L)).take(2000))
+      // and the gated plan still answers correctly both ways
+      val p0 = PromQl.Params(50 * M, 50 * M, M, rangeExplodeCapK = 0)
+      val hinted = vals(PromQl.eval("rate(http_requests[30m])", counters,
+        p0.copy(seriesEstimate = Some(2L))))
+      val aqe = vals(PromQl.eval("rate(http_requests[30m])", counters, p0))
+      assert(hinted == aqe && hinted.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }
