@@ -111,6 +111,17 @@ final class Db private (
     * store read attaches each series' label map from the postings
     * index, one pivot). `nameLabel` defaults to `__name__`, the
     * Prometheus convention. */
+  /** The optional native-histogram channel: a samples frame
+    * `(series_key, labels, t, h)` ([[graft.query.PromQl.HistType]]
+    * structs — `NativeHistogram.observe`+pack or the streaming observe
+    * produce one) that [[promql]] unions onto every read, activating
+    * the PromQL corridor and the HTTP API's histogram envelope. This is
+    * the serving seam until store-native histogram chunks land: the
+    * float store's layout, pushdown and lifecycle stay untouched. */
+  @volatile private var histChannel: Option[DataFrame] = None
+  def registerHistograms(frame: DataFrame): Unit =
+    histChannel = Some(frame.select("series_key", "labels", "t", "h"))
+
   def promql(
       query: String,
       startMs: Long,
@@ -124,20 +135,44 @@ final class Db private (
     // any readRange; each SELECTOR fetches through the pushdown hook,
     // so its matchers resolve in the postings index (never on sample
     // rows) like every other read
+    import org.apache.spark.sql.functions.{col, lit}
     val (mint, maxt) =
       graft.query.PromQl.scanBoundsMs(query, startMs, endMs, lookbackMs)
-    val samples = store.readRange(spark, mint, maxt, withLabels = true)
-    graft.query.PromQl.eval(query, samples,
-      graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs,
-        nameLabel = nameLabel,
-        pushdown = Some(ms =>
-          store.readRange(spark, mint, maxt, withLabels = true, ms: _*)),
-        // the manifest's series total bounds every matched set — the
-        // same bound readSelected's semi-join gate uses — so the
-        // compiler's per-series dim broadcasts hint only when the
-        // driver-side build is provably safe
-        seriesEstimate = Some(store.manifest.blocks.map(_.numSeries).sum),
-        broadcastLimit = store.broadcastLimit))
+    // float rows gain a typed-null h / histogram rows a null v, so the
+    // union is the canonical mixed frame the corridor reads
+    def mixed(floats: DataFrame, hist: DataFrame): DataFrame =
+      floats.select(col("series_key"), col("labels"), col("t"), col("v"))
+        .withColumn("h", lit(null).cast(graft.query.PromQl.HistType))
+        .unionByName(hist.select(col("series_key"), col("labels"), col("t"),
+          lit(null).cast("double").as("v"), col("h")))
+    def histIn(ms: Seq[Matcher]): Option[DataFrame] = histChannel.map(hf =>
+      hf.where(col("t").between(mint, maxt) &&
+        Matcher.conjunction(ms, k => col("labels").getItem(k))))
+    val base = store.readRange(spark, mint, maxt, withLabels = true)
+    val samples = histChannel match {
+      case None => base
+      case Some(hf) => mixed(base, hf.where(col("t").between(mint, maxt)))
+    }
+    val params = graft.query.PromQl.Params(startMs, endMs, stepMs, lookbackMs,
+      nameLabel = nameLabel,
+      // the float half keeps its postings-index pushdown; the
+      // histogram channel filters its (corridor-sized) frame on the
+      // labels map with the same matcher set
+      pushdown = Some { ms =>
+        val floats = store.readRange(spark, mint, maxt, withLabels = true, ms: _*)
+        histIn(ms) match {
+          case None => floats
+          case Some(hf) => mixed(floats, hf)
+        }
+      },
+      // the manifest's series total bounds every matched set — the
+      // same bound readSelected's semi-join gate uses — so the
+      // compiler's per-series dim broadcasts hint only when the
+      // driver-side build is provably safe
+      seriesEstimate = Some(store.manifest.blocks.map(_.numSeries).sum),
+      broadcastLimit = store.broadcastLimit)
+    if (histChannel.isEmpty) graft.query.PromQl.eval(query, samples, params)
+    else graft.query.PromQl.evalMixed(query, samples, params)
   }
 
   /** Consistent snapshot into `destRoot` (`db.go:1108-1146`). */

@@ -167,6 +167,13 @@ object SparkEntry {
   private val HIST_LES = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
   /** Native-histogram zero-bucket threshold (|v − 35| ≤ zt → zero bucket). */
   private val NATIVE_ZT = 0.5
+
+  /** The suite corpus's samples per (series, day) — the raw-parquet
+    * density estimate fed to [[Rate.preAgg]] (events: ~2 per
+    * user-series-day at every sf, where the clustered no-partial plan
+    * wins). Store readers never use this: they derive the estimate
+    * from manifest stats (`BlockStore.samplesPerSeries`). */
+  private val RAW_DENSITY = 2.0
   /** Per-source sampling rates for doc_sample_mix (default 0.25). */
   private val MIX_RATES = Seq("src0" -> 0.8, "src1" -> 0.8, "src2" -> 0.5)
   private val BUCKET_W = 21600000L // 6h block range
@@ -810,7 +817,7 @@ object SparkEntry {
       // rows to ~1M. Clustering first plans ONE full aggregate over
       // per-task-sized maps; the exchange carries the same rows.
       Histogram.quantile(
-          Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+          Rate.preAgg(TsdbSource.events(s, dir).samples, RAW_DENSITY),
           DAY, HIST_LES, 0.9)
         .sortWithinPartitions("series_key", "t_bucket")),
 
@@ -826,7 +833,7 @@ object SparkEntry {
     // opposite; the r9 stage metrics said otherwise).
     "ts_hist_fraction" -> ((s, dir) =>
       Histogram.fraction(
-          Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+          Rate.preAgg(TsdbSource.events(s, dir).samples, RAW_DENSITY),
           DAY, HIST_LES, 25.0, 120.0)
         .sortWithinPartitions("series_key", "t_bucket")),
 
@@ -842,7 +849,7 @@ object SparkEntry {
     "ts_native_quantile" -> ((s, dir) =>
       NativeHistogram.quantile(
           NativeHistogram.observe(
-            Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+            Rate.preAgg(TsdbSource.events(s, dir).samples, RAW_DENSITY),
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           0.9, NATIVE_ZT)
         .sortWithinPartitions("series_key", "t_bucket")),
@@ -853,7 +860,7 @@ object SparkEntry {
     "ts_native_fraction" -> ((s, dir) =>
       NativeHistogram.fraction(
           NativeHistogram.observe(
-            Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+            Rate.preAgg(TsdbSource.events(s, dir).samples, RAW_DENSITY),
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           -2.0, 16.0, NATIVE_ZT)
         .sortWithinPartitions("series_key", "t_bucket")),
@@ -864,7 +871,7 @@ object SparkEntry {
     "ts_native_stddev" -> ((s, dir) =>
       NativeHistogram.stats(
           NativeHistogram.observe(
-            Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+            Rate.preAgg(TsdbSource.events(s, dir).samples, RAW_DENSITY),
             DAY, lit(0), NATIVE_ZT, col("v") - 35),
           NATIVE_ZT)
         .sortWithinPartitions("series_key", "t_bucket")),
@@ -1096,7 +1103,7 @@ object SparkEntry {
     // has no combine shrink, and the global orderBy's sampling job
     // would re-run the interpreted smoothing fold.
     "ts_holt_winters" -> ((s, dir) =>
-      Rate.holtWinters(Rate.seriesClustered(TsdbSource.events(s, dir).samples),
+      Rate.holtWinters(Rate.preAgg(TsdbSource.events(s, dir).samples, RAW_DENSITY),
           DAY, sf = HW_SF, tf = HW_TF)
         .sortWithinPartitions("series_key", "t_bucket")),
 
@@ -1119,7 +1126,7 @@ object SparkEntry {
       // both ranks from ONE percentile buffer (array form): two scalar
       // percentile aggregates would each collect the group's values —
       // double the buffering and double the in-group sort
-      Rate.seriesClustered(TsdbSource.events(s, dir).samples)
+      Rate.preAgg(TsdbSource.events(s, dir).samples, RAW_DENSITY)
         .groupBy(col("series_key"), gf.rangeForTimestamp(col("t"), DAY).as("t_bucket"))
         .agg(
           expr("percentile(v, array(0.5D, 0.95D))").as("__ps"),
@@ -1194,7 +1201,7 @@ object SparkEntry {
     // Clustering first makes ONE full aggregate over per-task-sized
     // maps; the exchange carries the same ~1M rows either way.
     "ts_irate" -> ((s, dir) =>
-      Rate.instant(Rate.seriesClustered(TsdbSource.events(s, dir).samples), DAY)
+      Rate.instant(Rate.preAgg(TsdbSource.events(s, dir).samples, RAW_DENSITY), DAY)
         .sortWithinPartitions("series_key", "t_bucket")),
 
     // PromQL resets()/changes() per (series, day): consecutive-sample

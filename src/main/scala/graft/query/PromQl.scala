@@ -838,6 +838,43 @@ object PromQl {
   def eval(query: String, samples: DataFrame, p: Params): DataFrame =
     evalUnsorted(query, samples, p).orderBy("series_key", "t")
 
+  /** The corridor's histogram struct type (the `h` channel of a mixed
+    * samples frame, [[NativeHistogram]]'s packed shape). */
+  val HistType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(
+      "struct<schema:int,zt:double,z_count:double,count:double," +
+        "sum:double,neg:array<struct<i:int,c:double>>," +
+        "pos:array<struct<i:int,c:double>>>")
+
+  /** [[eval]] extended with the native-histogram channel: the result
+    * frame carries BOTH `v` and `h` (exactly one non-null per row). A
+    * float-valued expression returns its vector with a typed-null `h`;
+    * when the source carries histograms and the expression is
+    * histogram-shaped (a selector, `rate`/`increase`/`delta` of a range
+    * selector, or `sum [by/without]` of those), the histogram channel's
+    * elements UNION in — each channel is empty exactly where the other
+    * sample kind wins the staleness fill ([[Compiler.mixedFill]]), the
+    * upstream mixed-metric behavior. This is the serving stack's entry:
+    * [[ResultJson]] renders per row whichever channel is present (the
+    * Prometheus sample envelope's value-vs-histogram switch). */
+  def evalMixed(query: String, samples: DataFrame, p: Params): DataFrame = {
+    val floats = evalUnsorted(query, samples, p)
+      .withColumn("h", lit(null).cast(HistType))
+    val hOpt =
+      if (!samples.columns.contains("h")) None
+      else parse(query) match {
+        case _: RangeSel | _: Subquery => None // matrix replay: float channel
+        case ast => new Compiler(samples, p).histVec(ast)
+      }
+    val out = hOpt match {
+      case Some(hv) => floats.unionByName(hv.select(
+        col("series_key"), col("labels"), col("t"),
+        lit(null).cast("double").as("v"), col("h")))
+      case None => floats
+    }
+    out.orderBy("series_key", "t")
+  }
+
   /** [[eval]] minus the final global sort: the `orderBy`'s range
     * partitioner runs a bounds-SAMPLING job that re-executes the whole
     * compiled lineage once before the real pass — a ~2× tax no
@@ -1189,13 +1226,17 @@ object PromQl {
       * `pt = g − range` the suffix, and one hash aggregate per
       * `(series, g)` semigroup-combines the halves (all suffix-part
       * times precede all prefix-part times, so first/last combine by
-      * coalesce). Total cost: one exchange + two in-partition sorts of
-      * `n + 2·|series|·|lattice|` rows — NO k·n explode, and no
-      * anchors-inside-sliding-frames quadratic (Spark re-evaluates a
-      * sliding frame's whole buffer whenever its lower bound moves, so
-      * a lattice-dense RANGE frame costs O(lattice²) per series — the
-      * r9 bench caught the first version of this path doing exactly
-      * that at k = 1440). */
+      * coalesce). Since r10 the samples are FIRST partially aggregated
+      * (map-side combined) to step-bucket grain — every stat is a
+      * semigroup, so the running windows consume bucket partials —
+      * making the total cost: one map-side-combined exchange of
+      * per-(series, step) partials + two in-partition sorts of
+      * `≤ 3·|series|·|lattice|` rows — NO k·n explode, no sample-scale
+      * sort, and no anchors-inside-sliding-frames quadratic (Spark
+      * re-evaluates a sliding frame's whole buffer whenever its lower
+      * bound moves, so a lattice-dense RANGE frame costs O(lattice²)
+      * per series — the r9 bench caught the first version of this path
+      * doing exactly that at k = 1440). */
     private def windowRangeAgg(
         src: DataFrame, rangeMs: Long, need: Set[String],
         needLag: Boolean): DataFrame = {
@@ -1210,75 +1251,116 @@ object PromQl {
         .repartition(shufN0)
         .withColumn("g",
           explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
-      // sample rows: flag 0; END anchors: flag 1 at pt = g (sorting
-      // AFTER equal-pt samples, so t = g samples land in the prefix);
-      // START anchors: flag −1 at pt = g − range (sorting BEFORE
-      // equal-pt samples in the DESC pass, so t = g − range samples
-      // stay OUT of the suffix — the half-open boundary)
+      // ---- stage 1 (r10): ONE map-side-combined partial aggregate of
+      // the lag-featured samples to (series, blk, pa, pd) BUCKET grain,
+      // where pa = the sample's ceil point on the anchor lattice and
+      // pd = its ceil point on the range-shifted (start-anchor)
+      // lattice. Inclusion stays EXACT at bucket grain: for a lattice
+      // anchor g, pt ≤ g ⟺ pa ≤ g, and for a start anchor s (on the
+      // shifted lattice), pt > s ⟺ pd > s. Every stat is a semigroup
+      // (counts/sums add; min/max nest; first/last picks nest through
+      // min_by/max_by on the same (t, v) order key) — the property the
+      // prefix/suffix splice below already relies on — so the running
+      // windows read bucket PARTIALS instead of raw samples: the big
+      // exchange carries per-(series, step) partials (at scrape density
+      // up to samples-per-step× fewer rows) and BOTH in-partition sorts
+      // run at lattice grain, never sample grain.
+      def ceilLattice(pt: Column, origin: Long): Column =
+        (floor((pt - 1 - origin) / p.stepMs) * p.stepMs + p.stepMs + origin)
+          .cast("long")
+      def blkOf(c: Column): Column =
+        ((c - pmod(c, lit(rangeMs))) / rangeMs).cast("long")
+      val nonNan = when(isnan(col("v")), lit(null)).otherwise(col("v"))
+      // min_by/max_by on struct(t, v) — the explode path's order key —
+      // so bucket-level picks nest into window picks pick-identically
+      val ordKey = struct(col("t"), col("v"))
+      val firstFields: Seq[String] =
+        Seq("t", "v") ++
+          (if (needLag) Seq("inc", "reset_f", "change_f") else Nil)
+      val lastFields: Seq[String] =
+        Seq("t", "v") ++
+          (if (needLag) Seq("prev_t", "prev_v", "inc") else Nil)
+      val fieldExpr: Map[String, Column] = Map(
+        "t" -> col("t"), "v" -> col("v"),
+        "inc" -> coalesce(col("inc_delta"), lit(0.0)),
+        "reset_f" -> col("reset_f"), "change_f" -> col("change_f"),
+        "prev_t" -> col("prev_t"), "prev_v" -> col("prev_v"))
+      val bucketAggs: Seq[Column] =
+        Seq(count(col("v")).as("b_cnt")) ++
+        (if (need("sum_v")) Seq(sum("v").as("b_sum_v")) else Nil) ++
+        (if (need("min_v")) Seq(min("v").as("b_min_v")) else Nil) ++
+        (if (need("max_v")) Seq(max(nonNan).as("b_max_v")) else Nil) ++
+        (if (need("sum_vv"))
+          Seq(sum(col("v") * col("v")).as("b_sum_vv")) else Nil) ++
+        (if (need("first")) firstFields.map(f =>
+          min_by(fieldExpr(f), ordKey).as(s"b_first_$f")) else Nil) ++
+        (if (need("last")) lastFields.map(f =>
+          max_by(fieldExpr(f), ordKey).as(s"b_last_$f")) else Nil) ++
+        (if (need("sum_inc"))
+          Seq(sum(coalesce(col("inc_delta"), lit(0.0))).as("b_sum_inc"))
+        else Nil) ++
+        (if (need("sum_resets"))
+          Seq(sum("reset_f").as("b_sum_resets")) else Nil) ++
+        (if (need("sum_changes"))
+          Seq(sum("change_f").as("b_sum_changes")) else Nil)
       // the labels MAP stays OUT of the exchange + both sorts + the
-      // splice aggregate: it rides every one of the n + 2·series·lattice
-      // rows otherwise, and a per-series broadcast join re-attaches it
-      // at output grain for the same information
-      val featsP = feats.drop("labels")
+      // splice aggregate; a per-series join re-attaches it at output
+      // grain (hint gated on the caller's series bound)
+      val buckets = feats
+        .withColumn("pa", ceilLattice(col("t"), p.startMs))
+        .withColumn("pd", ceilLattice(col("t"), p.startMs - rangeMs))
+        // a bucket row's blk comes from its samples' own pt; grouping
+        // by blk too means a step straddling a block boundary simply
+        // splits into two rows
+        .withColumn("blk", blkOf(col("t")))
+        .groupBy("series_key", "blk", "pa", "pd")
+        .agg(bucketAggs.head, bucketAggs.tail: _*)
         .withColumn("g", lit(null).cast("long"))
-        .withColumn("pt", col("t"))
         .withColumn("flag", lit(0))
+      // END anchors: flag 1 at pa = g (sorting AFTER equal-pa buckets,
+      // whose samples all have pt ≤ g — the closed right boundary);
+      // START anchors: flag −1 at pd = g − range (sorting BEFORE
+      // equal-pd buckets in the DESC pass, whose samples all have
+      // pt ≤ g − range — the open left boundary)
       def pad(df: DataFrame): DataFrame =
-        featsP.columns.foldLeft(df) { (d, c) =>
+        buckets.columns.foldLeft(df) { (d, c) =>
           if (d.columns.contains(c)) d
-          else d.withColumn(c, lit(null).cast(featsP.schema(c).dataType))
-        }.select(featsP.columns.map(col): _*)
+          else d.withColumn(c, lit(null).cast(buckets.schema(c).dataType))
+        }.select(buckets.columns.map(col): _*)
       val endA = pad(anchors0.drop("labels")
-        .withColumn("pt", col("g")).withColumn("flag", lit(1)))
+        .withColumn("pa", col("g")).withColumn("pd", col("g"))
+        .withColumn("blk", blkOf(col("g")))
+        .withColumn("flag", lit(1)))
       val startA = pad(anchors0.drop("labels")
-        .withColumn("pt", col("g") - rangeMs).withColumn("flag", lit(-1)))
+        .withColumn("pa", col("g") - rangeMs)
+        .withColumn("pd", col("g") - rangeMs)
+        .withColumn("blk", blkOf(col("g") - rangeMs))
+        .withColumn("flag", lit(-1)))
       // EXPLICIT partition count on the decomposition exchange: anchor
-      // rows are near-identical and compress ~50×, so AQE's byte-based
-      // coalescing reads a multi-million-row exchange as "one 64 MB
-      // partition" and serializes both window passes through a single
-      // task (r9 bench: 7+ minutes single-threaded). Window cost is
-      // per-ROW, not per-byte — pin the session's shuffle parallelism
-      // (an explicit count is exempt from AQE coalescing); the windows
-      // below share this distribution, so no further exchange.
+      // and bucket rows are near-identical and compress ~50×, so AQE's
+      // byte-based coalescing would read the exchange as "one 64 MB
+      // partition" and serialize both window passes through a single
+      // task (the r9 lesson); an explicit count is exempt, and the
+      // windows below share this distribution — no further exchange.
       val shufN = src.sparkSession.sessionState.conf.numShufflePartitions
-      val rows = featsP.unionByName(endA).unionByName(startA)
-        .withColumn("blk",
-          ((col("pt") - pmod(col("pt"), lit(rangeMs))) / rangeMs).cast("long"))
+      val rows = buckets.unionByName(endA).unionByName(startA)
         .repartition(shufN, col("series_key"), col("blk"))
-      // the `v` tiebreak in both sort orders reproduces the explode
-      // path's min_by/max_by ordering key struct(t, v) — duplicates of
-      // a timestamp resolve "larger value later" — so the per-FIELD
-      // first_value/last_value picks below (2-slot primitive buffers,
-      // not 5-field struct compares per row) are pick-identical
+      // the pd/pa secondary keys order same-step bucket rows (a step
+      // can split on the shifted lattice) in time order for the
+      // first/last running picks
       val wp = Window.partitionBy("series_key", "blk")
-        .orderBy(col("pt"), col("flag"), col("v"))
+        .orderBy(col("pa"), col("flag"), col("pd"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ws = Window.partitionBy("series_key", "blk")
-        .orderBy(col("pt").desc, col("flag"), col("v").desc)
+        .orderBy(col("pd").desc, col("flag"), col("pa").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // anchor rows have null v (a real sample's v is never null — NaN
-      // is a value); the `real` guard nulls anchors out of every pick
-      def real(c: Column): Column = when(col("v").isNotNull, c)
-      val firstFields: Seq[(String, Column)] =
-        (Seq("t" -> col("t"), "v" -> col("v")) ++
-          (if (needLag) Seq(
-            "inc" -> coalesce(col("inc_delta"), lit(0.0)),
-            "reset_f" -> col("reset_f"), "change_f" -> col("change_f"))
-          else Nil)).map { case (n, c) => n -> real(c) }
-      val lastFields: Seq[(String, Column)] =
-        (Seq("t" -> col("t"), "v" -> col("v")) ++
-          (if (needLag) Seq(
-            "prev_t" -> col("prev_t"), "prev_v" -> col("prev_v"),
-            "inc" -> coalesce(col("inc_delta"), lit(0.0)))
-          else Nil)).map { case (n, c) => n -> real(c) }
-      val nonNan = when(isnan(col("v")), lit(null)).otherwise(col("v"))
       // (name, prefix running stat, suffix running stat, combine).
-      // Sums add null-safely; min/max combine via the null-skipping
-      // least/greatest; first/last fields coalesce in time order (all
-      // suffix-half times precede all prefix-half times). In the DESC
-      // suffix pass first/last swap roles: the window-first sample is
-      // the LAST non-null the descending walk sees.
+      // Anchor rows carry null partials, so every running aggregate
+      // skips them; in the DESC suffix pass first/last swap roles: the
+      // window-first bucket is the LAST non-null the descending walk
+      // sees.
       def ph(n: String) = col("p_" + n); def sh(n: String) = col("s_" + n)
+      def b(n: String) = col("b_" + n)
       def addParts(n: String) =
         when(ph(n).isNull && sh(n).isNull, lit(null))
           .otherwise(coalesce(ph(n), lit(0.0)) + coalesce(sh(n), lit(0.0)))
@@ -1286,35 +1368,37 @@ object PromQl {
         when(ph(n).isNull && sh(n).isNull, lit(null))
           .otherwise(coalesce(ph(n), lit(0L)) + coalesce(sh(n), lit(0L)))
       val stats: Seq[(String, Column, Column, Column)] =
-        Seq(("cnt", count(col("v")), count(col("v")),
+        Seq(("cnt", sum(b("cnt")), sum(b("cnt")),
           coalesce(ph("cnt"), lit(0L)) + coalesce(sh("cnt"), lit(0L)))) ++
         (if (need("sum_v"))
-          Seq(("sum_v", sum("v"), sum("v"), addParts("sum_v"))) else Nil) ++
-        (if (need("min_v")) Seq(("min_v", min("v"), min("v"),
+          Seq(("sum_v", sum(b("sum_v")), sum(b("sum_v")),
+            addParts("sum_v"))) else Nil) ++
+        (if (need("min_v")) Seq(("min_v", min(b("min_v")), min(b("min_v")),
           least(ph("min_v"), sh("min_v")))) else Nil) ++
-        (if (need("max_v")) Seq(("max_v", max(nonNan), max(nonNan),
-          coalesce(greatest(ph("max_v"), sh("max_v")), lit(Double.NaN)))) else Nil) ++
+        (if (need("max_v")) Seq(("max_v", max(b("max_v")), max(b("max_v")),
+          coalesce(greatest(ph("max_v"), sh("max_v")), lit(Double.NaN))))
+        else Nil) ++
         (if (need("sum_vv")) Seq(("sum_vv",
-          sum(col("v") * col("v")), sum(col("v") * col("v")),
-          addParts("sum_vv"))) else Nil) ++
-        (if (need("first")) firstFields.map { case (fn, c) =>
-          (s"first_$fn", first(c, ignoreNulls = true),
-            last(c, ignoreNulls = true),
+          sum(b("sum_vv")), sum(b("sum_vv")), addParts("sum_vv"))) else Nil) ++
+        (if (need("first")) firstFields.map { fn =>
+          (s"first_$fn", first(b(s"first_$fn"), ignoreNulls = true),
+            last(b(s"first_$fn"), ignoreNulls = true),
             coalesce(sh(s"first_$fn"), ph(s"first_$fn")))
         } else Nil) ++
-        (if (need("last")) lastFields.map { case (fn, c) =>
-          (s"last_$fn", last(c, ignoreNulls = true),
-            first(c, ignoreNulls = true),
+        (if (need("last")) lastFields.map { fn =>
+          (s"last_$fn", last(b(s"last_$fn"), ignoreNulls = true),
+            first(b(s"last_$fn"), ignoreNulls = true),
             coalesce(ph(s"last_$fn"), sh(s"last_$fn")))
         } else Nil) ++
         (if (need("sum_inc")) Seq(("sum_inc",
-          sum(coalesce(col("inc_delta"), lit(0.0))),
-          sum(coalesce(col("inc_delta"), lit(0.0))),
-          addParts("sum_inc"))) else Nil) ++
+          sum(b("sum_inc")), sum(b("sum_inc")), addParts("sum_inc")))
+        else Nil) ++
         (if (need("sum_resets")) Seq(("sum_resets",
-          sum("reset_f"), sum("reset_f"), addPartsL("sum_resets"))) else Nil) ++
+          sum(b("sum_resets")), sum(b("sum_resets")),
+          addPartsL("sum_resets"))) else Nil) ++
         (if (need("sum_changes")) Seq(("sum_changes",
-          sum("change_f"), sum("change_f"), addPartsL("sum_changes"))) else Nil)
+          sum(b("sum_changes")), sum(b("sum_changes")),
+          addPartsL("sum_changes"))) else Nil)
       val staged = rows.select(
         Seq(col("series_key"), col("g"), col("flag")) ++
           stats.map { case (n, f, _, _) => f.over(wp).as("p_" + n) } ++
@@ -1325,10 +1409,10 @@ object PromQl {
       def half(n: String, flag: Int) = first(
         when(col("flag") === flag, col((if (flag == 1) "p_" else "s_") + n)),
         ignoreNulls = true).as((if (flag == 1) "p_" else "s_") + n)
-      def struct4(fields: Seq[(String, Column)], prefix: String): Column = {
+      def struct4(fields: Seq[String], prefix: String): Column = {
         val t = col(s"${prefix}_t")
         when(t.isNotNull,
-          struct(fields.map { case (fn, _) => col(s"${prefix}_$fn").as(fn) }: _*))
+          struct(fields.map(fn => col(s"${prefix}_$fn").as(fn)): _*))
           .as(prefix)
       }
       val combined = staged
@@ -1959,6 +2043,12 @@ object PromQl {
 
     /** True when the bound source carries the histogram channel. */
     private def hasH: Boolean = samples.columns.contains("h")
+
+    /** The histogram channel of a histogram-shaped expression, for
+      * [[PromQl.evalMixed]]: `(series_key, labels, t, h)`, or None when
+      * the expression has no histogram reading. */
+    def histVec(ast: Expr): Option[DataFrame] =
+      if (!hasH) None else hVecOf(ast)
 
     /** `functions.aggregate`, qualified — the compiler's own
       * `aggregate(a: Agg)` shadows it. */

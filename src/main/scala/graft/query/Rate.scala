@@ -61,6 +61,26 @@ object Rate {
   def seriesClustered(samples: DataFrame): DataFrame =
     samples.repartition(col("series_key"))
 
+  /** Below this many samples per aggregate group, the map-side partial
+    * stage shrinks (almost) nothing and [[seriesClustered]]'s
+    * exchange-then-complete-aggregate plan wins (r9 measured: x10
+    * ts_irate 1.55 → 1.32 s at ~2 samples/group); at scrape density
+    * (~120 samples per series-hour) the partial→exchange→final default
+    * shuffles up to density× FEWER bytes and must be kept. */
+  val PartialAggDensity: Double = 8.0
+
+  /** Density-gated pre-pass for the family's pure-aggregate members:
+    * the [[seriesClustered]]-vs-plain choice derived from a
+    * samples-per-group estimate instead of baked per call site. Store
+    * readers derive the estimate from manifest stats
+    * (`BlockStore.samplesPerSeries` scaled to the aggregate's bucket
+    * grain); raw-parquet callers pass their corpus's known grid
+    * density — at 100 TB the store path decides from data, never from
+    * a constant tuned to one corpus. */
+  def preAgg(samples: DataFrame, samplesPerGroup: Double): DataFrame =
+    if (samplesPerGroup < PartialAggDensity) seriesClustered(samples)
+    else samples
+
   /** Per `(series_key, t_bucket)` counter increase and per-second rate.
     *
     * The lag runs over the series' whole stream (ordered by

@@ -55,16 +55,57 @@ object ResultJson {
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
 
-  /** Render `frame` (`series_key, labels, t, v`) as the API payload.
-    * `instant = true` emits the `vector` shape from each series' single
-    * (latest) point; otherwise the full `matrix`. */
+  /** One native histogram struct (PromQl.HistType row) as the API's
+    * histogram object: `{"count":…,"sum":…,"buckets":[[br,l,u,c],…]}`
+    * with buckets in VALUE order and the Prometheus boundary-rule codes
+    * (0 = open left — positive buckets; 1 = open right — negative
+    * buckets; 3 = closed both — the zero bucket, emitted only when
+    * populated; its lower bound collapses to 0 without negative mass). */
+  private[graft] def histJson(h: org.apache.spark.sql.Row): String = {
+    val schema = h.getAs[Int]("schema")
+    val zt = h.getAs[Double]("zt")
+    val z = h.getAs[Double]("z_count")
+    val count = h.getAs[Double]("count")
+    val sum = h.getAs[Double]("sum")
+    def side(n: String): Seq[(Int, Double)] =
+      Option(h.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](n))
+        .getOrElse(Nil).toSeq
+        .map(b => (b.getAs[Int]("i"), b.getAs[Double]("c")))
+    val w = math.pow(2.0, -schema)
+    def up(i: Int) = math.pow(2.0, i * w)
+    val neg = side("neg").sortBy(-_._1).map { case (i, c) =>
+      s"""[1,"${fmtV(-up(i))}","${fmtV(-up(i - 1))}","${fmtV(c)}"]"""
+    }
+    val negMass = side("neg").nonEmpty
+    val zero =
+      if (z > 0)
+        Seq(s"""[3,"${fmtV(if (negMass) -zt else 0.0)}","${fmtV(zt)}","${fmtV(z)}"]""")
+      else Nil
+    val pos = side("pos").map { case (i, c) =>
+      s"""[0,"${fmtV(up(i - 1))}","${fmtV(up(i))}","${fmtV(c)}"]"""
+    }
+    s"""{"count":"${fmtV(count)}","sum":"${fmtV(sum)}",""" +
+      s""""buckets":[${(neg ++ zero ++ pos).mkString(",")}]}"""
+  }
+
+  /** Render `frame` (`series_key, labels, t, v[, h]`) as the API
+    * payload. `instant = true` emits the `vector` shape from each
+    * series' single (latest) point; otherwise the full `matrix`. A row
+    * whose `h` channel is set renders in the Prometheus histogram
+    * envelope (`"histogram"` / `"histograms"`) instead of the float
+    * `"value"`/`"values"` — a mixed series emits both arrays. */
   def render(frame: DataFrame, instant: Boolean): String = {
-    val it = frame.select("series_key", "labels", "t", "v")
+    val hasH = frame.columns.contains("h")
+    val cols = Seq("series_key", "labels", "t", "v") ++
+      (if (hasH) Seq("h") else Nil)
+    val it = frame.select(cols.head, cols.tail: _*)
       .orderBy("series_key", "t").toLocalIterator()
     val keys = Vector.newBuilder[String]
     val labelsOf = scala.collection.mutable.HashMap.empty[String, String]
     val pointsOf = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    val histsOf = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, String)]]
     while (it.hasNext) {
       val r = it.next()
       val key = r.getString(0)
@@ -72,19 +113,36 @@ object ResultJson {
         keys += key
         labelsOf(key) = labelsJson(r.getMap[String, String](1))
         pointsOf(key) = scala.collection.mutable.ArrayBuffer.empty
+        histsOf(key) = scala.collection.mutable.ArrayBuffer.empty
       }
-      pointsOf(key) += ((r.getLong(2), r.getDouble(3)))
+      if (hasH && !r.isNullAt(4))
+        histsOf(key) += ((r.getLong(2), histJson(r.getStruct(4))))
+      else if (!r.isNullAt(3))
+        pointsOf(key) += ((r.getLong(2), r.getDouble(3)))
     }
     val items = keys.result().map { key =>
       val metric = labelsOf(key)
       val pts = pointsOf(key)
+      val hs = histsOf(key)
       if (instant) {
-        val (t, v) = pts.last
-        s"""{"metric":$metric,"value":[${fmtT(t)},"${fmtV(v)}"]}"""
+        // the single (latest) point — a histogram beats an older float
+        val useHist = hs.nonEmpty && (pts.isEmpty || hs.last._1 >= pts.last._1)
+        if (useHist) {
+          val (t, hj) = hs.last
+          s"""{"metric":$metric,"histogram":[${fmtT(t)},$hj]}"""
+        } else {
+          val (t, v) = pts.last
+          s"""{"metric":$metric,"value":[${fmtT(t)},"${fmtV(v)}"]}"""
+        }
       } else {
-        val vs = pts.map { case (t, v) => s"""[${fmtT(t)},"${fmtV(v)}"]""" }
-          .mkString(",")
-        s"""{"metric":$metric,"values":[$vs]}"""
+        val parts = Seq.newBuilder[String]
+        if (pts.nonEmpty)
+          parts += s""""values":[${pts.map { case (t, v) =>
+            s"""[${fmtT(t)},"${fmtV(v)}"]""" }.mkString(",")}]"""
+        if (hs.nonEmpty)
+          parts += s""""histograms":[${hs.map { case (t, hj) =>
+            s"""[${fmtT(t)},$hj]""" }.mkString(",")}]"""
+        s"""{"metric":$metric,${parts.result().mkString(",")}}"""
       }
     }
     val rt = if (instant) "vector" else "matrix"

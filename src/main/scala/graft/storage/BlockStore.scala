@@ -79,6 +79,22 @@ final class BlockStore(
   /** Current published state (block list + tombstones). */
   def manifest: ManifestState = Manifest.load(root)
 
+  /** Average samples per series per block range, from manifest stats
+    * alone — the density that decides whether a pure aggregate keeps
+    * its map-side partial stage (`Rate.preAgg`): a scrape-shaped store
+    * (hundreds of samples per series-block) must keep partial combine,
+    * an event-shaped one (a few) wins by clustering first. Callers
+    * aggregating at a different grain scale by `grainMs /
+    * blockRangeMs`. 0 on an empty store (callers treat it as sparse). */
+  def samplesPerSeries: Double = {
+    val m = manifest
+    // numSeries is PER BLOCK (a series living in k blocks counts k
+    // times), so the ratio is already per (series, block)
+    val series = m.blocks.map(_.numSeries).sum
+    if (series == 0) 0.0
+    else m.blocks.map(_.numSamples).sum.toDouble / series
+  }
+
   /** Record the store's block range on first write (meta/BLOCK_RANGE)
     * and refuse a writer opened with a DIFFERENT range: `t_bucket`
     * partition values are multiples of the creation-time range, so a

@@ -193,4 +193,57 @@ class ApiServerSpec extends SparkSuite
     assert(get(s"/api/v1/query?query=$q&timeout=30s")._1 == 200)
     assert(get(s"/api/v1/query?query=$q&timeout=bogus")._1 == 400)
   }
+
+  test("native histograms through the serving stack: envelope + corridor query") {
+    // a Db with a registered histogram channel — three cumulative
+    // samples of one counter histogram series (z, (1,2] growing)
+    val db2 = Db.open(spark, dbPath)
+    def h(z: Double, c1: Double, sum: Double) =
+      s"named_struct('schema', 0, 'zt', 0.5D, 'z_count', ${z}D, " +
+        s"'count', ${z + c1}D, 'sum', ${sum}D, " +
+        "'neg', cast(array() as array<struct<i:int,c:double>>), " +
+        s"'pos', array(named_struct('i', 1, 'c', ${c1}D)))"
+    val lbl = Map("__name__" -> "mh", "job" -> "h1")
+    val hf = Seq(100L, 1100L, 2100L).zipWithIndex
+      .map { case (t, k) => (lbl, t, k) }
+      .toDF("labels", "t", "k")
+      .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+      .withColumn("h", expr(
+        "CASE k WHEN 0 THEN " + h(1, 2, 5.5) +
+          " WHEN 1 THEN " + h(2, 4, 11.0) +
+          " ELSE " + h(3, 6, 16.5) + " END"))
+      .select("series_key", "labels", "t", "h")
+    db2.registerHistograms(hf)
+    val srv = ApiServer.start(spark, db2, port = 0)
+    try {
+      val b2 = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def get2(pq: String): (Int, String) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"$b2$pq")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // instant vector: the histogram sample envelope
+      val (c1, v1) = get2(s"/api/v1/query?query=mh&time=2.2")
+      assert(c1 == 200, v1)
+      assert(v1.contains(""""histogram":[2.2,{"count":"9","sum":"16.5",""" +
+        """"buckets":[[3,"0","0.5","3"],[0,"1","2","6"]]}]"""), v1)
+      // the SLO corridor query returns a float vector computed from the
+      // registered channel: rate window (0.2s, 2.2s] has the 1.1/2.1
+      // samples, factor 1.0, rank 2.7 -> 1 + (2.7-1)/2
+      val (c2, v2) = get2(
+        s"/api/v1/query?query=${enc("histogram_quantile(0.9, rate(mh[2s]))")}&time=2.2")
+      assert(c2 == 200, v2)
+      assert(v2.contains(""""value":[2.2,"1.85"]"""), v2)
+      // range query: the matrix histograms array
+      val (c3, v3) = get2(s"/api/v1/query_range?query=mh&start=0&end=2.2&step=1.1")
+      assert(c3 == 200, v3)
+      assert(v3.contains(""""histograms":[[1.1,{"count":"6""""), v3)
+      assert(v3.contains("""[2.2,{"count":"9""""), v3)
+      // the float store still serves floats through the SAME mixed path
+      val (c4, v4) = get2(s"/api/v1/query?query=${enc("{job=\"a\"}")}")
+      assert(c4 == 200, v4)
+      assert(v4.contains(""""value":[1.501,"2"]"""), v4)
+    } finally srv.stop(0)
+  }
 }

@@ -253,4 +253,23 @@ class RateSpec extends SparkSuite {
     assert(plan.split("Exchange").length - 1 == 1, plan.take(2000))
     assert(!plan.contains(" Sort "), plan.take(2000))
   }
+
+  test("preAgg density gate: sparse clusters first, scrape-dense keeps partial combine") {
+    import org.apache.spark.sql.functions.{count, lit}
+    def planOf(density: Double): String =
+      Rate.preAgg(TsdbSource.events(spark, sf).samples, density)
+        .groupBy("series_key").agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+    // the discriminator is WHAT the one exchange carries: plans print
+    // top-down, so "partial above Exchange" = partial runs AFTER the
+    // shuffle (raw rows shuffled — the clustered shape), and "Exchange
+    // above partial" = map-side combine feeds the shuffle
+    val sparse = planOf(2.0)
+    assert(sparse.split("Exchange").length - 1 == 1, sparse.take(2000))
+    assert(sparse.indexOf("partial_count") < sparse.indexOf("Exchange"),
+      sparse.take(2000))
+    val dense = planOf(120.0)
+    assert(dense.indexOf("Exchange") < dense.indexOf("partial_count"),
+      dense.take(2000))
+  }
 }

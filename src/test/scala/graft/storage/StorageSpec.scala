@@ -138,6 +138,10 @@ class BlockStoreSpec extends SparkSuite {
     val Seq(meta) = store.manifest.blocks
     assert(meta.numSamples == samples.count())
     assert(meta.numSeries == samples.select("series_key").distinct().count())
+    // the manifest-derived density that gates Rate.preAgg at 100 TB —
+    // pure stats, no data pass
+    assert(store.samplesPerSeries ==
+      meta.numSamples.toDouble / meta.numSeries)
     assert(meta.bytes > 0)
     val (mint, maxt) = {
       val r = samples.agg(min("t"), max("t")).head(); (r.getLong(0), r.getLong(1))

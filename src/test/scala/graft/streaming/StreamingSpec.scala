@@ -614,6 +614,52 @@ class StreamingSpec extends SparkSuite {
     assert(store.read(spark).count() == 3)
     assert(snapStore.read(spark).count() == 2)
   }
+
+  test("streamingObserve ≡ batch observe on closed buckets, across a micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    // two series, values straddling the zero/positive/negative parts
+    // (shift −35 like the suite's native entries), buckets of 1000 ms;
+    // a NaN observation drops; the split lands MID-bucket so the open
+    // window must carry across micro-batches
+    val b1 = Seq(
+      Sample("a", 100, 37.0, 1), Sample("a", 200, 34.8, 2),
+      Sample("a", 300, 30.0, 3), Sample("b", 150, 70.0, 4),
+      Sample("a", 450, Double.NaN, 5))
+    val b2 = Seq(
+      Sample("a", 900, 44.0, 6), Sample("b", 950, 36.0, 7),
+      // bucket 2 opens -> bucket 1 closes for both series
+      Sample("a", 1200, 50.0, 8), Sample("b", 1300, 20.0, 9),
+      // bucket 3 opens -> bucket 2 closes
+      Sample("a", 2100, 60.0, 10), Sample("b", 2200, 61.0, 11))
+    val in = MemoryStream[Sample]
+    val q = StreamingHistogram.streamingObserve(
+        in.toDS(), bucketMs = 1000L, schema = 0, zeroThreshold = 0.5,
+        shift = -35.0)
+      .writeStream.format("memory").queryName("hobs")
+      .outputMode(OutputMode.Append).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hobs")
+      .as[StreamingHistogram.HistBucketRow].collect()
+      .map(r => (r.series_key, r.t_bucket, r.part, r.idx, r.c,
+        math.rint(r.sv * 100) / 100))
+      .toSet
+    // the batch twin over the same samples, closed buckets only
+    // (bucket 3 stays open in the stream)
+    val df = (b1 ++ b2).map(s => (s.series_key, s.t, s.v))
+      .toDF("series_key", "t", "v")
+    val want = graft.query.NativeHistogram
+      .observe(df, 1000L, lit(0), 0.5, col("v") - 35)
+      .where(col("t_bucket") <= 2000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getLong(5),
+        math.rint(r.getDouble(6) * 100) / 100))
+      .toSet
+    assert(got == want, s"stream=$got\nbatch=$want")
+  }
 }
 
 /** Engine-free ScalaCheck differential: the per-series streaming fold
