@@ -604,11 +604,26 @@ object Bench {
           // matches ts_quantile_bucket's shape
           .agg(expr("percentile(v, array(0.5D, 0.95D))").as("ps")))
       }
+      // the COMPILER at scale: rate(m[2h]) at 1m step (k = 120 > capK,
+      // the bucket-grain window decomposition) over the same scrape-
+      // shaped corpus — pins that the PromQL path's at-scale cost
+      // tracks the hand-built family's, not just at x10
+      val t0 = 1704067200000L
+      val promqlSec = best2 {
+        runPlan(graft.query.PromQl.evalUnsorted(
+          "rate(m[2h])",
+          samples.withColumn("labels",
+            map(lit("__name__"), lit("m"))),
+          graft.query.PromQl.Params(
+            t0 + 2 * 3600000L, t0 + 3 * 3600000L, 60000L,
+            seriesEstimate = Some(series))))
+      }
       Seq(
         ("increase_sec", incSec, "ok"),
         ("over_time_sec", otSec, "ok"),
         ("irate_sec", irSec, "ok"),
         ("quantile_sec", qSec, "ok"),
+        ("promql_rate_sec", promqlSec, "ok"),
         ("msamples_per_sec", n / incSec / 1e6, "ok"),
         // the flat-or-falling decade claim is per MEMBER — record the
         // over_time trend explicitly so the artifact carries it

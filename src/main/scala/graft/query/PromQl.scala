@@ -1246,8 +1246,14 @@ object PromQl {
       // explode would otherwise run single-threaded (measured 14 s of
       // a 37 s x10 plan writing 25M anchor rows from one task)
       val shufN0 = src.sparkSession.sessionState.conf.numShufflePartitions
-      val anchors0 = src.groupBy("series_key")
+      // ONE per-series aggregate serves BOTH the anchor explode and the
+      // final labels re-attach: the two consumers share the aggregate's
+      // exchange subtree verbatim, so ReuseExchange computes the
+      // sample-scale pass once (a separate labelsDim was a full third
+      // scan of the source — measured 20.8 -> see BENCH_NOTES r10)
+      val seriesDim = src.groupBy("series_key")
         .agg(first("labels").as("labels"))
+      val anchors0 = seriesDim
         .repartition(shufN0)
         .withColumn("g",
           explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
@@ -1292,10 +1298,12 @@ object PromQl {
         (if (need("max_v")) Seq(max(nonNan).as("b_max_v")) else Nil) ++
         (if (need("sum_vv"))
           Seq(sum(col("v") * col("v")).as("b_sum_vv")) else Nil) ++
-        (if (need("first")) firstFields.map(f =>
-          min_by(fieldExpr(f), ordKey).as(s"b_first_$f")) else Nil) ++
-        (if (need("last")) lastFields.map(f =>
-          max_by(fieldExpr(f), ordKey).as(s"b_last_$f")) else Nil) ++
+        (if (need("first")) Seq(min_by(
+          struct(firstFields.map(f => fieldExpr(f).as(f)): _*), ordKey)
+          .as("b_first")) else Nil) ++
+        (if (need("last")) Seq(max_by(
+          struct(lastFields.map(f => fieldExpr(f).as(f)): _*), ordKey)
+          .as("b_last")) else Nil) ++
         (if (need("sum_inc"))
           Seq(sum(coalesce(col("inc_delta"), lit(0.0))).as("b_sum_inc"))
         else Nil) ++
@@ -1380,16 +1388,14 @@ object PromQl {
         else Nil) ++
         (if (need("sum_vv")) Seq(("sum_vv",
           sum(b("sum_vv")), sum(b("sum_vv")), addParts("sum_vv"))) else Nil) ++
-        (if (need("first")) firstFields.map { fn =>
-          (s"first_$fn", first(b(s"first_$fn"), ignoreNulls = true),
-            last(b(s"first_$fn"), ignoreNulls = true),
-            coalesce(sh(s"first_$fn"), ph(s"first_$fn")))
-        } else Nil) ++
-        (if (need("last")) lastFields.map { fn =>
-          (s"last_$fn", last(b(s"last_$fn"), ignoreNulls = true),
-            first(b(s"last_$fn"), ignoreNulls = true),
-            coalesce(ph(s"last_$fn"), sh(s"last_$fn")))
-        } else Nil) ++
+        (if (need("first")) Seq(("first",
+          first(b("first"), ignoreNulls = true),
+          last(b("first"), ignoreNulls = true),
+          coalesce(sh("first"), ph("first")))) else Nil) ++
+        (if (need("last")) Seq(("last",
+          last(b("last"), ignoreNulls = true),
+          first(b("last"), ignoreNulls = true),
+          coalesce(ph("last"), sh("last")))) else Nil) ++
         (if (need("sum_inc")) Seq(("sum_inc",
           sum(b("sum_inc")), sum(b("sum_inc")), addParts("sum_inc")))
         else Nil) ++
@@ -1409,12 +1415,7 @@ object PromQl {
       def half(n: String, flag: Int) = first(
         when(col("flag") === flag, col((if (flag == 1) "p_" else "s_") + n)),
         ignoreNulls = true).as((if (flag == 1) "p_" else "s_") + n)
-      def struct4(fields: Seq[String], prefix: String): Column = {
-        val t = col(s"${prefix}_t")
-        when(t.isNotNull,
-          struct(fields.map(fn => col(s"${prefix}_$fn").as(fn)): _*))
-          .as(prefix)
-      }
+
       val combined = staged
         // same AQE-vs-compression pin as the window exchange above: the
         // splice aggregate's shuffle carries anchor-grain stat rows
@@ -1433,21 +1434,17 @@ object PromQl {
       // rebuild the first/last structs the consumers read, and
       // re-attach labels per series (metadata-sized broadcast join —
       // the map never rode the sample-scale exchange or sorts)
+      // the first/last picks are ALREADY the consumer structs (the
+      // bucket partial is one struct-valued min_by/max_by, not a column
+      // per field — 2 running columns through the sorts instead of 10)
       val structed = combined.select(
-        Seq(col("series_key"), col("t")) ++
-          stats.collect {
-            case (n, _, _, _)
-              if !n.startsWith("first_") && !n.startsWith("last_") => col(n)
-          } ++
-          (if (need("first")) Seq(struct4(firstFields, "first")) else Nil) ++
-          (if (need("last")) Seq(struct4(lastFields, "last")) else Nil): _*)
+        Seq(col("series_key"), col("t")) ++ stats.map(s => col(s._1)): _*)
       // labels re-attach at output grain: ONE ROW PER SERIES, so the
       // broadcast hint is gated on the caller's series bound (a store
       // read knows it from the manifest; unbounded → AQE decides) —
       // unconditional hinting here is a driver OOM exactly on the big
       // queries this path exists for (k > 64 over a wide fleet)
-      val labelsDim = src.groupBy("series_key").agg(first("labels").as("labels"))
-      structed.join(p.hintSeriesDim(labelsDim), Seq("series_key"))
+      structed.join(p.hintSeriesDim(seriesDim), Seq("series_key"))
     }
 
     /** PromQL's extrapolatedRate (promql semantics; same closed form as
