@@ -854,9 +854,13 @@ object PromQl {
     * selector, or `sum [by/without]` of those), the histogram channel's
     * elements UNION in — each channel is empty exactly where the other
     * sample kind wins the staleness fill ([[Compiler.mixedFill]]), the
-    * upstream mixed-metric behavior. This is the serving stack's entry:
-    * [[ResultJson]] renders per row whichever channel is present (the
-    * Prometheus sample envelope's value-vs-histogram switch). */
+    * upstream mixed-metric behavior. Corridor corner (documented): a
+    * `sum` whose GROUP mixes float and histogram elements at one
+    * instant emits one element per channel (upstream warns and drops
+    * the group); disjoint groups — the real-world shape — behave
+    * identically. This is the serving stack's entry: [[ResultJson]]
+    * renders per row whichever channel is present (the Prometheus
+    * sample envelope's value-vs-histogram switch). */
   def evalMixed(query: String, samples: DataFrame, p: Params): DataFrame = {
     val floats = evalUnsorted(query, samples, p)
       .withColumn("h", lit(null).cast(HistType))
