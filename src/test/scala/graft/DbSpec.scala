@@ -249,5 +249,12 @@ class DbSpec extends SparkSuite {
     val pinned = db.promql("req{inst=\"0\"} @ 600", 20 * M, 20 * M, M)
     assert(pinned.select("t", "v").as[(Long, Double)].collect().toSeq ==
       Seq((20 * M, 100.0)))
+    // ordered = false: same element SET, no trailing global sort in the
+    // plan (the relational-consumer contract)
+    val un = db.promql("req", 10 * M, 10 * M, M, ordered = false)
+    assert(un.select("series_key", "v").as[(String, Double)].collect().toSet ==
+      iv.select("series_key", "v").as[(String, Double)].collect().toSet)
+    val tail = un.queryExecution.optimizedPlan.toString.linesIterator.next()
+    assert(!tail.contains("Sort"), tail)
   }
 }
