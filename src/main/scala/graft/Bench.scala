@@ -1297,7 +1297,16 @@ object Bench {
       s""""labelsets_status":"$labelSetStatus",""" +
       s""""store_status":"$storeStatus","sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        // a CALIBRATION run (SPARK_GRAFT_ONLY / forced single section /
+        // a spawned child) must never overwrite the committed
+        // BENCH_DETAIL.json — it is the previous round's record and the
+        // regression baseline the self-defense compares against (a
+        // builder-local run clobbered it twice in r10 before this guard)
+        if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_ISOLATED") ||
+            SectionFlag.values.exists(f => sys.env.get(f).contains("1")))
+          "BENCH_DETAIL_calibration.json"
+        else "BENCH_DETAIL.json"))
     java.nio.file.Files.writeString(detailPath, detail + "\n")
 
     // Headline line: ms-precision per-query maps, statuses only when
