@@ -177,7 +177,8 @@ final class Db private (
       // driver-side build is provably safe
       seriesEstimate = Some(store.manifest.blocks.map(_.numSeries).sum),
       broadcastLimit = store.broadcastLimit)
-    if (histChannel.nonEmpty) graft.query.PromQl.evalMixed(query, samples, params)
+    if (histChannel.nonEmpty)
+      graft.query.PromQl.evalMixed(query, samples, params, ordered)
     else if (ordered) graft.query.PromQl.eval(query, samples, params)
     else graft.query.PromQl.evalUnsorted(query, samples, params)
   }

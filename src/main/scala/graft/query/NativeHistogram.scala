@@ -71,11 +71,20 @@ object NativeHistogram {
     val i0 = ceil(log2(av) * pow(lit(2.0), schema.cast("double"))).cast("int")
     // ONE pow per row on the hot ingest path (measured ~1 s of the x10
     // observe at three): the seed's lower bound is its upper bound
-    // scaled by the constant 2^(−w) — a product of exact powers of two,
-    // so the comparison stays bit-exact cross-engine; the 2^(−w) factor
-    // constant-folds whenever `schema` is a literal (every entry)
+    // scaled by the constant 2^(−w). The product is bit-exact ONLY when
+    // w = 2^−schema is an integer (schema ≤ 0 — then 2^(−w) is a power
+    // of two and the multiply just shifts the exponent); at positive
+    // schemas 2^(−w) is irrational, the product can land an ulp off
+    // `lowerOf(i0)`, and a value exactly on a boundary would flip the
+    // correction — diverging from [[StreamingHistogram.bucketIdx]] and
+    // every estimator's `lowerOf` bounds. So the fast path is gated on
+    // schema ≤ 0; positive schemas pay the second pow. Both the gate
+    // and the factor constant-fold whenever `schema` is a literal
+    // (every current entry point).
     val up0 = upperOf(i0, schema)
-    val lo0 = up0 * pow(lit(2.0), -pow(lit(2.0), -schema.cast("double")))
+    val lo0 = when(schema.cast("int") <= 0,
+      up0 * pow(lit(2.0), -pow(lit(2.0), -schema.cast("double"))))
+      .otherwise(lowerOf(i0, schema))
     i0 + (up0 < av).cast("int") - (lo0 >= av).cast("int")
   }
 

@@ -861,22 +861,40 @@ object PromQl {
     * identically. This is the serving stack's entry: [[ResultJson]]
     * renders per row whichever channel is present (the Prometheus
     * sample envelope's value-vs-histogram switch). */
-  def evalMixed(query: String, samples: DataFrame, p: Params): DataFrame = {
+  def evalMixed(query: String, samples: DataFrame, p: Params): DataFrame =
+    evalMixed(query, samples, p, ordered = true)
+
+  /** [[evalMixed]] with the [[evalUnsorted]] contract available:
+    * `ordered = false` drops the final global sort (same element set),
+    * so relational consumers skip the range partitioner's ~2×
+    * bounds-sampling tax — [[graft.Db.promql]] threads its own flag
+    * here so the histogram channel honors the same contract. */
+  def evalMixed(
+      query: String, samples: DataFrame, p: Params,
+      ordered: Boolean): DataFrame = {
     val floats = evalUnsorted(query, samples, p)
       .withColumn("h", lit(null).cast(HistType))
-    val hOpt =
-      if (!samples.columns.contains("h")) None
+    val (hOpt, floatSide) =
+      if (!samples.columns.contains("h")) (None, floats)
       else parse(query) match {
-        case _: RangeSel | _: Subquery => None // matrix replay: float channel
-        case ast => new Compiler(samples, p).histVec(ast)
+        case rv @ (_: RangeSel | _: Subquery) =>
+          // matrix replay: union the RAW histogram samples of the
+          // window into the range literal — upstream returns both
+          // channels' samples for `mh[5m]` over a mixed/histogram
+          // series. The float replay reads the generic window (whose
+          // `v` is null exactly on histogram rows), so it drops the
+          // null-v rows the h channel now carries.
+          (new Compiler(samples, p).histRangeLiteral(rv),
+            floats.where(col("v").isNotNull))
+        case ast => (new Compiler(samples, p).histVec(ast), floats)
       }
     val out = hOpt match {
-      case Some(hv) => floats.unionByName(hv.select(
+      case Some(hv) => floatSide.unionByName(hv.select(
         col("series_key"), col("labels"), col("t"),
         lit(null).cast("double").as("v"), col("h")))
       case None => floats
     }
-    out.orderBy("series_key", "t")
+    if (ordered) out.orderBy("series_key", "t") else out
   }
 
   /** [[eval]] minus the final global sort: the `orderBy`'s range
@@ -1540,6 +1558,57 @@ object PromQl {
           .withColumn("t", col("t") - off)
           .select("series_key", "labels", "t", "v")
     }
+
+    /** The h-channel twin of [[rangeLiteral]], for [[PromQl.evalMixed]]:
+      * the RAW histogram samples of the trailing window (selector), or
+      * the histogram channel of the inner evaluation (subquery whose
+      * body is histogram-shaped). None when the expression has no
+      * histogram reading. Original timestamps (offset shifted back),
+      * exactly like the float replay. */
+    def histRangeLiteral(e: Expr): Option[DataFrame] =
+      if (!hasH) None
+      else e match {
+        case r: RangeSel if r.sel.at.isDefined =>
+          val T = resolveAt(r.sel.at.get)
+          new Compiler(samples, p.copy(startMs = T, endMs = T),
+              outerStartMs, outerEndMs)
+            .histRangeLiteral(RangeSel(r.sel.copy(at = None), r.rangeMs))
+        case sq: Subquery if sq.at.isDefined =>
+          val T = resolveAt(sq.at.get)
+          new Compiler(samples, p.copy(startMs = T, endMs = T),
+              outerStartMs, outerEndMs)
+            .histRangeLiteral(sq.copy(at = None))
+        case r: RangeSel =>
+          // selected() carries the offset shift; filter the shifted
+          // window, then restore original timestamps like the float side
+          Some(selected(r.sel).where(col("h").isNotNull)
+            .where(col("t") > p.endMs - r.rangeMs && col("t") <= p.endMs)
+            .withColumn("t", col("t") - r.sel.offsetMs)
+            .select("series_key", "labels", "t", "h"))
+        case sq: Subquery =>
+          // the inner lattice math mirrors [[rangeArgOf]]'s subquery
+          // branch; the body's histogram channel (when it has one)
+          // replays on that lattice
+          val stepIn = if (sq.stepMs > 0) sq.stepMs else p.defaultEvalMs
+          val raw = p.startMs - sq.rangeMs - sq.offsetMs
+          val rem = math.floorMod(raw, stepIn)
+          val start0 = if (rem == 0L) raw else raw + stepIn - rem
+          new Compiler(samples,
+            p.copy(startMs = start0, endMs = p.endMs - sq.offsetMs,
+              stepMs = stepIn),
+            outerStartMs, outerEndMs)
+            .hVecOf(sq.body)
+            .map { inner =>
+              val shifted =
+                if (sq.offsetMs == 0L) inner
+                else inner.withColumn("t", col("t") + sq.offsetMs)
+              shifted
+                .where(col("t") > p.endMs - sq.rangeMs && col("t") <= p.endMs)
+                .withColumn("t", col("t") - sq.offsetMs)
+                .select("series_key", "labels", "t", "h")
+            }
+        case _ => None
+      }
 
     /** `m[r] @ T`: the trailing window `(T − r, T]` evaluated ONCE at
       * the pinned instant, replicated across the output lattice — the

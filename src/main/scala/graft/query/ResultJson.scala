@@ -71,8 +71,11 @@ object ResultJson {
       Option(h.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](n))
         .getOrElse(Nil).toSeq
         .map(b => (b.getAs[Int]("i"), b.getAs[Double]("c")))
-    val w = math.pow(2.0, -schema)
-    def up(i: Int) = math.pow(2.0, i * w)
+    // StrictMath: Spark's `pow` expression is StrictMath-valued and
+    // Math.pow's intrinsic rounds differently (1 ulp at 2^−3.5) — the
+    // rendered bounds must equal the engine's own bucket bounds
+    val w = StrictMath.pow(2.0, -schema)
+    def up(i: Int) = StrictMath.pow(2.0, i * w)
     val neg = side("neg").sortBy(-_._1).map { case (i, c) =>
       s"""[1,"${fmtV(-up(i))}","${fmtV(-up(i - 1))}","${fmtV(c)}"]"""
     }

@@ -43,12 +43,18 @@ object StreamingHistogram {
 
   /** Smallest `i` with `av ≤ 2^(i·2^−schema)` — the log2 seed plus one
     * exact ±1 correction, [[graft.query.NativeHistogram.bucketIdx]]'s
-    * rule in JVM doubles (the correction makes the seed's libm
-    * irrelevant: both engines compare against exact powers of two). */
+    * rule in JVM doubles. The boundary compare uses STRICTMATH pow:
+    * Spark's `pow` expression is StrictMath-valued, while
+    * `java.lang.Math.pow` is intrinsified (measured 1 ulp apart at
+    * `2^−3.5`) — at positive schemas the boundaries are irrational, so
+    * a value exactly ON a batch boundary double would bucket
+    * differently here without the matching libm. (The log seed's libm
+    * stays irrelevant: the correction compares against the exact
+    * boundary.) */
   private[streaming] def bucketIdx(av: Double, schema: Int): Int = {
-    val w = math.pow(2.0, -schema)
-    def up(i: Int) = math.pow(2.0, i * w)
-    val i0 = math.ceil(math.log(av) / math.log(2.0) * math.pow(2.0, schema)).toInt
+    val w = StrictMath.pow(2.0, -schema)
+    def up(i: Int) = StrictMath.pow(2.0, i * w)
+    val i0 = math.ceil(math.log(av) / math.log(2.0) / w).toInt // seed: ·2^s ≡ /w
     i0 + (if (up(i0) < av) 1 else 0) - (if (up(i0 - 1) >= av) 1 else 0)
   }
 

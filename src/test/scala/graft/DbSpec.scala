@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.matchers.{Eq, Matcher}
 
@@ -256,5 +257,29 @@ class DbSpec extends SparkSuite {
       iv.select("series_key", "v").as[(String, Double)].collect().toSet)
     val tail = un.queryExecution.optimizedPlan.toString.linesIterator.next()
     assert(!tail.contains("Sort"), tail)
+
+    // the ordered=false contract holds on the HISTOGRAM path too: with
+    // a registered h channel the eval routes through evalMixed, which
+    // used to append the global sort unconditionally (ADVICE r10)
+    val hlbl = Map("__name__" -> "mh")
+    val hf = Seq(0L, M, 2 * M).zipWithIndex.map { case (t, k) => (hlbl, t, k) }
+      .toDF("labels", "t", "k")
+      .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+      .withColumn("h", expr(
+        "named_struct('schema', 0, 'zt', 0.5D, " +
+          "'z_count', cast(k+1 as double), 'count', cast(k+1 as double), " +
+          "'sum', cast(k as double), " +
+          "'neg', cast(array() as array<struct<i:int,c:double>>), " +
+          "'pos', cast(array() as array<struct<i:int,c:double>>))"))
+      .select("series_key", "labels", "t", "h")
+    db.registerHistograms(hf)
+    val hun = db.promql("mh", 2 * M, 2 * M, M, ordered = false)
+    val htail = hun.queryExecution.optimizedPlan.toString.linesIterator.next()
+    assert(!htail.contains("Sort"), htail)
+    assert(hun.where(col("h").isNotNull).count() == 1L)
+    // the serving default still sorts
+    val hord = db.promql("mh", 2 * M, 2 * M, M)
+    assert(hord.queryExecution.optimizedPlan.toString
+      .linesIterator.next().contains("Sort"))
   }
 }

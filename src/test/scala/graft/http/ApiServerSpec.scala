@@ -244,6 +244,15 @@ class ApiServerSpec extends SparkSuite
       val (c4, v4) = get2(s"/api/v1/query?query=${enc("{job=\"a\"}")}")
       assert(c4 == 200, v4)
       assert(v4.contains(""""value":[1.501,"2"]"""), v4)
+      // matrix replay of a RANGE SELECTOR over the histogram channel:
+      // the raw window samples come back as histograms (the float-only
+      // replay gap, ADVICE r10) — window (−0.8, 2.2] holds all three
+      val (c5, v5) = get2(s"/api/v1/query?query=${enc("mh[3s]")}&time=2.2")
+      assert(c5 == 200, v5)
+      assert(v5.contains(""""resultType":"matrix""""), v5)
+      assert(v5.contains(""""histograms":[[0.1,{"count":"3""""), v5)
+      assert(v5.contains("""[1.1,{"count":"6""""), v5)
+      assert(v5.contains("""[2.1,{"count":"9""""), v5)
     } finally srv.stop(0)
   }
 }

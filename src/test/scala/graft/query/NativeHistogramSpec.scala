@@ -31,6 +31,37 @@ class NativeHistogramSpec extends SparkSuite {
     assert(got == cases.map(_._3))
   }
 
+  test("bucket index: positive-schema boundary values match direct-pow truth") {
+    // At schema > 0 the bucket width w = 2^−schema is fractional, so the
+    // one-pow lower-bound rewrite (up0 · 2^−w) is NOT bit-exact — a value
+    // exactly ON a boundary double could flip the correction. The fast
+    // path is gated to schema ≤ 0; this pins the positive-schema path to
+    // the direct-pow ground truth (the quantile/fraction estimators'
+    // lowerOf and StreamingHistogram.bucketIdx both use it) on every
+    // boundary double and its neighbors.
+    for (s <- Seq(1, 2, 3)) {
+      // StrictMath, matching Spark's pow expression (Math.pow's
+      // intrinsic is 1 ulp off at e.g. 2^−3.5 — a boundary double
+      // computed with it sits ABOVE the engine's own boundary)
+      val w = StrictMath.pow(2.0, -s)
+      def up(i: Int) = StrictMath.pow(2.0, i * w)
+      def truth(av: Double): Int = {
+        // smallest i with av <= 2^(i·w), by direct comparison
+        var i = math.ceil(math.log(av) / math.log(2.0) / w).toInt
+        while (up(i) < av) i += 1
+        while (up(i - 1) >= av) i -= 1
+        i
+      }
+      val vs = (-8 to 8).map(up).flatMap(b =>
+        Seq(b, Math.nextUp(b), Math.nextDown(b)))
+      val got = df(vs)
+        .select(NativeHistogram.bucketIdx(col("v"), lit(s)))
+        .as[Int].collect().toSeq
+      assert(got == vs.map(truth),
+        s"schema $s: batch bucketIdx diverges from direct-pow boundaries")
+    }
+  }
+
   test("observe: NaN observations drop (no phantom bucket rows)") {
     val r = rows(Seq(2.0, Double.NaN, 3.0))
     // no row with a bucket part but a null index (the phantom a NaN

@@ -660,6 +660,21 @@ class StreamingSpec extends SparkSuite {
       .toSet
     assert(got == want, s"stream=$got\nbatch=$want")
   }
+
+  test("bucketIdx: streaming ≡ batch at a POSITIVE schema on boundary doubles") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // schema 2 → irrational boundaries 2^(i/4): the batch fast path is
+    // gated off here (ADVICE r10), so both sides must take the direct-
+    // pow form and agree on every boundary double and its neighbors
+    val s = 2
+    val vs = (-6 to 6).map(i => math.pow(2.0, i * math.pow(2.0, -s)))
+      .flatMap(b => Seq(b, Math.nextUp(b), Math.nextDown(b)))
+    val batch = vs.zipWithIndex.map { case (v, i) => (i.toLong, "a", 100L, v) }
+      .toDF("sample_id", "series_key", "t", "v")
+      .select(graft.query.NativeHistogram.bucketIdx(col("v"), lit(s)))
+      .as[Int].collect().toSeq
+    assert(batch == vs.map(StreamingHistogram.bucketIdx(_, s)))
+  }
 }
 
 /** Engine-free ScalaCheck differential: the per-series streaming fold

@@ -71,7 +71,13 @@ def time_once(sql):
 # row at x10. The extrapolation family's at-scale cross-engine rows
 # are promql_increase / promql_ratio, whose day/hour-lattice twins
 # join ~1 instant per sample (linear in corpus mass).
-X10_UNSAFE = {"ts_rate_extrapolated", "promql_rate_1d"}
+# promql_store_rate shares promql_rate_1d's twin SQL verbatim (same
+# query through the store layout on the Spark side; the oracle never
+# sees the store) — it OOM-killed the r10 judge tool run (exit 137).
+# promql_native_rate_1d is the native-histogram k=1440 form of the
+# same fan-out (channel explode x day lattice).
+X10_UNSAFE = {"ts_rate_extrapolated", "promql_rate_1d",
+              "promql_store_rate", "promql_native_rate_1d"}
 
 out = {}
 for name in sorted(names or oracle.keys()):
