@@ -135,7 +135,12 @@ object Bench {
     // hash aggregate to bucket grain, everything after at ≤ ~20 rows
     // per series-day (ts_hist_quantile's scale shape on the sparse
     // exponential lattice)
-    "ts_native_quantile")
+    "ts_native_quantile",
+    // r11: the native-histogram HIGH-FAN-OUT row — the SLO query at
+    // k = 1440 through hRangeVec's event-difference decomposition (no
+    // k·n explode; per-channel prefix sums at lattice grain). Must
+    // complete in the same class as promql_rate_1d, not k× above it.
+    "promql_native_rate_1d")
 
   /** Run any one-time setup the selected queries declare (scratch-store
     * builds), untimed — so their timed number measures the query, not
@@ -308,7 +313,7 @@ object Bench {
     * return the child's detail-file text (Left(error) on failure). */
   private def spawnChild(
       tag: String, extraEnv: Map[String, String],
-      sfDir: String): Either[String, String] = {
+      sfDir: String, maxWaitSec: Double = 1800.0): Either[String, String] = {
     import scala.jdk.CollectionConverters._
     val out = java.nio.file.Files.createTempFile(s"graft-iso-$tag", ".json")
     val log = java.nio.file.Files.createTempFile(s"graft-iso-$tag", ".log")
@@ -334,10 +339,21 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(log.toFile)
       val proc = pb.start()
-      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      // the wait is capped by the caller's remaining wall budget (an
+      // overshooting child must not eat the phases after it — the r11
+      // rehearsal measured a contended rate_200m child at 1.9× its
+      // estimate); a killed child's detail file still holds its last
+      // incremental flush, so salvage it
+      val done = proc.waitFor(
+        math.max(60L, maxWaitSec.toLong), java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
         proc.destroyForcibly()
-        Left("error: isolated re-run timed out")
+        proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        val partial =
+          try new String(java.nio.file.Files.readAllBytes(out))
+          catch { case _: Throwable => "" }
+        if (partial.trim.nonEmpty) Right(partial)
+        else Left("error: isolated re-run timed out")
       } else
         Right(new String(java.nio.file.Files.readAllBytes(out)))
     } catch {
@@ -356,8 +372,10 @@ object Bench {
     * JIT state, GC debt) — the r8 verdict's 10× rows needed exactly
     * this twin in the artifact. */
   private def isolatedSection(
-      section: String, sfDir: String): Seq[(String, Double, String)] =
-    spawnChild(section, Map(SectionFlag(section) -> "1"), sfDir) match {
+      section: String, sfDir: String,
+      maxWaitSec: Double = 1800.0): Seq[(String, Double, String)] =
+    spawnChild(section, Map(SectionFlag(section) -> "1"), sfDir,
+      maxWaitSec) match {
       case Left(err) => Seq((section, 0.0, err))
       case Right(text) =>
         val vals =
@@ -379,16 +397,20 @@ object Bench {
     * x10 row then records min(in-run, cold) — one consistent rule. */
   private def isolatedX10Rows(
       names: Seq[String], x10Dir: String,
-      sfDir: String): Map[String, Double] =
-    names.grouped(8).foldLeft(Map.empty[String, Double]) { (acc, chunk) =>
-      acc ++ (spawnChild("x10rows", Map(
-        "SPARK_GRAFT_X10" -> "1",
-        "SPARK_GRAFT_X10_DIR" -> x10Dir,
-        "SPARK_GRAFT_SKIP_SF" -> "1",
-        "SPARK_GRAFT_ONLY" -> chunk.mkString(",")), sfDir) match {
-        case Left(_) => Map.empty[String, Double]
-        case Right(text) => sectionOf(text, "queries_x10")
-      })
+      sfDir: String, maxWaitSec: Double = 1800.0): Map[String, Double] =
+    // ONE child per call — the caller owns the chunking (it schedules
+    // each chunk against the remaining wall budget)
+    spawnChild("x10rows", Map(
+      "SPARK_GRAFT_X10" -> "1",
+      "SPARK_GRAFT_X10_DIR" -> x10Dir,
+      "SPARK_GRAFT_SKIP_SF" -> "1",
+      // no lifecycle-split re-run in a cold child: its reset() would
+      // destroy + rebuild the shared scratch store (minutes at x10)
+      // just to re-measure rows the parent already has
+      "SPARK_GRAFT_SKIP_SPLIT" -> "1",
+      "SPARK_GRAFT_ONLY" -> names.mkString(",")), sfDir, maxWaitSec) match {
+      case Left(_) => Map.empty[String, Double]
+      case Right(text) => sectionOf(text, "queries_x10")
     }
 
   /** BASELINE row 6 — the reference's `BenchmarkHeadPostingForMatchers`
@@ -622,7 +644,7 @@ object Bench {
       // shaped corpus — pins that the PromQL path's at-scale cost
       // tracks the hand-built family's, not just at x10
       val t0 = 1704067200000L
-      val promqlSec = best2 {
+      def promqlOnce(): Unit =
         runPlan(graft.query.PromQl.evalUnsorted(
           "rate(m[2h])",
           samples.withColumn("labels",
@@ -630,7 +652,13 @@ object Bench {
           graft.query.PromQl.Params(
             t0 + 2 * 3600000L, t0 + 3 * 3600000L, 60000L,
             seriesEstimate = Some(series))))
-      }
+      // single pass at the 200M point: the row costs ~160 s there and a
+      // second pass alone would blow the run's wall budget -- at that
+      // duration the variable cost dwarfs the best-of-2 noise the rule
+      // exists to absorb (the 20M row keeps best-of-2)
+      val promqlSec =
+        if (series * perSeries > 50000000L) timedSec(promqlOnce())
+        else best2(promqlOnce())
       Seq(
         ("increase_sec", incSec, "ok"),
         ("over_time_sec", otSec, "ok"),
@@ -816,6 +844,26 @@ object Bench {
   private def ms(v: Double): String = f"$v%.3f"
 
   def main(args: Array[String]): Unit = {
+    // Wall-clock budget (r10 lesson: the refinement phase grew past the
+    // driver's cap and the tail-only artifact write lost EVERYTHING --
+    // BENCH_r10.json: rc 124, parsed null). The budget bounds the whole
+    // run; refinement children are scheduled against what remains and
+    // degrade gracefully to the in-run numbers. Default sits under the
+    // r9 driver duration (47:21) with headroom.
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2580").toDouble
+    def remainingSec: Double = budgetSec - elapsedSec
+    // per-phase wall record -> the artifact (budget tuning needs to see
+    // where a full run's minutes actually go)
+    val wall = scala.collection.mutable.ListBuffer[(String, Double)]()
+    def walled[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      wall += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -840,17 +888,19 @@ object Bench {
       .filter { case (k, _) => only.forall(_.contains(k)) }
 
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      selected.foreach { case (_, fn) =>
-        try runPlan(fn(spark, warmDir)) catch { case _: Throwable => () }
-      }
+    walled("warmup") {
+      if (new java.io.File(warmDir).isDirectory)
+        selected.foreach { case (_, fn) =>
+          try runPlan(fn(spark, warmDir)) catch { case _: Throwable => () }
+        }
+    }
 
     // best-of-2 for the main sf pass too (same rationale as the x10
     // pass below) — these per-query numbers are a cross-round record.
     // An x10 cold-context child (SPARK_GRAFT_SKIP_SF=1) skips the sf
     // pass entirely: it exists to time its x10 chunk near JVM start.
     val skipSf = sys.env.getOrElse("SPARK_GRAFT_SKIP_SF", "0") == "1"
-    val results =
+    val results = walled("sf") {
       if (skipSf) Nil
       else {
         runSetup(spark, selected, sfDir)
@@ -859,6 +909,7 @@ object Bench {
           timeQueries(spark, selected, sfDir),
           timeQueries(spark, selected.reverse, sfDir))
       }
+    }
     val total = results.map(_._2).sum
 
     // 10×-scale headline pass (disable with SPARK_GRAFT_X10=0).
@@ -874,7 +925,7 @@ object Bench {
     // the scaled corpus outlives the pass when x10-row healing may
     // need a cold-context child over it (deleted after isolation)
     var x10Keep: Option[String] = None
-    val (x10Results, x10Split, x10PrepSec) =
+    val (x10Results, x10Split, x10PrepSec) = walled("x10") {
       if (!doX10) (Nil, Nil, 0.0)
       else {
         val tmp = x10Dir.getOrElse(
@@ -918,7 +969,8 @@ object Bench {
           // compare like-for-like against an oracle that never pays the
           // build.
           hygiene(spark)
-          val split = SparkEntry.benchPhases.toSeq.sortBy(_._1)
+          val split = (if (sys.env.get("SPARK_GRAFT_SKIP_SPLIT").contains("1"))
+              Nil else SparkEntry.benchPhases.toSeq.sortBy(_._1))
             .filter { case (k, _) => only.forall(_.contains(k)) }
             .map { case (name, ph) =>
               try {
@@ -941,6 +993,7 @@ object Bench {
           else if (x10Dir.isEmpty) x10Keep = Some(tmp)
         }
       }
+    }
 
     // BASELINE translation rows: bulk-append throughput into block
     // partitions ("tsdb bench write" analogue) and the block-merge
@@ -953,7 +1006,7 @@ object Bench {
     // sets it, so shipped artifacts always carry real lifecycle rows
     val doLifecycle = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE", "1") != "0"
     var storeStatus = "ok"
-    val (writeRps, compactSec, bytesPerSample) = if (!doLifecycle) (0.0, 0.0, 0.0) else {
+    val (writeRps, compactSec, bytesPerSample) = walled("lifecycle") { if (!doLifecycle) (0.0, 0.0, 0.0) else {
       hygiene(spark)
       // One full write+compact lifecycle against a fresh store dir.
       // Each pass gets its own store (compact mutates the manifest, so
@@ -997,7 +1050,7 @@ object Bench {
           storeStatus = statusOf(spark, e, 0).stripSuffix(": ")
           (0.0, 0.0, 0.0)
       }
-    }
+    } }
 
     // BASELINE's "bench write" row proper (cmd/tsdb/main.go:238-273):
     // 10k REAL label-set series from an NDJSON corpus through
@@ -1010,7 +1063,7 @@ object Bench {
     // pages collapse the same way, unlike the irregular events corpus
     // above where inter-arrival deltas genuinely cost ~20 bits)
     var bytesPerSampleLabelSets = 0.0
-    val writeRpsLabelSets: Double = if (!doLifecycle) 0.0 else {
+    val writeRpsLabelSets: Double = walled("labelsets") { if (!doLifecycle) 0.0 else {
       hygiene(spark)
       def labelSetPass(): Double = {
         val tmp = java.nio.file.Files.createTempDirectory("graft-ls-bench-")
@@ -1060,13 +1113,14 @@ object Bench {
           labelSetStatus = statusOf(spark, e)
           0.0
       }
-    }
+    } }
 
     // High-cardinality matcher pass (BASELINE row 6). Skipped during
     // SPARK_GRAFT_ONLY iteration unless forced with SPARK_GRAFT_MATCHERS=1.
     val doMatchers = sys.env.getOrElse("SPARK_GRAFT_MATCHERS",
       if (only.isEmpty) "1" else "0") != "0"
-    val matcherResults = if (doMatchers) { hygiene(spark); matcherBench(spark) } else Nil
+    val matcherResults = walled("matchers_5m") {
+      if (doMatchers) { hygiene(spark); matcherBench(spark) } else Nil }
 
     // At-scale rows (1M-vector ANN lifecycle, 20M-sample rate family).
     // Skipped during SPARK_GRAFT_ONLY iteration unless forced with
@@ -1082,11 +1136,12 @@ object Bench {
     // min-of-two whole-section passes (the r9 self-defense rule): a
     // single pass carries whatever JIT/page-cache/GC state earlier
     // sections left behind
-    val annResults = if (doAnn) {
+    val annResults = walled("ann_1m") { if (doAnn) {
       hygiene(spark)
       minMerge(annBench(spark), { hygiene(spark); annBench(spark) })
-    } else Nil
-    val rateResults = if (doRate20) { hygiene(spark); rateBench(spark) } else Nil
+    } else Nil }
+    val rateResults = walled("rate_20m") {
+      if (doRate20) { hygiene(spark); rateBench(spark) } else Nil }
     // the decade-up point; its own switch so a time-budgeted run can
     // keep the 20M row and drop only the 200M one — and
     // SPARK_GRAFT_SCALE200=1 forces it ALONE (isolated calibration).
@@ -1103,37 +1158,55 @@ object Bench {
     // child supersedes). SPARK_GRAFT_SCALE200=1 (the child itself, or
     // manual calibration) still runs in-process.
     val scale200Env = sys.env.get("SPARK_GRAFT_SCALE200")
-    val doScale200InParent = scale200Env.exists(_ != "0")
-    val rate200Results =
-      if (doScale200InParent) { hygiene(spark); rate200Bench(spark) } else Nil
+    val doScale200InParent = scale200Env.exists(_ != "0") ||
+      // isolation disabled (SPARK_GRAFT_ISOLATE=0) but the scale
+      // sections requested: fall back to the in-parent pass rather
+      // than silently dropping the round's load-bearing 200M record
+      // (the end-of-run child only spawns when isolation is on)
+      (scale200Env.isEmpty && doScale && !isolationOn &&
+        sys.env.get("SPARK_GRAFT_ISOLATED").isEmpty && only.isEmpty)
+    val rate200Results = walled("rate_200m_parent") {
+      if (doScale200InParent) { hygiene(spark); rate200Bench(spark) } else Nil }
     // SPARK_GRAFT_DEDUP100K=1 forces the 100k dedup row alone (isolated
     // calibration — the section is page-cache sensitive after rate_200m)
     val doDedup100k = sys.env.getOrElse("SPARK_GRAFT_DEDUP100K",
       if (doScale) "1" else "0") != "0"
-    val dedupResults = if (doDedup100k) {
+    val dedupResults = walled("dedup_100k") { if (doDedup100k) {
       hygiene(spark)
       minMerge(dedupBench(spark), { hygiene(spark); dedupBench(spark) })
-    } else Nil
+    } else Nil }
     // the decade-up dedup point — own switch (SPARK_GRAFT_DEDUP1M=1
     // forces it alone, =0 drops it from a time-budgeted full run)
     val doDedup1m = sys.env.getOrElse("SPARK_GRAFT_DEDUP1M",
       if (doScale) "1" else "0") != "0"
-    val dedup1mResults = if (doDedup1m) {
+    val dedup1mResults = walled("dedup_1m") { if (doDedup1m) {
       hygiene(spark)
       minMerge(dedup1mBench(spark), { hygiene(spark); dedup1mBench(spark) })
-    } else Nil
+    } else Nil }
     // SPARK_GRAFT_STREAM=1 forces the streaming row alone — the lane is
     // JVM-state sensitive inside a full run, so calibration needs this
     val doStream = sys.env.getOrElse("SPARK_GRAFT_STREAM",
       if (doScale) "1" else "0") != "0"
-    val streamResults = if (doStream) { hygiene(spark); streamBench(spark) } else Nil
+    val streamResults = walled("stream_ingest") {
+      if (doStream) { hygiene(spark); streamBench(spark) } else Nil }
 
-    // ---- artifact self-defense: a section reading >1.5× its
-    // previous-round committed value (or the ann probe losing its
-    // designed margin over brute force) re-runs ONCE in a FRESH JVM;
-    // the twin lands in this artifact under <section>_isolated and the
-    // section rows take the better of the two — the r8 pattern
-    // ("record says X, notes say X/10") is structurally impossible.
+    // ---- artifact self-defense: cold-context refinement under an
+    // explicit wall-clock budget, with an INCREMENTALLY FLUSHED
+    // artifact. r10's refinement phase (cold children for every x10
+    // row + two unconditional rate_200m children) grew past the
+    // driver's cap, and because the detail file and headline line were
+    // written only at the very end, the timeout zeroed the whole
+    // record (BENCH_r10.json: rc 124, parsed null). Structure now:
+    //   1. the IN-RUN record is flushed to the detail file and printed
+    //      as a headline line BEFORE any refinement child spawns -- a
+    //      kill can never lose it again;
+    //   2. each refinement child is scheduled against the remaining
+    //      budget with a cost estimate (previous-round detail where
+    //      available); children that don't fit are skipped, recorded
+    //      under `skipped_children` / `uncold`, and the in-run numbers
+    //      (which exist for every row) stand;
+    //   3. the detail file is REWRITTEN after every refinement step,
+    //      and an amended final headline prints last.
     val prevText =
       try {
         val p = java.nio.file.Paths.get(
@@ -1151,102 +1224,56 @@ object Bench {
         ("write_rows_per_sec_labelsets", writeRpsLabelSets, labelSetStatus),
         ("bytes_per_sample_labelsets", bytesPerSampleLabelSets, labelSetStatus))
     // the ann serving claim is internal consistency, not cross-round:
-    // the persisted-index probe must beat brute force by ≥2×
+    // the persisted-index probe must beat brute force by >= 2x
     val annSuspect = {
       val m = annResults.collect { case (k, v, "ok") => k -> v }.toMap
       (for (p <- m.get("probe_sec"); b <- m.get("bf_sec")) yield p > b / 2)
         .getOrElse(false)
     }
-    var isoBudget = 3 // wall-clock bound: at most 3 fresh-JVM re-runs
-    def wantsIso(
-        name: String, rows: Seq[(String, Double, String)],
-        extraSuspect: Boolean = false): Boolean =
-      if (!isolationOn || rows.isEmpty || isoBudget <= 0) false
-      else {
-        val prev =
-          if (name == "lifecycle") topLevelOf(prevText, LifecycleKeys)
-          else sectionOf(prevText, name)
-        if (regressed(rows, prev) || extraSuspect) { isoBudget -= 1; true }
-        else false
+
+    // ---- refinement state (mutable: flushed to the detail file as the
+    // child phase evolves; every getter below reads the CURRENT state)
+    var x10Iso: Map[String, Double] = Map.empty
+    var isolatedRuns: Seq[(String, Seq[(String, Double, String)])] = Nil
+    // x10 rows that were cold-candidates but whose child never ran
+    // (budget), and children skipped outright
+    var uncold: Seq[String] = Nil
+    var skippedChildren: Seq[String] = Nil
+
+    def x10Healed: Seq[(String, Double, String)] =
+      x10Results.map { case (k, v, s) =>
+        x10Iso.get(k) match {
+          case Some(iv) if s == "ok" => (k, math.min(v, iv), s)
+          case _ => (k, v, s)
+        }
       }
-    // priority order = how load-bearing the section's scaling claim is.
-    // rate_200m is UNCONDITIONAL (its in-parent pass no longer runs):
-    // the section's one honest habitat is a fresh JVM on a quiet host.
-    val isoPlan: Seq[String] =
-      (if (isolationOn && scale200Env.isEmpty && doScale) Seq("rate_200m")
-       else Nil) ++ Seq(
-        ("dedup_1m", dedup1mResults, false),
-        ("ann_1m", annResults, annSuspect),
-        ("matchers_5m", matcherResults, false),
-        ("lifecycle", lifecycleRows, false),
-        ("dedup_100k", dedupResults, false),
-        ("rate_20m", rateResults, false),
-        ("stream_ingest", streamResults, false)).collect {
-        case (n, rows, extra) if wantsIso(n, rows, extra) => n
-      }
-    // EVERY x10 row re-times in cold-context children over the kept
-    // scaled corpus (chunked so each query runs near JVM start) and
-    // records min(in-run, cold) — the consistent rule that keeps the
-    // cross-engine record free of in-run JVM state (the r9 judge table
-    // carried rows at 2× their cold cost)
-    val x10Corpus = x10Dir.orElse(x10Keep)
-    val x10Regressed: Seq[String] =
-      if (!isolationOn || x10Corpus.isEmpty) Nil
-      else x10Results.collect { case (k, _, "ok") if k != "null_query" => k }
-    // release THIS JVM's entire footprint before any child measures:
-    // stopping Spark drops the executor pools/caches, and the full GCs
-    // let G1 uncommit the heap toward MaxHeapFreeRatio — the children
-    // must see an idle host, not a 48 GiB squatter (the r9 lesson)
-    if (isoPlan.nonEmpty || x10Regressed.nonEmpty) {
-      spark.stop()
-      (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
-    }
-    val x10Iso: Map[String, Double] =
-      if (x10Regressed.isEmpty) Map.empty
-      else isolatedX10Rows(x10Regressed, x10Corpus.get, sfDir)
-    val x10Healed = x10Results.map { case (k, v, s) =>
-      x10Iso.get(k) match {
-        case Some(iv) if s == "ok" => (k, math.min(v, iv), s)
-        case _ => (k, v, s)
-      }
-    }
-    // rate_200m's record is the round's load-bearing decade claim and
-    // its 200M sort is the host's noisiest workload (row-level swings
-    // up to ~2.5× between back-to-back clean children) — measure it in
-    // TWO fresh children and min-merge, like every other defended row
-    val isolatedRuns: Seq[(String, Seq[(String, Double, String)])] =
-      isoPlan.map {
-        case n @ "rate_200m" =>
-          n -> minMerge(isolatedSection(n, sfDir), isolatedSection(n, sfDir))
-        case n => n -> isolatedSection(n, sfDir)
-      }
-    x10Keep.foreach(tmp =>
-      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively())
-    val isoMap = isolatedRuns.toMap
+    def isoMap = isolatedRuns.toMap
     def healed(name: String, rows: Seq[(String, Double, String)]) =
       if (rows.isEmpty) isoMap.getOrElse(name, rows)
       else isoMap.get(name).map(minMerge(rows, _)).getOrElse(rows)
-    val matcherR = healed("matchers_5m", matcherResults)
-    val annR = healed("ann_1m", annResults)
-    val rateR = healed("rate_20m", rateResults)
-    val rate200R = healed("rate_200m", rate200Results)
-    val dedupR = healed("dedup_100k", dedupResults)
-    val dedup1mR = healed("dedup_1m", dedup1mResults)
-    val streamR = healed("stream_ingest", streamResults)
-    val lifeR = healed("lifecycle", lifecycleRows)
+    def matcherR = healed("matchers_5m", matcherResults)
+    def annR = healed("ann_1m", annResults)
+    def rateR = healed("rate_20m", rateResults)
+    def rate200R = healed("rate_200m", rate200Results)
+    def dedupR = healed("dedup_100k", dedupResults)
+    def dedup1mR = healed("dedup_1m", dedup1mResults)
+    def streamR = healed("stream_ingest", streamResults)
+    def lifeR = healed("lifecycle", lifecycleRows)
     def lifeVal(k: String, orig: Double): Double =
       lifeR.collectFirst { case (`k`, v, "ok") => v }.getOrElse(orig)
-    val writeRpsH = lifeVal("write_rows_per_sec", writeRps)
-    val compactSecH = lifeVal("compact_sec", compactSec)
-    val bytesPerSampleH = lifeVal("bytes_per_sample", bytesPerSample)
-    val writeRpsLsH = lifeVal("write_rows_per_sec_labelsets", writeRpsLabelSets)
-    val bytesPerSampleLsH = lifeVal("bytes_per_sample_labelsets",
+    def writeRpsH = lifeVal("write_rows_per_sec", writeRps)
+    def compactSecH = lifeVal("compact_sec", compactSec)
+    def bytesPerSampleH = lifeVal("bytes_per_sample", bytesPerSample)
+    def writeRpsLsH = lifeVal("write_rows_per_sec_labelsets", writeRpsLabelSets)
+    def bytesPerSampleLsH = lifeVal("bytes_per_sample_labelsets",
       bytesPerSampleLabelSets)
 
-    val errors = (results ++ x10Healed ++ matcherR ++ annR ++
+    // a "skipped: ..." status is an honest budget record, not a failure
+    def isErr(s: String) = s != "ok" && !s.startsWith("skipped")
+    def errors = (results ++ x10Healed ++ matcherR ++ annR ++
       rateR ++ rate200R ++ dedupR ++ dedup1mR ++
-      streamR).count(_._3 != "ok") +
-      x10Split.count(_._4 != "ok") +
+      streamR).count(r => isErr(r._3)) +
+      x10Split.count(r => isErr(r._4)) +
       (if (storeStatus == "ok") 0 else 1) +
       (if (labelSetStatus == "ok") 0 else 1)
 
@@ -1257,38 +1284,39 @@ object Bench {
       })
 
     // Full per-query detail (exact times + all statuses) goes to a file;
-    // the stdout contract line stays compact. BENCH_r01/r02 both recorded
-    // "parsed": null because this line outgrew the driver's ~4 KB tail
-    // capture — the line must stay well under that forever.
-    // each triggered fresh-JVM twin, verbatim — the record carries
-    // both the in-run and the isolated measurement forever
-    val isoDetail = isolatedRuns.map { case (name, rows) =>
+    // the stdout contract line stays compact (BENCH_r01/r02 recorded
+    // "parsed": null when the line outgrew the driver's ~4 KB tail).
+    def isoDetail = isolatedRuns.map { case (name, rows) =>
       s""""${name}_isolated":${jsonMap(rows.map { case (k, v, _) => k -> v.toString })},""" +
-        s""""${name}_isolated_status":${jsonMap(rows.map { case (k, _, s) => k -> ("\"" + s + "\"") })},"""
+        s""""${name}_isolated_status":${jsonMap(rows.map { case (k, _, st) => k -> ("\"" + st + "\"") })},"""
     }.mkString
-    val detail =
+    def detailString: String =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jsonMap(results.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""status":${jsonMap(results.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""status":${jsonMap(results.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       s""""queries_x10":${jsonMap(x10Healed.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""status_x10":${jsonMap(x10Healed.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""status_x10":${jsonMap(x10Healed.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       s""""x10_isolated":${jsonMap(x10Iso.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })},""" +
       s""""lifecycle_split_x10":${splitJson(_.toString)},""" +
       s""""matchers_5m":${jsonMap(matcherR.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""matchers_5m_status":${jsonMap(matcherR.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""matchers_5m_status":${jsonMap(matcherR.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       s""""ann_1m":${jsonMap(annR.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""ann_1m_status":${jsonMap(annR.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""ann_1m_status":${jsonMap(annR.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       s""""rate_20m":${jsonMap(rateR.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""rate_20m_status":${jsonMap(rateR.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""rate_20m_status":${jsonMap(rateR.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       s""""rate_200m":${jsonMap(rate200R.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""rate_200m_status":${jsonMap(rate200R.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""rate_200m_status":${jsonMap(rate200R.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       s""""dedup_100k":${jsonMap(dedupR.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""dedup_100k_status":${jsonMap(dedupR.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""dedup_100k_status":${jsonMap(dedupR.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       s""""dedup_1m":${jsonMap(dedup1mR.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""dedup_1m_status":${jsonMap(dedup1mR.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""dedup_1m_status":${jsonMap(dedup1mR.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       s""""stream_ingest":${jsonMap(streamR.map { case (k, v, _) => k -> v.toString })},""" +
-      s""""stream_ingest_status":${jsonMap(streamR.map { case (k, _, s) => k -> ("\"" + s + "\"") })},""" +
+      s""""stream_ingest_status":${jsonMap(streamR.map { case (k, _, st) => k -> ("\"" + st + "\"") })},""" +
       isoDetail +
+      s""""wall":${jsonMap(wall.toSeq.map { case (k, v) => k -> f"$v%.1f" })},""" +
+      s""""budget_sec":$budgetSec,"elapsed_sec":${f"$elapsedSec%.1f"},""" +
+      s""""uncold":[${uncold.map(n => "\"" + n + "\"").mkString(",")}],""" +
+      s""""skipped_children":[${skippedChildren.map(n => "\"" + n + "\"").mkString(",")}],""" +
       s""""x10_prep_sec":$x10PrepSec,"errors":$errors,""" +
       s""""write_rows_per_sec":$writeRpsH,"compact_sec":$compactSecH,""" +
       s""""bytes_per_sample":$bytesPerSampleH,""" +
@@ -1300,34 +1328,39 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         // a CALIBRATION run (SPARK_GRAFT_ONLY / forced single section /
         // a spawned child) must never overwrite the committed
-        // BENCH_DETAIL.json — it is the previous round's record and the
+        // BENCH_DETAIL.json -- it is the previous round's record and the
         // regression baseline the self-defense compares against (a
         // builder-local run clobbered it twice in r10 before this guard)
         if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_ISOLATED") ||
             SectionFlag.values.exists(f => sys.env.get(f).contains("1")))
           "BENCH_DETAIL_calibration.json"
         else "BENCH_DETAIL.json"))
-    java.nio.file.Files.writeString(detailPath, detail + "\n")
+    def flushDetail(): Unit =
+      java.nio.file.Files.writeString(detailPath, detailString + "\n")
 
-    // Headline line: ms-precision per-query maps, statuses only when
-    // not-ok (the detail file always has everything).
-    val matcherTotal = matcherR.map(_._2).sum
-    val badSt = results.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
-    val badSt10 = x10Healed.filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
-    val badStM = matcherR
-      .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
-    // at-scale section failures get their own headline key — folding
-    // them under matchers_5m_status misattributed them
-    val badStScale = (annR ++ rateR ++ rate200R ++
-      dedupR ++ dedup1mR ++ streamR)
-      .filter(_._3 != "ok").map { case (k, _, s) => k -> ("\"" + s + "\"") }
-    def headline(withQueries: Boolean): String = {
+    // Headline line: ms-precision maps, statuses only when not-ok (the
+    // detail file always has everything). Three sizes, the largest that
+    // fits under the tail-capture bound: full (sf queries + x10 +
+    // splits) -> x10-only (the cross-round/cross-engine table gets
+    // priority over the sf rows) -> compact.
+    def headline(level: Int, phase: String): String = {
+      val matcherTotal = matcherR.map(_._2).sum
+      val badSt = results.filter(_._3 != "ok").map { case (k, _, st) => k -> ("\"" + st + "\"") }
+      val badSt10 = x10Healed.filter(_._3 != "ok").map { case (k, _, st) => k -> ("\"" + st + "\"") }
+      val badStM = matcherR
+        .filter(_._3 != "ok").map { case (k, _, st) => k -> ("\"" + st + "\"") }
+      val badStScale = (annR ++ rateR ++ rate200R ++
+        dedupR ++ dedup1mR ++ streamR)
+        .filter(_._3 != "ok").map { case (k, _, st) => k -> ("\"" + st + "\"") }
       val perQuery =
-        if (!withQueries) ""
-        else s""""queries":${jsonMap(results.map { case (k, v, _) => k -> ms(v) })},""" +
+        (if (level >= 2)
+          s""""queries":${jsonMap(results.map { case (k, v, _) => k -> ms(v) })},"""
+        else "") +
+        (if (level >= 1)
           s""""queries_x10":${jsonMap(x10Healed.map { case (k, v, _) => k -> ms(v) })},""" +
-          s""""lifecycle_split_x10":${splitJson(ms)},"""
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" + perQuery +
+            s""""lifecycle_split_x10":${splitJson(ms)},"""
+        else "")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","phase":"$phase",""" + perQuery +
         (if (badSt.nonEmpty) s""""status":${jsonMap(badSt)},""" else "") +
         (if (badSt10.nonEmpty) s""""status_x10":${jsonMap(badSt10)},""" else "") +
         (if (badStM.nonEmpty) s""""matchers_5m_status":${jsonMap(badStM)},""" else "") +
@@ -1342,7 +1375,11 @@ object Bench {
         (if (isolatedRuns.isEmpty) ""
          else isolatedRuns.map(r => "\"" + r._1 + "\"")
            .mkString(""""isolated":[""", ",", "],")) +
+        (if (uncold.isEmpty) "" else s""""uncold_n":${uncold.size},""") +
+        (if (skippedChildren.isEmpty) ""
+         else s""""skipped_children":[${skippedChildren.map(n => "\"" + n + "\"").mkString(",")}],""") +
         s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +
+        s""""elapsed_sec":${f"$elapsedSec%.0f"},""" +
         s""""write_rows_per_sec":${ms(writeRpsH)},"compact_sec":${ms(compactSecH)},""" +
         s""""bytes_per_sample":${ms(bytesPerSampleH)},""" +
         s""""write_rows_per_sec_labelsets":${ms(writeRpsLsH)},""" +
@@ -1350,11 +1387,152 @@ object Bench {
         (if (labelSetStatus != "ok") s""""labelsets_status":"$labelSetStatus",""" else "") +
         s""""store_status":"$storeStatus","sf":"$sfDir","detail":"$detailPath"}"""
     }
-    // Hard guard: if the line would ever near the driver's capture window
-    // again, drop the per-query maps from the line (never from the file).
-    val line = { val l = headline(withQueries = true); if (l.length <= 3000) l else headline(withQueries = false) }
-    println(line)
+    def printHeadline(phase: String): Unit = {
+      val line = Seq(2, 1, 0).iterator.map(headline(_, phase))
+        .find(_.length <= 3000)
+        .getOrElse(headline(0, phase))
+      println(line)
+      System.out.flush()
+    }
+
+    // ---- the in-run record lands NOW, before any refinement child
+    flushDetail()
+
+    // ---- refinement plan ------------------------------------------
+    var isoBudget = 3 // at most 3 regression-triggered fresh-JVM re-runs
+    def wantsIso(
+        name: String, rows: Seq[(String, Double, String)],
+        extraSuspect: Boolean = false): Boolean =
+      if (!isolationOn || rows.isEmpty || isoBudget <= 0) false
+      else {
+        val prev =
+          if (name == "lifecycle") topLevelOf(prevText, LifecycleKeys)
+          else sectionOf(prevText, name)
+        if (regressed(rows, prev) || extraSuspect) { isoBudget -= 1; true }
+        else false
+      }
+    val isoPlan: Seq[String] = Seq(
+      ("dedup_1m", dedup1mResults, false),
+      ("ann_1m", annResults, annSuspect),
+      ("matchers_5m", matcherResults, false),
+      ("lifecycle", lifecycleRows, false),
+      ("dedup_100k", dedupResults, false),
+      ("rate_20m", rateResults, false),
+      ("stream_ingest", streamResults, false)).collect {
+      case (n, rows, extra) if wantsIso(n, rows, extra) => n
+    }
+    // rate_200m is UNCONDITIONAL in a full isolated run (its in-parent
+    // pass no longer runs): the section's one honest habitat is a fresh
+    // child JVM on a quiet host (r10 root cause of the r9 "regression")
+    val wantRate200Child = isolationOn && scale200Env.isEmpty && doScale
+    // its cost estimate, from the previous round's committed rows when
+    // available: each stat re-runs best-of-2 in the child except the
+    // single-pass 200M promql row; + corpus gen + JVM/Spark init
+    val est200: Double = {
+      val prev = sectionOf(prevText, "rate_200m")
+      val secs = prev.collect { case (k, v) if k.endsWith("_sec") => v }
+      if (secs.isEmpty) 620.0
+      else 1.3 * secs.sum + 180.0 +
+        (if (prev.contains("promql_rate_sec")) 0.0 else 170.0)
+    }
+    // x10 cold-context candidates: ok rows at/under the threshold --
+    // above it the variable cost dominates and the in-run number is the
+    // honest record (re-running promql_rate_1d cold would buy noise and
+    // cost minutes); under it the r9/r10 evidence shows up to ~2x of
+    // in-run JVM state, which min(in-run, cold) sheds
+    val coldMax = sys.env.getOrElse("SPARK_GRAFT_COLD_MAX", "3.0").toDouble
+    val x10Corpus = x10Dir.orElse(x10Keep)
+    val coldCandidates: Seq[(String, Double)] =
+      if (!isolationOn || x10Corpus.isEmpty) Nil
+      else x10Results.collect {
+        case (k, v, "ok") if k != "null_query" && v <= coldMax => (k, v)
+      }
+
+    val childPhase = wantRate200Child || isoPlan.nonEmpty || coldCandidates.nonEmpty
+    // release THIS JVM's entire footprint before any child measures:
+    // stopping Spark drops the executor pools/caches, and the full GCs
+    // let G1 uncommit the heap toward MaxHeapFreeRatio -- the children
+    // must see an idle host, not a 48 GiB squatter (the r9 lesson)
     spark.stop()
+    if (childPhase) (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
+    // the in-run headline prints AFTER spark.stop(): the stop's log
+    // burst lands above the line, not between it and a potential kill
+    printHeadline(if (childPhase) "in_run" else "final")
+
+    if (childPhase) {
+      // 1. rate_200m -- the round's load-bearing decade claim, first in
+      // line for the remaining budget
+      var rate200Wall = est200
+      if (wantRate200Child) {
+        if (remainingSec > est200) {
+          val t0 = System.nanoTime()
+          val rows = walled("rate_200m_child") {
+            isolatedSection("rate_200m", sfDir, maxWaitSec = remainingSec + 30)
+          }
+          rate200Wall = (System.nanoTime() - t0) / 1e9
+          isolatedRuns :+= ("rate_200m" -> rows)
+          flushDetail()
+        } else skippedChildren :+= "rate_200m"
+      }
+      // 2. regression-triggered section twins
+      isoPlan.foreach { n =>
+        val est = 120.0 +
+          1.3 * sectionOf(prevText, n).collect {
+            case (k, v) if k.endsWith("_sec") => v }.sum
+        if (remainingSec > est) {
+          val rows = walled(s"${n}_child") {
+            isolatedSection(n, sfDir, maxWaitSec = remainingSec + 30)
+          }
+          isolatedRuns :+= (n -> rows)
+          flushDetail()
+        } else skippedChildren :+= n
+      }
+      // 3. x10 cold-context chunks: each chunk runs near the front of a
+      // fresh JVM over the kept scaled corpus; every covered row then
+      // records min(in-run, cold) -- the consistent rule that keeps the
+      // cross-engine record free of in-run JVM state
+      // largest in-run times first: they carry the most cold-heal
+      // potential, so a budget truncation drops the cheap tail
+      var pending = coldCandidates.sortBy(-_._2).grouped(13).toList
+      var chunkNo = 0
+      while (pending.nonEmpty) {
+        val chunk = pending.head
+        val est = 60.0 + 2.3 * chunk.map(_._2).sum
+        if (remainingSec > est) {
+          chunkNo += 1
+          val got = walled(s"x10_cold_chunk_$chunkNo") {
+            isolatedX10Rows(chunk.map(_._1), x10Corpus.get, sfDir,
+              maxWaitSec = remainingSec + 30)
+          }
+          x10Iso ++= got
+          uncold = uncold ++ chunk.map(_._1).filterNot(got.contains)
+          pending = pending.tail
+          flushDetail()
+        } else {
+          uncold = uncold ++ pending.flatten.map(_._1)
+          pending = Nil
+        }
+      }
+      // 4. a second rate_200m child when the budget still allows it --
+      // min-merged with the first (the section is the host's noisiest
+      // workload; two fresh children absorb row-level swings)
+      if (wantRate200Child && !skippedChildren.contains("rate_200m") &&
+          remainingSec > math.max(est200, rate200Wall * 1.05)) {
+        val rows = walled("rate_200m_child2") {
+          isolatedSection("rate_200m", sfDir, maxWaitSec = remainingSec + 30)
+        }
+        isolatedRuns = isolatedRuns.map {
+          case ("rate_200m", prev) => "rate_200m" -> minMerge(prev, rows)
+          case other => other
+        }
+        flushDetail()
+      }
+    }
+    x10Keep.foreach(tmp =>
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively())
+
+    flushDetail()
+    if (childPhase) printHeadline("final")
     if (errors > 0) sys.exit(2)
   }
 }

@@ -964,6 +964,58 @@ object SparkEntry {
           (floor(col("v") * 1e4 + 0.5) / 1e4).as("q"))
     }),
 
+    // The HIGH-FAN-OUT native corridor row (r10 verdict "wrong" #2):
+    // the same SLO query at k = ⌈1d/1m⌉ = 1440 — a 1m lattice over one
+    // day of sliding-day windows. Above the explode cap, hRangeVec now
+    // routes the per-channel window sums through the event-difference
+    // decomposition (a +c event at t, a −c event at prev_t + range,
+    // ONE running prefix sum per (series, channel) at lattice grain —
+    // no k·n explode) and the sample stats through windowRangeAgg's
+    // block decomposition; the conformance window-plan pass pins
+    // decomposed ≡ exploded at small k. Histogram samples are
+    // cumulative 6h-grain observe() packs of the click corpus
+    // (reset-free by construction), so the oracle re-derives every
+    // channel delta as the INTEGER sum of per-bucket increments inside
+    // (first, last] — exact cross-engine integers scaled by the
+    // identical IEEE factor expression; q floor-cut 4dp.
+    "promql_native_rate_1d" -> ((s, dir) => {
+      val src = TsdbSource.events(s, dir)
+        .select(T0, T0 + 3 * DAY, Eq("name", "click"))
+      val obs = NativeHistogram.observe(
+        src, BUCKET_W, lit(0), NATIVE_ZT, col("v") - 35)
+      val days = obs.select(col("series_key"), col("t_bucket").as("__d")).distinct()
+      val cum = obs.join(days, Seq("series_key"))
+        .where(col("t_bucket") <= col("__d"))
+        .groupBy("series_key", "__d", "part", "idx")
+        .agg(sum("c").as("c"), sum("sv").as("sv"))
+      val hs = cum.groupBy(col("series_key"), col("__d").as("t")).agg(
+          coalesce(sum(when(col("part") === 0, col("c"))), lit(0L))
+            .cast("double").as("__z"),
+          sum("c").cast("double").as("__cnt"),
+          round(sum("sv"), 2).as("__sum"),
+          sort_array(collect_list(when(col("part") === -1,
+            struct(col("idx").cast("int").as("i"),
+              col("c").cast("double").as("c"))))).as("__neg"),
+          sort_array(collect_list(when(col("part") === 1,
+            struct(col("idx").cast("int").as("i"),
+              col("c").cast("double").as("c"))))).as("__pos"))
+        .select(col("series_key"), col("t"),
+          lit(null).cast("double").as("v"),
+          struct(lit(0).as("schema"), lit(NATIVE_ZT).as("zt"),
+            col("__z").as("z_count"), col("__cnt").as("count"),
+            col("__sum").as("sum"),
+            col("__neg").as("neg"), col("__pos").as("pos")).as("h"))
+      val lab = src.groupBy("series_key").agg(first("labels").as("labels"))
+      val frame = hs.join(lab, Seq("series_key"))
+        .select("series_key", "labels", "t", "v", "h")
+      PromQl.evalUnsorted(
+          "histogram_quantile(0.9, rate({name=\"click\"}[1d]))", frame,
+          PromQl.Params(T0 + 2 * DAY, T0 + 3 * DAY, 60000L, nameLabel = "name",
+            seriesEstimate = Some(100000L)))
+        .select(col("series_key"), col("t"),
+          (floor(col("v") * 1e4 + 0.5) / 1e4).as("q"))
+    }),
+
     // PromQL *_over_time range vectors: trailing-1h sliding aggregates
     // per sample via ONE range-frame window (count/min/max/sum/avg).
     "ts_over_time" -> ((s, dir) =>
@@ -3032,6 +3084,76 @@ object SparkEntry {
          |dd AS (SELECT DISTINCT user_id, d FROM o),
          |g AS (SELECT user_id,
          |    unnest(generate_series(${T0 + 4 * DAY}, ${T0 + 15 * DAY}, $DAY)) AS t
+         |  FROM (SELECT DISTINCT user_id FROM o)),
+         |w AS (SELECT g.user_id, g.t, count(*) AS n,
+         |    min(dd.d) AS first_t, max(dd.d) AS last_t
+         |  FROM g JOIN dd ON dd.user_id = g.user_id
+         |    AND dd.d > g.t - $R AND dd.d <= g.t
+         |  GROUP BY 1, 2 HAVING count(*) >= 2 AND max(dd.d) > min(dd.d)),
+         |f AS (SELECT user_id, t, first_t, last_t,
+         |  ((last_t - first_t) / 1000.0
+         |    + CASE WHEN (first_t - (t - $R)) / 1000.0
+         |          < (last_t - first_t) / 1000.0 / (n - 1) * 1.1
+         |        THEN (first_t - (t - $R)) / 1000.0
+         |        ELSE (last_t - first_t) / 1000.0 / (n - 1) / 2 END
+         |    + CASE WHEN (t - last_t) / 1000.0
+         |          < (last_t - first_t) / 1000.0 / (n - 1) * 1.1
+         |        THEN (t - last_t) / 1000.0
+         |        ELSE (last_t - first_t) / 1000.0 / (n - 1) / 2 END)
+         |  / ((last_t - first_t) / 1000.0) / ${R / 1000}.0 AS factor
+         |  FROM w),
+         |dch AS (SELECT f.user_id, f.t, f.factor, o.part, o.idx, sum(o.c) AS ci
+         |  FROM f JOIN o ON o.user_id = f.user_id
+         |    AND o.d > f.first_t AND o.d <= f.last_t
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |tot AS (SELECT user_id, t, sum(ci) AS icnt FROM dch GROUP BY 1, 2),
+         |wk AS (SELECT user_id, t, part, idx, factor, ci * factor AS c,
+         |    sum(ci * factor) OVER (PARTITION BY user_id, t
+         |      ORDER BY part, CASE WHEN part = -1 THEN -idx ELSE idx END
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumpre,
+         |    coalesce(sum(CASE WHEN part = -1 THEN ci * factor END)
+         |      OVER (PARTITION BY user_id, t), 0) AS negtot
+         |  FROM dch WHERE ci <> 0),
+         |e AS (SELECT wk.*, tot.icnt,
+         |  CASE WHEN part = 1 THEN pow(2, idx - 1)
+         |       WHEN part = -1 THEN -pow(2, idx)
+         |       WHEN negtot > 0 THEN ${-NATIVE_ZT} ELSE 0.0 END AS l,
+         |  CASE WHEN part = 1 THEN pow(2, idx)
+         |       WHEN part = -1 THEN -pow(2, idx - 1)
+         |       ELSE $NATIVE_ZT END AS u
+         |  FROM wk JOIN tot ON tot.user_id = wk.user_id AND tot.t = wk.t),
+         |r AS (SELECT *, 0.9 * (icnt * factor) AS rk,
+         |  coalesce(cumpre, 0) AS cp FROM e)
+         |SELECT '{user="' || user_id || '"' ||
+         |    CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END ||
+         |    '}' AS series_key,
+         |  t, floor((l + (u - l) * (rk - cp) / c) * 1e4 + 0.5) / 1e4 AS q
+         |FROM r WHERE cp < rk AND cp + c >= rk
+         |ORDER BY series_key, t""".stripMargin
+    },
+    // the k = 1440 twin: the same derivation at 6h sample grain on the
+    // 1m lattice over one day, rate-scaled. The twin SQL fans out
+    // lattice × window samples (the promql_rate_1d shape) — fine at the
+    // sf0.01 correctness scale, x10-skip-listed in bench_oracle.py;
+    // the Spark side runs the decomposed (no-explode) plan.
+    "promql_native_rate_1d" -> {
+      val R = DAY
+      val B = BUCKET_W
+      s"""WITH s AS (SELECT user_id, epoch_ms(ts) AS t, value - 35 AS vv
+         |  FROM events WHERE event_type = 'click'
+         |    AND epoch_ms(ts) <= ${T0 + 3 * DAY}),
+         |o0 AS (SELECT user_id, (t // $B) * $B + $B AS d, vv FROM s),
+         |ix AS (SELECT *, ceil(log2(greatest(abs(vv), 0.125)))::INT AS i0 FROM o0),
+         |b AS (SELECT user_id, d,
+         |  CASE WHEN abs(vv) <= $NATIVE_ZT THEN 0 WHEN vv > 0 THEN 1 ELSE -1 END AS part,
+         |  CASE WHEN abs(vv) <= $NATIVE_ZT THEN NULL ELSE
+         |    i0 + (pow(2, i0) < abs(vv))::INT
+         |       - (pow(2, i0 - 1) >= abs(vv))::INT END AS idx
+         |  FROM ix),
+         |o AS (SELECT user_id, d, part, idx, count(*) AS c FROM b GROUP BY ALL),
+         |dd AS (SELECT DISTINCT user_id, d FROM o),
+         |g AS (SELECT user_id,
+         |    unnest(generate_series(${T0 + 2 * DAY}, ${T0 + 3 * DAY}, 60000)) AS t
          |  FROM (SELECT DISTINCT user_id FROM o)),
          |w AS (SELECT g.user_id, g.t, count(*) AS n,
          |    min(dd.d) AS first_t, max(dd.d) AS last_t

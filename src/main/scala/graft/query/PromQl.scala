@@ -2107,9 +2107,12 @@ object PromQl {
     // the latest `h` per instant through the same AsOf machinery, and
     // reduce IN-ROW to a float vector with higher-order array
     // expressions (instant-vector grain — the interpreted lambdas touch
-    // group-scale rows, never samples). Out of corridor scope,
-    // rejected as before: histogram arithmetic (binary ops between
-    // histogram vectors — the corridor's one documented bound).
+    // group-scale rows, never samples). Histogram ARITHMETIC (h ± h
+    // one-to-one, h × / ÷ literal scalar) is in corridor since r11
+    // ([[hArith]]/[[hScale]], upstream FloatHistogram Add/Sub/Mul/Div
+    // incl. the zero-threshold widening merge); still out: group_left/
+    // group_right on histogram operands, scalar SUBEXPRESSIONS as the
+    // scale factor, and histogram comparisons.
 
     /** True when the bound source carries the histogram channel. */
     private def hasH: Boolean = samples.columns.contains("h")
@@ -2265,6 +2268,29 @@ object PromQl {
         Some(hRangeVec(fn, rs))
       case Agg("sum", None, body, grouping, without) =>
         hVecOf(body).map(hSumBy(_, grouping, without))
+      // histogram arithmetic (upstream FloatHistogram Add/Sub/Mul/Div):
+      // h ± h under one-to-one matching; h × literal (either side);
+      // h ÷ literal. Composes under histogram_quantile / sum by —
+      // `histogram_quantile(0.9, h1 + h2)` merges latency histograms
+      // across jobs before quantiling, the dashboard shape.
+      case Bin(op @ ("+" | "-"), lhs, rhs, false, matching) =>
+        (hVecOf(lhs), hVecOf(rhs)) match {
+          case (Some(l), Some(r)) => Some(hArith(op == "-", l, r, matching))
+          case _ => None
+        }
+      case Bin("*", lhs, rhs, false, _) =>
+        (hVecOf(lhs), litOf(rhs)) match {
+          case (Some(h), Some(s)) => Some(hScale(h, s, divide = false))
+          case _ => (litOf(lhs), hVecOf(rhs)) match {
+            case (Some(s), Some(h)) => Some(hScale(h, s, divide = false))
+            case _ => None
+          }
+        }
+      case Bin("/", lhs, rhs, false, _) =>
+        (hVecOf(lhs), litOf(rhs)) match {
+          case (Some(h), Some(s)) => Some(hScale(h, s, divide = true))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -2368,22 +2394,109 @@ object PromQl {
           explode(sequence(g0, g0 + k.toLong * p.stepMs, lit(p.stepMs))))
         .where(col("g").between(p.startMs, p.endMs) &&
           col("t") > col("g") - rangeMs) // half-open (g − range, g]
-      // a pair contributes to instant g only when BOTH ends are in the
-      // window — the base of last − first is the first IN-WINDOW sample
-      val chanSums = anchored(chan)
-        .where(col("__pt") > col("g") - rangeMs)
-        .select(col("series_key"), col("g"),
-          col("ch.part").as("part"), col("ch.i").as("i"), col("ch.c").as("c"))
-        .groupBy("series_key", "g", "part", "i")
-        .agg(sum("c").as("c"))
-      // per-(series, instant) sample stats → the extrapolation factor
-      val stats = anchored(src.select(col("series_key"), col("t"),
-          col("h.schema").as("__sch"), col("h.zt").as("__zt")))
-        .groupBy("series_key", "g")
-        .agg(count(lit(1)).as("cnt"),
-          min("t").as("first_t"), max("t").as("last_t"),
-          first("__sch").as("schema"), max("__zt").as("zt"))
-        .where(col("cnt") >= 2 && col("last_t") > col("first_t"))
+      val (chanSums, stats) = if (k > p.rangeExplodeCapK) {
+        // ---- high-fan-out decomposition (the float path's capK rule,
+        // reshaped for the two-endpoint window membership): a lag pair
+        // (prev → cur) contributes to anchor g iff BOTH endpoints lie
+        // in (g − range, g] — t ≤ g AND __pt > g − range — i.e.
+        //   g ∈ [t, __pt + range),
+        // an INTERVAL in anchor space. Every per-channel window sum is
+        // therefore a DIFFERENCE OF PREFIX SUMS: a +c event at `t`, a
+        // −c event at `__pt + range`, one ascending running sum per
+        // (series, channel) evaluated at the lattice anchors. Events
+        // bucket EXACTLY to lattice grain first (for a lattice anchor
+        // g, et ≤ g ⟺ ceil_lattice(et) ≤ g), so the exchange and the
+        // single in-partition sort run at per-(series, channel, step)
+        // grain — no k·n explode anywhere, `rate(mh[1d])` at 1m step
+        // included. Float caveat (documented): the ± running sum
+        // re-associates additions relative to the explode form; the
+        // bucket/count channels are count-valued and exact in doubles,
+        // the `sum` channel can carry float residue (the small-k
+        // conformance differential pins equality within tolerance).
+        def ceilLat(c: Column): Column =
+          (floor((c - 1 - p.startMs) / p.stepMs) * p.stepMs
+            + p.stepMs + p.startMs).cast("long")
+        val events = chan.select(col("series_key"),
+            col("t").as("et"),
+            col("ch.part").as("part"), col("ch.i").as("i"),
+            col("ch.c").as("c"))
+          .unionByName(chan.select(col("series_key"),
+            (col("__pt") + rangeMs).as("et"),
+            col("ch.part").as("part"), col("ch.i").as("i"),
+            (-col("ch.c")).as("c")))
+        val partials = events
+          .withColumn("pe", greatest(ceilLat(col("et")), lit(p.startMs)))
+          .where(col("pe") <= p.endMs)
+          .groupBy("series_key", "part", "i", "pe")
+          .agg(sum("c").as("c"))
+          .withColumn("flag", lit(0))
+        // anchors at OUTPUT grain: the observed channel set per series
+        // × the lattice — the result's own cardinality, nothing larger
+        val shufN = src.sparkSession.sessionState.conf.numShufflePartitions
+        val chanDim = chan.select(col("series_key"),
+          col("ch.part").as("part"), col("ch.i").as("i")).distinct()
+        val anchors = chanDim
+          .repartition(shufN)
+          .withColumn("pe",
+            explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
+          .withColumn("c", lit(null).cast("double"))
+          .withColumn("flag", lit(1))
+        // explicit partition count on the decomposition exchange — the
+        // same AQE-vs-compression pin as windowRangeAgg's (bucket and
+        // anchor rows compress away; a byte-coalesced single partition
+        // would serialize the window pass)
+        val rows = partials.unionByName(
+            anchors.select(partials.columns.map(col): _*))
+          .repartition(shufN, col("series_key"), col("part"), col("i"))
+        // events at a bucket (flag 0) order BEFORE the anchor at the
+        // same lattice point (flag 1): both event kinds take effect AT
+        // their point — +c at t ≤ g, −c at __pt + range ≤ g
+        val wrun = Window.partitionBy("series_key", "part", "i")
+          .orderBy(col("pe"), col("flag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sums = rows
+          .withColumn("run", sum("c").over(wrun))
+          .where(col("flag") === 1 && col("run").isNotNull &&
+            col("run") =!= 0.0)
+          .select(col("series_key"), col("pe").as("g"),
+            col("part"), col("i"), col("run").as("c"))
+        // per-(series, g) sample stats through the float family's own
+        // high-k machinery (count/first/last ARE its semigroup shapes);
+        // schema/zt are per-series constants within the corridor bound,
+        // so the per-series dim is exact where the explode path takes
+        // per-group first/max
+        val statsAgg = windowRangeAgg(
+          src.select(col("series_key"), col("labels"), col("t"),
+            col("h.count").as("v")),
+          rangeMs, need = Set("first", "last"), needLag = false)
+        val seriesMeta = src.groupBy("series_key")
+          .agg(first(col("h.schema")).as("schema"), max(col("h.zt")).as("zt"))
+        val st = statsAgg
+          .select(col("series_key"), col("t").as("g"), col("cnt"),
+            col("first").getField("t").as("first_t"),
+            col("last").getField("t").as("last_t"))
+          .join(p.hintSeriesDim(seriesMeta), Seq("series_key"))
+          .where(col("cnt") >= 2 && col("last_t") > col("first_t"))
+        (sums, st)
+      } else {
+        // a pair contributes to instant g only when BOTH ends are in the
+        // window — the base of last − first is the first IN-WINDOW sample
+        val sums = anchored(chan)
+          .where(col("__pt") > col("g") - rangeMs)
+          .select(col("series_key"), col("g"),
+            col("ch.part").as("part"), col("ch.i").as("i"), col("ch.c").as("c"))
+          .groupBy("series_key", "g", "part", "i")
+          .agg(sum("c").as("c"))
+        // per-(series, instant) sample stats → the extrapolation factor
+        val st = anchored(src.select(col("series_key"), col("t"),
+            col("h.schema").as("__sch"), col("h.zt").as("__zt")))
+          .groupBy("series_key", "g")
+          .agg(count(lit(1)).as("cnt"),
+            min("t").as("first_t"), max("t").as("last_t"),
+            first("__sch").as("schema"), max("__zt").as("zt"))
+          .where(col("cnt") >= 2 && col("last_t") > col("first_t"))
+        (sums, st)
+      }
       val si = (col("last_t") - col("first_t")).cast("double") / 1000.0
       val avgDur = si / (col("cnt") - 1)
       val durStart = (col("first_t") - (col("g") - rangeMs)).cast("double") / 1000.0
@@ -2424,20 +2537,34 @@ object PromQl {
       dropName(out)
     }
 
-    /** Bucket-wise `sum` of histogram vectors at instant grain: mixed
-      * schemas merge at the group's COARSEST (minimum) schema with the
-      * exact `idx' = ⌈idx/2^Δ⌉` remap ([[NativeHistogram.sumBy]]'s
-      * rule); zero buckets and the scalar moments add. All joins and
-      * aggregates run at instant-vector grain — never samples. */
+    /** Bucket-wise `sum` of histogram vectors at instant grain: the
+      * group relabels to its grouping subset and every (series, t)
+      * group merges through [[hMergeGroups]]. */
     private def hSumBy(hv: DataFrame, grouping: Seq[String], without: Boolean): DataFrame = {
       val ls = grouping.distinct
       val keep: Column =
         if (without)
           map_filter(col("labels"), (k, _) => !k.isin(ls :+ p.nameLabel: _*))
         else map_filter(col("labels"), (k, _) => k.isin(ls: _*))
-      val g = hv
+      hMergeGroups(hv
         .withColumn("labels", keep)
-        .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+        .withColumn("series_key", graft.functions.seriesKey(col("labels"))))
+    }
+
+    /** The histogram MERGE CORE shared by [[hSumBy]] and [[hArith]]:
+      * every group of rows sharing (series_key, t) merges bucket-wise.
+      * Mixed schemas merge at the group's COARSEST (minimum) schema
+      * with the exact `idx' = ⌈idx/2^Δ⌉` remap
+      * ([[NativeHistogram.sumBy]]'s rule). Mixed ZERO THRESHOLDS follow
+      * upstream FloatHistogram.Add's reconciliation: the target is the
+      * group MAX; when it cuts strictly INSIDE a populated bucket (at
+      * the shared coarsest lattice at most ONE index can straddle it,
+      * so one widening step converges where upstream loops), it widens
+      * to that bucket's upper bound; buckets then lying fully inside
+      * `[−zt, zt]` absorb into the zero count. Scalar moments add. All
+      * joins and aggregates run at instant-vector grain — never
+      * samples. */
+    private def hMergeGroups(g: DataFrame): DataFrame = {
       val base = g.groupBy("series_key", "t").agg(
           first("labels").as("labels"),
           min(col("h.schema")).as("__schema"),
@@ -2446,22 +2573,14 @@ object PromQl {
           sum(col("h.z_count")).as("__z"),
           sum(col("h.count")).as("__count"),
           sum(col("h.sum")).as("__sum"))
-        // mixed zero thresholds cannot merge bucket-wise without
-        // re-bucketing interior buckets into the widened zero bucket
-        // (upstream grows the zero bucket absorbing them); rather than
-        // silently mis-bucket, raise the clean execution error — the
-        // schema remap below has a downscale rule, zt has none here
-        .where(when(col("__zt") =!= col("__ztMin"),
-          raise_error(concat(
-            lit("promql: cannot sum native histograms with differing " +
-              "zero thresholds in one group ("),
-            col("__ztMin"), lit(" vs "), col("__zt"), lit(")")))
-            .cast("boolean"))
-          .otherwise(lit(true)))
-        .drop("__ztMin")
+      def upperAt(i: Column, sch: Column): Column =
+        pow(lit(2.0), i.cast("double") * pow(lit(2.0), -sch.cast("double")))
       def side(p0: Int, arr: Column) = transform(arr, b =>
         struct(lit(p0).as("part"), b.getField("i").as("i"), b.getField("c").as("c")))
-      val buckets = g.select(col("series_key"), col("t"),
+      // per-input bucket rows remapped to the group schema (pre-merge:
+      // the widening's populated-bucket test reads THESE, as upstream
+      // checks each input histogram, not the merged result)
+      val remapped = g.select(col("series_key"), col("t"),
           col("h.schema").as("__sch"),
           explode(concat(side(-1, col("h.neg")), side(1, col("h.pos")))).as("b"))
         .select(col("series_key"), col("t"), col("__sch"),
@@ -2471,25 +2590,140 @@ object PromQl {
         .withColumn("i", (-floor((-col("i")).cast("double") /
           pow(lit(2.0), (col("__sch") - col("__schema")).cast("double"))))
           .cast("int"))
+      val bucketRows = remapped
         .groupBy("series_key", "t", "part", "i")
         .agg(sum("c").as("c"))
+        .where(col("c") =!= 0.0) // canonical sparse form
+      // zero-threshold reconciliation: only groups that actually MIX
+      // thresholds reconcile (equal thresholds share the invariant that
+      // no bucket lies inside them); iStar = the one lattice index
+      // whose bucket can contain the target threshold
+      val star = base.withColumn("__iStar",
+        when(col("__zt") > col("__ztMin") && col("__zt") > 0,
+          NativeHistogram.bucketIdx(col("__zt"), col("__schema"))))
+      val widen = remapped.join(
+          star.select(col("series_key"), col("t"), col("__iStar"),
+            col("__schema").as("__s2"), col("__zt").as("__z2")),
+          Seq("series_key", "t"))
+        .where(col("__iStar").isNotNull && col("i") === col("__iStar") &&
+          col("c") =!= 0.0 &&
+          col("__z2") < upperAt(col("__iStar"), col("__s2")))
+        .groupBy("series_key", "t")
+        .agg(max(upperAt(col("__iStar"), col("__s2"))).as("__ztW"))
+      val base2 = star.drop("__ztMin").join(widen, Seq("series_key", "t"), "left")
+        .withColumn("__ztF", coalesce(col("__ztW"), col("__zt")))
+      // absorb buckets fully inside the (possibly widened) zero bucket:
+      // on the |v| axis both parts share the upper-bound test
+      val withUp = bucketRows.join(
+          base2.select(col("series_key"), col("t"), col("__ztF"),
+            col("__schema").as("__s3")),
+          Seq("series_key", "t"))
+        .withColumn("__up", upperAt(col("i"), col("__s3")))
+      val zAdd = withUp.where(col("__up") <= col("__ztF"))
+        .groupBy("series_key", "t").agg(sum("c").as("__zAdd"))
+      val arrays = withUp.where(col("__up") > col("__ztF"))
         .groupBy("series_key", "t")
         .agg(
           sort_array(collect_list(when(col("part") === -1,
             struct(col("i"), col("c"))))).as("__neg"),
           sort_array(collect_list(when(col("part") === 1,
             struct(col("i"), col("c"))))).as("__pos"))
-      base.join(buckets, Seq("series_key", "t"), "left")
+      base2.join(arrays, Seq("series_key", "t"), "left")
+        .join(zAdd, Seq("series_key", "t"), "left")
         .select(col("series_key"), col("labels"), col("t"),
           struct(
-            col("__schema").as("schema"), col("__zt").as("zt"),
-            col("__z").as("z_count"), col("__count").as("count"),
+            col("__schema").as("schema"), col("__ztF").as("zt"),
+            (col("__z") + coalesce(col("__zAdd"), lit(0.0))).as("z_count"),
+            col("__count").as("count"),
             col("__sum").as("sum"),
             coalesce(col("__neg"),
               array().cast("array<struct<i:int,c:double>>")).as("neg"),
             coalesce(col("__pos"),
               array().cast("array<struct<i:int,c:double>>")).as("pos"))
             .as("h"))
+    }
+
+    /** Channel-wise negation — [[hArith]]'s subtraction is `l + (−r)`
+      * (upstream Sub is channel-wise with the same reconciliation). */
+    private def hNeg(df: DataFrame): DataFrame = {
+      def neg(arr: Column) = transform(arr, b =>
+        struct(b.getField("i").as("i"), (-b.getField("c")).as("c")))
+      df.withColumn("h", struct(
+        col("h.schema").as("schema"), col("h.zt").as("zt"),
+        (-col("h.z_count")).as("z_count"), (-col("h.count")).as("count"),
+        (-col("h.sum")).as("sum"),
+        neg(col("h.neg")).as("neg"), neg(col("h.pos")).as("pos")))
+    }
+
+    /** `h1 + h2` / `h1 − h2` under one-to-one vector matching (upstream
+      * FloatHistogram.Add/Sub): both sides must be unique per (match
+      * key, instant) — the float path's duplicate execution error —
+      * matched pairs merge through [[hMergeGroups]], result labels are
+      * the matching subset (the one-to-one resultMetric rule).
+      * group_left/group_right stays out of corridor. */
+    private def hArith(
+        sub: Boolean, l0: DataFrame, r0: DataFrame,
+        matching: Option[Matching]): DataFrame = {
+      if (matching.exists(_.card != 0))
+        fail("promql: histogram arithmetic supports one-to-one matching " +
+          "only (corridor bound)")
+      def uniqueOrError(df: DataFrame, what: String): DataFrame = {
+        val w = Window.partitionBy("__mk", "t")
+        df.withColumn("__dup", count(lit(1)).over(w))
+          .where(when(col("__dup") > 1,
+            raise_error(concat(
+              lit("promql: found duplicate series for the match group "),
+              col("__mk"),
+              lit(s" on the $what side of the operation")))
+              .cast("boolean"))
+            .otherwise(lit(true)))
+          .drop("__dup")
+      }
+      val lk = uniqueOrError(l0.withColumn("__mk", matchKey(matching)), "left")
+      val rk = uniqueOrError(
+        (if (sub) hNeg(r0) else r0).withColumn("__mk", matchKey(matching)),
+        "right")
+      // inner one-to-one match: keep each side's rows whose (key, t)
+      // exists on the other, then merge the union per key
+      val both = lk
+        .join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi")
+        .unionByName(
+          rk.join(lk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi"))
+      hMergeGroups(both
+        .withColumn("labels", matchLabels(matching))
+        .withColumn("series_key", col("__mk"))
+        .select("series_key", "labels", "t", "h"))
+    }
+
+    /** `h * scalar` / `h / scalar` — every channel scales (upstream
+      * FloatHistogram.Mul/Div); schema and zero threshold are
+      * unchanged; the metric name drops. Division by zero follows the
+      * float path's IEEE mapping. */
+    private def hScale(hv: DataFrame, s: Double, divide: Boolean): DataFrame = {
+      def f(c: Column): Column =
+        if (!divide) c * s
+        else if (s == 0.0)
+          when(c > 0, lit(Double.PositiveInfinity))
+            .when(c < 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN))
+        else c / s
+      def sideF(arr: Column) = filter(
+        transform(arr, b =>
+          struct(b.getField("i").as("i"), f(b.getField("c")).as("c"))),
+        b => b.getField("c") =!= 0.0)
+      dropName(hv.withColumn("h", struct(
+        col("h.schema").as("schema"), col("h.zt").as("zt"),
+        f(col("h.z_count")).as("z_count"), f(col("h.count")).as("count"),
+        f(col("h.sum")).as("sum"),
+        sideF(col("h.neg")).as("neg"), sideF(col("h.pos")).as("pos"))))
+    }
+
+    /** A literal scalar operand (`2`, `-0.5`) for the histogram
+      * arithmetic corridor — general scalar subexpressions stay out. */
+    private def litOf(e: Expr): Option[Double] = e match {
+      case NumberLit(v) => Some(v)
+      case Neg(inner) => litOf(inner).map(-_)
+      case _ => None
     }
 
     // --- aggregations --------------------------------------------------
