@@ -2268,6 +2268,8 @@ object PromQl {
         Some(hRangeVec(fn, rs))
       case Agg("sum", None, body, grouping, without) =>
         hVecOf(body).map(hSumBy(_, grouping, without))
+      case Agg("avg", None, body, grouping, without) =>
+        hVecOf(body).map(hAvgBy(_, grouping, without))
       // histogram arithmetic (upstream FloatHistogram Add/Sub/Mul/Div):
       // h ± h under one-to-one matching; h × literal (either side);
       // h ÷ literal. Composes under histogram_quantile / sum by —
@@ -2551,6 +2553,20 @@ object PromQl {
         .withColumn("series_key", graft.functions.seriesKey(col("labels"))))
     }
 
+    /** `avg [by/without]` of histogram vectors — upstream divides the
+      * group sum by the group's element count, channel-wise. */
+    private def hAvgBy(hv: DataFrame, grouping: Seq[String], without: Boolean): DataFrame = {
+      val ls = grouping.distinct
+      val keep: Column =
+        if (without)
+          map_filter(col("labels"), (k, _) => !k.isin(ls :+ p.nameLabel: _*))
+        else map_filter(col("labels"), (k, _) => k.isin(ls: _*))
+      hMergeGroups(hv
+        .withColumn("labels", keep)
+        .withColumn("series_key", graft.functions.seriesKey(col("labels"))),
+        avg = true)
+    }
+
     /** The histogram MERGE CORE shared by [[hSumBy]] and [[hArith]]:
       * every group of rows sharing (series_key, t) merges bucket-wise.
       * Mixed schemas merge at the group's COARSEST (minimum) schema
@@ -2564,7 +2580,7 @@ object PromQl {
       * `[−zt, zt]` absorb into the zero count. Scalar moments add. All
       * joins and aggregates run at instant-vector grain — never
       * samples. */
-    private def hMergeGroups(g: DataFrame): DataFrame = {
+    private def hMergeGroups(g: DataFrame, avg: Boolean = false): DataFrame = {
       val base = g.groupBy("series_key", "t").agg(
           first("labels").as("labels"),
           min(col("h.schema")).as("__schema"),
@@ -2572,7 +2588,8 @@ object PromQl {
           min(col("h.zt")).as("__ztMin"),
           sum(col("h.z_count")).as("__z"),
           sum(col("h.count")).as("__count"),
-          sum(col("h.sum")).as("__sum"))
+          sum(col("h.sum")).as("__sum"),
+          count(lit(1)).as("__n"))
       def upperAt(i: Column, sch: Column): Column =
         pow(lit(2.0), i.cast("double") * pow(lit(2.0), -sch.cast("double")))
       def side(p0: Int, arr: Column) = transform(arr, b =>
@@ -2628,17 +2645,25 @@ object PromQl {
             struct(col("i"), col("c"))))).as("__neg"),
           sort_array(collect_list(when(col("part") === 1,
             struct(col("i"), col("c"))))).as("__pos"))
+      // avg: upstream divides every channel of the group SUM by the
+      // group's element count
+      val den: Column = if (avg) col("__n").cast("double") else lit(1.0)
+      def scaled(c: Column): Column = if (avg) c / den else c
+      def scaledArr(c: Column): Column =
+        if (!avg) c
+        else transform(c, b =>
+          struct(b.getField("i").as("i"), (b.getField("c") / den).as("c")))
       base2.join(arrays, Seq("series_key", "t"), "left")
         .join(zAdd, Seq("series_key", "t"), "left")
         .select(col("series_key"), col("labels"), col("t"),
           struct(
             col("__schema").as("schema"), col("__ztF").as("zt"),
-            (col("__z") + coalesce(col("__zAdd"), lit(0.0))).as("z_count"),
-            col("__count").as("count"),
-            col("__sum").as("sum"),
-            coalesce(col("__neg"),
+            scaled(col("__z") + coalesce(col("__zAdd"), lit(0.0))).as("z_count"),
+            scaled(col("__count")).as("count"),
+            scaled(col("__sum")).as("sum"),
+            coalesce(scaledArr(col("__neg")),
               array().cast("array<struct<i:int,c:double>>")).as("neg"),
-            coalesce(col("__pos"),
+            coalesce(scaledArr(col("__pos")),
               array().cast("array<struct<i:int,c:double>>")).as("pos"))
             .as("h"))
     }
