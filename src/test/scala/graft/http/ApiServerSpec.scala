@@ -253,6 +253,18 @@ class ApiServerSpec extends SparkSuite
       assert(v5.contains(""""histograms":[[0.1,{"count":"3""""), v5)
       assert(v5.contains("""[1.1,{"count":"6""""), v5)
       assert(v5.contains("""[2.1,{"count":"9""""), v5)
+      // subquery matrix replay: the inner 1s lattice fills the latest
+      // histogram per instant (no sample at/before instant 0)
+      val (c6, v6) = get2(s"/api/v1/query?query=${enc("mh[3s:1s]")}&time=2.2")
+      assert(c6 == 200, v6)
+      assert(v6.contains(""""histograms":[[1,{"count":"3""""), v6)
+      assert(v6.contains("""[2,{"count":"6""""), v6)
+      // histogram arithmetic through the serving stack: mh + mh is a
+      // one-to-one self-match doubling every channel
+      val (c7, v7) = get2(
+        s"/api/v1/query?query=${enc("histogram_count(mh + mh)")}&time=2.2")
+      assert(c7 == 200, v7)
+      assert(v7.contains(""""value":[2.2,"18"]"""), v7)
     } finally srv.stop(0)
   }
 }
