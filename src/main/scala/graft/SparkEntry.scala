@@ -1016,6 +1016,54 @@ object SparkEntry {
           (floor(col("v") * 1e4 + 0.5) / 1e4).as("q"))
     }),
 
+    // Histogram ARITHMETIC through the language corridor (r11):
+    // `histogram_quantile(0.5, (h_click + h_view) * 2)` — the
+    // merge-then-quantile dashboard shape plus a channel-wise scale.
+    // Per-day click and view histograms add under one-to-one default
+    // matching (equal schemas and zero thresholds, so Add is exact
+    // integer channel addition and the oracle can bucket the POOLED
+    // observations directly); ×2 doubles every channel, which doubles
+    // the count and leaves the quantile invariant ((2·rank − 2·cum) /
+    // (2·c) is bit-exact scaling by a power of two). Inner one-to-one
+    // match ⇒ only (user, day) pairs where BOTH metrics scraped.
+    "promql_hist_arith" -> ((s, dir) => {
+      val src = TsdbSource.events(s, dir)
+        .select(T0, T0 + 16 * DAY, Re("name", "click|view"))
+      val obs = NativeHistogram.observe(src, DAY, lit(0), NATIVE_ZT, col("v") - 35)
+      val hs = obs.groupBy(col("series_key"), col("t_bucket").as("t")).agg(
+          coalesce(sum(when(col("part") === 0, col("c"))), lit(0L))
+            .cast("double").as("__z"),
+          sum("c").cast("double").as("__cnt"),
+          round(sum("sv"), 2).as("__sum"),
+          sort_array(collect_list(when(col("part") === -1,
+            struct(col("idx").cast("int").as("i"),
+              col("c").cast("double").as("c"))))).as("__neg"),
+          sort_array(collect_list(when(col("part") === 1,
+            struct(col("idx").cast("int").as("i"),
+              col("c").cast("double").as("c"))))).as("__pos"))
+        .select(col("series_key"), col("t"),
+          lit(null).cast("double").as("v"),
+          struct(lit(0).as("schema"), lit(NATIVE_ZT).as("zt"),
+            col("__z").as("z_count"), col("__cnt").as("count"),
+            col("__sum").as("sum"),
+            col("__neg").as("neg"), col("__pos").as("pos")).as("h"))
+      val lab = src.groupBy("series_key").agg(first("labels").as("labels"))
+      val frame = hs.join(lab, Seq("series_key"))
+        .select("series_key", "labels", "t", "v", "h")
+      val p = PromQl.Params(T0 + DAY, T0 + 15 * DAY, DAY, nameLabel = "name",
+        seriesEstimate = Some(100000L))
+      val q = PromQl.evalUnsorted(
+          "histogram_quantile(0.5, ({name=\"click\"} + {name=\"view\"}) * 2)",
+          frame, p)
+        .select(col("series_key"), col("t"),
+          (floor(col("v") * 1e4 + 0.5) / 1e4).as("q"))
+      val n = PromQl.evalUnsorted(
+          "histogram_count(({name=\"click\"} + {name=\"view\"}) * 2)",
+          frame, p)
+        .select(col("series_key"), col("t"), col("v").cast("long").as("n"))
+      q.join(n, Seq("series_key", "t"))
+    }),
+
     // PromQL *_over_time range vectors: trailing-1h sliding aggregates
     // per sample via ONE range-frame window (count/min/max/sum/avg).
     "ts_over_time" -> ((s, dir) =>
@@ -3199,6 +3247,59 @@ object SparkEntry {
          |    '}' AS series_key,
          |  t, floor((l + (u - l) * (rk - cp) / c) * 1e4 + 0.5) / 1e4 AS q
          |FROM r WHERE cp < rk AND cp + c >= rk
+         |ORDER BY series_key, t""".stripMargin
+    },
+    // histogram-arithmetic twin: at EQUAL schemas and zero thresholds,
+    // `h_click + h_view` is exact integer channel addition, so the
+    // oracle buckets the POOLED observations of (user, day) pairs where
+    // both metrics scraped (the inner one-to-one match) and walks the
+    // quantile; the ×2 scale doubles only the count column (quantiles
+    // are invariant under power-of-two channel scaling, bit-exactly).
+    "promql_hist_arith" -> {
+      s"""WITH s0 AS (SELECT user_id, event_type, epoch_ms(ts) AS t,
+         |    value - 35 AS vv
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |o0 AS (SELECT user_id, event_type,
+         |    (t // $DAY) * $DAY + $DAY AS d, vv FROM s0
+         |  WHERE t >= $T0 AND t <= ${T0 + 16 * DAY}
+         |    AND (t // $DAY) * $DAY + $DAY <= ${T0 + 15 * DAY}),
+         |bt AS (SELECT user_id, d FROM o0 GROUP BY 1, 2
+         |  HAVING count(DISTINCT event_type) = 2),
+         |ob AS (SELECT o0.user_id, o0.d, o0.vv FROM o0
+         |  JOIN bt USING (user_id, d)),
+         |ix AS (SELECT *, ceil(log2(greatest(abs(vv), 0.125)))::INT AS i0
+         |  FROM ob),
+         |b AS (SELECT user_id, d,
+         |  CASE WHEN abs(vv) <= $NATIVE_ZT THEN 0 WHEN vv > 0 THEN 1 ELSE -1 END AS part,
+         |  CASE WHEN abs(vv) <= $NATIVE_ZT THEN NULL ELSE
+         |    i0 + (pow(2, i0) < abs(vv))::INT
+         |       - (pow(2, i0 - 1) >= abs(vv))::INT END AS idx
+         |  FROM ix),
+         |bc AS (SELECT user_id, d, part, idx, count(*) AS c FROM b GROUP BY ALL),
+         |w AS (SELECT *,
+         |  sum(c) OVER (PARTITION BY user_id, d
+         |    ORDER BY part, CASE WHEN part = -1 THEN -idx ELSE idx END
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(c) OVER (PARTITION BY user_id, d) AS total,
+         |  coalesce(sum(CASE WHEN part = -1 THEN c END)
+         |    OVER (PARTITION BY user_id, d), 0) AS negtot
+         |  FROM bc),
+         |e AS (SELECT *,
+         |  CASE WHEN part = 1 THEN pow(2, idx - 1)
+         |       WHEN part = -1 THEN -pow(2, idx)
+         |       WHEN negtot > 0 THEN ${-NATIVE_ZT} ELSE 0.0 END AS l,
+         |  CASE WHEN part = 1 THEN pow(2, idx)
+         |       WHEN part = -1 THEN -pow(2, idx - 1)
+         |       ELSE $NATIVE_ZT END AS u
+         |  FROM w)
+         |SELECT '{user="' || user_id || '"' ||
+         |    CASE WHEN user_id % 10 = 0 THEN ',vip="1"' ELSE '' END ||
+         |    '}' AS series_key,
+         |  d AS t,
+         |  floor((l + (u - l) * (0.5 * total - (cum - c)) / c) * 1e4 + 0.5)
+         |    / 1e4 AS q,
+         |  (2 * total)::BIGINT AS n
+         |FROM e WHERE cum >= 0.5 * total AND (cum - c) < 0.5 * total
          |ORDER BY series_key, t""".stripMargin
     },
     "ts_hist_fraction" -> {

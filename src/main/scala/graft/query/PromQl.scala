@@ -1313,8 +1313,12 @@ object PromQl {
         "inc" -> coalesce(col("inc_delta"), lit(0.0)),
         "reset_f" -> col("reset_f"), "change_f" -> col("change_f"),
         "prev_t" -> col("prev_t"), "prev_v" -> col("prev_v"))
+      // count ROWS, not non-null v: the explode path's count(1) twin —
+      // mixed-corpus histogram rows (null v) reach here only for
+      // count/present_over_time, which count them (upstream rule); the
+      // value-reading functions pre-filter null v at the source
       val bucketAggs: Seq[Column] =
-        Seq(count(col("v")).as("b_cnt")) ++
+        Seq(count(lit(1)).as("b_cnt")) ++
         (if (need("sum_v")) Seq(sum("v").as("b_sum_v")) else Nil) ++
         (if (need("min_v")) Seq(min("v").as("b_min_v")) else Nil) ++
         (if (need("max_v")) Seq(max(nonNan).as("b_max_v")) else Nil) ++
@@ -1636,7 +1640,27 @@ object PromQl {
       }
 
     private def rangeFunctionBody(fn: String, arg: Expr, param: Seq[Double]): DataFrame = {
-      val (srcFull, rangeMs) = rangeArgOf(arg)
+      // mixed-corpus last_over_time: upstream funcLastOverTime picks
+      // the LATER of the float/histogram channels, so the float
+      // channel keeps exactly the instants a float wins ([[mixedFill]]
+      // at range grain — the h channel's mirror lives in [[hVecOf]])
+      arg match {
+        case RangeSel(s, r) if hasH && fn == "last_over_time" =>
+          return mixedFill(s, r - 1).where(col("vh.v").isNotNull)
+            .select(col("series_key"), col("labels"), col("t"),
+              col("vh.v").as("v"))
+        case _ =>
+      }
+      val (srcFull0, rangeMs) = rangeArgOf(arg)
+      // mixed-corpus hygiene: histogram rows (null v) count as SAMPLES
+      // for count/present_over_time (upstream counts both channels) but
+      // are ignored by every value-reading function — upstream drops
+      // them with the ignored-histograms annotation, so they must not
+      // inflate cnt (avg/extrapolation read it) or the lag chain
+      val srcFull =
+        if (hasH && fn != "count_over_time" && fn != "present_over_time")
+          srcFull0.where(col("v").isNotNull)
+        else srcFull0
       val needTwo = Set("rate", "increase", "delta", "idelta", "irate",
         "deriv", "predict_linear", "holt_winters", "double_exponential_smoothing")
       val needLag = RangeLagFns.contains(fn)
@@ -1950,11 +1974,19 @@ object PromQl {
       * `v` has no elements — enriched with the argument selector's
       * literal equality matchers (the Prometheus convention), metric
       * name excluded. */
-    private def absentOf(e: Expr): DataFrame =
-      absentRows(vecOf(e).select("t").distinct(), e match {
+    private def absentOf(e: Expr): DataFrame = {
+      // a histogram element is PRESENT (upstream absent() considers
+      // both sample kinds) — union the h channel's instants
+      val ft = vecOf(e).select("t")
+      val present =
+        (if (hasH) hVecOf(e).map(h => ft.unionByName(h.select("t")))
+          .getOrElse(ft)
+        else ft).distinct()
+      absentRows(present, e match {
         case s: Selector => Some(s)
         case _ => None
       })
+    }
 
     /** `absent_over_time(v[range])`: 1 where the trailing window holds
       * NO samples of the range argument. */
@@ -2108,11 +2140,16 @@ object PromQl {
     // reduce IN-ROW to a float vector with higher-order array
     // expressions (instant-vector grain — the interpreted lambdas touch
     // group-scale rows, never samples). Histogram ARITHMETIC (h ± h
-    // one-to-one, h × / ÷ literal scalar) is in corridor since r11
-    // ([[hArith]]/[[hScale]], upstream FloatHistogram Add/Sub/Mul/Div
-    // incl. the zero-threshold widening merge); still out: group_left/
-    // group_right on histogram operands, scalar SUBEXPRESSIONS as the
-    // scale factor, and histogram comparisons.
+    // one-to-one; h × / ÷ a scalar expression, a time-varying scalar,
+    // or a one-to-one-matched FLOAT VECTOR) is in corridor since r11
+    // ([[hArith]]/[[hScale]]/[[hMulFloat]], upstream FloatHistogram
+    // Add/Sub/Mul/Div incl. the zero-threshold widening merge), as are
+    // the == / != filter comparisons ([[hCompare]], upstream
+    // FloatHistogram.Equals) and `last_over_time` over a histogram
+    // range ([[mixedFill]] at range grain). Still out: group_left/
+    // group_right on histogram operands, bool-form and ordered
+    // comparisons (upstream drops ordered comparisons too), and
+    // histogram-valued subquery bodies under range functions.
 
     /** True when the bound source carries the histogram channel. */
     private def hasH: Boolean = samples.columns.contains("h")
@@ -2137,12 +2174,17 @@ object PromQl {
       * the latest SAMPLE regardless of type — upstream staleness is
       * latest-sample-wins ACROSS types (a newer float supersedes an
       * older histogram inside the lookback, and vice versa). Consumers
-      * keep exactly the instants their own channel wins. */
-    private def mixedFill(s: Selector): DataFrame = {
+      * keep exactly the instants their own channel wins. The window
+      * defaults to the staleness lookback; `last_over_time` reuses the
+      * same machinery at RANGE grain (both windows are half-open on
+      * integer milliseconds, so `look = len − 1` closed ≡ `(g−len, g]`). */
+    private def mixedFill(s: Selector): DataFrame =
+      mixedFill(s, p.lookbackMs - 1)
+
+    private def mixedFill(s: Selector, look: Long): DataFrame = {
       val src = selected(s).where(col("h").isNotNull || col("v").isNotNull)
         .select(col("series_key"), col("labels"), col("t"),
           struct(col("v"), col("h")).as("vh"))
-      val look = p.lookbackMs - 1
       if (look < p.stepMs)
         AsOf.latestPerInstant(src.withColumnRenamed("vh", "r_v"),
             Seq("series_key"), p.stepMs, look, "r", originMs = p.startMs,
@@ -2271,28 +2313,58 @@ object PromQl {
       case Agg("avg", None, body, grouping, without) =>
         hVecOf(body).map(hAvgBy(_, grouping, without))
       // histogram arithmetic (upstream FloatHistogram Add/Sub/Mul/Div):
-      // h ± h under one-to-one matching; h × literal (either side);
-      // h ÷ literal. Composes under histogram_quantile / sum by —
-      // `histogram_quantile(0.9, h1 + h2)` merges latency histograms
-      // across jobs before quantiling, the dashboard shape.
+      // h ± h under one-to-one matching; h × any scalar-typed
+      // expression or float vector (either side — Mul commutes);
+      // h ÷ the same (histogram-left only, as upstream). Composes
+      // under histogram_quantile / sum by — `histogram_quantile(0.9,
+      // h1 + h2)` merges latency histograms across jobs before
+      // quantiling, the dashboard shape.
       case Bin(op @ ("+" | "-"), lhs, rhs, false, matching) =>
         (hVecOf(lhs), hVecOf(rhs)) match {
           case (Some(l), Some(r)) => Some(hArith(op == "-", l, r, matching))
           case _ => None
         }
-      case Bin("*", lhs, rhs, false, _) =>
-        (hVecOf(lhs), litOf(rhs)) match {
-          case (Some(h), Some(s)) => Some(hScale(h, s, divide = false))
-          case _ => (litOf(lhs), hVecOf(rhs)) match {
-            case (Some(s), Some(h)) => Some(hScale(h, s, divide = false))
-            case _ => None
-          }
-        }
-      case Bin("/", lhs, rhs, false, _) =>
-        (hVecOf(lhs), litOf(rhs)) match {
-          case (Some(h), Some(s)) => Some(hScale(h, s, divide = true))
+      case Bin("*", lhs, rhs, false, matching) =>
+        (hVecOf(lhs), hVecOf(rhs)) match {
+          // both sides vector-shaped: each matched pair takes whichever
+          // side's histogram reading is live at that instant (a
+          // selector's h reading and float reading are disjoint per
+          // instant — mixedFill's latest-sample rule — so the union
+          // never double-counts; both-histogram pairs drop, as
+          // upstream). A histogram × histogram pair contributes to
+          // NEITHER reading: the other side's float channel is empty
+          // there.
+          case (Some(l), Some(r)) =>
+            Some(hScaleBy(l, rhs, divide = false, matching)
+              .unionByName(hScaleBy(r, lhs, divide = false, matching)))
+          case (Some(l), None) =>
+            Some(hScaleBy(l, rhs, divide = false, matching))
+          case (None, Some(r)) =>
+            Some(hScaleBy(r, lhs, divide = false, matching))
           case _ => None
         }
+      case Bin("/", lhs, rhs, false, matching) =>
+        hVecOf(lhs).map(hScaleBy(_, rhs, divide = true, matching))
+      // histogram == / != (upstream vectorElemBinop routes matched
+      // histogram pairs to FloatHistogram.Equals; the filter form
+      // keeps the lhs sample with its ORIGINAL label set, metric name
+      // included — the float filter-comparison rule). bool form is a
+      // float-valued result and stays out of corridor; ordered
+      // comparisons between histograms drop upstream too.
+      case Bin(op @ ("==" | "!="), lhs, rhs, false, matching) =>
+        (hVecOf(lhs), hVecOf(rhs)) match {
+          case (Some(l), Some(r)) => Some(hCompare(op == "!=", l, r, matching))
+          case _ => None
+        }
+      // `last_over_time(mh[range])`: the latest sample in the trailing
+      // window when that sample IS a histogram (upstream
+      // funcLastOverTime picks the later of the float/histogram
+      // channels; [[rangeFunctionBody]] mirrors the float-wins half).
+      case Call("last_over_time", Seq(RangeSel(s, rangeMs)))
+          if s.at.isEmpty =>
+        Some(mixedFill(s, rangeMs - 1).where(col("vh.h").isNotNull)
+          .select(col("series_key"), col("labels"), col("t"),
+            col("vh.h").as("h")))
       case _ => None
     }
 
@@ -2692,20 +2764,8 @@ object PromQl {
       if (matching.exists(_.card != 0))
         fail("promql: histogram arithmetic supports one-to-one matching " +
           "only (corridor bound)")
-      def uniqueOrError(df: DataFrame, what: String): DataFrame = {
-        val w = Window.partitionBy("__mk", "t")
-        df.withColumn("__dup", count(lit(1)).over(w))
-          .where(when(col("__dup") > 1,
-            raise_error(concat(
-              lit("promql: found duplicate series for the match group "),
-              col("__mk"),
-              lit(s" on the $what side of the operation")))
-              .cast("boolean"))
-            .otherwise(lit(true)))
-          .drop("__dup")
-      }
-      val lk = uniqueOrError(l0.withColumn("__mk", matchKey(matching)), "left")
-      val rk = uniqueOrError(
+      val lk = hUniqueOrError(l0.withColumn("__mk", matchKey(matching)), "left")
+      val rk = hUniqueOrError(
         (if (sub) hNeg(r0) else r0).withColumn("__mk", matchKey(matching)),
         "right")
       // inner one-to-one match: keep each side's rows whose (key, t)
@@ -2720,18 +2780,37 @@ object PromQl {
         .select("series_key", "labels", "t", "h"))
     }
 
-    /** `h * scalar` / `h / scalar` — every channel scales (upstream
+    /** The one-to-one duplicate-match-key execution error, shared by
+      * [[hArith]]/[[hMulFloat]]/[[hCompare]] (the float path's rule:
+      * upstream errors when a match group holds more than one series).
+      * The window's (key, t) partitioning is the downstream join's, so
+      * EnsureRequirements plans one exchange per side either way. */
+    private def hUniqueOrError(df: DataFrame, what: String): DataFrame = {
+      val w = Window.partitionBy("__mk", "t")
+      df.withColumn("__dup", count(lit(1)).over(w))
+        .where(when(col("__dup") > 1,
+          raise_error(concat(
+            lit("promql: found duplicate series for the match group "),
+            col("__mk"),
+            lit(s" on the $what side of the operation")))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+        .drop("__dup")
+    }
+
+    /** `h * s` / `h / s` — every channel scales (upstream
       * FloatHistogram.Mul/Div); schema and zero threshold are
-      * unchanged; the metric name drops. Division by zero follows the
-      * float path's IEEE mapping. */
-    private def hScale(hv: DataFrame, s: Double, divide: Boolean): DataFrame = {
+      * unchanged; the metric name drops. The factor is a COLUMN, so
+      * one body serves literal, per-instant scalar, and matched
+      * float-vector factors. Division by zero follows the float
+      * path's IEEE mapping. */
+    private def hScale(hv: DataFrame, s: Column, divide: Boolean): DataFrame = {
       def f(c: Column): Column =
         if (!divide) c * s
-        else if (s == 0.0)
-          when(c > 0, lit(Double.PositiveInfinity))
+        else when(s =!= 0.0, c / s)
+          .otherwise(when(c > 0, lit(Double.PositiveInfinity))
             .when(c < 0, lit(Double.NegativeInfinity))
-            .otherwise(lit(Double.NaN))
-        else c / s
+            .otherwise(lit(Double.NaN)))
       def sideF(arr: Column) = filter(
         transform(arr, b =>
           struct(b.getField("i").as("i"), f(b.getField("c")).as("c"))),
@@ -2743,12 +2822,61 @@ object PromQl {
         sideF(col("h.neg")).as("neg"), sideF(col("h.pos")).as("pos"))))
     }
 
-    /** A literal scalar operand (`2`, `-0.5`) for the histogram
-      * arithmetic corridor — general scalar subexpressions stay out. */
-    private def litOf(e: Expr): Option[Double] = e match {
-      case NumberLit(v) => Some(v)
-      case Neg(inner) => litOf(inner).map(-_)
-      case _ => None
+    /** The scale operand of `h × e` / `h ÷ e`, routed by e's TYPE: a
+      * scalar expression (literals and arithmetic over them), a
+      * time-varying scalar (`scalar(v)`, `time()`-derived — joined on
+      * the instant alone, the vector↔scalar rule), or a float VECTOR
+      * (one-to-one matched channel-wise scale — upstream
+      * vectorElemBinop's histogram×float Mul/Div). Other hist↔float
+      * combinations (±, `f / h`, ordered comparisons) stay
+      * upstream-empty: this reading contributes nothing and the float
+      * channel drops the histogram rows. */
+    private def hScaleBy(hv: DataFrame, e: Expr, divide: Boolean,
+        matching: Option[Matching]): DataFrame = eval(e) match {
+      case Scal(s) => hScale(hv, lit(s), divide)
+      case ScalV(sv) =>
+        hScale(hv.join(sv.withColumnRenamed("v", "__sv"), Seq("t")),
+          col("__sv"), divide).drop("__sv")
+      case Vec(f) => hMulFloat(hv, f, divide, matching)
+    }
+
+    /** `h * f` / `f * h` / `h / f` with a float-vector operand under
+      * one-to-one matching: each matched (key, instant) pair scales
+      * the histogram channel-wise by the float value; result labels
+      * follow the one-to-one resultMetric rule (the matching subset). */
+    private def hMulFloat(hv: DataFrame, fv: DataFrame, divide: Boolean,
+        matching: Option[Matching]): DataFrame = {
+      if (matching.exists(_.card != 0))
+        fail("promql: histogram × float supports one-to-one matching " +
+          "only (corridor bound)")
+      val lk = hUniqueOrError(hv.withColumn("__mk", matchKey(matching)), "left")
+      val rk = hUniqueOrError(fv.withColumn("__mk", matchKey(matching)), "right")
+      hScale(
+        lk.join(rk.select(col("__mk"), col("t"), col("v").as("__sv")),
+          Seq("__mk", "t")),
+        col("__sv"), divide)
+        .withColumn("labels", matchLabels(matching))
+        .withColumn("series_key", col("__mk"))
+        .select("series_key", "labels", "t", "h")
+    }
+
+    /** `h == h` / `h != h` filter comparisons (upstream
+      * FloatHistogram.Equals between matched pairs): strict structural
+      * equality — schema, zero threshold, and every channel (Spark's
+      * NaN = NaN comparison matches upstream's Float64bits rule on the
+      * sum). Survivors keep the lhs sample and its original labels. */
+    private def hCompare(neq: Boolean, l0: DataFrame, r0: DataFrame,
+        matching: Option[Matching]): DataFrame = {
+      if (matching.exists(_.card != 0))
+        fail("promql: histogram comparisons support one-to-one matching " +
+          "only (corridor bound)")
+      val lk = hUniqueOrError(l0.withColumn("__mk", matchKey(matching)), "left")
+      val rk = hUniqueOrError(r0.withColumn("__mk", matchKey(matching)), "right")
+      val eq = col("h") === col("__rh")
+      lk.join(rk.select(col("__mk"), col("t"), col("h").as("__rh")),
+          Seq("__mk", "t"))
+        .where(if (neq) !eq else eq)
+        .select("series_key", "labels", "t", "h")
     }
 
     // --- aggregations --------------------------------------------------
@@ -2817,13 +2945,30 @@ object PromQl {
     }
 
     private def aggregate(a: Agg): Value = a.body match {
-      case s: Selector if !a.without && s.at.isEmpty && keyableAggs.contains(a.op) =>
+      // count/group over a mixed corpus must see HISTOGRAM elements too
+      // (upstream counts both sample kinds; the other aggregations
+      // ignore histograms with an annotation, which the float-only
+      // reading models) — route them to the generic path's union
+      case s: Selector if !a.without && s.at.isEmpty &&
+          keyableAggs.contains(a.op) &&
+          !(hasH && (a.op == "count" || a.op == "group")) =>
         Vec(aggregateKeyed(a, s))
       case _ => aggregateGeneric(a)
     }
 
     private def aggregateGeneric(a: Agg): Value = {
-      val iv = vecOf(a.body)
+      val iv0 = vecOf(a.body)
+      // count/group: an instant-vector ELEMENT is a series whose latest
+      // in-lookback sample is of either kind; the float and histogram
+      // readings are disjoint per (series, instant), so the union is
+      // exactly the element set (v is a placeholder — neither op reads it)
+      val iv =
+        if (hasH && (a.op == "count" || a.op == "group"))
+          hVecOf(a.body).map(h => iv0.unionByName(
+            h.withColumn("v", lit(1.0))
+              .select("series_key", "labels", "t", "v")))
+            .getOrElse(iv0)
+        else iv0
       // grouping labels: `by` keeps exactly the listed ones; `without`
       // drops the listed ones plus the metric name
       val keep: Column =

@@ -281,5 +281,12 @@ class DbSpec extends SparkSuite {
     val hord = db.promql("mh", 2 * M, 2 * M, M)
     assert(hord.queryExecution.optimizedPlan.toString
       .linesIterator.next().contains("Sort"))
+
+    // r11 second wave through the serving layer: scalar scale and the
+    // == filter comparison route through evalMixed's histogram reading
+    val hm2 = db.promql("histogram_count(mh * 2)", 2 * M, 2 * M, M)
+    assert(hm2.select("v").as[Double].head() == 6.0)
+    val heq = db.promql("histogram_count(mh == mh)", 2 * M, 2 * M, M)
+    assert(heq.select("v").as[Double].head() == 3.0)
   }
 }
