@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -209,10 +209,22 @@ object AsOf {
       .cast("long")
     // carryCols: per-key-constant payloads (a labels map) that ride the
     // same aggregate as `first` — saves the caller a source re-scan and
-    // a key-scale join to re-attach them
+    // a key-scale join to re-attach them.
+    // DOUBLE value columns take the packed-decimal max
+    // ([[graft.catalyst.PackedTvKernel]]): max(DECIMAL(38,0)) runs in
+    // whole-stage HashAggregate where the struct max forced a partial
+    // SortAggregate over the exploded candidates — the fill keeps its
+    // exact (latest t, max v, nulls skipped) semantics and loses the
+    // sample-grain sort. Non-double payloads (a mixed (v, h) struct)
+    // keep the struct max.
+    val packed = valueCols.filter(c => right.schema(c).dataType ==
+      org.apache.spark.sql.types.DoubleType).toSet
     val aggs = valueCols.map(c =>
-      max(when(col(c).isNotNull, struct(col("t").as("t"), col(c).as("v"))))
-        .as(s"__m_$c")) ++
+      if (packed(c))
+        max(when(col(c).isNotNull, packTV(col("t"), col(c)))).as(s"__m_$c")
+      else
+        max(when(col(c).isNotNull, struct(col("t").as("t"), col(c).as("v"))))
+          .as(s"__m_$c")) ++
       carryCols.map(c => first(col(c)).as(c))
     val candidates = right
       .withColumn("__g", explode(sequence(g0, g0 + k.toLong * stepMs, lit(stepMs))))
@@ -223,10 +235,28 @@ object AsOf {
         .groupBy(keys.map(col) :+ col("__g"): _*)
         .agg(aggs.head, aggs.tail: _*)
         .withColumnRenamed("__g", "t")) { case (acc, c) =>
-      acc.withColumn(s"${c}_t", col(s"__m_$c.t"))
-        .withColumn(s"${c}_v", col(s"__m_$c.v"))
+      if (packed(c))
+        acc.withColumn(s"${c}_t", packedT(col(s"__m_$c")))
+          .withColumn(s"${c}_v", packedV(col(s"__m_$c")))
+      else
+        acc.withColumn(s"${c}_t", col(s"__m_$c.t"))
+          .withColumn(s"${c}_v", col(s"__m_$c.v"))
     }.drop(valueCols.map(c => s"__m_$c"): _*)
   }
+
+  /** [[graft.catalyst.PackTv]] and friends as Columns. */
+  private def packTV(t: Column, v: Column): Column =
+    org.apache.spark.sql.graft.bridge.columnFn {
+      case Seq(a, b) => graft.catalyst.PackTv(a, b)
+    }(t, v)
+  private def packedT(d: Column): Column =
+    org.apache.spark.sql.graft.bridge.columnFn {
+      case Seq(a) => graft.catalyst.PackedT(a)
+    }(d)
+  private def packedV(d: Column): Column =
+    org.apache.spark.sql.graft.bridge.columnFn {
+      case Seq(a) => graft.catalyst.PackedV(a)
+    }(d)
 
   /** The latest-sample half of [[gridLatest]], exposed for callers whose
     * aggregate never needs the grid's null rows (the by-label family):
@@ -247,15 +277,27 @@ object AsOf {
       s"latestPerInstant needs lookback < step ($lookbackMs >= $stepMs): use join()")
     val g = (floor((col("t") - 1 - originMs) / stepMs) * stepMs + stepMs + originMs)
       .cast("long")
-    val aggs = max(struct(col("t").as("t"), col("r_v").as("v"))).as("__m") +:
+    // double r_v: packed-decimal max (HashAggregate, no sort — see
+    // [[gridFillWide]]); null r_v rows are skipped (real callers feed
+    // non-null sample values; the duplicate-resolution contract is
+    // about non-null rows). Struct payloads (the mixed (v, h) fill)
+    // keep the struct max.
+    val pack = right.schema("r_v").dataType ==
+      org.apache.spark.sql.types.DoubleType
+    val aggs = (if (pack)
+        max(when(col("r_v").isNotNull, packTV(col("t"), col("r_v")))).as("__m")
+      else max(struct(col("t").as("t"), col("r_v").as("v"))).as("__m")) +:
       carryCols.map(c => first(col(c)).as(c))
-    right
+    val agged = right
       .withColumn("__g", g)
       .where(col("t") >= col("__g") - lookbackMs)
       .groupBy(keys.map(col) :+ col("__g"): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .select(keys.map(col) ++ Seq(col("__g").as("t"),
-        col("__m.t").as(s"${name}_t"), col("__m.v").as(s"${name}_v")) ++
+    val (mt, mv) =
+      if (pack) (packedT(col("__m")), packedV(col("__m")))
+      else (col("__m.t"), col("__m.v"))
+    agged.select(keys.map(col) ++ Seq(col("__g").as("t"),
+        mt.as(s"${name}_t"), mv.as(s"${name}_v")) ++
         carryCols.map(col): _*)
   }
 
