@@ -1657,10 +1657,20 @@ object PromQl {
       // are ignored by every value-reading function — upstream drops
       // them with the ignored-histograms annotation, so they must not
       // inflate cnt (avg/extrapolation read it) or the lag chain
-      val srcFull =
-        if (hasH && fn != "count_over_time" && fn != "present_over_time")
-          srcFull0.where(col("v").isNotNull)
+      val countsHist = fn == "count_over_time" || fn == "present_over_time"
+      val srcFull1 =
+        if (hasH && !countsHist) srcFull0.where(col("v").isNotNull)
         else srcFull0
+      // a SUBQUERY's histogram points live in the inner h channel (the
+      // float inner eval drops them); count/present union them back in
+      // — disjoint per (series, instant) from the float points
+      val srcFull = arg match {
+        case sq: Subquery if hasH && countsHist =>
+          hSubqueryVec(sq).map(h => srcFull1.unionByName(
+            h.withColumn("v", lit(1.0))
+              .select("series_key", "labels", "t", "v"))).getOrElse(srcFull1)
+        case _ => srcFull1
+      }
       val needTwo = Set("rate", "increase", "delta", "idelta", "irate",
         "deriv", "predict_linear", "holt_winters", "double_exponential_smoothing")
       val needLag = RangeLagFns.contains(fn)
@@ -2006,7 +2016,17 @@ object PromQl {
           .drop("t").crossJoin(latticeDf)
           .select("series_key", "labels", "t", "v")
       case _ =>
-        val (src, rangeMs) = rangeArgOf(arg)
+        val (src0, rangeMs) = rangeArgOf(arg)
+        // a histogram sample is PRESENT: selector h rows already flow
+        // (null v counts as a row); a subquery's histogram points live
+        // in the inner h channel and union back in
+        val src = arg match {
+          case sq: Subquery if hasH =>
+            hSubqueryVec(sq).map(h => src0.unionByName(
+              h.withColumn("v", lit(1.0))
+                .select("series_key", "labels", "t", "v"))).getOrElse(src0)
+          case _ => src0
+        }
         // through rangeAgg (need = ∅ ⇒ just group existence), so the
         // high-fan-out cap applies here too — absent_over_time(m[1d])
         // at 1m step must not explode k = 1440× any more than rate does
@@ -2145,11 +2165,13 @@ object PromQl {
     // ([[hArith]]/[[hScale]]/[[hMulFloat]], upstream FloatHistogram
     // Add/Sub/Mul/Div incl. the zero-threshold widening merge), as are
     // the == / != filter comparisons ([[hCompare]], upstream
-    // FloatHistogram.Equals) and `last_over_time` over a histogram
-    // range ([[mixedFill]] at range grain). Still out: group_left/
-    // group_right on histogram operands, bool-form and ordered
-    // comparisons (upstream drops ordered comparisons too), and
-    // histogram-valued subquery bodies under range functions.
+    // FloatHistogram.Equals), `last_over_time` over a histogram range
+    // ([[mixedFill]] at range grain), and rate/increase/delta +
+    // count/present/absent_over_time over histogram-valued SUBQUERIES
+    // ([[hSubqueryVec]]). Still out: group_left/group_right on
+    // histogram operands, bool-form and ordered comparisons (upstream
+    // drops ordered comparisons too), and last_over_time over
+    // histogram-valued subqueries.
 
     /** True when the bound source carries the histogram channel. */
     private def hasH: Boolean = samples.columns.contains("h")
@@ -2308,6 +2330,14 @@ object PromQl {
       case Call(fn @ ("rate" | "increase" | "delta"), Seq(rs: RangeSel))
           if rs.sel.at.isEmpty =>
         Some(hRangeVec(fn, rs))
+      // rate/increase/delta over a histogram-valued SUBQUERY: the
+      // body's histogram channel evaluated on the inner lattice is the
+      // sample stream ([[hSubqueryVec]], the h twin of rangeArgOf's
+      // subquery branch); the window machinery is shared verbatim.
+      case Call(fn @ ("rate" | "increase" | "delta"), Seq(sq: Subquery))
+          if sq.at.isEmpty =>
+        hSubqueryVec(sq).map(inner => hRangeVecFrom(fn,
+          inner.select("series_key", "labels", "t", "h"), sq.rangeMs))
       case Agg("sum", None, body, grouping, without) =>
         hVecOf(body).map(hSumBy(_, grouping, without))
       case Agg("avg", None, body, grouping, without) =>
@@ -2395,11 +2425,38 @@ object PromQl {
       * schema and zero threshold are fixed per series within the range;
       * a float sample inside the window of a histogram series does not
       * flip the result to float. */
-    private def hRangeVec(fn: String, rs: RangeSel): DataFrame = {
-      val rangeMs = rs.rangeMs
+    private def hRangeVec(fn: String, rs: RangeSel): DataFrame =
+      hRangeVecFrom(fn,
+        selected(rs.sel).where(col("h").isNotNull)
+          .select("series_key", "labels", "t", "h"),
+        rs.rangeMs)
+
+    /** The histogram channel of a subquery's inner evaluation on its
+      * own lattice, offset-shifted onto outer time — the h twin of
+      * [[rangeArgOf]]'s subquery branch (same lattice alignment), for
+      * range functions over histogram-valued subqueries. */
+    private def hSubqueryVec(sq: Subquery): Option[DataFrame] = {
+      val stepIn = if (sq.stepMs > 0) sq.stepMs else p.defaultEvalMs
+      val raw = p.startMs - sq.rangeMs - sq.offsetMs
+      val rem = math.floorMod(raw, stepIn)
+      val start0 = if (rem == 0L) raw else raw + stepIn - rem
+      new Compiler(samples,
+        p.copy(startMs = start0, endMs = p.endMs - sq.offsetMs,
+          stepMs = stepIn),
+        outerStartMs, outerEndMs)
+        .hVecOf(sq.body)
+        .map { inner =>
+          if (sq.offsetMs == 0L) inner
+          else inner.withColumn("t", col("t") + sq.offsetMs)
+        }
+    }
+
+    /** [[hRangeVec]] over an arbitrary histogram sample stream
+      * `(series_key, labels, t, h)` — range selectors pass the raw
+      * selection, subqueries their inner evaluation. */
+    private def hRangeVecFrom(
+        fn: String, src: DataFrame, rangeMs: Long): DataFrame = {
       val isCounter = fn != "delta"
-      val src = selected(rs.sel).where(col("h").isNotNull)
-        .select("series_key", "labels", "t", "h")
       // bucket count at index i (0 when the channel is absent; `get` is
       // the null-on-miss lookup — ANSI element_at throws on empty)
       def cAt(arr: Column, i: Column): Column =
