@@ -1033,28 +1033,32 @@ object PromQl {
         return mixedFill(s).where(col("vh.v").isNotNull)
           .select(col("series_key"), col("labels"), col("t"),
             col("vh.v").as("v"))
-      // bind the fetch ONCE, and let the labels map ride the fill's own
-      // aggregate (first per series: constant) — no second scan of the
-      // source and no series-scale re-attach join per selector
+      // labels OFF the fill aggregate: a first(labels) MAP buffer can't
+      // live in the UnsafeRow hash map, so carrying it forced the
+      // packed-decimal fill back into a partial SortAggregate over the
+      // exploded candidates. The per-series dim re-attach costs one
+      // narrow (series_key, labels) pass + a gated join at output
+      // grain; the fill itself stays whole-stage HashAggregate.
       val sel = selected(s)
-      val src = sel.select("series_key", "labels", "t", "v")
+      val src = sel.select("series_key", "t", "v")
       val look = p.lookbackMs - 1 // closed window ≡ half-open on int ms
       // lookback < step: one sample serves at most one instant — the
       // single-instant fast path; otherwise the candidate-explode fill
       val filled =
         if (look < p.stepMs)
           AsOf.latestPerInstant(src.withColumnRenamed("v", "r_v"),
-              Seq("series_key"), p.stepMs, look, "r", originMs = p.startMs,
-              carryCols = Seq("labels"))
+              Seq("series_key"), p.stepMs, look, "r", originMs = p.startMs)
             .where(col("r_v").isNotNull && col("t").between(p.startMs, p.endMs))
-            .select(col("series_key"), col("labels"), col("t"), col("r_v").as("v"))
+            .select(col("series_key"), col("t"), col("r_v").as("v"))
         else
           AsOf.gridFillWide(
-            src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look, Seq("v"),
-            carryCols = Seq("labels"))
+            src, Seq("series_key"), p.startMs, p.endMs, p.stepMs, look, Seq("v"))
             .where(col("v_v").isNotNull)
-            .select(col("series_key"), col("labels"), col("t"), col("v_v").as("v"))
+            .select(col("series_key"), col("t"), col("v_v").as("v"))
       filled
+        .join(p.hintSeriesDim(sel.groupBy("series_key")
+          .agg(first("labels").as("labels"))), Seq("series_key"))
+        .select("series_key", "labels", "t", "v")
     }
 
     /** `selector @ T`: the instant vector evaluated ONCE at the pinned
@@ -1174,25 +1178,32 @@ object PromQl {
     private def rangeAgg(
         src: DataFrame, rangeMs: Long, extra: Seq[Column] = Nil,
         need: Set[String] = RangeAggAll, needLag: Boolean = true,
-        carryLabels: Boolean = false): DataFrame = {
+        carryLabels: Boolean = false,
+        labelsByJoin: Boolean = false): DataFrame = {
       val x = (col("t") - col("g")).cast("double") / 1000.0 // seconds rel. instant
       // the first/last sample structs carry the lag features only when
       // the function family reads them (rate/increase/irate/…); the
-      // lean (t, v) pair otherwise
+      // lean (t, v) pair otherwise. ArgPick, not min_by/max_by: the
+      // struct-buffered picks forced this whole aggregate into a
+      // partial SortAggregate that SORTS the exploded candidates at
+      // sample grain — the flat-slot aggregate keeps it in whole-stage
+      // HashAggregate (see [[graft.catalyst.ArgPick]]).
       val firstStruct =
-        if (needLag)
-          min_by(
-            struct(col("t"), col("v"), coalesce(col("inc_delta"), lit(0.0)).as("inc"),
-              col("reset_f"), col("change_f")),
-            struct(col("t"), col("v"))).as("first")
-        else min_by(struct(col("t"), col("v")), struct(col("t"), col("v"))).as("first")
+        (if (needLag)
+          graft.catalyst.ArgPick.pick(max = false, Seq(
+            "t" -> col("t"), "v" -> col("v"),
+            "inc" -> coalesce(col("inc_delta"), lit(0.0)),
+            "reset_f" -> col("reset_f"), "change_f" -> col("change_f")))
+        else graft.catalyst.ArgPick.pick(max = false,
+          Seq("t" -> col("t"), "v" -> col("v")))).as("first")
       val lastStruct =
-        if (needLag)
-          max_by(
-            struct(col("t"), col("v"), col("prev_t"), col("prev_v"),
-              coalesce(col("inc_delta"), lit(0.0)).as("inc")),
-            struct(col("t"), col("v"))).as("last")
-        else max_by(struct(col("t"), col("v")), struct(col("t"), col("v"))).as("last")
+        (if (needLag)
+          graft.catalyst.ArgPick.pick(max = true, Seq(
+            "t" -> col("t"), "v" -> col("v"),
+            "prev_t" -> col("prev_t"), "prev_v" -> col("prev_v"),
+            "inc" -> coalesce(col("inc_delta"), lit(0.0))))
+        else graft.catalyst.ArgPick.pick(max = true,
+          Seq("t" -> col("t"), "v" -> col("v")))).as("last")
       // pruned to what the function reads — cnt always (the ≥2-sample
       // filter), the rest by need-set; labels ride the same aggregate
       // (first per group: constant within a series) when the plan has
@@ -1211,7 +1222,8 @@ object PromQl {
         (if (need("sx"))
           Seq(sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
             sum(col("x") * col("v")).as("sxy")) else Nil) ++
-        (if (carryLabels) Seq(first("labels").as("labels")) else Nil) ++
+        (if (carryLabels && !labelsByJoin)
+          Seq(first("labels").as("labels")) else Nil) ++
         extra
       val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
       // high fan-out guard: above the cap, the explode would amplify
@@ -1225,12 +1237,29 @@ object PromQl {
       if (k > p.rangeExplodeCapK && extra.isEmpty && !need("sx"))
         windowRangeAgg(src, rangeMs, need, needLag)
       else {
-        val base = rangeFrame(src, rangeMs, needLag)
+        // labelsByJoin: a first(labels) MAP buffer cannot live in the
+        // UnsafeRow hash map, so carrying labels in-aggregate forces
+        // this whole aggregate — over the k×-amplified explode — into
+        // a partial SortAggregate. With ArgPick the stat side is
+        // hash-compatible, so SELECTOR sources (cheap to re-read) move
+        // labels to a per-series dim joined at OUTPUT grain: the only
+        // sample-grain sort left is the dim's own, over n narrow
+        // (series_key, labels) rows instead of k·n exploded stat rows.
+        // Subquery sources keep the in-aggregate labels: their src is
+        // an inner evaluation a dim would re-run wholesale.
+        val srcLean =
+          if (carryLabels && labelsByJoin) src.drop("labels") else src
+        val base = rangeFrame(srcLean, rangeMs, needLag)
         val withX = if (need("sx")) base.withColumn("x", x) else base
-        withX
+        val out = withX
           .groupBy("series_key", "g")
           .agg(aggCols.head, aggCols.tail: _*)
           .withColumnRenamed("g", "t")
+        if (carryLabels && labelsByJoin)
+          out.join(p.hintSeriesDim(
+            src.groupBy("series_key").agg(first("labels").as("labels"))),
+            Seq("series_key"))
+        else out
       }
     }
 
@@ -1299,9 +1328,10 @@ object PromQl {
       def blkOf(c: Column): Column =
         ((c - pmod(c, lit(rangeMs))) / rangeMs).cast("long")
       val nonNan = when(isnan(col("v")), lit(null)).otherwise(col("v"))
-      // min_by/max_by on struct(t, v) — the explode path's order key —
-      // so bucket-level picks nest into window picks pick-identically
-      val ordKey = struct(col("t"), col("v"))
+      // ArgPick on the (t, v) order key — the explode path's own — so
+      // bucket-level picks nest into window picks pick-identically,
+      // and the flat-slot buffers keep this stage-1 partial in
+      // HashAggregate ([[graft.catalyst.ArgPick]])
       val firstFields: Seq[String] =
         Seq("t", "v") ++
           (if (needLag) Seq("inc", "reset_f", "change_f") else Nil)
@@ -1324,11 +1354,11 @@ object PromQl {
         (if (need("max_v")) Seq(max(nonNan).as("b_max_v")) else Nil) ++
         (if (need("sum_vv"))
           Seq(sum(col("v") * col("v")).as("b_sum_vv")) else Nil) ++
-        (if (need("first")) Seq(min_by(
-          struct(firstFields.map(f => fieldExpr(f).as(f)): _*), ordKey)
+        (if (need("first")) Seq(graft.catalyst.ArgPick.pick(max = false,
+          firstFields.map(f => f -> fieldExpr(f)))
           .as("b_first")) else Nil) ++
-        (if (need("last")) Seq(max_by(
-          struct(lastFields.map(f => fieldExpr(f).as(f)): _*), ordKey)
+        (if (need("last")) Seq(graft.catalyst.ArgPick.pick(max = true,
+          lastFields.map(f => f -> fieldExpr(f)))
           .as("b_last")) else Nil) ++
         (if (need("sum_inc"))
           Seq(sum(coalesce(col("inc_delta"), lit(0.0))).as("b_sum_inc"))
@@ -1675,11 +1705,6 @@ object PromQl {
         "deriv", "predict_linear", "holt_winters", "double_exponential_smoothing")
       val needLag = RangeLagFns.contains(fn)
       val need = RangeNeedByFn.getOrElse(fn, RangeAggAll)
-      // labels ride the plan end to end (first() per group in the one
-      // aggregate): on the lag path they add ~1× the series_key string
-      // the window shuffle already carries, and in exchange the
-      // series-scale re-attach join — a source re-scan plus three jobs —
-      // disappears
       val src = srcFull.select("series_key", "labels", "t", "v")
       val extra = fn match {
         case "quantile_over_time" =>
@@ -1697,8 +1722,13 @@ object PromQl {
           Seq(sort_array(collect_list(col("v"))).as("mad_vs"))
         case _ => Nil
       }
+      // labels: selector sources re-attach per series at OUTPUT grain
+      // (keeps the big aggregate in HashAggregate — see rangeAgg's
+      // labelsByJoin note); subquery sources carry them in-aggregate
+      // (their src is an inner evaluation a dim re-run would double)
       val agg = rangeAgg(src, rangeMs, extra,
-        need = need, needLag = needLag, carryLabels = true)
+        need = need, needLag = needLag, carryLabels = true,
+        labelsByJoin = !arg.isInstanceOf[Subquery])
       // all-x-equal windows (duplicate timestamps) zero the variance
       // denominator — NaN, not an ANSI divide error
       val slopeDenom = col("cnt") * col("sxx") - col("sx") * col("sx")

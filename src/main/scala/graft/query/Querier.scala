@@ -104,7 +104,11 @@ final class Querier(val samples: DataFrame) {
         graft.functions.rangeForTimestamp(col("t"), stepMs).as("t"))
       .agg(
         max("sample_id").as("sample_id"),
-        max(struct(col("t").as("__t"), col("sample_id"), col("v")))
+        // flat-slot pick (HashAggregate) ≡ max(struct): (t, sample_id)
+        // is already unique, so the 2-level key decides identically
+        graft.catalyst.ArgPick.pick(max = true, Seq(
+          "__t" -> col("t"), "sample_id" -> col("sample_id"),
+          "v" -> col("v")))
           .getField("v").as("v"),
         count(lit(1)).as("n"),
         round(sum("v"), 2).as("sum_v"),

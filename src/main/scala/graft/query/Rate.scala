@@ -157,8 +157,17 @@ object Rate {
       .agg(
         round(sum("__inc"), 2).as("delta_v"),
         count(lit(1)).as("n"),
-        min(struct(col("t"), col("sample_id"), col("v"))).as("__f"),
-        max(struct(col("t"), col("sample_id"), col("v"))).as("__l"))
+        // ArgPick, not min/max(struct): the struct-typed aggregation
+        // buffer forced a partial SortAggregate over the sample-grain
+        // input; the flat-slot pick keeps the whole aggregate in
+        // HashAggregate. (t, sample_id) already identifies the row
+        // uniquely, so the 2-level key ≡ the old 3-level struct order.
+        graft.catalyst.ArgPick.pick(max = false, Seq(
+          "t" -> col("t"), "sample_id" -> col("sample_id"),
+          "v" -> col("v"))).as("__f"),
+        graft.catalyst.ArgPick.pick(max = true, Seq(
+          "t" -> col("t"), "sample_id" -> col("sample_id"),
+          "v" -> col("v"))).as("__l"))
       .where(col("n") >= 2 && col("__l")("t") > col("__f")("t"))
       .select(
         col("series_key"), col("t_bucket"), col("n"), col("delta_v"),

@@ -91,3 +91,56 @@ class PackedTvSpec extends SparkSuite {
       java.lang.Double.doubleToLongBits(0.0))
   }
 }
+
+/** [[ArgPick]] — the flat-slot argmin/argmax behind the rate family's
+  * first/last picks. */
+class ArgPickSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  test("ArgPick ≡ min_by/max_by(struct) on unique (t, v) keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // unique (t, v) per group (ties are unspecified in min_by too)
+    val rows = (1 to 4000).map { i =>
+      (s"k${i % 11}", i.toLong, rnd.nextInt(1000) / 7.0 + i * 1e-9,
+        rnd.nextLong(), rnd.nextDouble())
+    }
+    val df = rows.toDF("g", "t", "v", "p1", "p2")
+    val got = df.groupBy("g").agg(
+      graft.catalyst.ArgPick.pick(max = false, Seq(
+        "t" -> col("t"), "v" -> col("v"),
+        "p1" -> col("p1"), "p2" -> col("p2"))).as("f"),
+      graft.catalyst.ArgPick.pick(max = true, Seq(
+        "t" -> col("t"), "v" -> col("v"),
+        "p1" -> col("p1"), "p2" -> col("p2"))).as("l"))
+    val want = df.groupBy("g").agg(
+      min_by(struct(col("t"), col("v"), col("p1"), col("p2")),
+        struct(col("t"), col("v"))).as("f"),
+      max_by(struct(col("t"), col("v"), col("p1"), col("p2")),
+        struct(col("t"), col("v"))).as("l"))
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      want.collect().map(_.toString).sorted.toSeq)
+    // and the plan is hash-based with map-side combine
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+  }
+
+  test("ArgPick: NaN greatest, duplicate t resolved by v, empty -> null") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5L, 1.0, 10L), ("a", 5L, Double.NaN, 20L), ("a", 3L, 9.0, 30L),
+      ("b", 1L, -0.0, 40L))
+      .toDF("g", "t", "v", "p")
+    val out = df.groupBy("g").agg(
+        graft.catalyst.ArgPick.pick(max = true, Seq(
+          "t" -> col("t"), "v" -> col("v"), "p" -> col("p"))).as("l"))
+      .select(col("g"), col("l.p")).as[(String, Long)].collect().toMap
+    assert(out("a") == 20L) // NaN beats 1.0 at equal t
+    assert(out("b") == 40L)
+    // empty group via a filter that keeps the group key only
+    val empty = df.where(col("t") > 100).groupBy("g").agg(
+      graft.catalyst.ArgPick.pick(max = false,
+        Seq("t" -> col("t"), "v" -> col("v"))).as("f"))
+    assert(empty.count() == 0) // no groups at all — vacuous, pin shape
+  }
+}

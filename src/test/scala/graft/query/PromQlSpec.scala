@@ -643,4 +643,24 @@ class PromQlSpec extends SparkSuite {
       assert(hinted == aqe && hinted.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("rate plans its stat aggregates hash-based (ArgPick + labels dim)") {
+    // explode path (k <= capK): the (series, instant) stat aggregate
+    // runs ArgPick picks in HashAggregate; the ONLY SortAggregate left
+    // is the narrow per-series labels dim (first(labels) map buffers
+    // cannot live in the UnsafeRow hash map)
+    val p = PromQl.Params(50 * M, 50 * M, M)
+    val plan = PromQl.eval("rate(http_requests[30m])", counters, p)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("arg_pick_min") && plan.contains("arg_pick_max"), plan.take(2000))
+    val sortAggs = plan.linesIterator.filter(_.contains("SortAggregate")).toSeq
+    assert(sortAggs.forall(_.contains("first(labels")), sortAggs.mkString("\n"))
+    // decomposed path (capK = 0): stage-1 bucket partial likewise hash
+    val plan2 = PromQl.eval("rate(http_requests[30m])", counters,
+        p.copy(rangeExplodeCapK = 0))
+      .queryExecution.sparkPlan.toString
+    val hashStage1 = plan2.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("arg_pick_min"))
+    assert(hashStage1, plan2.take(3000))
+  }
 }
