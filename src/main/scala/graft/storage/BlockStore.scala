@@ -155,6 +155,21 @@ final class BlockStore(
     * synced at publish time, so the steady single-driver path never
     * pays a directory re-listing. */
   private[storage] def storeTable(spark: SparkSession): DataFrame = {
+    // A store dir wiped OUT-OF-BAND (rm -rf instead of destroy(), e.g. a
+    // bench scratch path reused across passes, or a tmp-cleaner sweep
+    // that took data but left the catalog entry) leaves a registered
+    // table whose LOCATION no longer exists — RECOVER PARTITIONS then
+    // throws FileNotFound and every read looks like a store bug. Treat
+    // missing dataDir as "destroyed behind our back": drop the stale
+    // catalog entry (and its registered partitions) and re-register from
+    // the current on-disk state.
+    if (spark.catalog.tableExists(tableName) &&
+        !Files.isDirectory(Paths.get(dataDir))) Manifest.withLock(root) {
+      if (!Files.isDirectory(Paths.get(dataDir))) {
+        spark.sql(s"DROP TABLE IF EXISTS $tableName")
+        BlockStore.syncedVersions.remove(tableName)
+      }
+    }
     if (!spark.catalog.tableExists(tableName)) Manifest.withLock(root) {
       if (!spark.catalog.tableExists(tableName)) {
         Files.createDirectories(Paths.get(dataDir))
