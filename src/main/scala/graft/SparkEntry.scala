@@ -1896,19 +1896,30 @@ object SparkEntry {
     "ts_ooo_reject" -> ((s, dir) => {
       val base = TsdbSource.events(s, dir).samples
         .withColumn("arrival", col("sample_id") * 48271 % 1000003)
-      val dups = base.where(col("sample_id") % 50 === 0)
-        .withColumn("arrival", col("arrival") + 2000000)
-      val amends = base.where(col("sample_id") % 77 === 0)
-        .withColumn("v", col("v") + 1)
-        .withColumn("arrival", col("arrival") + 3000000)
+      // ONE scan (r12; the union-of-three form scanned the fact table
+      // three times — 2 of the 3 scans in the old plan were re-reads):
+      // every row emits itself plus its duplicate/amended re-appends
+      // through a filtered explode of (arrival shift, value shift)
+      val variants = filter(array(
+        struct(lit(0L).as("da"), lit(0.0).as("dv"), lit(true).as("keep")),
+        struct(lit(2000000L).as("da"), lit(0.0).as("dv"),
+          (col("sample_id") % 50 === 0).as("keep")),
+        struct(lit(3000000L).as("da"), lit(1.0).as("dv"),
+          (col("sample_id") % 77 === 0).as("keep"))),
+        v => v.getField("keep"))
+      val appended = base
+        .select(col("*"), explode(variants).as("__e"))
+        .withColumn("arrival", col("arrival") + col("__e.da"))
+        .withColumn("v", col("v") + col("__e.dv"))
+        .drop("__e")
       // the seriesOrdered pattern on the ARRIVAL axis: ONE hash
       // exchange + one in-partition sort satisfies validate's window
       // (clustered on series_key, ordered by arrival) AND makes the
       // final order an in-partition sort of the tiny aggregate. Hash,
       // not range: a range exchange's bounds-sampling job would re-run
-      // the whole 3-way union lineage once before the real pass
+      // the whole explode lineage once before the real pass
       Appender.validate(
-          base.unionByName(dups).unionByName(amends)
+          appended
             .repartition(col("series_key"))
             .sortWithinPartitions("series_key", "arrival"),
           MIN_VALID)

@@ -1679,6 +1679,17 @@ object PromQl {
           return mixedFill(s, r - 1).where(col("vh.v").isNotNull)
             .select(col("series_key"), col("labels"), col("t"),
               col("vh.v").as("v"))
+        // last_over_time over a SUBQUERY whose body has a histogram
+        // reading: the latest inner ELEMENT wins across types, so the
+        // float half keeps exactly the instants a float inner point is
+        // latest in the window (the h half mirrors in [[hVecOf]])
+        case sq: Subquery if hasH && fn == "last_over_time" =>
+          mixedSubqueryStream(sq).foreach { src =>
+            return mixedFillFrom(src, sq.rangeMs - 1)
+              .where(col("vh.v").isNotNull)
+              .select(col("series_key"), col("labels"), col("t"),
+                col("vh.v").as("v"))
+          }
         case _ =>
       }
       val (srcFull0, rangeMs) = rangeArgOf(arg)
@@ -2194,14 +2205,18 @@ object PromQl {
     // or a one-to-one-matched FLOAT VECTOR) is in corridor since r11
     // ([[hArith]]/[[hScale]]/[[hMulFloat]], upstream FloatHistogram
     // Add/Sub/Mul/Div incl. the zero-threshold widening merge), as are
-    // the == / != filter comparisons ([[hCompare]], upstream
-    // FloatHistogram.Equals), `last_over_time` over a histogram range
-    // ([[mixedFill]] at range grain), and rate/increase/delta +
-    // count/present/absent_over_time over histogram-valued SUBQUERIES
-    // ([[hSubqueryVec]]). Still out: group_left/group_right on
-    // histogram operands, bool-form and ordered comparisons (upstream
-    // drops ordered comparisons too), and last_over_time over
-    // histogram-valued subqueries.
+    // the == / != comparisons in filter AND bool form ([[hCompare]]/
+    // [[hCompareBool]], upstream FloatHistogram.Equals),
+    // `last_over_time` over a histogram range ([[mixedFill]] at range
+    // grain) and over histogram-valued SUBQUERIES
+    // ([[mixedSubqueryStream]]), rate/increase/delta +
+    // count/present/absent_over_time over histogram-valued subqueries
+    // ([[hSubqueryVec]]), and — since r12 — many-to-one
+    // `group_left`/`group_right` matching on every histogram operator
+    // above (the one side unique-checked, many-side labels + include,
+    // the float path's grouped-result rules). Still out: ordered
+    // (< <= > >=) comparisons between histograms, which upstream drops
+    // too.
 
     /** True when the bound source carries the histogram channel. */
     private def hasH: Boolean = samples.columns.contains("h")
@@ -2233,8 +2248,15 @@ object PromQl {
     private def mixedFill(s: Selector): DataFrame =
       mixedFill(s, p.lookbackMs - 1)
 
-    private def mixedFill(s: Selector, look: Long): DataFrame = {
-      val src = selected(s).where(col("h").isNotNull || col("v").isNotNull)
+    private def mixedFill(s: Selector, look: Long): DataFrame =
+      mixedFillFrom(selected(s), look)
+
+    /** [[mixedFill]] over an arbitrary mixed sample stream
+      * `(series_key, labels, t, v, h)` — selectors pass the raw
+      * selection, subqueries their inner evaluation's two channels
+      * ([[mixedSubqueryStream]]). */
+    private def mixedFillFrom(src0: DataFrame, look: Long): DataFrame = {
+      val src = src0.where(col("h").isNotNull || col("v").isNotNull)
         .select(col("series_key"), col("labels"), col("t"),
           struct(col("v"), col("h")).as("vh"))
       if (look < p.stepMs)
@@ -2395,22 +2417,24 @@ object PromQl {
           // NEITHER reading: the other side's float channel is empty
           // there.
           case (Some(l), Some(r)) =>
-            Some(hScaleBy(l, rhs, divide = false, matching)
-              .unionByName(hScaleBy(r, lhs, divide = false, matching)))
+            Some(hScaleBy(l, rhs, divide = false, matching, hIsLeft = true)
+              .unionByName(
+                hScaleBy(r, lhs, divide = false, matching, hIsLeft = false)))
           case (Some(l), None) =>
-            Some(hScaleBy(l, rhs, divide = false, matching))
+            Some(hScaleBy(l, rhs, divide = false, matching, hIsLeft = true))
           case (None, Some(r)) =>
-            Some(hScaleBy(r, lhs, divide = false, matching))
+            Some(hScaleBy(r, lhs, divide = false, matching, hIsLeft = false))
           case _ => None
         }
       case Bin("/", lhs, rhs, false, matching) =>
         hVecOf(lhs).map(hScaleBy(_, rhs, divide = true, matching))
       // histogram == / != (upstream vectorElemBinop routes matched
       // histogram pairs to FloatHistogram.Equals; the filter form
-      // keeps the lhs sample with its ORIGINAL label set, metric name
-      // included — the float filter-comparison rule). bool form is a
-      // float-valued result and stays out of corridor; ordered
-      // comparisons between histograms drop upstream too.
+      // keeps the lhs sample — original labels one-to-one, many-side
+      // labels + include under grouping). The BOOL form is a FLOAT
+      // result and lives in the float channel ([[binary]] unions
+      // [[hCompareBool]] in); ordered comparisons between histograms
+      // drop upstream too.
       case Bin(op @ ("==" | "!="), lhs, rhs, false, matching) =>
         (hVecOf(lhs), hVecOf(rhs)) match {
           case (Some(l), Some(r)) => Some(hCompare(op == "!=", l, r, matching))
@@ -2425,6 +2449,14 @@ object PromQl {
         Some(mixedFill(s, rangeMs - 1).where(col("vh.h").isNotNull)
           .select(col("series_key"), col("labels"), col("t"),
             col("vh.h").as("h")))
+      // `last_over_time` over a histogram-valued SUBQUERY: the mixed
+      // inner stream ([[mixedSubqueryStream]]) through the same
+      // range-grain latest-element fill; kept where a histogram wins
+      case Call("last_over_time", Seq(sq: Subquery)) if sq.at.isEmpty =>
+        mixedSubqueryStream(sq).map(src =>
+          mixedFillFrom(src, sq.rangeMs - 1).where(col("vh.h").isNotNull)
+            .select(col("series_key"), col("labels"), col("t"),
+              col("vh.h").as("h")))
       case _ => None
     }
 
@@ -2480,6 +2512,26 @@ object PromQl {
           else inner.withColumn("t", col("t") + sq.offsetMs)
         }
     }
+
+    /** Both channels of a subquery's inner evaluation as one mixed
+      * stream `(series_key, labels, t, v, h)` on outer time — the
+      * subquery twin of a selector's raw mixed selection, for
+      * `last_over_time` over histogram-valued subqueries (upstream
+      * funcLastOverTime picks the later inner element ACROSS types).
+      * None when the body has no histogram reading (the float path
+      * then stands alone). The float and histogram inner points are
+      * disjoint per (series, instant): an inner instant-vector element
+      * is of exactly one kind (mixedFill's latest-sample rule). */
+    private def mixedSubqueryStream(sq: Subquery): Option[DataFrame] =
+      hSubqueryVec(sq).map { h =>
+        val (f, _) = rangeArgOf(sq)
+        val hType = h.schema("h").dataType
+        f.withColumn("h", lit(null).cast(hType))
+          .select("series_key", "labels", "t", "v", "h")
+          .unionByName(h
+            .withColumn("v", lit(null).cast("double"))
+            .select("series_key", "labels", "t", "v", "h"))
+      }
 
     /** [[hRangeVec]] over an arbitrary histogram sample stream
       * `(series_key, labels, t, h)` — range selectors pass the raw
@@ -2839,32 +2891,69 @@ object PromQl {
         neg(col("h.neg")).as("neg"), neg(col("h.pos")).as("pos")))
     }
 
-    /** `h1 + h2` / `h1 − h2` under one-to-one vector matching (upstream
-      * FloatHistogram.Add/Sub): both sides must be unique per (match
-      * key, instant) — the float path's duplicate execution error —
-      * matched pairs merge through [[hMergeGroups]], result labels are
-      * the matching subset (the one-to-one resultMetric rule).
-      * group_left/group_right stays out of corridor. */
+    /** `h1 + h2` / `h1 − h2` under vector matching (upstream
+      * FloatHistogram.Add/Sub): matched pairs merge through
+      * [[hMergeGroups]]. One-to-one requires both sides unique per
+      * (match key, instant) — the float path's duplicate execution
+      * error — and the result labels are the matching subset (the
+      * one-to-one resultMetric rule). Many-to-one
+      * (`group_left`/`group_right`, r12): each many-side element
+      * merges with its one-side match; the one side is unique-checked;
+      * result labels are the many side's minus the metric name plus
+      * the include labels copied from the one side (the float path's
+      * grouped-result rule). Two many-side elements collapsing onto
+      * one result series would silently MERGE here, so that case
+      * raises (upstream's duplicate-labelset error). */
     private def hArith(
         sub: Boolean, l0: DataFrame, r0: DataFrame,
         matching: Option[Matching]): DataFrame = {
-      if (matching.exists(_.card != 0))
-        fail("promql: histogram arithmetic supports one-to-one matching " +
-          "only (corridor bound)")
-      val lk = hUniqueOrError(l0.withColumn("__mk", matchKey(matching)), "left")
-      val rk = hUniqueOrError(
-        (if (sub) hNeg(r0) else r0).withColumn("__mk", matchKey(matching)),
-        "right")
-      // inner one-to-one match: keep each side's rows whose (key, t)
-      // exists on the other, then merge the union per key
-      val both = lk
-        .join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi")
-        .unionByName(
-          rk.join(lk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi"))
-      hMergeGroups(both
-        .withColumn("labels", matchLabels(matching))
-        .withColumn("series_key", col("__mk"))
-        .select("series_key", "labels", "t", "h"))
+      val card = matching.map(_.card).getOrElse(0)
+      if (card == 0) {
+        val lk = hUniqueOrError(l0.withColumn("__mk", matchKey(matching)), "left")
+        val rk = hUniqueOrError(
+          (if (sub) hNeg(r0) else r0).withColumn("__mk", matchKey(matching)),
+          "right")
+        // inner one-to-one match: keep each side's rows whose (key, t)
+        // exists on the other, then merge the union per key
+        val both = lk
+          .join(rk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi")
+          .unionByName(
+            rk.join(lk.select("__mk", "t").distinct(), Seq("__mk", "t"), "left_semi"))
+        hMergeGroups(both
+          .withColumn("labels", matchLabels(matching))
+          .withColumn("series_key", col("__mk"))
+          .select("series_key", "labels", "t", "h"))
+      } else {
+        val include = matching.map(_.include).getOrElse(Nil)
+        // group_left: the written LEFT is the many side. Subtraction
+        // negates the written RIGHT operand whichever side it is.
+        val (many0, one0) = if (card == 1) (l0, r0) else (r0, l0)
+        val many = if (sub && card == 2) hNeg(many0) else many0
+        val one = if (sub && card == 1) hNeg(one0) else one0
+        val manyK = many.withColumn("__mk", matchKey(matching))
+        val oneK = hUniqueOrError(
+          one.withColumn("__mk", matchKey(matching)), "one")
+        val joined = manyK.join(
+          oneK.select(col("__mk"), col("t"), col("h").as("__rh"),
+            col("labels").as("__rlabels")),
+          Seq("__mk", "t"))
+        val lbl =
+          if (include.isEmpty)
+            map_filter(col("labels"), (k, _) => k =!= p.nameLabel)
+          else map_concat(
+            map_filter(col("labels"),
+              (k, _) => !k.isin(include :+ p.nameLabel: _*)),
+            map_filter(col("__rlabels"), (k, _) => k.isin(include: _*)))
+        val paired = hUniqueOrError(
+          joined.withColumn("labels", lbl)
+            .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+            .withColumn("__mk", col("series_key")),
+          "many (duplicate result series)")
+        hMergeGroups(
+          paired.select("series_key", "labels", "t", "h").unionByName(
+            paired.select(col("series_key"), col("labels"), col("t"),
+              col("__rh").as("h"))))
+      }
     }
 
     /** The one-to-one duplicate-match-key execution error, shared by
@@ -2919,51 +3008,144 @@ object PromQl {
       * upstream-empty: this reading contributes nothing and the float
       * channel drops the histogram rows. */
     private def hScaleBy(hv: DataFrame, e: Expr, divide: Boolean,
-        matching: Option[Matching]): DataFrame = eval(e) match {
-      case Scal(s) => hScale(hv, lit(s), divide)
-      case ScalV(sv) =>
-        hScale(hv.join(sv.withColumnRenamed("v", "__sv"), Seq("t")),
-          col("__sv"), divide).drop("__sv")
-      case Vec(f) => hMulFloat(hv, f, divide, matching)
-    }
+        matching: Option[Matching], hIsLeft: Boolean = true): DataFrame =
+      eval(e) match {
+        case Scal(s) => hScale(hv, lit(s), divide)
+        case ScalV(sv) =>
+          hScale(hv.join(sv.withColumnRenamed("v", "__sv"), Seq("t")),
+            col("__sv"), divide).drop("__sv")
+        case Vec(f) => hMulFloat(hv, f, divide, matching, hIsLeft)
+      }
 
-    /** `h * f` / `f * h` / `h / f` with a float-vector operand under
-      * one-to-one matching: each matched (key, instant) pair scales
-      * the histogram channel-wise by the float value; result labels
-      * follow the one-to-one resultMetric rule (the matching subset). */
+    /** `h * f` / `f * h` / `h / f` with a float-vector operand: each
+      * matched (key, instant) pair scales the histogram channel-wise
+      * by the float value. One-to-one result labels follow the
+      * resultMetric rule (the matching subset); many-to-one
+      * (`group_left`/`group_right`, r12) keeps the many side's labels
+      * minus the metric name plus the include labels from the one
+      * side — `hIsLeft` says which WRITTEN side the histogram operand
+      * is, so the many side resolves the same way as the float path. */
     private def hMulFloat(hv: DataFrame, fv: DataFrame, divide: Boolean,
-        matching: Option[Matching]): DataFrame = {
-      if (matching.exists(_.card != 0))
-        fail("promql: histogram × float supports one-to-one matching " +
-          "only (corridor bound)")
-      val lk = hUniqueOrError(hv.withColumn("__mk", matchKey(matching)), "left")
-      val rk = hUniqueOrError(fv.withColumn("__mk", matchKey(matching)), "right")
-      hScale(
-        lk.join(rk.select(col("__mk"), col("t"), col("v").as("__sv")),
-          Seq("__mk", "t")),
-        col("__sv"), divide)
-        .withColumn("labels", matchLabels(matching))
-        .withColumn("series_key", col("__mk"))
-        .select("series_key", "labels", "t", "h")
+        matching: Option[Matching], hIsLeft: Boolean): DataFrame = {
+      val card = matching.map(_.card).getOrElse(0)
+      if (card == 0) {
+        val lk = hUniqueOrError(hv.withColumn("__mk", matchKey(matching)), "left")
+        val rk = hUniqueOrError(fv.withColumn("__mk", matchKey(matching)), "right")
+        hScale(
+          lk.join(rk.select(col("__mk"), col("t"), col("v").as("__sv")),
+            Seq("__mk", "t")),
+          col("__sv"), divide)
+          .withColumn("labels", matchLabels(matching))
+          .withColumn("series_key", col("__mk"))
+          .select("series_key", "labels", "t", "h")
+      } else {
+        val include = matching.map(_.include).getOrElse(Nil)
+        // group_left: the written LEFT is the many side
+        val hIsMany = (card == 1) == hIsLeft
+        val (manyK, oneK) =
+          if (hIsMany)
+            (hv.withColumn("__mk", matchKey(matching)),
+              hUniqueOrError(fv.withColumn("__mk", matchKey(matching)), "one")
+                .select(col("__mk"), col("t"), col("v").as("__sv"),
+                  col("labels").as("__rlabels")))
+          else
+            (fv.withColumnRenamed("v", "__sv")
+              .withColumn("__mk", matchKey(matching)),
+              hUniqueOrError(hv.withColumn("__mk", matchKey(matching)), "one")
+                .select(col("__mk"), col("t"), col("h"),
+                  col("labels").as("__rlabels")))
+        val joined = manyK.join(oneK, Seq("__mk", "t"))
+        val lbl =
+          if (include.isEmpty)
+            map_filter(col("labels"), (k, _) => k =!= p.nameLabel)
+          else map_concat(
+            map_filter(col("labels"),
+              (k, _) => !k.isin(include :+ p.nameLabel: _*)),
+            map_filter(col("__rlabels"), (k, _) => k.isin(include: _*)))
+        hScale(joined, col("__sv"), divide)
+          .withColumn("labels", lbl)
+          .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+          .select("series_key", "labels", "t", "h")
+      }
     }
 
-    /** `h == h` / `h != h` filter comparisons (upstream
+    /** `h == h` / `h != h` comparisons (upstream
       * FloatHistogram.Equals between matched pairs): strict structural
       * equality — schema, zero threshold, and every channel (Spark's
       * NaN = NaN comparison matches upstream's Float64bits rule on the
-      * sum). Survivors keep the lhs sample and its original labels. */
+      * sum). The FILTER form keeps the written-lhs sample; one-to-one
+      * keeps its original labels, many-to-one the many side's labels
+      * with include-copying (the float path's grouped filter rule).
+      * The joined pair frame is shared with [[hCompareBool]]. */
+    private def hComparePairs(l0: DataFrame, r0: DataFrame,
+        matching: Option[Matching]): (DataFrame, Int) = {
+      val card = matching.map(_.card).getOrElse(0)
+      if (card == 0) {
+        val lk = hUniqueOrError(l0.withColumn("__mk", matchKey(matching)), "left")
+        val rk = hUniqueOrError(r0.withColumn("__mk", matchKey(matching)), "right")
+        (lk.join(rk.select(col("__mk"), col("t"), col("h").as("__rh"),
+            col("labels").as("__rlabels")), Seq("__mk", "t"))
+          .withColumn("__lh", col("h")), card)
+      } else {
+        // many side carries the labels; one side is unique-checked;
+        // __lh is the WRITTEN lhs histogram either way
+        val (many, one) = if (card == 1) (l0, r0) else (r0, l0)
+        val manyK = many.withColumn("__mk", matchKey(matching))
+        val oneK = hUniqueOrError(
+          one.withColumn("__mk", matchKey(matching)), "one")
+        (manyK.join(oneK.select(col("__mk"), col("t"), col("h").as("__rh"),
+            col("labels").as("__rlabels")), Seq("__mk", "t"))
+          .withColumn("__lh", if (card == 1) col("h") else col("__rh")),
+          card)
+      }
+    }
+
+    /** Include-copied many-side labels for grouped results (shared by
+      * the comparison forms; name-dropping is the caller's call). */
+    private def includeLabels(include: Seq[String]): Column =
+      if (include.isEmpty) col("labels")
+      else map_concat(
+        map_filter(col("labels"), (k, _) => !k.isin(include: _*)),
+        map_filter(col("__rlabels"), (k, _) => k.isin(include: _*)))
+
     private def hCompare(neq: Boolean, l0: DataFrame, r0: DataFrame,
         matching: Option[Matching]): DataFrame = {
-      if (matching.exists(_.card != 0))
-        fail("promql: histogram comparisons support one-to-one matching " +
-          "only (corridor bound)")
-      val lk = hUniqueOrError(l0.withColumn("__mk", matchKey(matching)), "left")
-      val rk = hUniqueOrError(r0.withColumn("__mk", matchKey(matching)), "right")
+      val (pairs, card) = hComparePairs(l0, r0, matching)
+      val include = matching.map(_.include).getOrElse(Nil)
       val eq = col("h") === col("__rh")
-      lk.join(rk.select(col("__mk"), col("t"), col("h").as("__rh")),
-          Seq("__mk", "t"))
-        .where(if (neq) !eq else eq)
+      val kept = pairs.where(if (neq) !eq else eq)
+      // filter form keeps the metric name (the float path's rule);
+      // grouped results still copy include labels from the one side
+      val lbl =
+        if (card == 0) col("labels") else includeLabels(include)
+      kept
+        .withColumn("h", col("__lh"))
+        .withColumn("labels", lbl)
+        .withColumn("series_key", graft.functions.seriesKey(col("labels")))
         .select("series_key", "labels", "t", "h")
+    }
+
+    /** The BOOL form of `h == h` / `h != h` — a FLOAT result (1/0 per
+      * matched pair), unioned into the float channel by [[binary]]:
+      * upstream vectorElemBinop returns the keep bool and the bool
+      * modifier emits a float sample with the metric name dropped.
+      * Result labels mirror the float path's: one-to-one narrows to
+      * the matching subset; many-to-one keeps the many side's labels
+      * minus the name plus include. */
+    private def hCompareBool(neq: Boolean, l0: DataFrame, r0: DataFrame,
+        matching: Option[Matching]): DataFrame = {
+      val (pairs, card) = hComparePairs(l0, r0, matching)
+      val include = matching.map(_.include).getOrElse(Nil)
+      val eq = col("h") === col("__rh")
+      val lbl =
+        if (card == 0) matchLabels(matching)
+        else map_filter(includeLabels(include), (k, _) => k =!= p.nameLabel)
+      pairs
+        .withColumn("v",
+          when(if (neq) !eq else eq, 1.0).otherwise(0.0))
+        .withColumn("labels", lbl)
+        .withColumn("series_key", graft.functions.seriesKey(col("labels")))
+        .select("series_key", "labels", "t", "v")
     }
 
     // --- aggregations --------------------------------------------------
@@ -3159,11 +3341,114 @@ object PromQl {
 
     // --- binary operators ----------------------------------------------
 
-    private def binary(b: Bin): Value = (eval(b.lhs), eval(b.rhs)) match {
+    /** Shared-fill fast path for `selector ⊕ selector` arithmetic under
+      * one-to-one matching (`{a} / {b}`, the dashboard ratio shape):
+      * the generic path evaluates each operand's staleness fill
+      * separately (two exchanges), window-checks both sides for
+      * duplicate match keys (two more partitionings) and then joins —
+      * ~5 exchanges of lattice-grain rows. Here the two selections
+      * union SIDE-TAGGED into ONE fill pass (per-(side, series) keys —
+      * staleness is per original series), the labels ride a series-
+      * grain dim, and one (match key, instant) pivot aggregate
+      * produces both operands in-row: TWO exchanges total. The
+      * duplicate-match-key execution errors live in the same aggregate
+      * (right dups unconditional, left dups only when matched — the
+      * generic path's exact rule), so semantics are unchanged.
+      * Comparisons keep the generic path (the filter form needs the
+      * lhs's full label set back); mixed-corpus sources too (their
+      * fills are [[mixedFill]]-shaped). */
+    private val arithOps = Set("+", "-", "*", "/", "%", "^", "atan2")
+    private def binarySharedFill(b: Bin): Option[DataFrame] = (b.lhs, b.rhs) match {
+      case (ls: Selector, rs: Selector)
+          // dev toggle for A/B plan comparison (never set in production)
+          if !sys.env.get("SPARK_GRAFT_NO_SHARED_FILL").contains("1") &&
+            !hasH && arithOps.contains(b.op) &&
+            b.matchOn.forall(_.card == 0) &&
+            ls.at.isEmpty && rs.at.isEmpty =>
+        // side-tagged union; selected() already applied each side's
+        // offset shift, so mixed offsets compose naturally. The match
+        // key is computed AT THE SOURCE (a codegen'd hash of the label
+        // subset, functionally dependent on series_key) so it rides
+        // the fill as an extra key column — no dim join before the
+        // pivot aggregate, and the fill's scan count matches the
+        // generic path's.
+        def side(s: Selector, i: Int) = selected(s)
+          .select(lit(i).as("__side"), col("series_key"), col("labels"),
+            col("t"), col("v"))
+        val union = side(ls, 0).unionByName(side(rs, 1))
+          .withColumn("__mk", matchKey(b.matchOn))
+        val src = union.select("__side", "series_key", "__mk", "t", "v")
+        val keys = Seq("__side", "series_key", "__mk")
+        val look = p.lookbackMs - 1
+        val filled =
+          if (look < p.stepMs)
+            AsOf.latestPerInstant(src.withColumnRenamed("v", "r_v"),
+                keys, p.stepMs, look, "r", originMs = p.startMs)
+              .where(col("r_v").isNotNull && col("t").between(p.startMs, p.endMs))
+              .select(col("__side"), col("__mk"), col("t"),
+                col("r_v").as("v"))
+          else
+            AsOf.gridFillWide(src, keys, p.startMs, p.endMs, p.stepMs, look, Seq("v"))
+              .where(col("v_v").isNotNull)
+              .select(col("__side"), col("__mk"), col("t"),
+                col("v_v").as("v"))
+        // one series-grain dim: match key → result labels (the
+        // one-to-one resultMetric subset — equal keys imply equal
+        // subset maps, so first() per key is canonical)
+        val mdim = union.groupBy("__mk")
+          .agg(first(matchLabels(b.matchOn)).as("labels"))
+        val lv = max(when(col("__side") === 0, col("v")))
+        val rv = max(when(col("__side") === 1, col("v")))
+        Some(filled
+          .groupBy("__mk", "t")
+          .agg(
+            sum(when(col("__side") === 0, 1).otherwise(0)).as("__ln"),
+            sum(when(col("__side") === 1, 1).otherwise(0)).as("__rn"),
+            lv.as("__lv"), rv.as("__rv"))
+          .where(
+            when(col("__rn") > 1,
+              raise_error(concat(
+                lit("promql: found duplicate series for the match group "),
+                col("__mk"),
+                lit(" on the right side of the operation"))).cast("boolean"))
+              .when(col("__ln") > 1 && col("__rn") >= 1,
+                raise_error(concat(
+                  lit("promql: found duplicate series for the match group "),
+                  col("__mk"),
+                  lit(" on the left side of the operation"))).cast("boolean"))
+              .otherwise(lit(true)))
+          .where(col("__ln") === 1 && col("__rn") === 1)
+          .withColumn("v", arith(b.op, col("__lv"), col("__rv")))
+          .join(p.hintSeriesDim(mdim), Seq("__mk"))
+          .select(col("__mk").as("series_key"), col("labels"),
+            col("t"), col("v")))
+      case _ => None
+    }
+
+    private def binary(b: Bin): Value = binarySharedFill(b) match {
+      case Some(df) => Vec(df)
+      case None => binaryGeneric(b)
+    }
+
+    private def binaryGeneric(b: Bin): Value = (eval(b.lhs), eval(b.rhs)) match {
       case (Scal(l), Scal(r)) => Scal(scalarScalar(b.op, l, r, b.bool))
       case (Vec(l), Scal(r)) => Vec(vectorScalar(b, l, lit(r), scalarRight = true))
       case (Scal(l), Vec(r)) => Vec(vectorScalar(b, r, lit(l), scalarRight = false))
-      case (Vec(l), Vec(r)) => Vec(vectorVector(b, l, r))
+      case (Vec(l), Vec(r)) =>
+        val base = vectorVector(b, l, r)
+        // bool-form == / != between HISTOGRAM pairs yields 1/0 FLOATS
+        // (upstream FloatHistogram.Equals through the bool modifier) —
+        // those pairs are invisible to the float channels (null v), so
+        // their rows union in here; mixed float↔histogram pairs
+        // contribute to neither reading (upstream annotates and drops)
+        Vec(
+          if (b.bool && (b.op == "==" || b.op == "!=") && hasH)
+            (hVecOf(b.lhs), hVecOf(b.rhs)) match {
+              case (Some(hl), Some(hr)) =>
+                base.unionByName(hCompareBool(b.op == "!=", hl, hr, b.matchOn))
+              case _ => base
+            }
+          else base)
       // time-varying scalars: join on the instant alone
       case (Vec(l), ScalV(r)) =>
         Vec(vectorScalar(b, l.join(r.withColumnRenamed("v", "__sv"), Seq("t")),

@@ -47,14 +47,47 @@ object Merge {
     dedupLatest(samples, col(seqCol), col(tieBreak))
 
   /** [[dedupLatest]] with the recency as an arbitrary expression (the
-    * store's manifest-derived min-time rank). */
+    * store's manifest-derived min-time rank).
+    *
+    * Plan altitude (r12): `max_by(struct(row), struct(seq, tie))`
+    * carries a STRUCT aggregation buffer, which Spark's UnsafeRow hash
+    * map cannot hold — the dedup compiled to a partial SortAggregate
+    * that sorts SAMPLE-grain rows (2 of the 3 operators in the
+    * ts_bucketed_dedup plan). When every non-key column is a primitive
+    * (the store's read path: sample_id/t/v/block ranks), the pick runs
+    * through [[graft.catalyst.ArgPick]] instead — flat primitive
+    * buffer slots, whole-stage HashAggregate with map-side combine.
+    * Non-primitive payloads (ad-hoc frames carrying label maps) keep
+    * the max_by form. */
   def dedupLatest(samples: DataFrame, seq: Column, tieBreak: Column): DataFrame = {
     val cols = samples.columns
-    samples
-      .groupBy(col("series_key"), col("t"))
-      .agg(max_by(
-        struct(cols.map(col): _*),
-        struct(seq, tieBreak)).as("__row"))
-      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
+    val payload = cols.filterNot(c => c == "series_key" || c == "t")
+    val primitive = payload.forall(c => samples.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    })
+    if (primitive) {
+      val picked = graft.catalyst.ArgPick.pick(max = true,
+        Seq("__seq" -> seq, "__tie" -> tieBreak) ++
+          payload.map(c => c -> col(c)))
+      samples
+        .groupBy(col("series_key"), col("t"))
+        .agg(picked.as("__row"))
+        .select(cols.map(c =>
+          if (c == "series_key" || c == "t") col(c)
+          else col("__row").getField(c).as(c)): _*)
+    } else
+      samples
+        .groupBy(col("series_key"), col("t"))
+        .agg(max_by(
+          struct(cols.map(col): _*),
+          struct(seq, tieBreak)).as("__row"))
+        .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 }

@@ -578,8 +578,12 @@ class BlockStoreSpec extends SparkSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"), plan.take(3000))
     // overlap engaged the dedup aggregate, and the bucketed scan feeds
-    // it directly — the layout's whole point
-    assert(plan.contains("max_by"), plan.take(3000))
+    // it directly — the layout's whole point. Since r12 the pick is
+    // ArgPick (flat primitive buffer slots), so the aggregate must be
+    // a HashAggregate pair, not the partial SortAggregate the old
+    // max_by(struct) buffer forced.
+    assert(plan.contains("arg_pick_max"), plan.take(3000))
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
     assert(!plan.contains("Exchange"), plan.take(3000))
     assert(got.count() == samples.count())
   }
