@@ -661,14 +661,33 @@ object Bench {
       // shaped corpus — pins that the PromQL path's at-scale cost
       // tracks the hand-built family's, not just at x10
       val t0 = 1704067200000L
+      val labelled = samples.withColumn("labels",
+        map(lit("__name__"), lit("m")))
       def promqlOnce(): Unit =
         runPlan(graft.query.PromQl.evalUnsorted(
-          "rate(m[2h])",
-          samples.withColumn("labels",
-            map(lit("__name__"), lit("m"))),
+          "rate(m[2h])", labelled,
           graft.query.PromQl.Params(
             t0 + 2 * 3600000L, t0 + 3 * 3600000L, 60000L,
             seriesEstimate = Some(series))))
+      // the BUCKET-GRAIN output mode (r12, verdict ask #7): step ==
+      // range makes the anchor lattice tile, k = 1, and the compiler's
+      // candidate explode degenerates to ONE map-side-combined hash
+      // aggregate — the same plan shape as the hand-built
+      // Rate.extrapolatedRate. This row pins that when a relational
+      // consumer asks for the relational grain, the LANGUAGE path
+      // prices like the hand-built family; the promql_rate_sec row
+      // above prices the anchor-grain API contract (step ≪ range:
+      // ~15× denser output + the decomposition exchange).
+      def promqlTumblingOnce(): Unit =
+        runPlan(graft.query.PromQl.evalUnsorted(
+          "rate(m[1h])", labelled,
+          graft.query.PromQl.Params(
+            t0 + 3600000L, t0 + 3 * 3600000L, 3600000L,
+            seriesEstimate = Some(series))))
+      val promqlTumSec =
+        if (core) 0.0
+        else if (series * perSeries > 50000000L) timedSec(promqlTumblingOnce())
+        else best2(promqlTumblingOnce())
       // single pass at the 200M point: the row costs ~160 s there and a
       // second pass alone would blow the run's wall budget -- at that
       // duration the variable cost dwarfs the best-of-2 noise the rule
@@ -682,6 +701,7 @@ object Bench {
         ("msamples_per_sec", n / incSec / 1e6, "ok"))
       if (core) coreRows
       else coreRows ++ Seq(
+        ("promql_tumbling_sec", promqlTumSec, "ok"),
         ("over_time_sec", otSec, "ok"),
         ("irate_sec", irSec, "ok"),
         ("quantile_sec", qSec, "ok"),

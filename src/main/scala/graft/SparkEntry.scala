@@ -953,7 +953,7 @@ object SparkEntry {
             col("__z").as("z_count"), col("__cnt").as("count"),
             col("__sum").as("sum"),
             col("__neg").as("neg"), col("__pos").as("pos")).as("h"))
-      val lab = src.groupBy("series_key").agg(first("labels").as("labels"))
+      val lab = PromQl.seriesLabelsDim(src)
       val frame = hs.join(lab, Seq("series_key"))
         .select("series_key", "labels", "t", "v", "h")
       PromQl.evalUnsorted(
@@ -1005,7 +1005,7 @@ object SparkEntry {
             col("__z").as("z_count"), col("__cnt").as("count"),
             col("__sum").as("sum"),
             col("__neg").as("neg"), col("__pos").as("pos")).as("h"))
-      val lab = src.groupBy("series_key").agg(first("labels").as("labels"))
+      val lab = PromQl.seriesLabelsDim(src)
       val frame = hs.join(lab, Seq("series_key"))
         .select("series_key", "labels", "t", "v", "h")
       PromQl.evalUnsorted(
@@ -1047,7 +1047,7 @@ object SparkEntry {
             col("__z").as("z_count"), col("__cnt").as("count"),
             col("__sum").as("sum"),
             col("__neg").as("neg"), col("__pos").as("pos")).as("h"))
-      val lab = src.groupBy("series_key").agg(first("labels").as("labels"))
+      val lab = PromQl.seriesLabelsDim(src)
       val frame = hs.join(lab, Seq("series_key"))
         .select("series_key", "labels", "t", "v", "h")
       val p = PromQl.Params(T0 + DAY, T0 + 15 * DAY, DAY, nameLabel = "name",

@@ -636,6 +636,26 @@ object PromQl {
       if (seriesEstimate.exists(_ <= broadcastLimit)) broadcast(dim) else dim
   }
 
+  /** The per-series labels dimension `(series_key, labels)` every
+    * labels-re-attach join consumes — WITHOUT the sample-grain sort the
+    * obvious `groupBy(series_key).agg(first(labels))` pays: a MAP
+    * aggregation buffer cannot live in the UnsafeRow hash map, so that
+    * form compiles to a partial SortAggregate that SORTS the full
+    * sample volume by series_key before shrinking it (profiled as the
+    * dominant re-attach cost at 20M+ rows — RateProfile r12). Grouping
+    * KEYS, unlike buffers, may be var-length and need only be
+    * orderable, so: dedup on the canonically-sorted entry array (one
+    * HashAggregate with ZERO aggregate buffers, map-side combined —
+    * the shuffle carries one row per series per partition) and rebuild
+    * the map from the per-series remainder. The entry sort makes the
+    * key identical for rows whose maps agree but differ in insertion
+    * order — exactly the rows `first()` collapsed arbitrarily. */
+  private[graft] def seriesLabelsDim(src: DataFrame): DataFrame =
+    src.select(col("series_key"),
+        array_sort(map_entries(col("labels"))).as("__le"))
+      .distinct()
+      .select(col("series_key"), map_from_entries(col("__le")).as("labels"))
+
   /** A compiled value: an instant vector (frame of
     * `series_key, labels, t, v`) or a constant scalar. */
   private sealed trait Value
@@ -1056,8 +1076,7 @@ object PromQl {
             .where(col("v_v").isNotNull)
             .select(col("series_key"), col("t"), col("v_v").as("v"))
       filled
-        .join(p.hintSeriesDim(sel.groupBy("series_key")
-          .agg(first("labels").as("labels"))), Seq("series_key"))
+        .join(p.hintSeriesDim(seriesLabelsDim(sel)), Seq("series_key"))
         .select("series_key", "labels", "t", "v")
     }
 
@@ -1165,7 +1184,17 @@ object PromQl {
       val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
       val g0 = (floor((col("t") - 1 - p.startMs) / p.stepMs) * p.stepMs
         + p.stepMs + p.startMs).cast("long")
-      feats
+      // k = 1 (range ≤ step — the bucket-grain/tumbling shape): a
+      // sample can serve at most ONE anchor, its ceil point g0 (the
+      // next candidate g0+step has t ≤ g0 ≤ g0+step−range, outside the
+      // half-open window), so the explode is a plain column — the plan
+      // degenerates to one map-side-combined hash aggregate, the
+      // hand-built Rate family's shape, with no 2× Generate fan-out
+      if (k == 1)
+        feats.withColumn("g", g0)
+          .where(col("g").between(p.startMs, p.endMs) &&
+            col("t") > col("g") - rangeMs)
+      else feats
         .withColumn("g", explode(sequence(g0, g0 + k.toLong * p.stepMs, lit(p.stepMs))))
         .where(col("g").between(p.startMs, p.endMs) &&
           col("t") > col("g") - rangeMs) // half-open (g − range, g]
@@ -1256,9 +1285,7 @@ object PromQl {
           .agg(aggCols.head, aggCols.tail: _*)
           .withColumnRenamed("g", "t")
         if (carryLabels && labelsByJoin)
-          out.join(p.hintSeriesDim(
-            src.groupBy("series_key").agg(first("labels").as("labels"))),
-            Seq("series_key"))
+          out.join(p.hintSeriesDim(seriesLabelsDim(src)), Seq("series_key"))
         else out
       }
     }
@@ -1297,13 +1324,14 @@ object PromQl {
       // explode would otherwise run single-threaded (measured 14 s of
       // a 37 s x10 plan writing 25M anchor rows from one task)
       val shufN0 = src.sparkSession.sessionState.conf.numShufflePartitions
-      // ONE per-series aggregate serves BOTH the anchor explode and the
-      // final labels re-attach: the two consumers share the aggregate's
+      // ONE per-series dim serves BOTH the anchor explode and the
+      // final labels re-attach: the two consumers share the dim's
       // exchange subtree verbatim, so ReuseExchange computes the
       // sample-scale pass once (a separate labelsDim was a full third
-      // scan of the source — measured 20.8 -> see BENCH_NOTES r10)
-      val seriesDim = src.groupBy("series_key")
-        .agg(first("labels").as("labels"))
+      // scan of the source — measured 20.8 -> see BENCH_NOTES r10).
+      // [[seriesLabelsDim]] (r12), not groupBy+first(labels): the MAP
+      // buffer form paid a sample-grain partial SortAggregate here.
+      val seriesDim = seriesLabelsDim(src)
       val anchors0 = seriesDim
         .repartition(shufN0)
         .withColumn("g",
@@ -2602,9 +2630,13 @@ object PromQl {
       val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
       val g0 = (floor((col("t") - 1 - p.startMs) / p.stepMs) * p.stepMs
         + p.stepMs + p.startMs).cast("long")
-      def anchored(df: DataFrame): DataFrame = df
-        .withColumn("g",
-          explode(sequence(g0, g0 + k.toLong * p.stepMs, lit(p.stepMs))))
+      def anchored(df: DataFrame): DataFrame =
+        // k = 1: one candidate anchor per sample ([[rangeFrame]]'s
+        // tumbling elision — the g0+step candidate never survives the
+        // half-open filter), so no Generate fan-out
+        (if (k == 1) df.withColumn("g", g0)
+         else df.withColumn("g",
+           explode(sequence(g0, g0 + k.toLong * p.stepMs, lit(p.stepMs)))))
         .where(col("g").between(p.startMs, p.endMs) &&
           col("t") > col("g") - rangeMs) // half-open (g − range, g]
       val (chanSums, stats) = if (k > p.rangeExplodeCapK) {
@@ -2743,7 +2775,7 @@ object PromQl {
             coalesce(col("__pos"), emptySide).as("pos")).as("h"))
       // labels re-attach at output grain, hint gated on the caller's
       // series bound (the windowRangeAgg discipline)
-      val labelsDim = src.groupBy("series_key").agg(first("labels").as("labels"))
+      val labelsDim = seriesLabelsDim(src)
       val out = packed.join(p.hintSeriesDim(labelsDim), Seq("series_key"))
         .select("series_key", "labels", "t", "h")
       // counter/gauge range functions drop the metric name
