@@ -76,8 +76,14 @@ def time_once(sql):
 # sees the store) — it OOM-killed the r10 judge tool run (exit 137).
 # promql_native_rate_1d is the native-histogram k=1440 form of the
 # same fan-out (channel explode x day lattice).
+# doc_ngram_jaccard's twin is the all-pairs O(n^2) cross join over 50k
+# docs at x10 — >14 h in the r8 run and excluded by hand in every
+# judge run since (r8–r11 precedent); the Spark side is the inverted
+# shingle index at ~4-5 s. Skip it like the OOM twins so a bare
+# `--x10` run terminates.
 X10_UNSAFE = {"ts_rate_extrapolated", "promql_rate_1d",
-              "promql_store_rate", "promql_native_rate_1d"}
+              "promql_store_rate", "promql_native_rate_1d",
+              "doc_ngram_jaccard"}
 
 out = {}
 for name in sorted(names or oracle.keys()):
