@@ -3426,9 +3426,14 @@ object PromQl {
                 col("v_v").as("v"))
         // one series-grain dim: match key → result labels (the
         // one-to-one resultMetric subset — equal keys imply equal
-        // subset maps, so first() per key is canonical)
-        val mdim = union.groupBy("__mk")
-          .agg(first(matchLabels(b.matchOn)).as("labels"))
+        // subset maps, so one row per key is canonical). Through
+        // [[seriesLabelsDim]]'s entry-array dedup, not
+        // groupBy+first(map): the MAP buffer form paid a sample-grain
+        // partial SortAggregate over the two-scan union.
+        val mdim = seriesLabelsDim(
+            union.select(col("__mk").as("series_key"),
+              matchLabels(b.matchOn).as("labels")))
+          .withColumnRenamed("series_key", "__mk")
         val lv = max(when(col("__side") === 0, col("v")))
         val rv = max(when(col("__side") === 1, col("v")))
         Some(filled
