@@ -756,8 +756,15 @@ object SparkEntry {
       // t-ordered within — S1's bucketed SORTED BY shape), which is
       // what the vertical-merge read path guarantees; a global total
       // order was never the operator's semantics.
+      // project BEFORE the exchange (guide §2.3): the output never uses
+      // the labels map, and a map payload both rides the shuffle and
+      // forces the dedup off ArgPick's flat-slot HashAggregate onto a
+      // sample-grain SortAggregate (a MAP can't live in the UnsafeRow
+      // hash map's struct buffer)
       Merge.dedupLatest(
-          a.unionByName(b).repartition(col("series_key")))
+          a.unionByName(b)
+            .select("sample_id", "series_key", "t", "v", "block_seq")
+            .repartition(col("series_key")))
         .select("sample_id", "series_key", "t", "v")
         .sortWithinPartitions("series_key", "t", "sample_id")
     }),
@@ -1575,10 +1582,14 @@ object SparkEntry {
     // vector-sized (≤ |series| rows) by construction — the sample
     // scale never reaches it.
     "ts_sort_desc" -> ((s, dir) => {
+      // ArgPick, not max(struct(t, sample_id, v)): the struct buffer
+      // demoted this to a sample-grain partial SortAggregate; the
+      // (t, sample_id) order key is unique, so the pick is identical
       val at = TsdbSource.events(s, dir).samples
         .where(col("t") <= lit(MAXT) && col("t") >= lit(MAXT) - LOOKBACK)
         .groupBy("series_key")
-        .agg(max(struct(col("t"), col("sample_id"), col("v")))
+        .agg(graft.catalyst.ArgPick.pick(max = true, Seq(
+            "t" -> col("t"), "sample_id" -> col("sample_id"), "v" -> col("v")))
           .getField("v").as("v"))
       val w = Window.orderBy(col("v").desc, col("series_key"))
       at.withColumn("rk", row_number().over(w))
@@ -1610,13 +1621,20 @@ object SparkEntry {
     // id is non-negative and below it.
     "ts_limit_ratio" -> ((s, dir) => {
       graft.catalyst.GraftExtensions.install(s)
+      // ArgPick pick (unique (t, sample_id) order key — identical to
+      // the max(struct) form) + labels as a GROUPING KEY (sorted entry
+      // array, constant per series_key): both the struct and the map
+      // previously forced a sample-grain partial SortAggregate
       val at = TsdbSource.events(s, dir).samples
         .where(col("t") <= lit(MAXT) && col("t") >= lit(MAXT) - LOOKBACK)
-        .groupBy("series_key")
+        .groupBy(col("series_key"),
+          array_sort(map_entries(col("labels"))).as("__le"))
         .agg(
-          max(struct(col("t"), col("sample_id"), col("v")))
-            .getField("v").as("v"),
-          first("labels").as("labels"))
+          graft.catalyst.ArgPick.pick(max = true, Seq(
+            "t" -> col("t"), "sample_id" -> col("sample_id"), "v" -> col("v")))
+            .getField("v").as("v"))
+        .withColumn("labels", map_from_entries(col("__le")))
+        .drop("__le")
       at.select(col("series_key"), col("v"),
           graft.functions.labelsHash(col("labels")).as("series_id"))
         .withColumn("part",
@@ -1635,7 +1653,8 @@ object SparkEntry {
       val at = TsdbSource.events(s, dir).samples
         .where(col("t") <= lit(MAXT) && col("t") >= lit(MAXT) - LOOKBACK)
         .groupBy(col("series_key"), col("labels").getItem("user").as("lbl"))
-        .agg(max(struct(col("t"), col("sample_id"), col("v")))
+        .agg(graft.catalyst.ArgPick.pick(max = true, Seq(
+            "t" -> col("t"), "sample_id" -> col("sample_id"), "v" -> col("v")))
           .getField("v").as("v"))
       val w = Window.orderBy(col("lbl").asc, col("series_key"))
       at.withColumn("rk", row_number().over(w))
@@ -1684,7 +1703,8 @@ object SparkEntry {
       val at = TsdbSource.events(s, dir).samples
         .where(col("t") <= lit(T_AT) && col("t") >= lit(T_AT) - LOOKBACK)
         .groupBy("series_key")
-        .agg(max(struct(col("t"), col("sample_id"), col("v")))
+        .agg(graft.catalyst.ArgPick.pick(max = true, Seq(
+            "t" -> col("t"), "sample_id" -> col("sample_id"), "v" -> col("v")))
           .getField("v").as("v_at"))
       at.withColumn("t", explode(sequence(lit(MINT), lit(MAXT), lit(BUCKET_W))))
         .select("series_key", "t", "v_at")
@@ -1846,8 +1866,12 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           round(
-            max(struct(col("t"), col("sample_id"), col("v"))).getField("v") -
-              min(struct(col("t"), col("sample_id"), col("v"))).getField("v"),
+            graft.catalyst.ArgPick.pick(max = true, Seq(
+              "t" -> col("t"), "sample_id" -> col("sample_id"), "v" -> col("v")))
+              .getField("v") -
+              graft.catalyst.ArgPick.pick(max = false, Seq(
+                "t" -> col("t"), "sample_id" -> col("sample_id"), "v" -> col("v")))
+                .getField("v"),
             2).as("delta"))
         .orderBy("series_key", "t_bucket")),
 

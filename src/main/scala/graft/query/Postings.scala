@@ -37,12 +37,20 @@ object Postings {
     * for an identical result. */
   def fromSamples(samples: DataFrame): DataFrame =
     samples
-      .select(col("series_key"), col("labels"))
-      .dropDuplicates("series_key")
+      // entry-array distinct, not dropDuplicates("series_key"): the
+      // subset form compiles to first(labels) whose MAP aggregation
+      // buffer demotes the dedup to a sample-grain partial
+      // SortAggregate; a var-length grouping KEY stays in whole-stage
+      // HashAggregate (labels is constant per series_key, so grouping
+      // by both is the same dedup)
+      .select(col("series_key"),
+        array_sort(map_entries(col("labels"))).as("__le"))
+      .distinct()
       // map keys are unique, so the explode output is already one
       // distinct row per (series, label pair) — no second shuffle
+      .select(col("series_key"), explode(col("__le")).as("__e"))
       .select(col("series_key"),
-        explode(col("labels")).as(Seq("label_name", "label_value")))
+        col("__e.key").as("label_name"), col("__e.value").as("label_value"))
 
   /** `PostingsForMatchers` with the absent-label-is-empty rule
     * (`querier.go:331-396`): a matcher that matches "" also selects

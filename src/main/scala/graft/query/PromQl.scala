@@ -1251,8 +1251,6 @@ object PromQl {
         (if (need("sx"))
           Seq(sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
             sum(col("x") * col("v")).as("sxy")) else Nil) ++
-        (if (carryLabels && !labelsByJoin)
-          Seq(first("labels").as("labels")) else Nil) ++
         extra
       val k = ((rangeMs + p.stepMs - 1) / p.stepMs).toInt
       // high fan-out guard: above the cap, the explode would amplify
@@ -1280,10 +1278,26 @@ object PromQl {
           if (carryLabels && labelsByJoin) src.drop("labels") else src
         val base = rangeFrame(srcLean, rangeMs, needLag)
         val withX = if (need("sx")) base.withColumn("x", x) else base
-        val out = withX
-          .groupBy("series_key", "g")
-          .agg(aggCols.head, aggCols.tail: _*)
-          .withColumnRenamed("g", "t")
+        // in-aggregate labels (subquery sources) ride as a GROUPING KEY
+        // — the canonically-sorted entry array, the seriesLabelsDim
+        // trick — not a `first(map)` buffer: labels is constant per
+        // series_key, so the grouping is identity, the partial still
+        // combines map-side, and a var-length grouping key (unlike a
+        // map-typed aggregation buffer) keeps the whole k×-exploded
+        // aggregate in whole-stage HashAggregate (r12: this was the
+        // last partial SortAggregate on the subquery plan)
+        val inAggLabels = carryLabels && !labelsByJoin
+        val out0 =
+          if (inAggLabels)
+            withX.groupBy(col("series_key"),
+                array_sort(map_entries(col("labels"))).as("__le"), col("g"))
+              .agg(aggCols.head, aggCols.tail: _*)
+              .withColumn("labels", map_from_entries(col("__le")))
+              .drop("__le")
+          else withX
+            .groupBy("series_key", "g")
+            .agg(aggCols.head, aggCols.tail: _*)
+        val out = out0.withColumnRenamed("g", "t")
         if (carryLabels && labelsByJoin)
           out.join(p.hintSeriesDim(seriesLabelsDim(src)), Seq("series_key"))
         else out
@@ -1495,22 +1509,55 @@ object PromQl {
           stats.map { case (n, _, f, _) => f.over(ws).as("s_" + n) }: _*)
         .where(col("flag") =!= 0)
       // one hash aggregate splices each anchor pair back together: the
-      // END row carries the prefix half, the START row the suffix half
-      def half(n: String, flag: Int) = first(
-        when(col("flag") === flag, col((if (flag == 1) "p_" else "s_") + n)),
-        ignoreNulls = true).as((if (flag == 1) "p_" else "s_") + n)
-
-      val combined = staged
+      // END row carries the prefix half, the START row the suffix half.
+      // The first/last channels are ArgPick STRUCTS, and a struct in a
+      // `first()` aggregation buffer cannot live in the UnsafeRow hash
+      // map — the whole splice demoted to an anchor-grain SortAggregate
+      // plus its own sort (r12 plan audit). Flatten struct channels to
+      // per-field primitive picks across the aggregate and rebuild the
+      // structs after: each group holds exactly one END and one START
+      // row, so the flag filter pins every field pick to the same source
+      // row and the rebuild is field-exact.
+      val stagedSchema = staged.schema
+      def structFieldsOf(cn: String): Option[Seq[String]] =
+        stagedSchema(cn).dataType match {
+          case s: org.apache.spark.sql.types.StructType => Some(s.fieldNames.toSeq)
+          case _ => None
+        }
+      def half(n: String, flag: Int): Seq[Column] = {
+        val cn = (if (flag == 1) "p_" else "s_") + n
+        def pick(src: Column, as: String) =
+          first(when(col("flag") === flag, src), ignoreNulls = true).as(as)
+        structFieldsOf(cn) match {
+          case Some(fs) => fs.map(f => pick(col(cn).getField(f), s"__${cn}__$f"))
+          case None     => Seq(pick(col(cn), cn))
+        }
+      }
+      val halves: Seq[Column] =
+        stats.flatMap { case (n, _, _, _) => half(n, 1) } ++
+          stats.flatMap { case (n, _, _, _) => half(n, -1) }
+      // an ArgPick struct's lead field is the pick's own t, never null
+      // inside a real pick — so "struct was null" ⟺ "lead field is null"
+      def rebuilt(cn: String, fs: Seq[String]): Column =
+        when(col(s"__${cn}__${fs.head}").isNotNull,
+          struct(fs.map(f => col(s"__${cn}__$f").as(f)): _*))
+      val spliced0 = staged
         // same AQE-vs-compression pin as the window exchange above: the
         // splice aggregate's shuffle carries anchor-grain stat rows
         // that compress away, and a byte-coalesced single finalizer
         // over millions of groups serializes the tail of the plan
         .repartition(shufN, col("series_key"), col("g"))
         .groupBy("series_key", "g")
-        .agg(
-          stats.head match { case (n, _, _, _) => half(n, 1) },
-          stats.map { case (n, _, _, _) => half(n, -1) } ++
-            stats.tail.map { case (n, _, _, _) => half(n, 1) }: _*)
+        .agg(halves.head, halves.tail: _*)
+      val spliced = stats.map(_._1)
+        .flatMap(n => Seq("p_" + n, "s_" + n))
+        .foldLeft(spliced0) { (d, cn) =>
+          structFieldsOf(cn) match {
+            case Some(fs) => d.withColumn(cn, rebuilt(cn, fs))
+            case None     => d
+          }
+        }
+      val combined = spliced
         .select(
           Seq(col("series_key"), col("g").as("t")) ++
             stats.map { case (n, _, _, comb) => comb.as(n) }: _*)
@@ -2824,8 +2871,13 @@ object PromQl {
       * joins and aggregates run at instant-vector grain — never
       * samples. */
     private def hMergeGroups(g: DataFrame, avg: Boolean = false): DataFrame = {
-      val base = g.groupBy("series_key", "t").agg(
-          first("labels").as("labels"),
+      // labels ride as a GROUPING KEY (sorted entry array — constant
+      // per series_key, so the grouping is identity), not a
+      // `first(map)` buffer: every other buffer here is primitive, and
+      // the map buffer alone demoted this merge core to a SortAggregate
+      // in every histogram-arithmetic plan (r12)
+      val base = g.groupBy(col("series_key"),
+          array_sort(map_entries(col("labels"))).as("__le"), col("t")).agg(
           min(col("h.schema")).as("__schema"),
           max(col("h.zt")).as("__zt"),
           min(col("h.zt")).as("__ztMin"),
@@ -2833,6 +2885,8 @@ object PromQl {
           sum(col("h.count")).as("__count"),
           sum(col("h.sum")).as("__sum"),
           count(lit(1)).as("__n"))
+        .withColumn("labels", map_from_entries(col("__le")))
+        .drop("__le")
       def upperAt(i: Column, sch: Column): Column =
         pow(lit(2.0), i.cast("double") * pow(lit(2.0), -sch.cast("double")))
       def side(p0: Int, arr: Column) = transform(arr, b =>

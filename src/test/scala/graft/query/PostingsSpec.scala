@@ -46,6 +46,18 @@ class PostingsSpec extends SparkSuite {
     agree(Eq("name", "purchase"), Matcher.neq("vip", "1"), Re("user", ".*7.*"))
   }
 
+  test("fromSamples derives the index without a SortAggregate (r12)") {
+    // dropDuplicates("series_key") compiled to first(labels) whose MAP
+    // buffer demoted the series dedup to a sample-grain partial
+    // SortAggregate; the entry-array distinct stays in HashAggregate
+    val plan = postings.queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+    // and the derived index is unchanged: one row per (series, pair)
+    val n = postings.count()
+    val dd = postings.dropDuplicates("series_key", "label_name", "label_value").count()
+    assert(n == dd && n > 0)
+  }
+
   test("matched sample sets are non-trivial (the battery isn't vacuous)") {
     assert(viaPostings(Eq("name", "click")).nonEmpty)
     assert(viaPostings(Matcher.neq("vip", "1")).nonEmpty)

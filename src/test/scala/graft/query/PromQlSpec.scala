@@ -646,21 +646,37 @@ class PromQlSpec extends SparkSuite {
 
   test("rate plans its stat aggregates hash-based (ArgPick + labels dim)") {
     // explode path (k <= capK): the (series, instant) stat aggregate
-    // runs ArgPick picks in HashAggregate; the ONLY SortAggregate left
-    // is the narrow per-series labels dim (first(labels) map buffers
-    // cannot live in the UnsafeRow hash map)
+    // runs ArgPick picks in HashAggregate, the labels dim is the
+    // entry-array distinct (zero-buffer HashAggregate) — NO
+    // SortAggregate anywhere in the plan (r12)
     val p = PromQl.Params(50 * M, 50 * M, M)
     val plan = PromQl.eval("rate(http_requests[30m])", counters, p)
       .queryExecution.sparkPlan.toString
     assert(plan.contains("arg_pick_min") && plan.contains("arg_pick_max"), plan.take(2000))
-    val sortAggs = plan.linesIterator.filter(_.contains("SortAggregate")).toSeq
-    assert(sortAggs.forall(_.contains("first(labels")), sortAggs.mkString("\n"))
-    // decomposed path (capK = 0): stage-1 bucket partial likewise hash
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+    // decomposed path (capK = 0): stage-1 bucket partial likewise hash,
+    // and the anchor splice (r12: per-field primitive picks across the
+    // aggregate, structs rebuilt after) stays hash too — the whole
+    // decomposition has no SortAggregate
     val plan2 = PromQl.eval("rate(http_requests[30m])", counters,
         p.copy(rangeExplodeCapK = 0))
       .queryExecution.sparkPlan.toString
     val hashStage1 = plan2.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("arg_pick_min"))
     assert(hashStage1, plan2.take(3000))
+    assert(!plan2.contains("SortAggregate"), plan2.take(3000))
+  }
+
+  test("subquery range aggregate keeps labels as a grouping key, not a map buffer (r12)") {
+    // rangeAgg over a SUBQUERY source carries labels in-aggregate (a
+    // dim would re-run the inner eval); the entry-array GROUPING KEY
+    // form keeps the whole k×-exploded aggregate in HashAggregate —
+    // first(labels) map buffers demoted it to a SortAggregate before
+    val p = PromQl.Params(50 * M, 50 * M, M)
+    val q = "max_over_time(sum by (job) (http_requests)[30m:10m])"
+    val df = PromQl.eval(q, counters, p)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+    assert(df.count() > 0)
   }
 }
