@@ -1628,7 +1628,7 @@ object SparkEntry {
       val at = TsdbSource.events(s, dir).samples
         .where(col("t") <= lit(MAXT) && col("t") >= lit(MAXT) - LOOKBACK)
         .groupBy(col("series_key"),
-          array_sort(map_entries(col("labels"))).as("__le"))
+          graft.functions.canonicalLabelEntries(col("labels")).as("__le"))
         .agg(
           graft.catalyst.ArgPick.pick(max = true, Seq(
             "t" -> col("t"), "sample_id" -> col("sample_id"), "v" -> col("v")))

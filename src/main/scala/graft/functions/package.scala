@@ -18,11 +18,21 @@ package object functions {
     concat(
       lit("{"),
       array_join(
-        transform(
-          array_sort(map_entries(map_filter(labels, (_, v) => v.isNotNull && v =!= ""))),
+        transform(canonicalLabelEntries(labels),
           e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\""))),
         ","),
       lit("}"))
+
+  /** The canonical (sorted, empty-values-dropped) entry array of a
+    * labels map — the representation [[seriesKey]] is built from, and
+    * therefore the ONLY map image that is functionally dependent on
+    * the series key (a raw map may still carry `k -> ""` entries that
+    * identity ignores, reference head.go:832-833). Every entry-array
+    * GROUPING KEY (the r12 SortAggregate-free label dedup/dim shape)
+    * must group on THIS form, not on raw `map_entries`: grouping on the
+    * raw entries splits a series across its empty-label variants. */
+  def canonicalLabelEntries(labels: Column): Column =
+    array_sort(map_entries(map_filter(labels, (_, v) => v.isNotNull && v =!= "")))
 
   /** 64-bit series identity hash over the canonical key. Uses Spark's
     * built-in xxhash64 (codegen'd); matches the reference's *choice* of

@@ -229,8 +229,11 @@ object ApiServer {
         case "series" =>
           val sel = selectedSeries(ps)
             .getOrElse(badData("no match[] parameter provided"))
-          val df = sel.select("series_key", "labels")
-            .groupBy("series_key").agg(first("labels").as("labels"))
+          // entry-array dedup (PromQl.seriesLabelsDim), not
+          // groupBy + first(labels): the map buffer form runs as a
+          // SortAggregate over the matched sample volume
+          val df = graft.query.PromQl
+            .seriesLabelsDim(sel.select("series_key", "labels"))
             .orderBy("series_key")
           val (rows, warns) = bounded(df, limitOf(ps))
           (rows.map(r => ResultJson.labelsJson(r.getMap[String, String](1)))

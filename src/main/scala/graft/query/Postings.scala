@@ -44,7 +44,7 @@ object Postings {
       // HashAggregate (labels is constant per series_key, so grouping
       // by both is the same dedup)
       .select(col("series_key"),
-        array_sort(map_entries(col("labels"))).as("__le"))
+        graft.functions.canonicalLabelEntries(col("labels")).as("__le"))
       .distinct()
       // map keys are unique, so the explode output is already one
       // distinct row per (series, label pair) — no second shuffle

@@ -652,7 +652,7 @@ object PromQl {
     * order — exactly the rows `first()` collapsed arbitrarily. */
   private[graft] def seriesLabelsDim(src: DataFrame): DataFrame =
     src.select(col("series_key"),
-        array_sort(map_entries(col("labels"))).as("__le"))
+        graft.functions.canonicalLabelEntries(col("labels")).as("__le"))
       .distinct()
       .select(col("series_key"), map_from_entries(col("__le")).as("labels"))
 
@@ -1290,7 +1290,7 @@ object PromQl {
         val out0 =
           if (inAggLabels)
             withX.groupBy(col("series_key"),
-                array_sort(map_entries(col("labels"))).as("__le"), col("g"))
+                graft.functions.canonicalLabelEntries(col("labels")).as("__le"), col("g"))
               .agg(aggCols.head, aggCols.tail: _*)
               .withColumn("labels", map_from_entries(col("__le")))
               .drop("__le")
@@ -1508,56 +1508,35 @@ object PromQl {
           stats.map { case (n, f, _, _) => f.over(wp).as("p_" + n) } ++
           stats.map { case (n, _, f, _) => f.over(ws).as("s_" + n) }: _*)
         .where(col("flag") =!= 0)
-      // one hash aggregate splices each anchor pair back together: the
+      // one SORT aggregate splices each anchor pair back together: the
       // END row carries the prefix half, the START row the suffix half.
-      // The first/last channels are ArgPick STRUCTS, and a struct in a
-      // `first()` aggregation buffer cannot live in the UnsafeRow hash
-      // map — the whole splice demoted to an anchor-grain SortAggregate
-      // plus its own sort (r12 plan audit). Flatten struct channels to
-      // per-field primitive picks across the aggregate and rebuild the
-      // structs after: each group holds exactly one END and one START
-      // row, so the flag filter pins every field pick to the same source
-      // row and the rebuild is field-exact.
-      val stagedSchema = staged.schema
-      def structFieldsOf(cn: String): Option[Seq[String]] =
-        stagedSchema(cn).dataType match {
-          case s: org.apache.spark.sql.types.StructType => Some(s.fieldNames.toSeq)
-          case _ => None
-        }
-      def half(n: String, flag: Int): Seq[Column] = {
-        val cn = (if (flag == 1) "p_" else "s_") + n
-        def pick(src: Column, as: String) =
-          first(when(col("flag") === flag, src), ignoreNulls = true).as(as)
-        structFieldsOf(cn) match {
-          case Some(fs) => fs.map(f => pick(col(cn).getField(f), s"__${cn}__$f"))
-          case None     => Seq(pick(col(cn), cn))
-        }
-      }
-      val halves: Seq[Column] =
-        stats.flatMap { case (n, _, _, _) => half(n, 1) } ++
-          stats.flatMap { case (n, _, _, _) => half(n, -1) }
-      // an ArgPick struct's lead field is the pick's own t, never null
-      // inside a real pick — so "struct was null" ⟺ "lead field is null"
-      def rebuilt(cn: String, fs: Seq[String]): Column =
-        when(col(s"__${cn}__${fs.head}").isNotNull,
-          struct(fs.map(f => col(s"__${cn}__$f").as(f)): _*))
-      val spliced0 = staged
+      //
+      // SortAggregate is the RIGHT plan here, ON PURPOSE (r12,
+      // measured): every (series, g) group holds exactly TWO rows, so
+      // a hash aggregate gets no map-side combine and must materialize
+      // an output-grain hash map (millions of wide buffers at k=1440)
+      // — flattening the struct channels to per-field primitive picks
+      // to force HashAggregate was built, A/B'd interleaved on the
+      // kept x10 corpus, and REVERTED: 18.4/19.1 s (hash) vs
+      // 12.0/11.8 s (sort) on promql_rate_1d. The sort pays one
+      // O(2·|anchors| log) in-partition sort and streams with O(1)
+      // state; at a 2:1 input:group ratio that beats the map build.
+      // Do not "fix" this SortAggregate again without re-measuring.
+      def half(n: String, flag: Int) = first(
+        when(col("flag") === flag, col((if (flag == 1) "p_" else "s_") + n)),
+        ignoreNulls = true).as((if (flag == 1) "p_" else "s_") + n)
+
+      val combined = staged
         // same AQE-vs-compression pin as the window exchange above: the
         // splice aggregate's shuffle carries anchor-grain stat rows
         // that compress away, and a byte-coalesced single finalizer
         // over millions of groups serializes the tail of the plan
         .repartition(shufN, col("series_key"), col("g"))
         .groupBy("series_key", "g")
-        .agg(halves.head, halves.tail: _*)
-      val spliced = stats.map(_._1)
-        .flatMap(n => Seq("p_" + n, "s_" + n))
-        .foldLeft(spliced0) { (d, cn) =>
-          structFieldsOf(cn) match {
-            case Some(fs) => d.withColumn(cn, rebuilt(cn, fs))
-            case None     => d
-          }
-        }
-      val combined = spliced
+        .agg(
+          stats.head match { case (n, _, _, _) => half(n, 1) },
+          stats.map { case (n, _, _, _) => half(n, -1) } ++
+            stats.tail.map { case (n, _, _, _) => half(n, 1) }: _*)
         .select(
           Seq(col("series_key"), col("g").as("t")) ++
             stats.map { case (n, _, _, comb) => comb.as(n) }: _*)
@@ -2877,7 +2856,7 @@ object PromQl {
       // the map buffer alone demoted this merge core to a SortAggregate
       // in every histogram-arithmetic plan (r12)
       val base = g.groupBy(col("series_key"),
-          array_sort(map_entries(col("labels"))).as("__le"), col("t")).agg(
+          graft.functions.canonicalLabelEntries(col("labels")).as("__le"), col("t")).agg(
           min(col("h.schema")).as("__schema"),
           max(col("h.zt")).as("__zt"),
           min(col("h.zt")).as("__ztMin"),
@@ -3335,9 +3314,15 @@ object PromQl {
       val keyed = iv
         .withColumn("g_labels", keep)
         .withColumn("g_key", graft.functions.seriesKey(col("g_labels")))
+      // g_labels ride as a GROUPING KEY (sorted entry array — g_key is
+      // derived from g_labels, so the grouping is identity), not a
+      // first(map) buffer that would demote the aggregate to a
+      // SortAggregate over the instant-vector volume (r12)
       def grouped(aggs: Column*): DataFrame =
-        keyed.groupBy("g_key", "t")
-          .agg(first("g_labels").as("labels"), aggs: _*)
+        keyed.groupBy(col("g_key"),
+            graft.functions.canonicalLabelEntries(col("g_labels")).as("__le"), col("t"))
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("labels", map_from_entries(col("__le")))
           .withColumnRenamed("g_key", "series_key")
           .select("series_key", "labels", "t", "v")
       Vec(a.op match {
@@ -3416,9 +3401,11 @@ object PromQl {
             .withColumn("g_labels",
               map_concat(col("g_labels"), map(lit(target), vStr)))
             .withColumn("g_key", graft.functions.seriesKey(col("g_labels")))
-            .groupBy("g_key", "t")
-            .agg(first("g_labels").as("labels"),
-              count(lit(1)).cast("double").as("v"))
+            // same entry-array grouping-key form as grouped() above
+            .groupBy(col("g_key"),
+              graft.functions.canonicalLabelEntries(col("g_labels")).as("__le"), col("t"))
+            .agg(count(lit(1)).cast("double").as("v"))
+            .withColumn("labels", map_from_entries(col("__le")))
             .withColumnRenamed("g_key", "series_key")
             .select("series_key", "labels", "t", "v")
         case other => fail(s"unsupported aggregation $other")

@@ -26,6 +26,15 @@ object LabelSets {
         map_filter(col("parsed"), (_, v) => v.isNotNull && v =!= "").as("labels"))
       .withColumn("series_key", graft.functions.seriesKey(col("labels")))
       .withColumn("series_hash", graft.functions.seriesHash(col("labels")))
-      .dropDuplicates("series_key")
+      // entry-array distinct, not dropDuplicates("series_key"): the
+      // subset form buffers first(labels map) — a partial SortAggregate
+      // over the whole corpus; the var-length grouping KEY stays in
+      // HashAggregate (series_key/series_hash are derived from labels,
+      // so grouping by all three is the same dedup)
+      .select(col("series_key"), col("series_hash"),
+        graft.functions.canonicalLabelEntries(col("labels")).as("__le"))
+      .distinct()
+      .select(map_from_entries(col("__le")).as("labels"),
+        col("series_key"), col("series_hash"))
   }
 }

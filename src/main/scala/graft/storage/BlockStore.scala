@@ -278,10 +278,16 @@ final class BlockStore(
             // series.minTime()/maxTime(), head.go:972): the same
             // series_key hash aggregate dropDuplicates ran, one extra
             // min/max — these feed the per-series delete clamp with no
-            // extra scan at delete time
-            .groupBy(col("series_key"))
-            .agg(first(col("labels")).as("labels"),
-              min(col("t")).as("s_mint"), max(col("t")).as("s_maxt"))
+            // extra scan at delete time.
+            // labels ride as a GROUPING KEY (sorted entry array —
+            // constant per series_key), not a first(map) buffer: the
+            // map buffer demoted this sample-grain write-time aggregate
+            // to a partial SortAggregate (r12)
+            .groupBy(col("series_key"),
+              graft.functions.canonicalLabelEntries(col("labels")).as("__le"))
+            .agg(min(col("t")).as("s_mint"), max(col("t")).as("s_maxt"))
+            .withColumn("labels", map_from_entries(col("__le")))
+            .drop("__le")
             .observe(dictObs, count(lit(1)).as("n_series"))
             // strip empty-valued labels before indexing (the reference's
             // append-time invariant, head.go:832-833): series identity

@@ -654,17 +654,20 @@ class PromQlSpec extends SparkSuite {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("arg_pick_min") && plan.contains("arg_pick_max"), plan.take(2000))
     assert(!plan.contains("SortAggregate"), plan.take(3000))
-    // decomposed path (capK = 0): stage-1 bucket partial likewise hash,
-    // and the anchor splice (r12: per-field primitive picks across the
-    // aggregate, structs rebuilt after) stays hash too — the whole
-    // decomposition has no SortAggregate
+    // decomposed path (capK = 0): stage-1 bucket partial likewise hash.
+    // The ONLY SortAggregate allowed is the anchor SPLICE — deliberate
+    // (r12, measured): its groups hold exactly 2 rows, so hash gains no
+    // combine and pays an output-grain map (18.4 vs 12.0 s interleaved
+    // on the x10 corpus); the sort streams with O(1) state.
     val plan2 = PromQl.eval("rate(http_requests[30m])", counters,
         p.copy(rangeExplodeCapK = 0))
       .queryExecution.sparkPlan.toString
     val hashStage1 = plan2.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("arg_pick_min"))
     assert(hashStage1, plan2.take(3000))
-    assert(!plan2.contains("SortAggregate"), plan2.take(3000))
+    val sortAggs2 = plan2.linesIterator.filter(_.contains("SortAggregate")).toSeq
+    assert(sortAggs2.forall(_.contains("CASE WHEN (flag")),
+      sortAggs2.mkString("\n"))
   }
 
   test("subquery range aggregate keeps labels as a grouping key, not a map buffer (r12)") {
