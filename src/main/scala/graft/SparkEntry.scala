@@ -2104,20 +2104,24 @@ object SparkEntry {
     // scale).
     "doc_filter_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val q = TextStats.quality(docs)
-      val lang = TextStats.langId(docs, LANG_PROFILES)
-        .select(col("doc_id"), col("predicted"))
+      // The quality and langid signals are both ROW-WISE expressions
+      // over the same scan, so they fuse into one projection (r13,
+      // guide §2.4 "remove shuffles outright") — the pre-r13 pipeline
+      // joined three doc-keyed passes (3 broadcast joins, 3 scans).
+      // The exact-dedup survivor check is the one genuine join left:
+      // its right side is the content_hash-grain aggregate.
       val dup = Dedup.exact(docs).select(col("content_hash"), col("survivor"))
-      val dupOk = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
-        .join(dup, "content_hash")
-        .select(col("doc_id"), (col("doc_id") === col("survivor")).as("dup_ok"))
-      q.join(lang, "doc_id").join(dupOk, "doc_id")
-        .select(
+      val ws = TextStats.words(col("text"))
+      docs.select(
           col("doc_id"),
-          (col("n_words") >= 30).as("len_ok"),
-          (col("quality_score") >= 0.3).as("quality_ok"),
-          (col("predicted") === "p1").as("lang_ok"),
-          col("dup_ok"))
+          md5(col("text")).as("content_hash"),
+          (size(ws) >= 30).as("len_ok"),
+          (TextStats.qualityScore(ws) >= 0.3).as("quality_ok"),
+          (TextStats.langPredicted(ws, LANG_PROFILES) === "p1").as("lang_ok"))
+        .join(dup, "content_hash")
+        .select(
+          col("doc_id"), col("len_ok"), col("quality_ok"), col("lang_ok"),
+          (col("doc_id") === col("survivor")).as("dup_ok"))
         .withColumn("keep",
           col("len_ok") && col("quality_ok") && col("lang_ok") && col("dup_ok"))
         .orderBy("doc_id")

@@ -356,7 +356,8 @@ object Dedup {
     * aggregate per doc computes the k-permutation signature as k
     * codegen'd `min((a*h+b) mod M)` columns — min over the NON-distinct
     * gram multiset equals min over the set, so no distinct pass runs —
-    * alongside `collect_set(shingle)` for the verification arrays.
+    * alongside `collect_set(xxhash64(shingle))` for the verification
+    * arrays (hashed, not the strings; see the in-body comment).
     * Verification joins those arrays to the candidate pairs only (the
     * LSH-surviving few), intersecting locally: the full gram relation is
     * never re-shuffled per candidate (a candidate-constrained equi-join
@@ -389,23 +390,48 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(perms.length % bands == 0, "bands must divide the signature length")
     val rows = perms.length / bands
+    // The verification sets are collected as xxhash64(shingle) LONGS,
+    // not shingle strings (guide §2.3 "shuffle keys and metadata
+    // instead of payloads"): the arrays exist only to compute
+    // |A ∩ B| / |A ∪ B| per candidate pair, and set sizes and
+    // intersection counts over the 64-bit hashes equal the string-set
+    // ones unless two distinct shingles of one candidate pair collide
+    // in 2^64 (probability ~|union|²/2^65 per pair, ≪ 1e-10 even at
+    // 10^4-shingle documents — same argument, same hash, as
+    // [[ngramJaccardPairs]]'s index, which the DuckDB oracle has
+    // matched since r8). The long arrays are ~2.5× narrower through
+    // the checkpoint and both verification shuffles, and
+    // array_intersect compares longs instead of strings. The MINHASH
+    // signature arithmetic (28-bit [[wordHash]] into the linear perms)
+    // is untouched — it stays bit-for-bit the oracle's.
     val sigs = gramRows(df, n, textCol)
       .withColumn("__h", wordHash(col("shingle")))
       .groupBy("doc_id")
       .agg(
-        collect_set(col("shingle")).as("sh"),
+        collect_set(xxhash64(col("shingle"))).as("sh"),
         perms.zipWithIndex.map { case ((a, b), i) =>
           min((lit(a) * col("__h") + lit(b)) % MINHASH_MOD).as(s"__m$i")
         }: _*)
       .withColumn("n_sh", size(col("sh")))
       .localCheckpoint()
+    // Band keys ride the candidate exchange PACKED: every per-
+    // permutation min is < 2^28 ([[MINHASH_MOD]]), so a pair of mins
+    // packs injectively into one 56-bit long — equality of the packed
+    // struct is exactly equality of the min tuple, so the candidate
+    // set is unchanged while the exchange rows shrink ~2× vs the
+    // pre-r13 concat_ws string key (~35 bytes) and the join compares
+    // longs instead of strings (guide §2.3 "narrower types").
+    def packedBandKey(bi: Int): Column = {
+      val ms = (0 until rows).map(ri => col(s"__m${bi * rows + ri}"))
+      val packed = ms.grouped(2).map(g =>
+        g.reduceLeft((hi, lo) => hi * lit(1L << 28) + lo)).toSeq
+      struct(packed.zipWithIndex.map { case (c, gi) => c.as(s"k$gi") }: _*)
+    }
     // candidates stay (band, i, j) only — the shingle arrays join back in
     // once per *candidate pair*, not per banded row
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(
-        array((0 until bands).map(bi =>
-          concat_ws("-", (0 until rows).map(ri => col(s"__m${bi * rows + ri}")): _*)): _*))
+      posexplode(array((0 until bands).map(packedBandKey): _*))
         .as(Seq("band", "band_key")))
     val a = banded.select(col("band"), col("band_key"), col("doc_id").as("i"))
     val b = banded.select(col("band"), col("band_key"), col("doc_id").as("j"))

@@ -32,6 +32,20 @@ object TextStats {
   /** Quality-score features (length, word stats, stopword ratio) and a
     * bounded composite score — the usual first-pass heuristic filter for
     * web-scale corpora. */
+  /** The [[quality]] composite score as a COLUMN over a words-array
+    * expression — exposed so multi-signal filters (doc_filter_pipeline)
+    * can fuse it with other row-wise signals into ONE projection
+    * instead of joining per-signal passes (guide §2.4). */
+  def qualityScore(
+      ws: Column,
+      stopwords: Seq[String] = Seq("the", "a", "of")): Column = {
+    val nWords = size(ws)
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+    round(
+      least(lit(1.0), nWords.cast("double") / 100) *
+        (lit(0.5) + lit(0.5) * (nStop.cast("double") / nWords)), 4)
+  }
+
   def quality(
       df: DataFrame,
       textCol: String = "text",
@@ -46,10 +60,7 @@ object TextStats {
       nWords.as("n_words"),
       round(sumLen.cast("double") / nWords, 4).as("avg_word_len"),
       round(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
-      round(
-        least(lit(1.0), nWords.cast("double") / 100) *
-          (lit(0.5) + lit(0.5) * (nStop.cast("double") / nWords)), 4)
-        .as("quality_score"))
+      qualityScore(ws, stopwords).as("quality_score"))
   }
 
   /** N-gram-profile language ID: score each profile by token hits,
@@ -57,6 +68,20 @@ object TextStats {
     * are word/character n-gram sets; real deployments would learn them —
     * the operator shape (K parallel profile scores + argmax, one pass,
     * no shuffle) is what matters at scale. */
+  /** The [[langId]] argmax as a COLUMN over a words-array expression
+    * (ties resolved by profile order, like [[langId]]) — the fusable
+    * form for one-projection multi-signal filters. */
+  def langPredicted(
+      ws: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = profiles.map { case (_, prof) =>
+      size(filter(ws, w => w.isin(prof: _*))) }
+    val best =
+      if (scores.size == 1) scores.head else greatest(scores: _*)
+    profiles.zip(scores).reverse.foldLeft(lit(profiles.last._1)) {
+      case (els, ((name, _), sc)) => when(sc === best, lit(name)).otherwise(els)
+    }
+  }
+
   def langId(
       df: DataFrame,
       profiles: Seq[(String, Seq[String])],
@@ -66,12 +91,9 @@ object TextStats {
       case (acc, (name, prof)) =>
         acc.withColumn(s"score_$name", size(filter(col("__ws"), w => w.isin(prof: _*))))
     }
-    val best = profiles.map { case (name, _) => col(s"score_$name") }
-    val pred = profiles.reverse.foldLeft(lit(profiles.last._1)) {
-      case (els, (name, _)) =>
-        when(col(s"score_$name") === greatest(best: _*), lit(name)).otherwise(els)
-    }
-    scored.withColumn("predicted", pred).drop("__ws")
+    scored
+      .withColumn("predicted", langPredicted(col("__ws"), profiles))
+      .drop("__ws")
   }
 
   /** Word-distribution (Shannon) entropy per document — the

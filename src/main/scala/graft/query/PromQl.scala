@@ -2849,7 +2849,23 @@ object PromQl {
       * `[−zt, zt]` absorb into the zero count. Scalar moments add. All
       * joins and aggregates run at instant-vector grain — never
       * samples. */
-    private def hMergeGroups(g: DataFrame, avg: Boolean = false): DataFrame = {
+    private def hMergeGroups(g0: DataFrame, avg: Boolean = false): DataFrame = {
+      // The merge core reads its input through SIX relations (base,
+      // remapped, star, widen, withUp, and the final three-way join),
+      // and the join tree references the input's FULL lineage ~16× —
+      // under [[hArith]] (whose one-to-one union already carries each
+      // operand twice) that multiplied promql_hist_arith's physical
+      // plan to 2,694 nodes / 148 parquet scans / 383 exchanges at 15
+      // instants (r12 audit): a compile-time bomb that grows with the
+      // consumer count, not the data. The input is INSTANT-VECTOR
+      // grain — one histogram row per (series, lattice instant), the
+      // smallest relation in any of these plans — so it is materialized
+      // once, call-scoped (guide §3.3: "very wide unions/joins produce
+      // enormous plans; materialising an intermediate truncates the
+      // plan"), exactly like the twice-consumed relations in
+      // [[graft.llm.Dedup]]. Not a cross-run cache: the checkpoint is
+      // scoped to this call and rebuilt on every invocation.
+      val g = g0.localCheckpoint()
       // labels ride as a GROUPING KEY (sorted entry array — constant
       // per series_key, so the grouping is identity), not a
       // `first(map)` buffer: every other buffer here is primitive, and
@@ -2912,14 +2928,24 @@ object PromQl {
             col("__schema").as("__s3")),
           Seq("series_key", "t"))
         .withColumn("__up", upperAt(col("i"), col("__s3")))
-      val zAdd = withUp.where(col("__up") <= col("__ztF"))
-        .groupBy("series_key", "t").agg(sum("c").as("__zAdd"))
-      val arrays = withUp.where(col("__up") > col("__ztF"))
+      // zero-absorption and the surviving bucket arrays in ONE
+      // aggregate + ONE join-back (r13): the two disjoint-filter
+      // aggregates over withUp became conditional channels —
+      // collect_list skips the nulls the when() leaves, and a group
+      // whose every bucket absorbs now yields an EMPTY array where the
+      // two-join form yielded a null arrays row; both coalesce to the
+      // same empty-array/0.0 defaults below. Saves a join and an
+      // exchange pair per merge — this core is instantiated per
+      // histogram operator, so plan size is the point (guide §3.3).
+      val arrays = withUp
         .groupBy("series_key", "t")
         .agg(
-          sort_array(collect_list(when(col("part") === -1,
+          sum(when(col("__up") <= col("__ztF"), col("c"))).as("__zAdd"),
+          sort_array(collect_list(when(col("part") === -1 &&
+            col("__up") > col("__ztF"),
             struct(col("i"), col("c"))))).as("__neg"),
-          sort_array(collect_list(when(col("part") === 1,
+          sort_array(collect_list(when(col("part") === 1 &&
+            col("__up") > col("__ztF"),
             struct(col("i"), col("c"))))).as("__pos"))
       // avg: upstream divides every channel of the group SUM by the
       // group's element count
@@ -2930,7 +2956,6 @@ object PromQl {
         else transform(c, b =>
           struct(b.getField("i").as("i"), (b.getField("c") / den).as("c")))
       base2.join(arrays, Seq("series_key", "t"), "left")
-        .join(zAdd, Seq("series_key", "t"), "left")
         .select(col("series_key"), col("labels"), col("t"),
           struct(
             col("__schema").as("schema"), col("__ztF").as("zt"),

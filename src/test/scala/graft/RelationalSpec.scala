@@ -48,6 +48,41 @@ class RelationalSpec extends SparkSuite {
     assert(!agg.contains("SortMergeJoin"), agg.take(3000))
   }
 
+  test("doc_filter_pipeline fuses the row-wise signals: ONE join, two scans") {
+    // r13: quality + langid are row-wise expressions over one scan; the
+    // exact-dedup survivor attach is the only join left. Three
+    // broadcast passes creeping back in = this fails.
+    val p = plan("doc_filter_pipeline")
+    assert(p.split("BroadcastHashJoin").length - 1 == 1, p.take(3000))
+    assert(p.split("Scan parquet").length - 1 <= 2, p.take(3000))
+  }
+
+  test("promql_hist_arith plan stays truncated at the merge core") {
+    // r13: hMergeGroups materializes its instant-grain input once; the
+    // r12 plan re-derived the full source lineage ~16x per merge
+    // (2,694 physical nodes, 148 parquet scans, 383 exchanges at 15
+    // instants — a compile-time bomb that grew with the instant count).
+    // Generous bounds so host-independent: before-change values were
+    // 148 scans / 383 exchanges.
+    val p = plan("promql_hist_arith")
+    assert(p.split("Scan parquet").length - 1 <= 8, s"parquet scans: ${p.split("Scan parquet").length - 1}")
+    assert(p.split("Exchange").length - 1 <= 80, s"exchanges: ${p.split("Exchange").length - 1}")
+  }
+
+  test("latest-pick order key (t, sample_id) is unique per series on the read path") {
+    // The ArgPick latest-sample entries (ts_sort_desc, ts_limit_ratio,
+    // ts_delta_gauge, ts_at_modifier) order by (t, sample_id) ONLY and
+    // carry v as payload — pick-identical to max(struct(t, sample_id,
+    // v)) exactly while this uniqueness holds (r12 ADVICE): a read-path
+    // change that stops deduplicating must fail here loudly, not
+    // surface as arrival-order-dependent output.
+    import org.apache.spark.sql.functions._
+    val dups = query.TsdbSource.events(spark, sf).samples
+      .groupBy(col("series_key"), col("t"), col("sample_id"))
+      .count().where(col("count") > 1).count()
+    assert(dups == 0L)
+  }
+
   test("promql selectors push matchers and time bounds to the parquet scan") {
     // the pushdown hook compiles {name="click"} onto the SOURCE columns
     // — without it the predicate dies against the constructed labels

@@ -119,6 +119,43 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("lambdafunction"), plan.take(2000))
   }
 
+  test("minhash LSH: packed band keys + hashed verify sets ≡ the string formulation") {
+    // r13 pin: the candidate exchange carries PACKED 56-bit band keys
+    // (two mins per long) and the verification arrays carry
+    // xxhash64(shingle) longs. Both are representation changes only —
+    // this re-derives the pre-r13 string formulation (concat_ws band
+    // keys, string shingle sets) inline and requires the IDENTICAL
+    // (i, j, jaccard) set on the real document corpus.
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.minhashLshPairs(docs)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val perms = Dedup.permutations()
+    val shdf = docs.select($"doc_id", Dedup.shingles($"text").as("shs"))
+      .where(size($"shs") > 0)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * $"h" + lit(b)) % Dedup.MINHASH_MOD).as(s"m$i") }
+    val sig = shdf.select($"doc_id", explode($"shs").as("s"))
+      .withColumn("h", TextStats.wordHash($"s"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+    val banded = sig.select($"doc_id", posexplode(array((0 until 4).map(bi =>
+        concat_ws("-", (0 until 4).map(ri => col(s"m${bi * 4 + ri}")): _*)): _*))
+      .as(Seq("band", "key")))
+    val cands = banded.join(
+        banded.select($"band", $"key", $"doc_id".as("j")), Seq("band", "key"))
+      .where($"doc_id" < $"j")
+      .select($"doc_id".as("i"), $"j").distinct()
+    val want = cands
+      .join(shdf.select($"doc_id".as("i"), $"shs".as("si")), "i")
+      .join(shdf.select($"doc_id".as("j"), $"shs".as("sj")), "j")
+      .withColumn("inter", size(array_intersect($"si", $"sj")))
+      .withColumn("jaccard", round(
+        $"inter".cast("double") / (size($"si") + size($"sj") - $"inter"), 4))
+      .where($"jaccard" >= 0.4)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("simhash of near-identical docs is close in hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -540,6 +577,27 @@ class TextStatsSpec extends SparkSuite {
   }
 
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
+
+  test("qualityScore / langPredicted column forms ≡ quality() / langId() (r13 fusion)") {
+    // doc_filter_pipeline fuses these as row-wise columns; they must
+    // stay expression-identical to the per-signal operators
+    val docs = Tables.documents(spark, sf)
+    val profiles = Seq(
+      "p1" -> Seq("the", "of", "and"), "p2" -> Seq("le", "la", "et"))
+    val ws = TextStats.words(col("text"))
+    val fused = docs.select($"doc_id",
+        TextStats.qualityScore(ws).as("qs"),
+        TextStats.langPredicted(ws, profiles).as("pred"))
+      .as[(Long, Double, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val q = TextStats.quality(docs).select($"doc_id", $"quality_score")
+      .as[(Long, Double)].collect().toMap
+    val l = TextStats.langId(docs, profiles).select($"doc_id", $"predicted")
+      .as[(Long, String)].collect().toMap
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      assert(fused(id)._1 == q(id), s"doc $id quality")
+      assert(fused(id)._2 == l(id), s"doc $id lang")
+    }
+  }
 
   test("repetition: top-word and duplicate-bigram fractions; no bigrams -> null") {
     val df = Seq((1L, "a a a b"), (2L, "solo")).toDF("doc_id", "text")
