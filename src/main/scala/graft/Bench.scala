@@ -1575,9 +1575,13 @@ object Bench {
           s""""stream_ingest":${okMap(streamR, ms)},"""
         else {
           // mid levels: one total per section — enough for the driver
-          // to see at-scale movement; the detail file has every row
+          // to see at-scale movement; the detail file has every row.
+          // "_sec" rows only, and NOT the "*_per_sec" rates (those are
+          // throughputs, not seconds — summing them in would make
+          // stream_ingest read as ~1e5 "seconds")
           def tot(rows: Seq[(String, Double, String)]) =
-            cs(1)(rows.collect { case (k, v, "ok") if k.endsWith("_sec") => v }.sum)
+            cs(1)(rows.collect { case (k, v, "ok")
+              if k.endsWith("_sec") && !k.endsWith("per_sec") => v }.sum)
           s""""section_sec":${jsonMap(Seq(
             "ann_1m" -> tot(annR), "rate_20m" -> tot(rateR),
             "rate_200m" -> tot(rate200R), "dedup_100k" -> tot(dedupR),
@@ -1598,12 +1602,20 @@ object Bench {
          else s""""contaminated_n":${contaminated.size},""") +
         (if (skippedChildren.isEmpty) ""
          else s""""skipped_children":[${skippedChildren.map(n => "\"" + n + "\"").mkString(",")}],""") +
-        s""""x10_prep_sec":${ms(x10PrepSec)},"errors":$errors,""" +
-        s""""elapsed_sec":${f"$elapsedSec%.0f"},""" +
-        s""""write_rows_per_sec":${ms(writeRpsH)},"compact_sec":${ms(compactSecH)},""" +
-        s""""bytes_per_sample":${ms(bytesPerSampleH)},""" +
-        s""""write_rows_per_sec_labelsets":${ms(writeRpsLsH)},""" +
-        s""""bytes_per_sample_labelsets":${ms(bytesPerSampleLsH)},""" +
+        // mid levels keep write_rows_per_sec only: the other lifecycle
+        // scalars + x10_prep live in the detail file, and their ~155
+        // chars are exactly what pushed the x10-bearing levels past the
+        // cap in the r13 rehearsal (level 1 missed by 5 chars)
+        (if (level >= 3 || level == 0)
+          s""""x10_prep_sec":${ms(x10PrepSec)},""" +
+          s""""errors":$errors,"elapsed_sec":${f"$elapsedSec%.0f"},""" +
+          s""""write_rows_per_sec":${ms(writeRpsH)},"compact_sec":${ms(compactSecH)},""" +
+          s""""bytes_per_sample":${ms(bytesPerSampleH)},""" +
+          s""""write_rows_per_sec_labelsets":${ms(writeRpsLsH)},""" +
+          s""""bytes_per_sample_labelsets":${ms(bytesPerSampleLsH)},"""
+        else
+          s""""errors":$errors,"elapsed_sec":${f"$elapsedSec%.0f"},""" +
+          s""""write_rows_per_sec":${ms(writeRpsH)},""") +
         (if (labelSetStatus != "ok") s""""labelsets_status":"$labelSetStatus",""" else "") +
         s""""store_status":"$storeStatus","sf":"$sfDir","detail":"$detailPath"}"""
     }

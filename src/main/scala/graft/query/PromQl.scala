@@ -1274,10 +1274,6 @@ object PromQl {
         // (series_key, labels) rows instead of k·n exploded stat rows.
         // Subquery sources keep the in-aggregate labels: their src is
         // an inner evaluation a dim would re-run wholesale.
-        val srcLean =
-          if (carryLabels && labelsByJoin) src.drop("labels") else src
-        val base = rangeFrame(srcLean, rangeMs, needLag)
-        val withX = if (need("sx")) base.withColumn("x", x) else base
         // in-aggregate labels (subquery sources) ride as a GROUPING KEY
         // — the canonically-sorted entry array, the seriesLabelsDim
         // trick — not a `first(map)` buffer: labels is constant per
@@ -1285,12 +1281,24 @@ object PromQl {
         // combines map-side, and a var-length grouping key (unlike a
         // map-typed aggregation buffer) keeps the whole k×-exploded
         // aggregate in whole-stage HashAggregate (r12: this was the
-        // last partial SortAggregate on the subquery plan)
+        // last partial SortAggregate on the subquery plan). The entry
+        // array is PROJECTED ONCE per input row, before the explode —
+        // as a grouping expression it would re-run the
+        // map_filter + map_entries + array_sort per k×-exploded row
+        // (r12 ADVICE #2).
         val inAggLabels = carryLabels && !labelsByJoin
+        val srcLean =
+          if (carryLabels && labelsByJoin) src.drop("labels")
+          else if (inAggLabels)
+            src.withColumn("__le",
+              graft.functions.canonicalLabelEntries(col("labels")))
+              .drop("labels")
+          else src
+        val base = rangeFrame(srcLean, rangeMs, needLag)
+        val withX = if (need("sx")) base.withColumn("x", x) else base
         val out0 =
           if (inAggLabels)
-            withX.groupBy(col("series_key"),
-                graft.functions.canonicalLabelEntries(col("labels")).as("__le"), col("g"))
+            withX.groupBy(col("series_key"), col("__le"), col("g"))
               .agg(aggCols.head, aggCols.tail: _*)
               .withColumn("labels", map_from_entries(col("__le")))
               .drop("__le")
